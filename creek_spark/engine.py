@@ -1,0 +1,62 @@
+"""Engine — the thin user-facing facade over the operator surface.
+
+A user of the reference interacts with: WAL streams, snapshots, schema
+registry, and (downstream) the relational operations they build on the
+data.  Engine groups those entry points; every method returns a plain
+DataFrame so the whole pyspark.sql surface composes."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from creek_spark import sources
+from creek_spark.operators import asof_join, latest_state, wal_from
+from creek_spark.sources.registry import SchemaRegistry
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str | None = None,
+        registry_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.data_dir = data_dir or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        self.registry = SchemaRegistry(registry_dir)
+
+    # ------------------------------------------------------------- sources
+    def table(self, name: str) -> DataFrame:
+        return sources.read_table(self.spark, self.data_dir, name)
+
+    def register_views(self) -> None:
+        sources.register_views(self.spark, self.data_dir)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def snapshot(self, df: DataFrame, base_dir: str, table: str, **kw) -> str:
+        return sources.write_snapshot(df, base_dir, table, **kw)
+
+    def read_snapshot(self, path: str):
+        return sources.read_snapshot(self.spark, path)
+
+    def list_snapshots(self, base_dir: str, table: str):
+        return sources.list_snapshots(base_dir, table)
+
+    def bootstrap(self, snapshot_df, header, wal, key_cols=None) -> DataFrame:
+        return sources.bootstrap(snapshot_df, header, wal, key_cols)
+
+    # ------------------------------------------------------------ operators
+    def latest_state(self, wal: DataFrame, key_cols=None, **kw) -> DataFrame:
+        return latest_state(wal, key_cols, **kw)
+
+    def wal_from(self, wal: DataFrame, timestamp=None, lsn=None) -> DataFrame:
+        return wal_from(wal, timestamp, lsn)
+
+    def asof_join(self, left, right, on, left_time, right_time, **kw) -> DataFrame:
+        return asof_join(left, right, on, left_time, right_time, **kw)

@@ -1,0 +1,39 @@
+"""Text-processing column helpers (all JVM-side built-ins).
+
+Used by the dedup / text-analysis operators.  Deterministic and expressible
+in ANSI SQL so every downstream operator can be oracle-checked against
+DuckDB on the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def norm_text(col: Column | str) -> Column:
+    """Normalization used for fingerprinting/dedup: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(norm_text(col), r"\s+")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles as space-joined strings (array<string>).
+
+    Built with a SQL transform over a sequence — no UDF; identical results
+    are obtained in DuckDB SQL for the oracle."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )

@@ -1,0 +1,196 @@
+"""CDC envelope processing — reconstructing table state from a change stream.
+
+This is the engine's analog of the reference's consumer side: an ordered WAL
+scan (client.go:296-372) fed into an apply-changes materializer (the
+creek-pg-client pattern, reference README.md:30-33).  Where the reference
+relies on a single totally-ordered NATS consumer, we get scale-out
+correctness from *per-key* ordering by numeric LSN (client.go:786-800):
+`row_number() over (partition by key order by lsn_num desc) = 1` — identical
+results under any parallelism, one shuffle.
+
+Scale notes (100 TB):
+  * the only shuffle is the per-key window; it partitions by the table's
+    primary key, which is near-uniform for surrogate keys.  AQE skew-join /
+    salting applies if a hot key exists.
+  * truncate watermarks are computed with a tiny aggregate and broadcast —
+    no second shuffle of the big stream.
+  * at-least-once input dedup is `dropDuplicates` on (table, lsn), which
+    folds into the same shuffle when keys align.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from creek_spark.functions.lsn import lsn_num
+
+
+def _key_cols_from_envelope(wal: DataFrame) -> list[str]:
+    """Primary key = fields of the `before` struct (the reference's before
+    image is key-only for plain updates, internal/dao/schemas.go:97), or
+    pgKey metadata on `after` when present."""
+    after = wal.schema["after"].dataType
+    meta_keys = [f.name for f in after.fields if (f.metadata or {}).get("pgKey")]
+    if meta_keys:
+        return meta_keys
+    before = wal.schema["before"].dataType
+    return [f.name for f in before.fields]
+
+
+def expand_ops(wal: DataFrame) -> DataFrame:
+    """Normalize the op stream so each row targets exactly one key:
+
+    * `u_pk` (PK-changing update, before=FULL old row,
+      replication.go:425-427) becomes two rows: a delete of the old key and
+      an insert of the new row — the same rewrite a MERGE consumer applies.
+    * other ops pass through unchanged.
+
+    Uses explode over a 1- or 2-element array — no shuffle.
+    """
+    is_upk = F.col("op") == "u_pk"
+    before_keys = F.col("before")
+    # delete leg keeps `before`, drops `after`; insert leg the reverse
+    legs = F.when(
+        is_upk,
+        F.array(
+            F.struct(
+                F.lit("d").alias("op"),
+                before_keys.alias("before"),
+                F.lit(None).cast(wal.schema["after"].dataType).alias("after"),
+            ),
+            F.struct(
+                F.lit("c").alias("op"),
+                F.lit(None).cast(wal.schema["before"].dataType).alias("before"),
+                F.col("after").alias("after"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("op").alias("op"),
+                F.col("before").alias("before"),
+                F.col("after").alias("after"),
+            )
+        )
+    )
+    exploded = wal.select("*", F.posexplode(legs).alias("_leg_pos", "_leg"))
+    return (
+        exploded.drop("op", "before", "after")
+        .withColumn("op", F.col("_leg.op"))
+        .withColumn("before", F.col("_leg.before"))
+        .withColumn("after", F.col("_leg.after"))
+        .withColumn("_op_seq", F.col("_leg_pos"))
+        .drop("_leg", "_leg_pos")
+    )
+
+
+def latest_state(
+    wal: DataFrame,
+    key_cols: list[str] | None = None,
+    *,
+    dedup: bool = True,
+    handle_toast: bool = True,
+) -> DataFrame:
+    """Reconstruct current table state from an envelope stream (single table).
+
+    Semantics (internal/dao/replication.go per-op rules):
+      c/r  → upsert full row        u    → upsert full row (before=keys)
+      u_pk → delete old key + insert new (expand_ops)
+      d    → key absent from the result
+      t    → discards every change with a smaller LSN (truncate watermark)
+
+    At-least-once duplicates (same LSN re-delivered, the reference's NATS
+    MsgID dedup, internal/mq/nats.go:214) are dropped on (lsn, op-leg).
+    TOAST columns marked unchanged (replication.go:527-528 omission) are
+    carried forward from the previous row version without a second shuffle.
+    """
+    keys = key_cols or _key_cols_from_envelope(wal)
+    df = wal.withColumn("_lsn_num", lsn_num(F.col("source.lsn")))
+
+    # Truncate watermark: tiny agg, joined back as a broadcast scalar.
+    trunc = df.filter(F.col("op") == "t").agg(
+        F.max("_lsn_num").alias("_trunc_lsn")
+    )
+    df = df.filter(F.col("op") != "t").crossJoin(F.broadcast(trunc))
+    df = df.filter(
+        F.col("_trunc_lsn").isNull() | (F.col("_lsn_num") > F.col("_trunc_lsn"))
+    ).drop("_trunc_lsn")
+
+    df = expand_ops(df)
+
+    if dedup:
+        df = df.dropDuplicates(["_lsn_num", "op", "_op_seq"])
+
+    # Target key of each change: after-image for upserts, before-image for
+    # deletes (delete's after is null, replication.go:456-491).
+    for k in keys:
+        df = df.withColumn(
+            f"_key_{k}",
+            F.when(F.col("op") == "d", F.col(f"before.{k}")).otherwise(
+                F.col(f"after.{k}")
+            ),
+        )
+
+    w = Window.partitionBy(*[F.col(f"_key_{k}") for k in keys]).orderBy(
+        F.col("_lsn_num").desc(), F.col("_op_seq").desc()
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+
+    after_fields = [f.name for f in wal.schema["after"].dataType.fields]
+    if handle_toast and "unchanged_toast" in wal.columns:
+        # Carry unchanged-TOAST values forward: wrap each column in a struct
+        # (so a genuine NULL is distinct from "unchanged"), null the wrapper
+        # on unchanged rows, then last(ignoreNulls) over the ascending
+        # window.  Same partitioning as the ranking window → one shuffle.
+        wa = Window.partitionBy(*[F.col(f"_key_{k}") for k in keys]).orderBy(
+            F.col("_lsn_num").asc(), F.col("_op_seq").asc()
+        )
+        resolved = ranked
+        for c in after_fields:
+            wrapped = F.when(
+                F.col("unchanged_toast").isNotNull()
+                & F.array_contains(F.col("unchanged_toast"), c),
+                F.lit(None),
+            ).otherwise(F.struct(F.col(f"after.{c}").alias("v")))
+            resolved = resolved.withColumn(
+                f"_res_{c}", F.last(wrapped, ignorenulls=True).over(wa)
+            )
+        final = resolved.filter((F.col("_rn") == 1) & (F.col("op") != "d"))
+        return final.select(
+            *[F.col(f"_res_{c}").getField("v").alias(c) for c in after_fields]
+        )
+
+    final = ranked.filter((F.col("_rn") == 1) & (F.col("op") != "d"))
+    return final.select(*[F.col(f"after.{c}").alias(c) for c in after_fields])
+
+
+def wal_from(wal: DataFrame, timestamp=None, lsn: str | None = None) -> DataFrame:
+    """Resume a change stream from (timestamp, LSN) — the reference's
+    StreamWALFrom predicate (client.go:227-294): deliver from `timestamp`,
+    then drop while msgLSN <= lsn (DropWhile, client.go:288-291).  Catalyst
+    pushes both predicates to the scan."""
+    out = wal
+    if timestamp is not None:
+        out = out.filter(F.col("source.tx_at") >= F.lit(timestamp))
+    if lsn is not None:
+        out = out.filter(lsn_num(F.col("source.lsn")) > lsn_num(F.lit(lsn)))
+    return out
+
+
+def changelog_stats(wal: DataFrame) -> DataFrame:
+    """Observability analog of the reference's read counters
+    (internal/metrics/metrics.go:17-20,87-94): rows by (table, op)."""
+    return (
+        wal.groupBy(
+            F.col("source.schema").alias("schema"),
+            F.col("source.table").alias("table"),
+            F.col("op"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(lsn_num(F.col("source.lsn"))).alias("min_lsn"),
+            F.max(lsn_num(F.col("source.lsn"))).alias("max_lsn"),
+        )
+        .orderBy("schema", "table", "op")
+    )

@@ -1,0 +1,56 @@
+"""SparkSession construction tuned for both local testing and cluster scale.
+
+Defaults follow the scale guidance in SURVEY.md §4/§7: AQE on (runtime
+re-planning, skew-join handling, partition coalescing), UTC session timezone
+(the reference's timestamps are µs-UTC, pgtype-avro/conversion.go:29-32),
+Arrow enabled for the pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "creek_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    On a real cluster ``master`` comes from the environment; locally we use
+    ``local[$SPARK_GRAFT_CPUS]``.  All settings here are safe at 1000
+    executors: AQE re-plans shuffles at runtime, skew-join splitting handles
+    hot keys, and shuffle partitions are only a *initial* value under AQE.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The driver-generated events.parquet stores TIMESTAMP(NANOS), which
+        # Spark has no native type for; read as long and convert at the
+        # source boundary (sources.read_table) with µs truncation, matching
+        # how DuckDB/pyarrow surface the same column.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,195 @@
+"""Sources & sinks: table readers, consistent snapshots, bootstrap.
+
+The reference's snapshot is a RepeatableRead transaction that captures
+(lsn, tx_id, now, reltuples) and streams `SELECT *` (internal/dao/
+snapshots.go:38-162), published as header + rows + EOF (internal/mq/
+snapshots.go:97-163).  Spark-first: a snapshot is a parquet directory with a
+`_header.json`; a bounded DataFrame needs no EOF sentinel.  Bootstrap =
+snapshot ∪ changes with lsn > header.lsn (the §3.3 join point).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from creek_spark.functions.lsn import lsn_num
+from creek_spark.types.fingerprint import fingerprint_schema
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS).  Spark reads these as
+    LongType under spark.sql.legacy.parquet.nanosAsLong; we convert them to
+    TimestampType with µs truncation (identical to DuckDB/pyarrow)."""
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+            if not parts:
+                return []
+            target = os.path.join(path, parts[0])
+        schema = pq.read_schema(target)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nano_ts_columns(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    for t in tables:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    num_partitions: int = 16,
+    lower_bound=None,
+    upper_bound=None,
+    properties: dict | None = None,
+) -> DataFrame:
+    """JDBC scan (the snapshot `SELECT *` analog, snapshots.go:127).
+
+    With a partition column Spark issues `num_partitions` range-predicated
+    queries in parallel; without one the read is a single consistent
+    partition (exact but serial — the reference's own choice)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+# ---------------------------------------------------------------- snapshots
+
+
+def write_snapshot(
+    df: DataFrame,
+    base_dir: str,
+    table: str,
+    *,
+    lsn: str = "0/0",
+    tx_id: int = 0,
+    at: datetime.datetime | None = None,
+) -> str:
+    """Materialize a snapshot: parquet + `_header.json` carrying the
+    reference's SnapshotHeader fields (messages.go:107-115; topic naming
+    `...<ts>_<id>`, internal/mq/snapshots.go:149-163)."""
+    at = at or datetime.datetime.now(datetime.timezone.utc)
+    snap_id = uuid.uuid4().hex[:8]
+    ts = at.strftime("%Y%m%d%H%M%S")
+    path = os.path.join(base_dir, table, f"{ts}_{snap_id}")
+    df.write.mode("overwrite").parquet(path)
+    header = {
+        "topic": f"{table}.{ts}_{snap_id}",
+        "fingerprint": fingerprint_schema(df.schema),
+        "schema": df.schema.json(),
+        "tx_id": tx_id,
+        "lsn": lsn,
+        "at": at.isoformat(),
+        "approx_rows": df.count(),
+    }
+    with open(os.path.join(path, "_header.json"), "w") as f:
+        json.dump(header, f)
+    return path
+
+
+def read_snapshot(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    with open(os.path.join(path, "_header.json")) as f:
+        header = json.load(f)
+    return spark.read.parquet(path), header
+
+
+def list_snapshots(base_dir: str, table: str) -> list[dict]:
+    """List snapshots ascending by timestamp — the client's ListSnapshots
+    (client.go:537-579: parse `ts_id` suffix, ascending sort)."""
+    tdir = os.path.join(base_dir, table)
+    if not os.path.isdir(tdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(tdir)):
+        hpath = os.path.join(tdir, name, "_header.json")
+        if os.path.exists(hpath):
+            with open(hpath) as f:
+                h = json.load(f)
+            h["path"] = os.path.join(tdir, name)
+            out.append(h)
+    return out
+
+
+def bootstrap(
+    snapshot_df: DataFrame,
+    header: dict,
+    wal: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Consistent state = snapshot + changes after the snapshot LSN
+    (SURVEY.md §3.3: consumers run StreamWALFrom(header.At, header.LSN)).
+
+    Implemented by folding snapshot rows into the change stream as `r` ops
+    at the snapshot LSN, then running the standard latest-state apply — so
+    every op semantics (d/u_pk/t/TOAST) behaves identically in bootstrap.
+    """
+    from creek_spark.operators.cdc import latest_state, wal_from
+
+    changes = wal_from(wal, lsn=header["lsn"])
+    before_t = changes.schema["before"].dataType
+    after_t = changes.schema["after"].dataType
+    snap_as_wal = snapshot_df.select(
+        F.lit(header["fingerprint"]).alias("fingerprint"),
+        F.struct(
+            F.lit("snapshot").alias("name"),
+            F.lit(header["at"]).cast("timestamp").alias("tx_at"),
+            F.lit("db").alias("db"),
+            F.lit("public").alias("schema"),
+            F.lit(header["topic"].split(".")[0]).alias("table"),
+            F.lit(header["tx_id"]).cast("long").alias("tx_id"),
+            F.lit(header["lsn"]).alias("lsn"),
+        ).alias("source"),
+        F.lit("r").alias("op"),
+        F.lit(header["at"]).cast("timestamp").alias("sent_at"),
+        F.lit(None).cast(before_t).alias("before"),
+        F.struct(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in after_t.fields]
+        ).alias("after"),
+        F.lit(None).cast("array<string>").alias("unchanged_toast"),
+    )
+    full = snap_as_wal.unionByName(changes.select(*snap_as_wal.columns))
+    return latest_state(full, key_cols)

@@ -1,0 +1,92 @@
+"""Schema registry: fingerprint → schema, persisted + LRU-cached.
+
+Parity: the reference persists `_creek.avro_schemas(fingerprint PK, schema,
+source, at)` (internal/dao/init.go:77-84; internal/dao/schemas.go:84-91) and
+both sides keep a 256-entry LRU of parsed schemas (client.go:76,
+internal/dao/schemas.go:16).  Here the store is a JSON-lines directory
+(cheap, append-only, parquet-convertible) and the cache an OrderedDict LRU.
+On a cluster the loaded registry dict is broadcast to executors.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from collections import OrderedDict
+
+from pyspark.sql import types as T
+
+from creek_spark.types.fingerprint import fingerprint_schema
+
+LRU_SIZE = 256  # parity: client.go:76 / internal/dao/schemas.go:16
+
+
+class SchemaRegistry:
+    def __init__(self, store_dir: str | None = None):
+        self.store_dir = store_dir
+        self._lru: OrderedDict[str, T.StructType] = OrderedDict()
+        if store_dir:
+            os.makedirs(store_dir, exist_ok=True)
+
+    def _store_path(self) -> str:
+        return os.path.join(self.store_dir, "schemas.jsonl")
+
+    def put(self, schema: T.StructType, source: str = "") -> str:
+        """Persist a schema; returns its fingerprint.  Analog of
+        PersistSchemaFromRelation (internal/dao/schemas.go:42-113)."""
+        fp = fingerprint_schema(schema)
+        if fp in self._lru:
+            return fp
+        self._cache(fp, schema)
+        if self.store_dir:
+            rec = {
+                "fingerprint": fp,
+                "schema": schema.json(),
+                "source": source,
+                "created_at": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(),
+            }
+            with open(self._store_path(), "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        return fp
+
+    def get(self, fingerprint: str) -> T.StructType | None:
+        """fingerprint → schema, LRU first then store — the schema
+        request-reply analog (internal/mq/schemas.go:50-71,
+        client.go:745-782)."""
+        if fingerprint in self._lru:
+            self._lru.move_to_end(fingerprint)
+            return self._lru[fingerprint]
+        if self.store_dir and os.path.exists(self._store_path()):
+            with open(self._store_path()) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec["fingerprint"] == fingerprint:
+                        schema = T.StructType.fromJson(json.loads(rec["schema"]))
+                        self._cache(fingerprint, schema)
+                        return schema
+        return None
+
+    def last_for_source(self, source: str) -> tuple[str, T.StructType] | None:
+        """Latest schema for a table — GetLastSchema (client.go:192-219)."""
+        if not (self.store_dir and os.path.exists(self._store_path())):
+            return None
+        best = None
+        with open(self._store_path()) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec["source"] == source:
+                    best = rec
+        if best is None:
+            return None
+        return best["fingerprint"], T.StructType.fromJson(
+            json.loads(best["schema"])
+        )
+
+    def _cache(self, fp: str, schema: T.StructType) -> None:
+        self._lru[fp] = schema
+        self._lru.move_to_end(fp)
+        while len(self._lru) > LRU_SIZE:
+            self._lru.popitem(last=False)
