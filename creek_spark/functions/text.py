@@ -32,7 +32,10 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     are obtained in DuckDB SQL for the oracle."""
     toks = tokens(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # guard: F.sequence(1, 0) DESCENDS in Spark; short docs get no shingles
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),

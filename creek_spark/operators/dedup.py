@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-conscious and expressible with JVM built-ins
+(no Python in the hot path):
+
+  * exact_dedup          — hash-groupBy on content digest (one shuffle)
+  * MinHash + LSH        — shingle → K minhashes → banded signatures →
+                           bucket self-join; candidate pairs only ever
+                           compare within a bucket, so the join is
+                           |bucket|²-bounded, not |corpus|²
+  * SimHash              — 16-bit md5-derived simhash per document
+  * n-gram Jaccard       — exact Jaccard on shingle sets for candidate
+                           verification, with a stop-shingle frequency cap
+                           so hot shingles can't quadratically blow up the
+                           self-join at scale
+
+Hashing is md5-based (not Spark's xxhash64) so every operator is
+bit-identical to an ANSI-SQL oracle (DuckDB) — the correctness gate —
+while remaining fully distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from creek_spark.functions.text import norm_text, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Group identical content by md5 digest; keep the smallest id.
+
+    Returns (content_md5, keep_id, n_dups).  One hash-aggregate shuffle on
+    the digest — the digest is near-uniform so no skew at any scale."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_md5"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — distinct k-word shingles per document."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(text_col, k)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document minhash signature: h_i = min(md5(i || ':' || shingle)).
+
+    Output: (doc, h0..h{n-1}) — one explode + one hash-aggregate; the
+    per-shingle md5s never leave their partition before the partial agg
+    (map-side combine), so shuffle volume is O(docs × n_hashes)."""
+    sh = shingle_rows(df, text_col, id_col, shingle_k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, *, bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """Banded signatures: (doc, band, sig) where sig = md5 of the band's
+    concatenated minhashes.  Matching any band ⇒ candidate pair."""
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            sigs.select(
+                F.col("doc"),
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*cols)).alias("sig"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) sharing ≥1 LSH band.
+
+    The self-join keys on (band, sig): only documents agreeing on a full
+    band of minhashes meet, so join fan-out is bounded by bucket sizes —
+    the property that makes this work on 10⁹ documents where all-pairs
+    cannot."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes=n_hashes, shingle_k=shingle_k
+    )
+    banded = lsh_bands(sigs, bands=bands, rows_per_band=rows_per_band)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "sig"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, *, bits: int = 16
+) -> DataFrame:
+    """md5-derived SimHash over token occurrences.
+
+    bit j of md5(token): nibble j//4 (hex char j//4+1), bit j%4.
+    signed weight = +1/-1 per token occurrence; simhash bit = (Σweight)>0.
+    Output: (doc, simhash int).  One explode + one aggregate."""
+    toked = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("th", F.md5(F.col("tok")))
+    hexval = lambda pos: (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.col("th"), pos, 1)) - 1
+    )
+    aggs = []
+    for j in range(bits):
+        nib = j // 4 + 1
+        k = j % 4
+        bit = F.shiftright(hexval(nib), k).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{j}")
+        )
+    signs = toked.groupBy("doc").agg(*aggs)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return signs.select(
+        F.col("doc"), sim.cast("int").alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Scale guard: shingles occurring in more than ``max_shingle_freq``
+    documents are dropped before the self-join (stop-shingles) — a hot
+    shingle in F docs contributes F² join rows, so the cap bounds the join
+    at corpus scale.  True near-dups share many *rare* shingles and are
+    unaffected.
+
+    Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+    """
+    sh = shingle_rows(df, text_col, id_col, shingle_k)
+    freq_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") <= max_shingle_freq)
+        .select("shingle")
+    )
+    filtered = sh.join(freq_ok, "shingle")
+    # sizes over the same filtered universe so jaccard is well-defined
+    sizes = filtered.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * cosine_topk        — brute-force exact top-k, the correctness baseline.
+    Oracle-exact variant: per-dimension products are cast to DECIMAL and
+    summed exactly, so Spark and an ANSI-SQL engine agree bit-for-bit
+    (double summation is order-dependent; decimal summation is not).
+  * cosine_topk_fast   — zip_with/aggregate fold (whole-stage codegen, no
+    explode) for throughput; identical ranking in practice, used by bench.
+  * lsh_bucket_topk    — random-hyperplane LSH scale path: queries only
+    compare against vectors sharing a hash bucket, turning O(Q·N) into
+    O(Q·bucket).  Hyperplanes are derived deterministically from md5 so
+    results are reproducible (and oracle-able) without a RNG.
+
+At 100 TB the brute-force path is a broadcast of the (small) query set
+against a partitioned corpus — no shuffle of the big side; the LSH path
+shuffles the corpus once on bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from creek_spark.functions.vectors import cosine_similarity
+
+
+def _exact_norms(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, norm_sq decimal) via explode + exact decimal sum."""
+    pos = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    sq = pos.withColumn(
+        "sq", (F.col("v").cast("double") * F.col("v").cast("double")).cast("decimal(38,12)")
+    )
+    return sq.groupBy("_id").agg(F.sum("sq").alias("norm_sq"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (q_id, n_id, cos_sim double, rnk int), rnk 1..k, self-match
+    excluded, ties broken by n_id.  The query side is broadcast; the
+    corpus is exploded once and the dot products reduce with map-side
+    combine — deterministic via exact decimal summation."""
+    qpos = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "qv"),
+        )
+    )
+    cpos = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "cv"),
+    )
+    prods = qpos.join(cpos, "pos").withColumn(
+        "prod",
+        (F.col("qv").cast("double") * F.col("cv").cast("double")).cast(
+            "decimal(38,12)"
+        ),
+    )
+    dots = prods.groupBy("q_id", "n_id").agg(F.sum("prod").alias("dot"))
+
+    qn = F.broadcast(
+        _exact_norms(queries, id_col, vec_col).select(
+            F.col("_id").alias("q_id"), F.col("norm_sq").alias("q_norm_sq")
+        )
+    )
+    cn = _exact_norms(corpus, id_col, vec_col).select(
+        F.col("_id").alias("n_id"), F.col("norm_sq").alias("c_norm_sq")
+    )
+    scored = (
+        dots.join(qn, "q_id")
+        .join(cn, "n_id")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos_sim",
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("q_norm_sq").cast("double"))
+                * F.sqrt(F.col("c_norm_sq").cast("double"))
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )
+
+
+def cosine_topk_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Throughput variant: broadcast cross-join + zip_with fold.
+
+    No explode/shuffle of per-dimension rows; the entire dot product runs
+    inside whole-stage codegen.  Used by bench.py."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos_sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )
+
+
+def hyperplane_sign_bits(vec_col, dim: int, n_planes: int = 8):
+    """Deterministic random-hyperplane signature (int 0..2^n_planes-1).
+
+    Plane p's weight for dimension d is ±1 from one md5("p:d") hex bit —
+    a reproducible Rademacher projection (no RNG, no state, identical in
+    SQL)."""
+    import hashlib
+
+    sig = None
+    for p in range(n_planes):
+        acc = None
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            w = 1 if int(h[0], 16) & 1 else -1
+            term = F.element_at(vec_col, d + 1).cast("double") * F.lit(float(w))
+            acc = term if acc is None else acc + term
+        bit = F.when(acc > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("int")
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """ANN: compare queries only against corpus vectors in the same
+    random-hyperplane bucket.  Recall < 1 by design; the scale path when
+    brute force is too expensive (expected bucket size = N / 2^n_planes)."""
+    sig = hyperplane_sign_bits(F.col(vec_col), dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sig.alias("bucket")
+        )
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos_sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )

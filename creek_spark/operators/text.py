@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines.
+
+All metrics are built from JVM-side functions (regexp/length/split) so they
+run at full scan speed and are bit-identical to an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from creek_spark.functions.text import norm_text, tokens
+
+# tiny multilingual marker lists for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "et"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is")
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+BPE_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens, n_chars_norm).
+
+    n_ws_tokens: whitespace tokens of the normalized text;
+    n_bpe_tokens: BPE-style pre-token count via regexp."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_REGEX)).cast("int").alias(
+            "n_bpe_tokens"
+        ),
+        F.length(norm_text(text_col)).alias("n_chars_norm"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality metrics: length, punctuation ratio, stopword
+    ratio, mean token length, and a combined score — the standard cheap
+    filters applied before expensive dedup/training steps."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_alnum = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9\s]", ""))
+    punct_ratio = (n_chars - n_alnum).cast("double") / n_chars.cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    mean_tok_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tok.cast("double")
+    )
+    score = (
+        F.when(n_tok >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
+        * (F.lit(1.0) - punct_ratio)
+        * (F.lit(0.5) + stop_ratio)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars_raw"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-word language heuristic: count hits per language's marker
+    list over the token stream; argmax with 'und' (undetermined) fallback.
+
+    Deterministic tie-break: language code ascending."""
+    toks = tokens(text_col)
+    hit_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        hit_cols.append((lang, hits))
+    # argmax via greatest + chained when (ascending code order = tie-break)
+    best = F.greatest(*[h for _, h in hit_cols])
+    pred = F.lit("und")
+    for lang, hits in reversed(hit_cols):
+        pred = F.when((best > 0) & (hits == best), F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content fingerprint over normalized text (md5) plus a coarse
+    8-hex-char bucket usable as a rolling/partition key."""
+    fp = F.md5(norm_text(text_col))
+    return df.select(
+        F.col(id_col),
+        fp.alias("fp"),
+        F.substring(fp, 1, 8).alias("fp_bucket"),
+    )

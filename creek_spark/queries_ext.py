@@ -1,0 +1,324 @@
+"""Query catalog, part 2: scalar functions, CDC reconstruction, streaming
+windows, and the training-data-pipeline operators (dedup / similarity /
+text analysis / multimodal).  Same determinism rules as queries.py.
+
+The md5-based dedup/similarity SQL is generated programmatically from the
+same parameters the Spark operators use, guaranteeing parity by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from creek_spark.queries import QUERIES, _t, dec, dsum, register
+
+# Shared SQL fragments (must mirror creek_spark.functions.text exactly)
+SQL_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+SQL_TOKENS = "string_split_regex(" + SQL_NORM + ", '\\s+')"
+
+
+# =====================================================================
+# scalar functions
+# =====================================================================
+
+
+@register(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up_name,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substr(p_name, 1, 10) AS name10,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           replace(p_name, 'a', '@') AS replaced,
+           lpad(p_brand, 12, '*') AS padded,
+           regexp_extract(p_name, '^[a-z]+') AS first_word,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words
+    FROM part
+    """,
+    "scalar",
+)
+def scalar_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "a", "@").alias("replaced"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.size(F.split(F.col("p_name"), " ", -1)).alias("n_words"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') AS INTEGER) AS days_to_end,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+    "scalar",
+)
+def scalar_date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2001-12-31").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_end"
+        ),
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_disc_dev,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           sqrt(l_quantity) AS sqrt_qty,
+           CAST(l_orderkey % 5 AS BIGINT) AS mod5,
+           l_quantity * l_quantity AS qty_sq
+    FROM lineitem
+    """,
+    "scalar",
+)
+def scalar_math_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        (F.col("l_orderkey") % 5).alias("mod5"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+    "scalar",
+)
+def scalar_json_funcs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    return (
+        ev.select(
+            "event_id",
+            k_str.alias("k_str"),
+            k_str.cast("int").alias("k_int"),
+        )
+        .where(F.col("k_int") > 50)
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+             + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS first4_sum,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val
+    FROM embeddings
+    """,
+    "scalar",
+)
+def scalar_array_funcs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    el = lambda i: F.element_at("embedding", i).cast("double")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        el(1).alias("first_val"),
+        (el(1) + el(2) + el(3) + el(4)).alias("first4_sum"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+    )
+
+
+# =====================================================================
+# CDC (the reference's core semantics, oracle-checked on driver data)
+# =====================================================================
+
+
+@register(
+    "cdc_latest_state",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type, ts, value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "cdc",
+    headline=True,
+)
+def cdc_latest_state(spark, sf_dir):
+    """End-to-end CDC apply through the real operator: events are mapped to
+    a WAL envelope (error → delete, else upsert; lsn from event_id), then
+    creek_spark.operators.cdc.latest_state reconstructs current state —
+    per-key LSN ordering, one shuffle (SURVEY.md §7 step 2)."""
+    from creek_spark.operators.cdc import latest_state
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.lit("fp-events").alias("fingerprint"),
+        F.struct(
+            F.lit("creek").alias("name"),
+            F.col("ts").alias("tx_at"),
+            F.lit("db").alias("db"),
+            F.lit("public").alias("schema"),
+            F.lit("events").alias("table"),
+            F.col("event_id").alias("tx_id"),
+            F.concat(F.lit("0/"), F.upper(F.hex("event_id"))).alias("lsn"),
+        ).alias("source"),
+        F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+        F.col("ts").alias("sent_at"),
+        F.struct(F.col("user_id")).alias("before"),
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.struct("user_id", "event_type", "ts", "value")
+        ).alias("after"),
+        F.lit(None).cast("array<string>").alias("unchanged_toast"),
+    )
+    return latest_state(env, key_cols=["user_id"])
+
+
+@register(
+    "cdc_changelog_stats",
+    """
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_lsn,
+           CAST(MAX(event_id) AS BIGINT) AS max_lsn
+    FROM (SELECT CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+                 event_id
+          FROM events) t
+    GROUP BY op
+    """,
+    "cdc",
+)
+def cdc_changelog_stats(spark, sf_dir):
+    """Observability counters over the derived change stream (metrics.go
+    analog), keyed by op."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+            "event_id",
+        )
+        .groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_lsn"),
+            F.max("event_id").alias("max_lsn"),
+        )
+    )
+
+
+# =====================================================================
+# streaming-shape (batch-equivalent windowed aggregation)
+# =====================================================================
+
+
+@register(
+    "stream_tumbling_window",
+    """
+    SELECT (epoch_us(ts) // 1000000) // 300 * 300 AS wstart_s,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY wstart_s, event_type
+    """,
+    "streaming",
+    headline=True,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """5-minute tumbling window aggregation via F.window — the exact
+    program creek_spark.streaming runs under readStream with a watermark;
+    here executed on the bounded table so it is oracle-checkable."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value", 14, 2),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("wstart_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)) > 3600000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM marked)
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS sess_start, MAX(ts) AS sess_end
+    FROM sess GROUP BY user_id, sess_id
+    """,
+    "streaming",
+)
+def stream_session_window(spark, sf_dir):
+    """Sessionization (1h gap) via the gaps-and-islands window pattern —
+    the batch mirror of F.session_window; deterministic and oracle-able."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us > 3600 * 1000000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.withColumn("sess_id", F.sum("new_sess").over(wsum))
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+    )

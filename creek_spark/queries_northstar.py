@@ -1,0 +1,339 @@
+"""Query catalog, part 3: training-data-pipeline operators over the
+`documents` and `embeddings` tables — dedup (exact / MinHash-LSH /
+SimHash / n-gram Jaccard), similarity search, text analysis, multimodal
+metadata.
+
+The MinHash/SimHash oracle SQL is *generated* from the same (n_hashes,
+bands, k, bits) parameters the Spark operators use, so both sides are the
+same algorithm by construction; hashing is md5 (available and identical in
+both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from creek_spark.operators import dedup as dd
+from creek_spark.operators import similarity as sim
+from creek_spark.operators import text as tx
+from creek_spark.queries import _t, register
+from creek_spark.queries_ext import SQL_NORM, SQL_TOKENS
+
+_NORM = SQL_NORM.format(c="text")
+_TOKS = SQL_TOKENS.format(c="text")
+
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = N_HASHES // BANDS
+SHINGLE_K = 3
+JACCARD_K = 5
+JACCARD_THRESHOLD = 0.8
+MAX_SHINGLE_FREQ = 100
+SIMHASH_BITS = 16
+
+
+def _sql_shingles(k: int) -> str:
+    """CTE producing distinct (doc, shingle) — mirrors dedup.shingle_rows."""
+    concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+    toks AS (SELECT doc_id AS doc, {_TOKS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc, s AS shingle
+           FROM (SELECT doc, unnest([{concat} FOR i IN generate_series(1, len(t)-{k - 1})]) AS s
+                 FROM toks) u)
+    """
+
+
+# =====================================================================
+# dedup
+# =====================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_md5,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    "dedup",
+    headline=True,
+)
+def dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "text", "doc_id")
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = " || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        band_selects.append(
+            f"SELECT doc, {b} AS band, md5({cols}) AS sig FROM sigs"
+        )
+    bands_sql = "\n    UNION ALL\n    ".join(band_selects)
+    return f"""
+    WITH {_sql_shingles(SHINGLE_K)},
+    sigs AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    bands AS ({bands_sql})
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+    WHERE a.doc < b.doc
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle(), "dedup", headline=True)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 4 banded
+    signatures → bucket self-join.  The join keys on (band, sig), so cost
+    is bucket-bounded — the property that survives 10⁹ documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(
+        docs, "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, shingle_k=SHINGLE_K,
+    )
+
+
+def _simhash_oracle() -> str:
+    signs = []
+    for j in range(SIMHASH_BITS):
+        nib = j // 4 + 1
+        k = j % 4
+        signs.append(
+            f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(th, {nib}, 1)) - 1) >> {k}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) AS s{j}"
+        )
+    signs_sql = ",\n           ".join(signs)
+    total = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc, md5(tok) AS th FROM tk),
+    s AS (SELECT doc, {signs_sql} FROM h GROUP BY doc)
+    SELECT doc, CAST({total} AS INTEGER) AS simhash FROM s
+    """
+
+
+@register("dedup_simhash", _simhash_oracle(), "dedup")
+def dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash(docs, "text", "doc_id", bits=SIMHASH_BITS)
+
+
+def _jaccard_oracle() -> str:
+    return f"""
+    WITH {_sql_shingles(JACCARD_K)},
+    freq_ok AS (SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}),
+    fsh AS (SELECT sh.doc, sh.shingle FROM sh JOIN freq_ok USING (shingle)),
+    sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS sz FROM fsh GROUP BY doc),
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+              FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY a.doc, b.doc)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_ngram_jaccard", _jaccard_oracle(), "dedup")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 5-gram Jaccard ≥ 0.8 with a stop-shingle cap bounding the
+    self-join fan-out (hot shingles contribute freq² pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id",
+        shingle_k=JACCARD_K, threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
+    )
+
+
+# =====================================================================
+# similarity search
+# =====================================================================
+
+SIM_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS e FROM embeddings WHERE vec_id < 10),
+qp AS (SELECT q_id, unnest(generate_series(1, len(e))) AS pos,
+              unnest([CAST(x AS DOUBLE) FOR x IN e]) AS qv FROM q),
+cp AS (SELECT vec_id AS n_id, unnest(generate_series(1, len(embedding))) AS pos,
+              unnest([CAST(x AS DOUBLE) FOR x IN embedding]) AS cv FROM embeddings),
+dots AS (SELECT q_id, n_id, SUM(CAST(qv * cv AS DECIMAL(38,12))) AS dot
+         FROM qp JOIN cp USING (pos) GROUP BY q_id, n_id),
+norms AS (SELECT vec_id AS id,
+                 SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS ns
+          FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) u
+          GROUP BY vec_id),
+scored AS (SELECT q_id, n_id,
+                  CAST(dot AS DOUBLE) / (sqrt(CAST(qn.ns AS DOUBLE)) * sqrt(CAST(cn.ns AS DOUBLE))) AS cos_sim
+           FROM dots JOIN norms qn ON qn.id = dots.q_id
+                     JOIN norms cn ON cn.id = dots.n_id
+           WHERE q_id <> n_id)
+SELECT q_id, n_id, cos_sim, rnk FROM (
+  SELECT q_id, n_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rnk
+  FROM scored) r
+WHERE rnk <= 5
+"""
+
+
+@register("similarity_topk", SIM_ORACLE, "similarity", headline=True)
+def similarity_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for 10 query vectors against the
+    whole corpus; exact-decimal dot products for cross-engine parity.
+    (bench uses the zip_with fast path: cosine_topk_fast.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.cosine_topk(emb, queries, k=5)
+
+
+@register("similarity_lsh_buckets", None, "similarity")
+def similarity_lsh_buckets(spark, sf_dir):
+    """ANN scale path: random-hyperplane bucketed top-k (recall < 1 by
+    design → rows-only check; exactness is covered by similarity_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.lsh_bucket_topk(emb, queries, dim=64, n_planes=6, k=5)
+
+
+# =====================================================================
+# text analysis
+# =====================================================================
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+           CAST(length({_NORM}) AS INTEGER) AS n_chars_norm
+    FROM documents
+    """,
+    "text",
+)
+def text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return tx.token_stats(docs, "text", "doc_id")
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in tx.STOPWORDS)
+
+@register(
+    "text_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_raw,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+           CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+           (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE 0.0 END)
+             * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE))
+             * (0.5 + CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)) AS quality_score
+    FROM base
+    """,
+    "text",
+    headline=True,
+)
+def text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return tx.quality_scores(docs, "text", "doc_id")
+
+
+def _lang_oracle() -> str:
+    hits = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in sorted(tx.LANG_MARKERS.items())
+    }
+    greatest = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = "\n           ".join(
+        f"WHEN {greatest} > 0 AND {h} = {greatest} THEN '{lang}'"
+        for lang, h in hits.items()
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CASE {whens} ELSE 'und' END AS pred_lang,
+           CAST({greatest} AS INTEGER) AS marker_hits
+    FROM base
+    """
+
+
+@register("text_lang_id", _lang_oracle(), "text")
+def text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.lang_id(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "pred_lang", F.col("marker_hits").cast("int").alias("marker_hits")
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM}) AS fp, substr(md5({_NORM}), 1, 8) AS fp_bucket
+    FROM documents
+    """,
+    "text",
+)
+def text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return tx.doc_fingerprint(docs, "text", "doc_id")
+
+
+# =====================================================================
+# multimodal (binary columns; decode is stubbed, plumbing is real)
+# =====================================================================
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    "multimodal",
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Opaque-binary plumbing: payload as BinaryType + JVM-side metadata
+    (length/digest) — metadata queries never decode.  (md5 of the utf-8
+    bytes ≡ md5 of the text.)"""
+    docs = _t(spark, sf_dir, "documents")
+    blob = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    return blob.select(
+        "doc_id",
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@register("multimodal_features_stub", None, "multimodal")
+def multimodal_features_stub(spark, sf_dir):
+    """mapInPandas feature-extraction plumbing over binary payloads with a
+    deterministic fake decoder (codec libs absent here) — rows-only check."""
+    from creek_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return extract_features(media, fake_decode=True)
