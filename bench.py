@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with the noop sink (no driver
+collect, no disk write overhead in the measurement)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from creek_spark.session import get_spark
+
+    import creek_spark.queries as qmod
+    import creek_spark.queries_ext  # noqa: F401
+    import creek_spark.queries_northstar  # noqa: F401
+
+    spark = get_spark(app_name="creek_spark_bench")
+
+    headline = [q for q in qmod.QUERIES.values() if q.headline]
+    # extra bench-only entry: the fast (zip_with) similarity path
+    from creek_spark.operators.similarity import cosine_topk_fast
+    from creek_spark.sources import read_table
+
+    def similarity_topk_fast(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        from pyspark.sql import functions as F
+
+        return cosine_topk_fast(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+    runs = [(q.name, q.fn) for q in headline] + [
+        ("similarity_topk_fast", similarity_topk_fast)
+    ]
+
+    # untimed warmup at the smallest sf: JIT/codegen compilation and
+    # parquet-footer caching otherwise dominate the first (and only)
+    # timed execution of each query shape
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for _, fn in runs:
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name, fn in runs:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

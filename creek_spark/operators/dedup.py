@@ -42,16 +42,27 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_rows(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, *, distinct: bool = True
 ) -> DataFrame:
-    """(id, shingle) rows — distinct k-word shingles per document."""
-    return (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(word_shingles(text_col, k)).alias("shingle"),
-        )
-        .distinct()
+    """(id, shingle) rows — k-word shingles per document.
+
+    ``distinct=False`` skips the dedup shuffle; correct for any consumer
+    that is multiset-invariant (min-aggregation: min over duplicates ==
+    min over the set).
+
+    The input is repartitioned to full parallelism first: the explode+hash
+    work is CPU-bound per input byte, and text corpora often arrive as few
+    large (or one small) compressed files whose scan partitioning would
+    otherwise serialize the whole operator."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    out = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, k)).alias("shingle"),
     )
+    return out.distinct() if distinct else out
+
+
+CHUNKS_PER_MD5 = 8  # 32 hex chars → 8 chunks of 4 (16-bit minhash space)
 
 
 def minhash_signatures(
@@ -62,16 +73,26 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-document minhash signature: h_i = min(md5(i || ':' || shingle)).
+    """Per-document minhash signature, one-permutation style: each md5 of
+    ('<g>:' || shingle) yields 8 independent 4-hex-char (16-bit) hash
+    values, so n_hashes hashes cost only ceil(n/8) md5 calls per shingle —
+    the md5 count, not the agg, dominates at corpus scale.
 
-    Output: (doc, h0..h{n-1}) — one explode + one hash-aggregate; the
-    per-shingle md5s never leave their partition before the partial agg
-    (map-side combine), so shuffle volume is O(docs × n_hashes)."""
-    sh = shingle_rows(df, text_col, id_col, shingle_k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
+    Output: (doc, h0..h{n-1}) — one explode + one hash-aggregate with
+    map-side combine; shuffle volume is O(docs × n_hashes).  No distinct
+    pass: min() is multiset-invariant, so the dedup shuffle is skipped."""
+    sh = shingle_rows(df, text_col, id_col, shingle_k, distinct=False)
+    n_groups = (n_hashes + CHUNKS_PER_MD5 - 1) // CHUNKS_PER_MD5
+    for g in range(n_groups):
+        sh = sh.withColumn(
+            f"_b{g}", F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle")))
+        )
+    aggs = []
+    for i in range(n_hashes):
+        g, off = divmod(i, CHUNKS_PER_MD5)
+        aggs.append(
+            F.min(F.substring(F.col(f"_b{g}"), off * 4 + 1, 4)).alias(f"h{i}")
+        )
     return sh.groupBy("doc").agg(*aggs)
 
 
@@ -134,7 +155,8 @@ def simhash(
     bit j of md5(token): nibble j//4 (hex char j//4+1), bit j%4.
     signed weight = +1/-1 per token occurrence; simhash bit = (Σweight)>0.
     Output: (doc, simhash int).  One explode + one aggregate."""
-    toked = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toked = df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("th", F.md5(F.col("tok")))
     hexval = lambda pos: (

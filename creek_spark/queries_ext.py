@@ -206,7 +206,8 @@ def cdc_latest_state(spark, sf_dir):
         ).alias("after"),
         F.lit(None).cast("array<string>").alias("unchanged_toast"),
     )
-    return latest_state(env, key_cols=["user_id"])
+    # this envelope never marks TOAST columns → skip the carry-forward pass
+    return latest_state(env, key_cols=["user_id"], handle_toast=False)
 
 
 @register(

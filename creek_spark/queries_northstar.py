@@ -65,8 +65,11 @@ def dedup_exact(spark, sf_dir):
 
 
 def _minhash_oracle() -> str:
+    # one-permutation minhash: md5('<g>:'||shingle) split into 8 4-hex
+    # chunks (mirrors dedup.minhash_signatures / CHUNKS_PER_MD5)
     mins = ",\n           ".join(
-        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES)
+        f"MIN(substr(md5('{i // 8}:' || shingle), {(i % 8) * 4 + 1}, 4)) AS h{i}"
+        for i in range(N_HASHES)
     )
     band_selects = []
     for b in range(BANDS):

@@ -1,0 +1,92 @@
+"""Physical-plan quality gates — correctness tests prove the *what*, these
+prove the *how scales*: broadcasts where expected, filters pushed into the
+parquet scan, top-k planned as TakeOrderedAndProject (no global sort), and
+whole-stage codegen covering the relational pipelines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from creek_spark.plans import (
+    codegen_stage_count,
+    explain_str,
+    has_broadcast_join,
+    has_topk,
+    pushed_filters,
+)
+from creek_spark.sources import read_table
+from tests.conftest import SF_DIR
+
+
+def _catalog():
+    import creek_spark.queries as q
+    import creek_spark.queries_ext  # noqa: F401
+    import creek_spark.queries_northstar  # noqa: F401
+
+    return q.QUERIES
+
+
+def test_q3_broadcasts_dims(spark):
+    df = _catalog()["q3_shipping_priority"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df), explain_str(df)
+
+
+def test_q5_broadcasts_dims(spark):
+    df = _catalog()["q5_regional_revenue"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = read_table(spark, SF_DIR, "lineitem")
+    df = li.where(F.col("l_shipdate") > "1997-01-01").select("l_orderkey")
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf, explain_str(df)
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = read_table(spark, SF_DIR, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = explain_str(df)
+    # ReadSchema should carry only the two projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "l_extendedprice" not in read_schema[0], plan
+
+
+def test_topk_uses_take_ordered(spark):
+    df = _catalog()["sort_limit_topk"].fn(spark, SF_DIR)
+    assert has_topk(df), explain_str(df)
+
+
+def test_q1_whole_stage_codegen(spark):
+    df = _catalog()["q1_pricing_summary"].fn(spark, SF_DIR)
+    from creek_spark.plans import has_partial_agg, has_python_stage
+
+    assert has_partial_agg(df), explain_str(df, "simple")
+    assert not has_python_stage(df), explain_str(df, "simple")
+    assert codegen_stage_count(df) >= 1, explain_str(df)
+
+
+def test_no_python_in_relational_pipelines(spark):
+    """Every oracle-checked relational/dedup/text query must stay JVM-side
+    (Python only allowed in the explicitly-stubbed multimodal path)."""
+    from creek_spark.plans import has_python_stage
+
+    for name, q in _catalog().items():
+        if q.category == "multimodal":
+            continue
+        df = q.fn(spark, SF_DIR)
+        assert not has_python_stage(df), f"{name} drops into Python"
+
+
+def test_range_band_join_is_broadcast_nlj(spark):
+    df = _catalog()["join_range_bands"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_similarity_broadcasts_queries(spark):
+    df = _catalog()["similarity_topk"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Broadcast" in plan, plan

@@ -1,0 +1,106 @@
+"""Streaming CDC end-to-end: file-source envelope stream → checkpointed
+foreachBatch apply → materialized state; incremental batches and resume.
+
+Mirrors the reference's integration flow (listen_test.go): events arrive in
+batches, the consumer applies them, a restart (new query, same checkpoint)
+must not lose or re-apply changes (BASELINE.md resume-exactness)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from creek_spark.streaming import CdcApplier, read_envelope_stream, tumbling_counts
+from tests.fixtures import ENV_SCHEMA, OTHER_EXPECTED, other_wal_events
+
+
+def _write_batch(spark, rows, path):
+    spark.createDataFrame(rows, schema=ENV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def state_dict(df):
+    return {r["id"]: r["data"] for r in df.collect()}
+
+
+def test_cdc_stream_apply_incremental(spark, tmp_path):
+    src = str(tmp_path / "wal")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    events = other_wal_events()
+
+    applier = CdcApplier(spark, state_dir, ["id"], ENV_SCHEMA)
+
+    # batch 1: first 9 ops (inserts + truncate + re-inserts)
+    _write_batch(spark, events[:9], src)
+    stream = read_envelope_stream(spark, src, ENV_SCHEMA)
+    q = applier.start(stream, ckpt)
+    q.awaitTermination(120)
+    st1 = state_dict(spark.read.parquet(state_dir).select("id", "data"))
+    assert st1 == {
+        1: "one-again", 2: "two-again", 3: "three-again", 4: "four", 5: "five"
+    }
+
+    # batch 2: the rest (update, u_pk, delete+dup, TOAST, out-of-order) —
+    # new query on the same checkpoint = restart/resume
+    _write_batch(spark, events[9:], src)
+    stream2 = read_envelope_stream(spark, src, ENV_SCHEMA)
+    q2 = applier.start(stream2, ckpt)
+    q2.awaitTermination(120)
+    st2 = state_dict(spark.read.parquet(state_dir).select("id", "data"))
+    assert st2 == OTHER_EXPECTED
+
+    # restart again with NO new data: state must be unchanged (idempotence)
+    stream3 = read_envelope_stream(spark, src, ENV_SCHEMA)
+    q3 = applier.start(stream3, ckpt)
+    q3.awaitTermination(120)
+    st3 = state_dict(spark.read.parquet(state_dir).select("id", "data"))
+    assert st3 == OTHER_EXPECTED
+
+
+def test_tumbling_counts_stream(spark, tmp_path):
+    src = str(tmp_path / "wal2")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_batch(spark, other_wal_events(), src)
+    stream = read_envelope_stream(spark, src, ENV_SCHEMA)
+    agg = tumbling_counts(stream, time_col="sent_at", window="5 minutes")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append-mode emits only watermark-closed windows; with availableNow on
+    # a bounded input the final watermark closes all but the last window.
+    out = spark.read.parquet(out_dir)
+    assert set(out.columns) == {"wstart", "op", "n"}
+
+
+def test_stream_wal_from_filters(spark, tmp_path):
+    from creek_spark.streaming import stream_wal_from
+
+    src = str(tmp_path / "wal3")
+    _write_batch(spark, other_wal_events(), src)
+    stream = read_envelope_stream(spark, src, ENV_SCHEMA)
+    filtered = stream_wal_from(stream, lsn="0/8")
+    assert filtered.isStreaming
+    # run it through a memory sink to observe the predicate applied
+    q = (
+        filtered.groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("walfrom")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT * FROM walfrom").collect()[0]["count"]
+    assert n == 8  # lsns 9,10,11,12,12(dup),13,15,14
