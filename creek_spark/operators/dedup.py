@@ -98,21 +98,28 @@ def minhash_signatures(
 
 def lsh_bands(sigs: DataFrame, *, bands: int = 4, rows_per_band: int = 4) -> DataFrame:
     """Banded signatures: (doc, band, sig) where sig = md5 of the band's
-    concatenated minhashes.  Matching any band ⇒ candidate pair."""
-    parts = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        parts.append(
-            sigs.select(
-                F.col("doc"),
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*cols)).alias("sig"),
+    concatenated minhashes.  Matching any band ⇒ candidate pair.
+
+    Single posexplode pass — NOT a union of per-band projections: a union
+    would re-evaluate the whole upstream shingle→minhash pipeline once per
+    band (bands× the work), while posexplode computes signatures exactly
+    once and fans out rows in the same stage."""
+    band_sigs = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                )
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col("doc"), F.posexplode(band_sigs).alias("band", "sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -134,7 +141,11 @@ def minhash_lsh_candidates(
     sigs = minhash_signatures(
         df, text_col, id_col, n_hashes=n_hashes, shingle_k=shingle_k
     )
-    banded = lsh_bands(sigs, bands=bands, rows_per_band=rows_per_band)
+    # Materialize signatures once: the self-join would otherwise run the
+    # whole shingle→md5→min pipeline twice.  Banded rows are tiny relative
+    # to the corpus (docs × bands × ~40 B) — at 10⁹ docs this is a few
+    # hundred GB across the cluster, the standard LSH checkpoint.
+    banded = lsh_bands(sigs, bands=bands, rows_per_band=rows_per_band).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
