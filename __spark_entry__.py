@@ -20,6 +20,7 @@ def _catalog():
     import creek_spark.queries as q
     import creek_spark.queries_ext  # noqa: F401 — registers part 2
     import creek_spark.queries_northstar  # noqa: F401 — registers part 3
+    import creek_spark.queries_tpch  # noqa: F401 — registers part 4
 
     return q.QUERIES
 

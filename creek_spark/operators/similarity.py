@@ -132,6 +132,76 @@ def cosine_topk_fast(
     )
 
 
+def _exact_dot(a, b):
+    """Exact decimal dot product of two float arrays, fully inside
+    whole-stage codegen (zip_with + aggregate fold, no explode/shuffle).
+    Decimal addition is associative/commutative, so the fold order does
+    not affect the result — bit-identical to an ANSI-SQL decimal SUM."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(25,12)")
+    )
+    # precision 25 (not 38): at 38, Spark's a+b yields (38,11) — a scale
+    # truncation; at 25 the sum is (26,12) exact and the cast back to
+    # (25,12) is lossless (13 integer digits ≫ any bounded-norm dot).
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(25,12)"),
+        lambda acc, x: (acc + x).cast("decimal(25,12)"),
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    Output: (id_a, id_b, cos_sim double), id_a < id_b, cos_sim ≥ threshold.
+    Pairs are only formed inside a block (``block_col``) — the standard
+    scale guard that keeps the self-join |block|²-bounded instead of
+    |corpus|².  For unlabeled corpora pass an LSH bucket id (e.g.
+    ``hyperplane_sign_bits``) as the block column; semantics are identical.
+
+    Norms are computed once per row *before* the self-join (N folds, not
+    2·pairs), and the dot product is an exact decimal fold so the result
+    is deterministic and oracle-matchable across engines."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.col(block_col).alias("_blk"),
+    ).withColumn("_norm_sq", _exact_dot(F.col("_vec"), F.col("_vec")))
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_vec").alias("_va"),
+        F.col("_blk").alias("_blk"),
+        F.col("_norm_sq").alias("_na"),
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_vec").alias("_vb"),
+        F.col("_blk").alias("_blk"),
+        F.col("_norm_sq").alias("_nb"),
+    )
+    return (
+        a.join(b, on="_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            _exact_dot(F.col("_va"), F.col("_vb")).cast("double")
+            / (
+                F.sqrt(F.col("_na").cast("double"))
+                * F.sqrt(F.col("_nb").cast("double"))
+            ),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def hyperplane_sign_bits(vec_col, dim: int, n_planes: int = 8):
     """Deterministic random-hyperplane signature (int 0..2^n_planes-1).
 

@@ -156,6 +156,45 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+EMB_DUP_THRESHOLD = 0.35
+
+EMB_DUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+norms AS (SELECT vec_id AS id,
+                 SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS ns
+          FROM (SELECT vec_id, unnest(embedding) AS v FROM e) u
+          GROUP BY vec_id),
+pos AS (SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               unnest([CAST(x AS DOUBLE) FOR x IN embedding]) AS v
+        FROM e),
+dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS dot
+         FROM pos a JOIN pos b
+           ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+         GROUP BY a.vec_id, b.vec_id)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT id_a, id_b,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(na.ns AS DOUBLE)) * sqrt(CAST(nb.ns AS DOUBLE))) AS cos_sim
+  FROM dots JOIN norms na ON na.id = id_a
+            JOIN norms nb ON nb.id = id_b) s
+WHERE cos_sim >= {EMB_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine", EMB_DUP_ORACLE, "dedup")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label so the self-join
+    is |block|²-bounded (the blocking key generalizes to an LSH bucket
+    for unlabeled corpora — see similarity.hyperplane_sign_bits)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dups(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label",
+        threshold=EMB_DUP_THRESHOLD,
+    )
+
+
 # =====================================================================
 # similarity search
 # =====================================================================

@@ -1,0 +1,515 @@
+"""Query catalog, part 4: the classic TPC-H query shapes, adapted to the
+driver's leaner star schema (no partsupp table; no commit/receipt dates,
+phone, or comment columns — filters are re-targeted onto columns that
+exist).  Together with q1/q3/q5 in queries.py this covers the decision-
+support shapes: exists/not-exists semi-joins, correlated scalar
+subqueries, disjunctive multi-column predicates, left-join histograms,
+having-filtered in-subqueries, ratio-of-sums reports, and argmax rows.
+
+Every float aggregate follows the decimal-sandwich rules from queries.py
+so Spark and DuckDB agree bit-for-bit.
+
+Scale notes (100 TB design stance): every query keeps dims broadcast,
+facts shuffled at most once on their join key, and aggregations partial
+(map-side combine) — asserted for representative plans in
+tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from creek_spark.queries import _t, dec, register
+
+def _revenue():
+    one = F.lit(1).cast("decimal(4,2)")
+    return dec("l_extendedprice") * (one - dec("l_discount", 4, 2))
+
+
+REV_SQL = """CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"""
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    "tpch",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS → left-semi hash join on orderkey (the only
+    shuffle), then a tiny hash agg on priority."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP'1996-07-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP'1996-10-01'"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+    "tpch",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan+filter+agg — no shuffle beyond the final
+    single-row combine; predicates push to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP'1996-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP'1997-01-01'"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount", 4, 2))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                 {REV_SQL} AS vol
+          FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+               JOIN orders ON o_orderkey = l_orderkey
+               JOIN customer ON c_custkey = o_custkey
+               JOIN nation n1 ON s_nationkey = n1.n_nationkey
+               JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01') t
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "tpch",
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    Both nation dims broadcast; lineitem↔orders is the only big shuffle."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP'1996-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP'1998-01-01'"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .where(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol END) AS DOUBLE)
+                / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 n2.n_name AS supp_nation, {REV_SQL} AS vol
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+               JOIN supplier ON s_suppkey = l_suppkey
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation n1 ON c_nationkey = n1.n_nationkey
+               JOIN region ON n1.n_regionkey = r_regionkey
+               JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01') t
+    GROUP BY o_year
+    """,
+    "tpch",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional revenue per year —
+    ratio of two exact decimal sums (numerator CASE has no ELSE: SUM
+    skips NULLs identically in both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP'1996-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP'1998-01-01'"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _revenue().alias("vol")
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("supp_nation"),
+            vol,
+        )
+    )
+    share = F.when(F.col("supp_nation") == "NATION_5", F.col("vol"))
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(share).cast("double") / F.sum("vol").cast("double")
+        ).cast("double").alias("mkt_share")
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "tpch",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: top-20 customers by returned-item revenue in a quarter.
+    TopK via global sort of the (small) post-agg result."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP'1996-10-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP'1997-01-01'"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) t
+    GROUP BY c_count
+    """,
+    "tpch",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: orders-per-customer histogram via conditional left join
+    (join predicate, not post-filter — customers with zero matches count
+    as 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("bigint").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol END) AS DOUBLE)
+                / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS promo_revenue
+    FROM (SELECT p_type, {REV_SQL} AS vol
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+            AND l_shipdate < TIMESTAMP '1997-10-01') t
+    """,
+    "tpch",
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promo share of one month's revenue; part dim broadcast."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP'1997-09-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP'1997-10-01'"))
+    )
+    p = _t(spark, sf_dir, "part")
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_type", _revenue().alias("vol")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.col("vol"))
+    return base.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum("vol").cast("double")
+        ).cast("double").alias("promo_revenue")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (SELECT l_suppkey AS supplier_no,
+                        CAST(SUM({REV_SQL}) AS DOUBLE) AS total_revenue
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-04-01'
+                 GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    "tpch",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: argmax supplier by quarterly revenue.  The max is an
+    unpartitioned window over the post-agg result — |suppliers| rows,
+    tiny at any corpus scale (the fact table was already reduced)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP'1997-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP'1997-04-01'"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).cast("double").alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    rev = rev.withColumn("_mx", F.max("total_revenue").over(w))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    WITH pa AS (SELECT l_partkey AS pk,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+                FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+         JOIN pa ON pa.pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+    """,
+    "tpch",
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg
+    quantity) decorrelated into a broadcast-joined pre-aggregate; the
+    avg is sum(decimal)/count so both engines divide identical values."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(dec("l_quantity")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa.pk)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q18_large_volume",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "tpch",
+)
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18: large-volume orders via HAVING-filtered in-subquery →
+    left-semi join on the grouped keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_sq"))
+        .where(F.col("_sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 10
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size >= 1 AND p_size <= 15
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size >= 1 AND p_size <= 20
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    "tpch",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive predicates spanning both join sides —
+    stays one broadcast hash join with the OR applied post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    def band(brand, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= size_hi)
+            & (F.col("l_quantity") >= q_lo)
+            & (F.col("l_quantity") <= q_hi)
+        )
+
+    cond = (
+        band("Brand#1", 10, 1, 11)
+        | band("Brand#2", 15, 10, 20)
+        | band("Brand#3", 20, 20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q22_global_sales",
+    """
+    WITH pool AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+                  WHERE c_nationkey < 10),
+    avg_bal AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS ab
+                FROM pool WHERE c_acctbal > 0.0)
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM pool JOIN nation ON c_nationkey = n_nationkey, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY n_name
+    """,
+    "tpch",
+)
+def q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no *recent*
+    orders — global scalar aggregate broadcast via cross join + anti
+    join on filtered orders (country-code prefix replaced by a
+    nationkey pool: the schema has no phone column; the recency filter
+    keeps the result non-empty on the synthetic data, where every
+    customer has some historical order)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_nationkey") < 10)
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP'1999-01-01'")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(dec("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
