@@ -1,0 +1,114 @@
+"""File-format connectors: uniform batch read/write over the formats the
+engine supports (parquet, orc, csv, json, text, avro-when-loaded).
+
+The reference's only serialization is Avro single-object encoding on the
+wire (internal/mq/wal.go:52-58) and JSON headers (internal/mq/
+snapshots.go:102); as a general engine we expose every Spark-native
+columnar/row format.  Avro is nominally an external Spark module; this
+distribution bundles the implementation classes in spark-sql but not the
+DataSourceRegister service entry, so the short name ``format("avro")``
+fails while the fully-qualified class works — ``_resolve_format`` papers
+over that.  When the class is genuinely absent ``is_avro_available()``
+is False and avro calls raise a clear error; the reference's actual wire
+framing (0xC3 0x01 + fingerprint) is implemented jar-free in
+sources/wire.py.
+
+Scale notes:
+  * Readers take an explicit schema wherever the format needs one (csv/
+    json): schema inference is a full extra pass over 100 TB.
+  * ``write_table`` partitions by the given columns — the layout that
+    makes downstream partition pruning free.
+  * csv/json are row formats with no column pruning or predicate
+    pushdown; the docstring-level guidance is: land raw data once, then
+    rewrite to parquet/orc for anything queried repeatedly.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+BATCH_FORMATS = ("parquet", "orc", "csv", "json", "text", "avro")
+
+_AVRO_CLASS = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+@lru_cache(maxsize=1)
+def is_avro_available() -> bool:
+    """True iff the Avro file-format class is on the JVM classpath."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(_AVRO_CLASS)
+        return True
+    except Exception:
+        return False
+
+
+def _resolve_format(fmt: str) -> str:
+    if fmt not in BATCH_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {BATCH_FORMATS}")
+    if fmt == "avro":
+        if not is_avro_available():
+            raise RuntimeError(
+                "avro format requires the spark-avro classes "
+                "(org.apache.spark.sql.avro); they are not on this "
+                "classpath. For the reference's Avro single-object wire "
+                "framing use creek_spark.sources.wire, which is jar-free."
+            )
+        # the service-loader entry for the short name isn't bundled here;
+        # the fully-qualified provider class always resolves
+        return _AVRO_CLASS
+    return fmt
+
+
+def read_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Batch-read ``path`` in ``fmt``.
+
+    csv defaults: header=true.  For csv/json pass ``schema`` in
+    production — inference costs one full extra scan of the input."""
+    fmt = _resolve_format(fmt)
+    reader = spark.read
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_files(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Batch-write ``df`` to ``path`` in ``fmt``.
+
+    ``partition_by`` produces the hive-style directory layout Spark's
+    partition pruning reads for free; choose low-cardinality columns
+    (date, table, region) — a high-cardinality partition key makes one
+    tiny file per value, the classic small-files failure at scale."""
+    fmt = _resolve_format(fmt)
+    writer = df.write.mode(mode)
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.options(**options).format(fmt).save(path)
+
+
+def roundtrip_schema(df: DataFrame) -> T.StructType:
+    """The schema to pass back into ``read_files`` for a lossless
+    csv/json round-trip of ``df`` (row formats carry no types)."""
+    return df.schema

@@ -181,6 +181,79 @@ class CdcApplier:
         return writer.start()
 
 
+def sliding_counts(
+    stream: DataFrame,
+    *,
+    time_col: str = "sent_at",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window aggregation: each event lands in
+    window/slide overlapping windows.  State per key is bounded by the
+    watermark, so executor memory is O(active windows), not O(stream)."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(F.col(time_col), window, slide).alias("w"),
+            F.col("op"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "op",
+            "n",
+        )
+    )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    left_time: str = "sent_at",
+    right_time: str = "sent_at",
+    watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+) -> DataFrame:
+    """Inner stream-stream equi-join with a bounded time-range condition.
+
+    Both sides carry watermarks and the join requires
+    ``right_time ∈ [left_time, left_time + max_lag]`` — this is what lets
+    Spark expire buffered state (an unbounded stream-stream join would
+    hold both streams forever).  Columns from both sides are preserved
+    with `l_`/`r_` prefixes except the join key."""
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    lsel = lw.select(
+        F.col(on).alias(on),
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left.columns
+            if c != on
+        ],
+    )
+    rsel = rw.select(
+        F.col(on).alias("_r_key"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c != on
+        ],
+    )
+    cond = (
+        (F.col(on) == F.col("_r_key"))
+        & (F.col(f"r_{right_time}") >= F.col(f"l_{left_time}"))
+        & (
+            F.col(f"r_{right_time}")
+            <= F.col(f"l_{left_time}") + F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    return lsel.join(rsel, cond, "inner").drop("_r_key")
+
+
 def tumbling_counts(
     stream: DataFrame,
     *,

@@ -23,6 +23,7 @@ def _catalog():
     import creek_spark.queries as q
     import creek_spark.queries_ext  # noqa: F401
     import creek_spark.queries_northstar  # noqa: F401
+    import creek_spark.queries_tpch  # noqa: F401
 
     return q.QUERIES
 
@@ -90,3 +91,49 @@ def test_similarity_broadcasts_queries(spark):
     df = _catalog()["similarity_topk"].fn(spark, SF_DIR)
     plan = explain_str(df)
     assert "Broadcast" in plan, plan
+
+
+def test_q6_pushdown_and_partial_agg(spark):
+    """Q6 must be scan→filter→agg: all three predicates pushed into the
+    parquet scan, partial aggregation before the single-row exchange."""
+    from creek_spark.plans import has_partial_agg
+
+    df = _catalog()["q6_forecast_revenue"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, explain_str(df)
+    assert has_partial_agg(df), explain_str(df, "simple")
+
+
+def test_q19_single_broadcast_join(spark):
+    """Disjunctive predicates spanning both sides must not break the
+    broadcast equi-join on partkey into a nested-loop plan."""
+    df = _catalog()["q19_disjunctive_revenue"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_q18_topk_no_global_sort(spark):
+    df = _catalog()["q18_large_volume"].fn(spark, SF_DIR)
+    assert has_topk(df), explain_str(df)
+
+
+def test_q7_broadcasts_all_dims(spark):
+    df = _catalog()["q7_volume_shipping"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_q4_semi_join(spark):
+    df = _catalog()["q4_order_priority"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan, plan
+
+
+def test_embedding_near_dups_stays_jvm(spark):
+    """The decimal zip_with fold must run in codegen, not a UDF."""
+    from creek_spark.plans import has_python_stage
+
+    df = _catalog()["dedup_embedding_cosine"].fn(spark, SF_DIR)
+    assert not has_python_stage(df), explain_str(df, "simple")
