@@ -25,12 +25,16 @@ def tokens(col: Column | str) -> Column:
     return F.split(norm_text(col), r"\s+")
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """k-word shingles as space-joined strings (array<string>).
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles (space-joined) from an already-materialized token
+    array column.
 
-    Built with a SQL transform over a sequence — no UDF; identical results
-    are obtained in DuckDB SQL for the oracle."""
-    toks = tokens(col)
+    ``toks`` should be a plain column attribute, not an inline
+    ``tokens(...)`` expression: higher-order lambdas evaluate their body
+    per element, so an inline tokenize would re-run the regex+split once
+    per shingle per word — O(tokens²) per document.  Materialize tokens
+    in a projection first (across a shuffle boundary if Catalyst would
+    otherwise collapse the projections back together)."""
     n = F.size(toks)
     # guard: F.sequence(1, 0) DESCENDS in Spark; short docs get no shingles
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
@@ -40,3 +44,13 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
     )
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles as space-joined strings (array<string>).
+
+    Built with a SQL transform over a sequence — no UDF; identical results
+    are obtained in DuckDB SQL for the oracle.  Prefer tokenizing into a
+    materialized column + ``shingles_from_tokens`` in hot paths (see its
+    docstring for why)."""
+    return shingles_from_tokens(tokens(col), k)

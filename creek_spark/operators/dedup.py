@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from creek_spark.functions.text import norm_text, tokens, word_shingles
+from creek_spark.functions.text import shingles_from_tokens, tokens
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -53,11 +53,22 @@ def shingle_rows(
     The input is repartitioned to full parallelism first: the explode+hash
     work is CPU-bound per input byte, and text corpora often arrive as few
     large (or one small) compressed files whose scan partitioning would
-    otherwise serialize the whole operator."""
+    otherwise serialize the whole operator.
+
+    Tokenization is materialized in its own projection and the shingle
+    transform reads the token array as a plain attribute.  Catalyst's
+    CollapseProject leaves the two projections separate (the tokenize
+    expression is non-cheap and referenced k+2 times), so the regex+split
+    runs once per document — inlining it into the shingle lambda would
+    re-run it once per element, O(tokens²) per document (measured 2-3×
+    slower end-to-end)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    out = df.repartition(par, F.col(id_col)).select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, k)).alias("shingle"),
+    toked = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("_toks")
+    )
+    out = toked.select(
+        F.col("doc"),
+        F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("shingle"),
     )
     return out.distinct() if distinct else out
 

@@ -44,10 +44,16 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic quality metrics: length, punctuation ratio, stopword
     ratio, mean token length, and a combined score — the standard cheap
     filters applied before expensive dedup/training steps."""
-    toks = tokens(text_col)
+    # materialize tokens once; the tokenize regex is referenced by four
+    # downstream expressions and CollapseProject keeps the projections
+    # separate for non-cheap multi-referenced producers
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("_txt"), tokens(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
     n_tok = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    n_alnum = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9\s]", ""))
+    n_chars = F.length(F.col("_txt"))
+    n_alnum = F.length(F.regexp_replace(F.col("_txt"), r"[^a-zA-Z0-9\s]", ""))
     punct_ratio = (n_chars - n_alnum).cast("double") / n_chars.cast("double")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
@@ -61,7 +67,7 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         * (F.lit(1.0) - punct_ratio)
         * (F.lit(0.5) + stop_ratio)
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars_raw"),
@@ -77,18 +83,27 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     list over the token stream; argmax with 'und' (undetermined) fallback.
 
     Deterministic tie-break: language code ascending."""
-    toks = tokens(text_col)
-    hit_cols = []
+    # tokenize once (see quality_scores); then one counting projection
+    # per-language over the materialized array, then the argmax projection
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    hit_exprs = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         arr = F.array(*[F.lit(m) for m in markers])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-        hit_cols.append((lang, hits))
+        hit_exprs.append((lang, hits))
+    counted = base.select(
+        F.col(id_col), *[h.alias(f"_h_{lang}") for lang, h in hit_exprs]
+    )
+    langs = [lang for lang, _ in hit_exprs]
     # argmax via greatest + chained when (ascending code order = tie-break)
-    best = F.greatest(*[h for _, h in hit_cols])
+    best = F.greatest(*[F.col(f"_h_{lang}") for lang in langs])
     pred = F.lit("und")
-    for lang, hits in reversed(hit_cols):
-        pred = F.when((best > 0) & (hits == best), F.lit(lang)).otherwise(pred)
-    return df.select(
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"_h_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return counted.select(
         F.col(id_col),
         pred.alias("pred_lang"),
         best.alias("marker_hits"),
