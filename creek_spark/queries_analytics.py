@@ -1,0 +1,164 @@
+"""Query catalog, part 5: time-series & reshaping analytics over the
+`events` stream table — gap-fill/resample (zero-fill + forward-fill),
+exact discrete percentiles per group, and unpivot/melt.
+
+These are the hypertable-style operations a CDC-fed events table gets
+queried with once materialized (the reference only delivers the stream;
+rollups are explicitly left to consumers — SURVEY.md §2.2 'streaming
+windows: absent').
+
+Determinism rules as in queries.py: doubles pass through untouched or
+via the decimal sandwich; every ranking has a total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from creek_spark.queries import _t, dec, dsum, register
+
+
+@register(
+    "ts_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type, date_trunc('hour', ts)),
+    bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly),
+    grid AS (
+      SELECT event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM hourly) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+                  FROM bounds) g)
+    SELECT event_type, bucket,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           last_value(sum_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_ffill
+    FROM grid LEFT JOIN hourly USING (event_type, bucket)
+    """,
+    "timeseries",
+)
+def ts_gap_fill(spark, sf_dir):
+    """Resample to an hourly grid: every (event_type, hour) cell exists,
+    counts zero-filled, values forward-filled from the last seen hour.
+
+    The grid is generated with sequence+explode (JVM-side, no driver
+    loop); at scale the grid is |types| × |hours| — tiny next to the
+    event stream, so the left join broadcasts the grid side naturally
+    after its aggregation."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("value", "sum_value", 14, 2),
+    )
+    bounds = hourly.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ffill"),
+        )
+    )
+
+
+@register(
+    "agg_percentile_disc",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                    THEN value END) AS p50,
+           MAX(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                    THEN value END) AS p90
+    FROM ranked GROUP BY event_type
+    """,
+    "aggregation",
+)
+def agg_percentile_disc(spark, sf_dir):
+    """Exact discrete percentiles per group (p50/p90 of event value).
+
+    Discrete (an actual data value is returned, no interpolation) so the
+    result is bit-exact across engines — the oracle-able counterpart of
+    percentile_approx, which each engine sketches differently.  One
+    window shuffle on the group key; the pick is a conditional agg over
+    the same partitioning (no second shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    wrank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wcnt = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("n"),
+    )
+
+    def pick(p, alias):
+        idx = F.floor(F.lit(p) * (F.col("n") - 1)).cast("bigint") + 1
+        return F.max(F.when(F.col("rn") == idx, F.col("value"))).alias(alias)
+
+    return ranked.groupBy("event_type").agg(pick(0.5, "p50"), pick(0.9, "p90"))
+
+
+@register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+    FROM part
+    """,
+    "reshape",
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """Unpivot/melt wide columns into (key, metric, value) rows via the
+    native unpivot operator (Spark ≥3.4) — the inverse of agg_pivot.
+    Row count multiplies by the metric count but no shuffle occurs."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").alias("p_retailprice"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["p_size", "p_retailprice"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+    )

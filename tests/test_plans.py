@@ -24,6 +24,7 @@ def _catalog():
     import creek_spark.queries_ext  # noqa: F401
     import creek_spark.queries_northstar  # noqa: F401
     import creek_spark.queries_tpch  # noqa: F401
+    import creek_spark.queries_analytics  # noqa: F401
 
     return q.QUERIES
 
