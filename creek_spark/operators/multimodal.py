@@ -99,6 +99,63 @@ def extract_features(
     return media.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    *,
+    width: int = 224,
+    height: int = 224,
+    fake_resize: bool = False,
+    batch_resizer: Callable | None = None,
+) -> DataFrame:
+    """Resize/transcode image payloads via mapInPandas.
+
+    Same plumbing contract as ``extract_features``: Arrow-batched rows in,
+    binary payloads out, schema fixed up front.  ``batch_resizer(content,
+    width, height) -> bytes`` plugs in a real codec (PIL etc.); the stub
+    either raises (strict) or emits a deterministic truncated payload
+    (plumbing-test mode) so batch shape, null handling and schema are
+    testable without image libraries."""
+
+    def _one(content, *, fake: bool):
+        if content is None:
+            return None
+        if batch_resizer is not None:
+            return batch_resizer(content, width, height)
+        if not fake:
+            raise NotImplementedError(
+                "image resize requires a codec library not present in this "
+                "environment; run with fake_resize=True to exercise the "
+                "plumbing"
+            )
+        # deterministic fake: cap payload at width*height bytes
+        return bytes(content[: width * height])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[pdf["kind"] == "image"].copy()
+            out["content"] = [
+                _one(c, fake=fake_resize) for c in out["content"]
+            ]
+            out["width"] = width
+            out["height"] = height
+            yield out[["media_id", "kind", "content", "mime", "width", "height"]]
+
+    cols = ["media_id", "kind", "content", "mime"]
+    return media.select(*cols).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(
     media: DataFrame, *, every_n_seconds: int = 5, duration_meta_key: str = "duration_s"
 ) -> DataFrame:

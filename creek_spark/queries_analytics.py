@@ -42,6 +42,7 @@ from creek_spark.queries import _t, dec, dsum, register
     FROM grid LEFT JOIN hourly USING (event_type, bucket)
     """,
     "timeseries",
+    headline=True,
 )
 def ts_gap_fill(spark, sf_dir):
     """Resample to an hourly grid: every (event_type, hour) cell exists,

@@ -73,6 +73,7 @@ def q4_order_priority(spark, sf_dir):
       AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
     """,
     "tpch",
+    headline=True,
 )
 def q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6: pure scan+filter+agg — no shuffle beyond the final
@@ -401,6 +402,7 @@ def q17_small_qty_revenue(spark, sf_dir):
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
     "tpch",
+    headline=True,
 )
 def q18_large_volume(spark, sf_dir):
     """TPC-H Q18: large-volume orders via HAVING-filtered in-subquery →
