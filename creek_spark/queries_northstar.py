@@ -243,6 +243,16 @@ def similarity_lsh_buckets(spark, sf_dir):
     return sim.lsh_bucket_topk(emb, queries, dim=64, n_planes=6, k=5)
 
 
+@register("similarity_ivf", None, "similarity")
+def similarity_ivf(spark, sf_dir):
+    """ANN scale path #2: IVF coarse quantization — data-adaptive cells
+    (vs LSH's fixed hyperplanes); probes the 3 nearest of 16 cells.
+    Recall < 1 by design → rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=3)
+
+
 # =====================================================================
 # text analysis
 # =====================================================================
