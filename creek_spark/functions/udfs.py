@@ -65,6 +65,25 @@ def robust_zscores(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         .groupBy(group_col).applyInPandas(per_group, schema=schema)
 
 
+# NB: DataType object, not the DDL string "double" — string return types
+# are parsed at decoration (import) time and require an active session
+@pandas_udf(T.DoubleType())
+def geometric_mean(v: pd.Series) -> float:
+    """True grouped-agg pandas UDF (UDAF path): Arrow hands the whole
+    group's values as one Series, one scalar comes back.  Usable in
+    ``groupBy().agg()`` and as a SQL aggregate once registered.  Partial
+    aggregation does NOT apply (Spark ships all group rows to Python) —
+    prefer built-ins like exp(avg(ln(x))) when the group is huge; this
+    path is for aggregates with no SQL decomposition."""
+    import numpy as np
+
+    x = v.dropna()
+    x = x[x > 0]
+    if len(x) == 0:
+        return float("nan")
+    return float(np.exp(np.log(x.astype("float64")).mean()))
+
+
 @udtf(returnType="sent_idx int, sentence string")
 class SplitSentences:
     """Python UDTF (Spark 3.5+): one input document → N sentence rows.
@@ -82,4 +101,5 @@ class SplitSentences:
 def register_all(spark: SparkSession) -> None:
     """Register the full UDF surface for SQL use."""
     spark.udf.register("l2_normalize", l2_normalize)
+    spark.udf.register("geometric_mean", geometric_mean)
     spark.udtf.register("split_sentences", SplitSentences)

@@ -30,12 +30,15 @@ def asof_join(
     *,
     direction: str = "backward",
     allow_exact_matches: bool = True,
+    tolerance: str | None = None,
     suffix: str = "_asof",
 ) -> DataFrame:
     """Left as-of join.  ``direction='backward'`` matches the latest right
     row with right_time <= left_time (strict < when
     allow_exact_matches=False); 'forward' matches the earliest right row
-    at/after.
+    at/after.  ``tolerance`` (an INTERVAL string like ``'2 hours'``)
+    rejects matches staler than the bound — the match columns come back
+    null, exactly like no-match.
 
     Returns all left columns plus ``<right_time>{suffix}`` and
     ``<value>{suffix}`` for each right value column (null when no match).
@@ -86,6 +89,20 @@ def asof_join(
     )
 
     out = matched.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        # staleness bound: null the whole payload when the matched row is
+        # further than `tolerance` from the left time (cheap column
+        # expression — no extra shuffle)
+        mt = F.col("_m").getField("_t")
+        lt = F.col("_evt_time")
+        in_bound = (
+            mt >= lt - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else mt <= lt + F.expr(f"INTERVAL {tolerance}")
+        )
+        out = out.withColumn(
+            "_m", F.when(in_bound, F.col("_m"))  # else null
+        )
     return out.select(
         *[F.col("_left").getField(c).alias(c) for c in left.columns],
         F.col("_m").getField("_t").alias(f"{right_time}{suffix}"),

@@ -165,3 +165,40 @@ def test_stream_metrics_listener(spark, tmp_path):
         assert sum(b["numInputRows"] for b in snap["batches"]) == 16
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_pandas_grouped_agg_geometric_mean(spark, sf_dir):
+    import math
+
+    from creek_spark.functions.udfs import geometric_mean
+    from creek_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    got = {
+        r["event_type"]: r["gm"]
+        for r in ev.groupBy("event_type")
+        .agg(geometric_mean("value").alias("gm"))
+        .collect()
+    }
+    # oracle: exp(mean(ln(x))) per group computed via built-ins
+    want = {
+        r["event_type"]: r["gm"]
+        for r in ev.groupBy("event_type")
+        .agg(F.exp(F.avg(F.ln("value"))).alias("gm"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9), k
+
+
+def test_geometric_mean_registered_in_sql(spark, sf_dir):
+    from creek_spark.functions.udfs import register_all
+    from creek_spark.sources import register_views
+
+    register_all(spark)
+    register_views(spark, sf_dir)
+    row = spark.sql(
+        "SELECT geometric_mean(value) AS gm FROM events WHERE value > 0"
+    ).collect()[0]
+    assert row["gm"] > 0
