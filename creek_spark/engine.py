@@ -60,3 +60,51 @@ class Engine:
 
     def asof_join(self, left, right, on, left_time, right_time, **kw) -> DataFrame:
         return asof_join(left, right, on, left_time, right_time, **kw)
+
+    # ------------------------------------------------- file-format connectors
+    def read_files(self, path: str, fmt: str = "parquet", **kw) -> DataFrame:
+        from creek_spark.sources.formats import read_files
+
+        return read_files(self.spark, path, fmt, **kw)
+
+    def write_files(self, df: DataFrame, path: str, fmt: str = "parquet", **kw):
+        from creek_spark.sources.formats import write_files
+
+        write_files(df, path, fmt, **kw)
+
+    # ------------------------------------------- training-data-pipeline ops
+    def dedup_exact(self, df, content_col: str, id_col: str) -> DataFrame:
+        from creek_spark.operators.dedup import exact_dedup
+
+        return exact_dedup(df, content_col, id_col)
+
+    def dedup_minhash(self, df, text_col: str, id_col: str, **kw) -> DataFrame:
+        from creek_spark.operators.dedup import minhash_lsh_candidates
+
+        return minhash_lsh_candidates(df, text_col, id_col, **kw)
+
+    def dedup_embeddings(self, df, **kw) -> DataFrame:
+        from creek_spark.operators.similarity import embedding_near_dups
+
+        return embedding_near_dups(df, **kw)
+
+    def similarity_topk(self, corpus, queries, *, exact=True, **kw) -> DataFrame:
+        from creek_spark.operators.similarity import cosine_topk_fast, ivf_topk
+
+        fn = cosine_topk_fast if exact else ivf_topk
+        return fn(corpus, queries, **kw)
+
+    def text_quality(self, df, text_col: str, id_col: str) -> DataFrame:
+        from creek_spark.operators.text import quality_scores
+
+        return quality_scores(df, text_col, id_col)
+
+    def text_lang_id(self, df, text_col: str, id_col: str) -> DataFrame:
+        from creek_spark.operators.text import lang_id
+
+        return lang_id(df, text_col, id_col)
+
+    def media_features(self, media, **kw) -> DataFrame:
+        from creek_spark.operators.multimodal import extract_features
+
+        return extract_features(media, **kw)

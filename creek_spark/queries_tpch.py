@@ -515,3 +515,74 @@ def q22_global_sales(spark, sf_dir):
             F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 {REV_SQL}
+                   - CAST(p_retailprice AS DECIMAL(12,2))
+                     * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+               JOIN supplier ON s_suppkey = l_suppkey
+               JOIN orders ON o_orderkey = l_orderkey
+               JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%gear%') t
+    GROUP BY nation, o_year
+    """,
+    "tpch",
+)
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by supplier nation and year.
+    The schema has no partsupp, so supply cost is proxied by
+    p_retailprice × quantity — the join/agg shape (4 joins + LIKE filter
+    + two-column rollup) is what's exercised."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = _revenue() - dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q16_part_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "tpch",
+)
+def q16_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    (lineitem stands in for the absent partsupp as the part↔supplier
+    bridge).  COUNT(DISTINCT) expands to the standard two-phase
+    distinct-aggregate plan; the part filter broadcasts."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
