@@ -221,14 +221,18 @@ def ngram_jaccard_pairs(
 
     Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
     """
-    sh = shingle_rows(df, text_col, id_col, shingle_k)
+    # persist both shared intermediates: sh feeds the frequency count AND
+    # the filter join; filtered feeds sizes AND both sides of the pair
+    # join.  Without these the shingle explode re-runs once per consumer
+    # (measured: 8 full corpus scans in the physical plan).
+    sh = shingle_rows(df, text_col, id_col, shingle_k).persist()
     freq_ok = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("freq"))
         .where(F.col("freq") <= max_shingle_freq)
         .select("shingle")
     )
-    filtered = sh.join(freq_ok, "shingle")
+    filtered = sh.join(freq_ok, "shingle").persist()
     # sizes over the same filtered universe so jaccard is well-defined
     sizes = filtered.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = filtered.alias("a")

@@ -55,12 +55,16 @@ def ts_gap_fill(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
     )
+    # persist: hourly feeds three consumers (bounds, grid types, the join)
+    # whose differing column pruning defeats exchange reuse — without it
+    # the full event stream is scanned three times.  Post-agg it is only
+    # |types| × |hours| rows.
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         dsum("value", "sum_value", 14, 2),
-    )
+    ).persist()
     bounds = hourly.agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
