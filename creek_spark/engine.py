@@ -83,6 +83,11 @@ class Engine:
 
         return minhash_lsh_candidates(df, text_col, id_col, **kw)
 
+    def dedup_clusters(self, pairs, **kw) -> DataFrame:
+        from creek_spark.operators.dedup import connected_components
+
+        return connected_components(pairs, **kw)
+
     def dedup_embeddings(self, df, **kw) -> DataFrame:
         from creek_spark.operators.similarity import embedding_near_dups
 

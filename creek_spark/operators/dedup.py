@@ -169,6 +169,69 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster candidate pairs into duplicate groups: (doc, cluster) where
+    cluster = the smallest doc id in the connected component.
+
+    This is the step after candidate generation in every dedup pipeline —
+    LSH emits pairs, clusters decide which rows survive (keep min id per
+    cluster).
+
+    Algorithm: min-label propagation.  Each iteration every node takes the
+    min of its own label and its neighbors' labels (one join + one
+    partial-aggregated groupBy); converges in O(component diameter)
+    iterations — dedup clusters are near-cliques, so typically 2-3.  The
+    driver-side loop only checks a changed-count per iteration; all data
+    work is distributed.  Labels persist each round and the previous
+    round is unpersisted, so peak storage is 2 × |nodes|."""
+    fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+    edges = fwd.unionByName(rev).distinct().persist()
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.d == labels.node)
+            .groupBy("s")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.s, "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc"), F.col("label").alias("cluster")
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str, id_col: str, *, bits: int = 16
 ) -> DataFrame:

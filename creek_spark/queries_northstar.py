@@ -156,6 +156,41 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _cluster_oracle() -> str:
+    """Connected components over the minhash candidate pairs via a
+    recursive transitive closure (UNION dedups, so it terminates)."""
+    pairs_sql = _minhash_oracle().strip()
+    # reuse the generated minhash CTEs; splice the final SELECT into a CTE
+    # rsplit: the pairs projection is the LAST "SELECT DISTINCT" (the
+    # shingle CTE contains an earlier one)
+    with_part, select_part = pairs_sql.rsplit("SELECT DISTINCT", 1)
+    return f"""
+    WITH RECURSIVE {with_part.strip()[len("WITH "):].rstrip().rstrip(",")},
+    pairs AS (SELECT DISTINCT{select_part}),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+    SELECT s AS doc, LEAST(s, MIN(d)) AS cluster FROM reach GROUP BY s
+    """
+
+
+@register("dedup_clusters", _cluster_oracle(), "dedup")
+def dedup_clusters(spark, sf_dir):
+    """LSH candidate pairs → duplicate clusters via min-label-propagation
+    connected components (iterative: O(diameter) distributed rounds).
+    The oracle computes the same components with a recursive transitive
+    closure — exact match, not rows-only, despite being an iterative
+    algorithm."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_candidates(
+        docs, "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, shingle_k=SHINGLE_K,
+    )
+    return dd.connected_components(pairs)
+
+
 EMB_DUP_THRESHOLD = 0.35
 
 EMB_DUP_ORACLE = f"""
