@@ -57,6 +57,11 @@ def _nano_ts_columns(path: str) -> list[str]:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # events.parquet stores TIMESTAMP(NANOS), which Spark rejects unless
+    # nanosAsLong is on.  get_spark sets it at build time, but callers may
+    # hand us a session built elsewhere (the driver does) — the conf is
+    # runtime-settable, so set it defensively here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
