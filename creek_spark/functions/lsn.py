@@ -29,6 +29,9 @@ def lsn_num(col: Column | str) -> Column:
 def lsn_str(col: Column | str) -> Column:
     """Inverse of lsn_num: bigint → canonical `XXX/XXX` upper-hex form."""
     c = F.col(col) if isinstance(col, str) else col
+    # cast to long first: a 32-bit input would wrap the shift amount
+    # (shiftrightunsigned(int, 32) is a no-op — shift is taken mod 32)
+    c = c.cast("long")
     upper = F.upper(F.hex(F.shiftrightunsigned(c, 32)))
     lower = F.upper(F.hex(c.bitwiseAND(F.lit(0xFFFFFFFF))))
     return F.concat_ws("/", upper, lower)

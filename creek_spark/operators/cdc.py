@@ -119,9 +119,6 @@ def latest_state(
 
     df = expand_ops(df)
 
-    if dedup:
-        df = df.dropDuplicates(["_lsn_num", "op", "_op_seq"])
-
     # Target key of each change: after-image for upserts, before-image for
     # deletes (delete's after is null, replication.go:456-491).
     for k in keys:
@@ -130,6 +127,16 @@ def latest_state(
             F.when(F.col("op") == "d", F.col(f"before.{k}")).otherwise(
                 F.col(f"after.{k}")
             ),
+        )
+
+    if dedup:
+        # The key columns MUST be part of the dedup subset: distinct rows can
+        # legitimately share an LSN — every snapshot row folded in by
+        # sources.bootstrap carries the single header LSN as op 'r', and
+        # state re-entry in CdcApplier reuses each key's stored LSN.  Without
+        # the key, all of those collapse to one arbitrary row.
+        df = df.dropDuplicates(
+            [f"_key_{k}" for k in keys] + ["_lsn_num", "op", "_op_seq"]
         )
 
     w = Window.partitionBy(*[F.col(f"_key_{k}") for k in keys]).orderBy(

@@ -26,6 +26,34 @@ from pyspark.sql import functions as F
 
 from creek_spark.functions.text import shingles_from_tokens, tokens
 
+# Cached intermediates (LSH signatures, shingle rows) registered here so
+# long-lived sessions can release them after the consuming action —
+# repeated operator calls would otherwise accumulate storage until
+# eviction pressure.  bench.py / tests call release_caches() per query.
+_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    cached = df.persist()
+    _CACHES.append(cached)
+    return cached
+
+
+def release_caches() -> None:
+    while _CACHES:
+        _CACHES.pop().unpersist()
+
+
+def _with_min_parallelism(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition only when the scan partitioning is genuinely poor (few
+    large/compressed files).  At 100 TB the scan already has thousands of
+    healthy partitions and an unconditional repartition would force a full
+    extra shuffle of the corpus text."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, F.col(id_col))
+
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Group identical content by md5 digest; keep the smallest id.
@@ -50,10 +78,10 @@ def shingle_rows(
     that is multiset-invariant (min-aggregation: min over duplicates ==
     min over the set).
 
-    The input is repartitioned to full parallelism first: the explode+hash
-    work is CPU-bound per input byte, and text corpora often arrive as few
-    large (or one small) compressed files whose scan partitioning would
-    otherwise serialize the whole operator.
+    The input is repartitioned to full parallelism first — but only when
+    the scan partitioning is poor (few large/compressed files would
+    serialize the CPU-bound explode+hash work; a well-partitioned 100 TB
+    scan must not pay an extra full shuffle).
 
     Tokenization is materialized in its own projection and the shingle
     transform reads the token array as a plain attribute.  Catalyst's
@@ -62,8 +90,7 @@ def shingle_rows(
     runs once per document — inlining it into the shingle lambda would
     re-run it once per element, O(tokens²) per document (measured 2-3×
     slower end-to-end)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    toked = df.repartition(par, F.col(id_col)).select(
+    toked = _with_min_parallelism(df, id_col).select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("_toks")
     )
     out = toked.select(
@@ -156,7 +183,7 @@ def minhash_lsh_candidates(
     # whole shingle→md5→min pipeline twice.  Banded rows are tiny relative
     # to the corpus (docs × bands × ~40 B) — at 10⁹ docs this is a few
     # hundred GB across the cluster, the standard LSH checkpoint.
-    banded = lsh_bands(sigs, bands=bands, rows_per_band=rows_per_band).persist()
+    banded = _persist(lsh_bands(sigs, bands=bands, rows_per_band=rows_per_band))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -199,6 +226,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.d == labels.node)
@@ -225,8 +253,20 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # A silently split component would keep rows dedup should drop.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iter} "
+            "iterations (component diameter exceeds max_iter); labels may "
+            "be split — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias("doc"), F.col("label").alias("cluster")
     )
@@ -240,8 +280,7 @@ def simhash(
     bit j of md5(token): nibble j//4 (hex char j//4+1), bit j%4.
     signed weight = +1/-1 per token occurrence; simhash bit = (Σweight)>0.
     Output: (doc, simhash int).  One explode + one aggregate."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    toked = df.repartition(par, F.col(id_col)).select(
+    toked = _with_min_parallelism(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("th", F.md5(F.col("tok")))
     hexval = lambda pos: (
@@ -288,14 +327,14 @@ def ngram_jaccard_pairs(
     # the filter join; filtered feeds sizes AND both sides of the pair
     # join.  Without these the shingle explode re-runs once per consumer
     # (measured: 8 full corpus scans in the physical plan).
-    sh = shingle_rows(df, text_col, id_col, shingle_k).persist()
+    sh = _persist(shingle_rows(df, text_col, id_col, shingle_k))
     freq_ok = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("freq"))
         .where(F.col("freq") <= max_shingle_freq)
         .select("shingle")
     )
-    filtered = sh.join(freq_ok, "shingle").persist()
+    filtered = _persist(sh.join(freq_ok, "shingle"))
     # sizes over the same filtered universe so jaccard is well-defined
     sizes = filtered.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = filtered.alias("a")

@@ -80,12 +80,16 @@ def decode_numeric_typmod(typmod: int) -> tuple[int, int]:
     if typmod < VARHDRSZ:
         return DEFAULT_NUMERIC
     precision = ((typmod - VARHDRSZ) >> 16) & 0xFFFF
-    scale = (typmod - VARHDRSZ) & 0xFFFF
+    # Scale is an 11-bit sign-extended field (pg commit 085f931f52): pg
+    # allows NUMERIC(p, s) with s in [-1000, 1000].  Taking the raw low 16
+    # bits would turn NUMERIC(5,-2) into scale 65534.
+    scale = (((typmod - VARHDRSZ) & 0x7FF) ^ 1024) - 1024
     return precision, scale
 
 
 def encode_numeric_typmod(precision: int, scale: int) -> int:
-    return ((precision << 16) | (scale & 0xFFFF)) + VARHDRSZ
+    # pg masks the (possibly negative) scale to 11 bits on encode.
+    return ((precision << 16) | (scale & 0x7FF)) + VARHDRSZ
 
 
 def pg_type_to_spark(pg_type: str, typmod: int = -1) -> T.DataType:
@@ -99,6 +103,11 @@ def pg_type_to_spark(pg_type: str, typmod: int = -1) -> T.DataType:
         return T.ArrayType(pg_type_to_spark(name[:-2], typmod))
     if name == "numeric":
         p, s = decode_numeric_typmod(typmod)
+        if s < 0:
+            # Spark DecimalType forbids negative scale; NUMERIC(p, -s) holds
+            # p significant digits times 10^|s| → at most p+|s| integer
+            # digits, exactly representable at scale 0.
+            p, s = min(p - s, 38), 0
         return T.DecimalType(p, s)
     return _SCALAR_MAP.get(name, T.StringType())
 

@@ -74,3 +74,50 @@ def test_latest_state_is_parallelism_invariant(spark, wal):
     assert state_dict(latest_state(shuffled)) == OTHER_EXPECTED
     single = wal.coalesce(1)
     assert state_dict(latest_state(single)) == OTHER_EXPECTED
+
+
+def test_bootstrap_preserves_snapshot_rows(spark, tmp_path, wal):
+    """Every snapshot row enters the merge as op 'r' at the single header
+    LSN — distinct keys sharing that LSN must all survive the dedup
+    (regression: dedup on LSN alone collapsed the snapshot to one row)."""
+    from creek_spark.sources import bootstrap, read_snapshot, write_snapshot
+
+    snap = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "id int, data string"
+    )
+    # snapshot taken at lsn 0/F == 15: no later changes exist in the stream
+    path = write_snapshot(snap, str(tmp_path), "other", lsn="0/F", tx_id=7)
+    sdf, header = read_snapshot(spark, path)
+    out = bootstrap(sdf, header, wal, ["id"])
+    assert state_dict(out) == {1: "one", 2: "two", 3: "three"}
+
+
+def test_bootstrap_applies_changes_after_snapshot_lsn(spark, tmp_path, wal):
+    from creek_spark.sources import bootstrap, read_snapshot, write_snapshot
+
+    snap = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "id int, data string"
+    )
+    # snapshot at lsn 0/8: changes 9..15 apply on top
+    path = write_snapshot(snap, str(tmp_path), "other", lsn="0/8", tx_id=7)
+    sdf, header = read_snapshot(spark, path)
+    out = bootstrap(sdf, header, wal, ["id"])
+    d = state_dict(out)
+    # u(2→two-v2), u_pk(3→30), d(4 absent), c(5,"five")@lsn9 then TOAST-u
+    # carries "five" forward, u(1→one-v3)
+    assert d == {1: "one-v3", 2: "two-v2", 30: "three-moved", 5: "five"}
+
+
+def test_latest_state_keeps_distinct_keys_sharing_lsn(spark):
+    """Two different keys inserted at the same LSN (bootstrap/state-re-entry
+    shape) must both survive dedup=True."""
+    from tests.fixtures import ENV_SCHEMA, wal_row
+
+    rows = [
+        wal_row(5, "c", after=(1, "a")),
+        wal_row(5, "c", after=(2, "b")),
+        wal_row(5, "c", after=(2, "b")),  # true duplicate: collapses
+    ]
+    df = spark.createDataFrame(rows, schema=ENV_SCHEMA)
+    out = latest_state(df, ["id"])
+    assert state_dict(out) == {1: "a", 2: "b"}

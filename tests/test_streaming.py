@@ -104,3 +104,87 @@ def test_stream_wal_from_filters(spark, tmp_path):
     q.awaitTermination(120)
     n = spark.sql("SELECT * FROM walfrom").collect()[0]["count"]
     assert n == 8  # lsns 9,10,11,12,12(dup),13,15,14
+
+
+def _parquet_file_hashes(state_dir):
+    import hashlib
+
+    out = {}
+    for root, _dirs, files in os.walk(state_dir):
+        for name in files:
+            if name.endswith(".parquet"):
+                p = os.path.join(root, name)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, state_dir)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+    return out
+
+
+def test_cdc_applier_rewrites_only_touched_buckets(spark, tmp_path):
+    """Incremental state contract: a micro-batch touching one key leaves
+    every other bucket's parquet files byte-identical on disk."""
+    from tests.fixtures import wal_row
+
+    src = str(tmp_path / "wal_b")
+    state_dir = str(tmp_path / "state_b")
+    ckpt = str(tmp_path / "ckpt_b")
+    n_buckets = 8
+    applier = CdcApplier(spark, state_dir, ["id"], ENV_SCHEMA, n_buckets=n_buckets)
+
+    _write_batch(spark, other_wal_events(), src)
+    q = applier.start(read_envelope_stream(spark, src, ENV_SCHEMA), ckpt)
+    q.awaitTermination(120)
+    st1 = state_dict(spark.read.parquet(state_dir).select("id", "data"))
+    assert st1 == OTHER_EXPECTED
+
+    before = _parquet_file_hashes(state_dir)
+    # batch 2: update only id=1
+    _write_batch(spark, [wal_row(20, "u", before=(1,), after=(1, "one-v4"))], src)
+    q2 = applier.start(read_envelope_stream(spark, src, ENV_SCHEMA), ckpt)
+    q2.awaitTermination(120)
+    st2 = state_dict(spark.read.parquet(state_dir).select("id", "data"))
+    assert st2 == {**OTHER_EXPECTED, 1: "one-v4"}
+
+    after = _parquet_file_hashes(state_dir)
+    touched_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(1).cast("int")), F.lit(n_buckets)).cast("int")
+    ).collect()[0][0]
+    prefix = f"creek_bucket={touched_bucket}"
+    untouched_before = {k: v for k, v in before.items() if not k.startswith(prefix)}
+    untouched_after = {k: v for k, v in after.items() if not k.startswith(prefix)}
+    assert untouched_before == untouched_after
+    assert untouched_before  # sanity: other buckets actually exist
+    # the touched bucket was rewritten
+    assert {k: v for k, v in before.items() if k.startswith(prefix)} != {
+        k: v for k, v in after.items() if k.startswith(prefix)
+    }
+
+
+def test_cdc_applier_delete_empties_bucket(spark, tmp_path):
+    """A batch deleting a bucket's last key must remove the bucket dir —
+    dynamic partition overwrite alone would leave the stale rows."""
+    from tests.fixtures import wal_row
+
+    src = str(tmp_path / "wal_d")
+    state_dir = str(tmp_path / "state_d")
+    ckpt = str(tmp_path / "ckpt_d")
+    applier = CdcApplier(spark, state_dir, ["id"], ENV_SCHEMA, n_buckets=4)
+
+    _write_batch(
+        spark,
+        [wal_row(1, "c", after=(1, "one")), wal_row(2, "c", after=(2, "two"))],
+        src,
+    )
+    q = applier.start(read_envelope_stream(spark, src, ENV_SCHEMA), ckpt)
+    q.awaitTermination(120)
+    assert state_dict(spark.read.parquet(state_dir).select("id", "data")) == {
+        1: "one",
+        2: "two",
+    }
+    _write_batch(spark, [wal_row(3, "d", before=(1,))], src)
+    q2 = applier.start(read_envelope_stream(spark, src, ENV_SCHEMA), ckpt)
+    q2.awaitTermination(120)
+    assert state_dict(spark.read.parquet(state_dir).select("id", "data")) == {
+        2: "two"
+    }

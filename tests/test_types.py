@@ -68,6 +68,21 @@ def test_numeric_typmod_roundtrip():
     assert pg_type_to_spark("numeric", -1) == T.DecimalType(38, 18)
 
 
+def test_numeric_typmod_negative_scale():
+    # pg allows NUMERIC(p, s) with s in [-1000, 1000]; the scale field is an
+    # 11-bit sign-extended value — taking the raw low 16 bits would decode
+    # NUMERIC(5,-2) as scale 65534.
+    tm = encode_numeric_typmod(5, -2)
+    assert decode_numeric_typmod(tm) == (5, -2)
+    # Spark DecimalType forbids negative scale → widen to the exact
+    # scale-0 equivalent: 5 significant digits × 10² needs 7 integer digits
+    assert pg_type_to_spark("numeric", tm) == T.DecimalType(7, 0)
+    tm = encode_numeric_typmod(10, -1000)
+    assert decode_numeric_typmod(tm) == (10, -1000)
+    tm = encode_numeric_typmod(10, 1000)
+    assert decode_numeric_typmod(tm) == (10, 1000)
+
+
 def _rel(replica_identity="d"):
     return PGRelation(
         namespace="public",
