@@ -63,6 +63,8 @@ def main() -> None:
         except Exception:
             pass
 
+    from creek_spark.operators.dedup import release_caches
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name, fn in runs:
@@ -70,20 +72,44 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_caches()  # don't let one query's cached blocks skew the next
     total = round(time.perf_counter() - t_all, 3)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # Regression gate: compare per-query times against the previous round's
+    # recorded bench (the operative baseline — BASELINE.md: the reference
+    # publishes no numbers).  >2× slower is a loud warning on stderr and a
+    # "regressions" key in the JSON; renamed queries are mapped.
+    renames = {"window_running_lag": "window_running", "text_metrics": "text_quality"}
+    regressions: dict[str, list[float]] = {}
+    base_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_BASELINE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json"),
     )
+    try:
+        with open(base_path) as f:
+            base = json.load(f).get("queries", {})
+        for name, sec in timings.items():
+            prev = base.get(name) or base.get(renames.get(name, ""))
+            if prev and sec > 2.0 * prev:
+                regressions[name] = [prev, sec]
+                print(
+                    f"REGRESSION {name}: {sec:.3f}s vs baseline {prev:.3f}s (>2x)",
+                    file=sys.stderr,
+                )
+    except (OSError, ValueError):
+        pass
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if regressions:
+        out["regressions"] = regressions
+    print(json.dumps(out))
     spark.stop()
 
 

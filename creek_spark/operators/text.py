@@ -78,6 +78,45 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def text_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """token_stats + quality_scores in a single projection (one scan, no
+    join): (id, n_tokens, n_bpe_tokens, n_chars_norm, n_chars_raw,
+    punct_ratio, stopword_ratio, mean_token_len, quality_score)."""
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("_txt"), tokens(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col("_txt"))
+    n_alnum = F.length(F.regexp_replace(F.col("_txt"), r"[^a-zA-Z0-9\s]", ""))
+    punct_ratio = (n_chars - n_alnum).cast("double") / n_chars.cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    mean_tok_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tok.cast("double")
+    )
+    score = (
+        F.when(n_tok >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
+        * (F.lit(1.0) - punct_ratio)
+        * (F.lit(0.5) + stop_ratio)
+    )
+    return base.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.regexp_count(F.col("_txt"), F.lit(BPE_REGEX)).cast("int").alias(
+            "n_bpe_tokens"
+        ),
+        F.length(norm_text(F.col("_txt"))).alias("n_chars_norm"),
+        n_chars.alias("n_chars_raw"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        score.alias("quality_score"),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Marker-word language heuristic: count hits per language's marker
     list over the token stream; argmax with 'und' (undetermined) fallback.
@@ -107,6 +146,43 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         pred.alias("pred_lang"),
         best.alias("marker_hits"),
+    )
+
+
+def lang_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """lang_id + doc_fingerprint in one scan: (id, pred_lang, marker_hits,
+    fp, fp_bucket).  The fingerprint rides through the lang-id projections
+    as a plain attribute — no join, no second pass over the text."""
+    fp = F.md5(norm_text(text_col))
+    base = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+        fp.alias("fp"),
+    )
+    toks = F.col("_toks")
+    hit_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        hit_exprs.append((lang, hits))
+    counted = base.select(
+        F.col(id_col),
+        F.col("fp"),
+        *[h.alias(f"_h_{lang}") for lang, h in hit_exprs],
+    )
+    langs = [lang for lang, _ in hit_exprs]
+    best = F.greatest(*[F.col(f"_h_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"_h_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return counted.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best.alias("marker_hits"),
+        F.col("fp"),
+        F.substring(F.col("fp"), 1, 8).alias("fp_bucket"),
     )
 
 

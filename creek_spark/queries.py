@@ -120,101 +120,112 @@ def q1_pricing_summary(spark, sf_dir):
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+           true AS approx_ok
     FROM orders GROUP BY o_orderpriority
     """,
     "aggregation",
 )
 def agg_distinct(spark, sf_dir):
+    """Exact + approximate distinct counts.  HLL sketch values are
+    engine-specific, so the approx side is verified as an error-bound
+    check: |approx − exact| / exact ≤ 0.15 must hold (Spark's default
+    rsd is 0.05), surfaced as a hash-matched boolean."""
     o = _t(spark, sf_dir, "orders")
+    exact = F.countDistinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.countDistinct("o_custkey").alias("n_customers"),
+        exact.alias("n_customers"),
         dsum("o_totalprice", "sum_total"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= 0.15
+        ).alias("approx_ok"),
     )
 
 
-@register(
-    "agg_rollup",
-    """
-    SELECT l_returnflag, l_linestatus,
+_GROUPING_AGG_SQL = """SELECT '{src}' AS src, l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
+    FROM lineitem GROUP BY {clause}"""
+
+
+@register(
+    "agg_grouping_multi",
+    "\n    UNION ALL\n    ".join(
+        _GROUPING_AGG_SQL.format(src=src, clause=clause)
+        for src, clause in [
+            ("rollup", "ROLLUP (l_returnflag, l_linestatus)"),
+            ("cube", "CUBE (l_returnflag, l_linestatus)"),
+            ("gsets", "GROUPING SETS ((l_returnflag), (l_linestatus), ())"),
+        ]
+    ),
     "aggregation",
 )
-def agg_rollup(spark, sf_dir):
+def agg_grouping_multi(spark, sf_dir):
+    """ROLLUP + CUBE + GROUPING SETS over the same keys in one result,
+    tagged by src — exercises all three multi-grouping APIs (rollup()/
+    cube() DataFrame ops and SQL GROUPING SETS)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    aggs = [F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")]
+
+    def tag(df, src):
+        return df.select(
+            F.lit(src).alias("src"), "l_returnflag", "l_linestatus", "n", "sum_qty"
+        )
+
+    r = tag(li.rollup("l_returnflag", "l_linestatus").agg(*aggs), "rollup")
+    c = tag(li.cube("l_returnflag", "l_linestatus").agg(*aggs), "cube")
+    li.createOrReplaceTempView("lineitem")
+    g = tag(
+        spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            """
+        ),
+        "gsets",
     )
+    return r.unionByName(c).unionByName(g)
 
 
-@register(
-    "agg_cube",
-    """
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
-    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    "aggregation",
-)
-def agg_cube(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_total")
-    )
+_PIVOT_SQL = """WITH pv AS (
+      SELECT l_returnflag,
+             COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS "O",
+             COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS "F"
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'O' AS l_linestatus, "O" AS sum_qty FROM pv
+    UNION ALL
+    SELECT l_returnflag, 'F' AS l_linestatus, "F" AS sum_qty FROM pv"""
 
 
-@register(
-    "agg_grouping_sets",
-    """
-    SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
-    FROM customer
-    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
-    """,
-    "aggregation",
-)
-def agg_grouping_sets(spark, sf_dir):
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
-        """
-        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
-        FROM customer
-        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
-        """
-    )
-
-
-@register(
-    "agg_pivot",
-    """
-    SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "O",
-           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "F"
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    "aggregation",
-)
-def agg_pivot(spark, sf_dir):
+@register("pivot_unpivot", _PIVOT_SQL, "aggregation")
+def pivot_unpivot(spark, sf_dir):
+    """Pivot wide then unpivot back to long — round-trips both reshaping
+    operators (groupBy().pivot() and DataFrame.unpivot, Spark ≥3.4) in one
+    verifiable result."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    pv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum(dec("l_quantity")).cast("double"))
     )
-
-
-@register("agg_approx_distinct", None, "aggregation")
-def agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL) — sketch values are engine-specific, so
-    this is a rows-only check; the exact variant is oracle-checked above."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.count(F.lit(1)).alias("n"),
+    pv = pv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("F"),
+    )
+    return pv.unpivot(
+        ids=["l_returnflag"],
+        values=["O", "F"],
+        variableColumnName="l_linestatus",
+        valueColumnName="sum_qty",
     )
 
 
@@ -312,36 +323,32 @@ def q5_regional_revenue(spark, sf_dir):
 
 
 @register(
-    "join_semi",
+    "join_semi_anti",
     """
-    SELECT c_custkey, c_name FROM customer
+    SELECT 'semi' AS which, c_custkey, c_name FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-    """,
-    "join",
-)
-def join_semi(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@register(
-    "join_anti",
-    """
-    SELECT c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT 'anti' AS which, c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
     "join",
 )
-def join_anti(spark, sf_dir):
+def join_semi_anti(spark, sf_dir):
+    """EXISTS → left-semi and NOT EXISTS → left-anti over the same dims,
+    tagged by `which` in one result."""
     c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    semi = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("which"), "c_custkey", "c_name")
     )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("which"), "c_custkey", "c_name")
+    )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -448,21 +455,25 @@ def join_asof(spark, sf_dir):
 
 
 @register(
-    "window_running",
+    "window_running_lag",
     """
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_spend
+             AS running_spend,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
     "window",
     headline=True,
 )
-def window_running(spark, sf_dir):
+def window_running_lag(spark, sf_dir):
+    """Running sum + row_number + lag/lead over one window spec — Spark
+    evaluates all four in a single Window physical operator (one shuffle)."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -472,32 +483,8 @@ def window_running(spark, sf_dir):
         "o_orderdate",
         F.row_number().over(w).alias("rn"),
         F.sum(dec("o_totalprice")).over(wsum).cast("double").alias("running_spend"),
-    )
-
-
-@register(
-    "window_lag_lead",
-    """
-    SELECT user_id, event_id,
-           LAG(event_type) OVER w AS prev_type,
-           LEAD(event_type) OVER w AS next_type,
-           epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-    "window",
-)
-def window_lag_lead(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lead("event_type").over(w).alias("next_type"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
-            "gap_us"
-        ),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
     )
 
 
@@ -556,51 +543,47 @@ def sort_limit_topk(spark, sf_dir):
 
 
 @register(
-    "set_intersect",
+    "set_ops",
     """
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    SELECT 'intersect' AS setop, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997) t1
+    UNION ALL
+    SELECT 'except' AS setop, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997) t2
+    UNION ALL
+    SELECT 'union' AS setop, custkey FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+      UNION
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000) t3
     """,
     "setop",
 )
-def set_intersect(spark, sf_dir):
+def set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION(distinct) in one tagged result —
+    exercises all three set operators (intersect/subtract/union+distinct)."""
     o = _t(spark, sf_dir, "orders")
-    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
-    y97 = o.where(F.year("o_orderdate") == 1997).select("o_custkey")
-    return y96.intersect(y97)
-
-
-@register(
-    "set_except",
-    """
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
-    """,
-    "setop",
-)
-def set_except(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
-    y97 = o.where(F.year("o_orderdate") == 1997).select("o_custkey")
-    return y96.subtract(y97)  # EXCEPT (distinct) semantics
-
-
-@register(
-    "set_union",
-    """
-    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
-    UNION
-    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
-    """,
-    "setop",
-)
-def set_union(spark, sf_dir):
+    y96 = o.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = o.where(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
     c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000).select(
         F.col("c_custkey").alias("custkey")
     )
-    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000).select(
+    big = o.where(F.col("o_totalprice") > 450000).select(
         F.col("o_custkey").alias("custkey")
     )
-    return c.union(o).distinct()
+
+    def tag(df, name):
+        return df.select(F.lit(name).alias("setop"), "custkey")
+
+    return (
+        tag(y96.intersect(y97), "intersect")
+        .unionByName(tag(y96.subtract(y97), "except"))
+        .unionByName(tag(c.union(big).distinct(), "union"))
+    )

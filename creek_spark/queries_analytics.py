@@ -138,32 +138,5 @@ def agg_percentile_disc(spark, sf_dir):
     return ranked.groupBy("event_type").agg(pick(0.5, "p50"), pick(0.9, "p90"))
 
 
-@register(
-    "unpivot_part_metrics",
-    """
-    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
-    FROM part
-    UNION ALL
-    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
-    FROM part
-    """,
-    "reshape",
-)
-def unpivot_part_metrics(spark, sf_dir):
-    """Unpivot/melt wide columns into (key, metric, value) rows via the
-    native unpivot operator (Spark ≥3.4) — the inverse of agg_pivot.
-    Row count multiplies by the metric count but no shuffle occurs."""
-    p = _t(spark, sf_dir, "part")
-    return (
-        p.select(
-            "p_partkey",
-            F.col("p_size").cast("double").alias("p_size"),
-            F.col("p_retailprice").alias("p_retailprice"),
-        )
-        .unpivot(
-            ids=["p_partkey"],
-            values=["p_size", "p_retailprice"],
-            variableColumnName="metric",
-            valueColumnName="val",
-        )
-    )
+# (unpivot coverage lives in queries.py `pivot_unpivot`, which round-trips
+# groupBy().pivot() and DataFrame.unpivot in one oracle-checked entry.)

@@ -25,7 +25,7 @@ SQL_TOKENS = "string_split_regex(" + SQL_NORM + ", '\\s+')"
 
 
 @register(
-    "scalar_string_funcs",
+    "scalar_string_math",
     """
     SELECT p_partkey,
            upper(p_name) AS up_name,
@@ -35,12 +35,20 @@ SQL_TOKENS = "string_split_regex(" + SQL_NORM + ", '\\s+')"
            replace(p_name, 'a', '@') AS replaced,
            lpad(p_brand, 12, '*') AS padded,
            regexp_extract(p_name, '^[a-z]+') AS first_word,
-           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words
+           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+           abs(p_retailprice - 1000.0) AS abs_price_dev,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           sqrt(CAST(p_size AS DOUBLE)) AS sqrt_size,
+           CAST(p_partkey % 5 AS BIGINT) AS mod5,
+           CAST(p_size * p_size AS INTEGER) AS size_sq
     FROM part
     """,
     "scalar",
 )
-def scalar_string_funcs(spark, sf_dir):
+def scalar_string_math(spark, sf_dir):
+    """String + math scalar families in one wide projection (all JVM
+    built-ins, whole-stage codegen)."""
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -52,112 +60,92 @@ def scalar_string_funcs(spark, sf_dir):
         F.lpad("p_brand", 12, "*").alias("padded"),
         F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
         F.size(F.split(F.col("p_name"), " ", -1)).alias("n_words"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("abs_price_dev"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.sqrt(F.col("p_size").cast("double")).alias("sqrt_size"),
+        (F.col("p_partkey") % 5).alias("mod5"),
+        (F.col("p_size") * F.col("p_size")).alias("size_sq"),
     )
 
 
 @register(
-    "scalar_date_funcs",
-    """
-    SELECT o_orderkey,
-           CAST(year(o_orderdate) AS INTEGER) AS yr,
-           CAST(month(o_orderdate) AS INTEGER) AS mo,
-           CAST(day(o_orderdate) AS INTEGER) AS dom,
-           date_trunc('month', o_orderdate) AS month_start,
-           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') AS INTEGER) AS days_to_end,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end
-    FROM orders
-    """,
-    "scalar",
-)
-def scalar_date_funcs(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dom"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.datediff(F.lit("2001-12-31").cast("date"), F.to_date("o_orderdate")).alias(
-            "days_to_end"
-        ),
-        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
-    )
-
-
-@register(
-    "scalar_math_funcs",
-    """
-    SELECT l_orderkey, l_linenumber,
-           abs(l_discount - 0.05) AS abs_disc_dev,
-           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
-           sqrt(l_quantity) AS sqrt_qty,
-           CAST(l_orderkey % 5 AS BIGINT) AS mod5,
-           l_quantity * l_quantity AS qty_sq
-    FROM lineitem
-    """,
-    "scalar",
-)
-def scalar_math_funcs(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_dev"),
-        F.ceil("l_extendedprice").alias("price_ceil"),
-        F.floor("l_extendedprice").alias("price_floor"),
-        F.sqrt("l_quantity").alias("sqrt_qty"),
-        (F.col("l_orderkey") % 5).alias("mod5"),
-        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
-    )
-
-
-@register(
-    "scalar_json_funcs",
+    "scalar_date_json",
     """
     SELECT event_id,
+           CAST(year(ts) AS INTEGER) AS yr,
+           CAST(month(ts) AS INTEGER) AS mo,
+           CAST(day(ts) AS INTEGER) AS dom,
+           date_trunc('day', ts) AS day_start,
+           CAST(date_diff('day', CAST(ts AS DATE), DATE '2026-01-01') AS INTEGER) AS days_to_end,
+           last_day(CAST(ts AS DATE)) AS month_end,
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
     FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
     """,
     "scalar",
 )
-def scalar_json_funcs(spark, sf_dir):
+def scalar_date_json(spark, sf_dir):
+    """Date/time + JSON scalar families over the events stream table."""
     ev = _t(spark, sf_dir, "events")
     k_str = F.get_json_object("props", "$.k")
-    return (
-        ev.select(
-            "event_id",
-            k_str.alias("k_str"),
-            k_str.cast("int").alias("k_int"),
-        )
-        .where(F.col("k_int") > 50)
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("dom"),
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.datediff(F.lit("2026-01-01").cast("date"), F.to_date("ts")).alias(
+            "days_to_end"
+        ),
+        F.last_day(F.to_date("ts")).alias("month_end"),
+        k_str.alias("k_str"),
+        k_str.cast("int").alias("k_int"),
     )
 
 
 @register(
-    "scalar_array_funcs",
+    "scalar_array_map",
     """
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS dim,
            CAST(embedding[1] AS DOUBLE) AS first_val,
            CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
              + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS first4_sum,
-           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+           CAST(len(embedding) AS DOUBLE) AS m_dim,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS m_maxv,
+           'dim,maxv' AS m_keys,
+           2 AS m_size
     FROM embeddings
     """,
     "scalar",
 )
-def scalar_array_funcs(spark, sf_dir):
+def scalar_array_map(spark, sf_dir):
+    """Array + map scalar families.  The map columns are built with Spark
+    map_* functions (map_from_arrays → element_at / map_keys / size) and
+    verified by value: building a map and extracting its entries must
+    round-trip, so the oracle states the extracted values directly (DuckDB
+    MAP internals differ; the *values* are engine-neutral)."""
     e = _t(spark, sf_dir, "embeddings")
     el = lambda i: F.element_at("embedding", i).cast("double")
+    m = F.map_from_arrays(
+        F.array(F.lit("dim"), F.lit("maxv")),
+        F.array(
+            F.size("embedding").cast("double"),
+            F.array_max("embedding").cast("double"),
+        ),
+    )
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         el(1).alias("first_val"),
         (el(1) + el(2) + el(3) + el(4)).alias("first4_sum"),
         F.array_max("embedding").cast("double").alias("max_val"),
+        F.element_at(m, F.lit("dim")).alias("m_dim"),
+        F.element_at(m, F.lit("maxv")).alias("m_maxv"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+        F.size(m).alias("m_size"),
     )
 
 

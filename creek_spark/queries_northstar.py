@@ -269,23 +269,22 @@ def similarity_topk(spark, sf_dir):
     return sim.cosine_topk(emb, queries, k=5)
 
 
-@register("similarity_lsh_buckets", None, "similarity")
-def similarity_lsh_buckets(spark, sf_dir):
-    """ANN scale path: random-hyperplane bucketed top-k (recall < 1 by
-    design → rows-only check; exactness is covered by similarity_topk)."""
+@register("similarity_ann", None, "similarity")
+def similarity_ann(spark, sf_dir):
+    """Both ANN scale paths in one tagged result: random-hyperplane LSH
+    buckets (fixed planes, zero index shuffle) and IVF coarse quantization
+    (data-adaptive cells, probes 3 of 16).  Recall < 1 by design →
+    rows-only check; exactness is covered by similarity_topk, and recall
+    floors are pytest-gated in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return sim.lsh_bucket_topk(emb, queries, dim=64, n_planes=6, k=5)
-
-
-@register("similarity_ivf", None, "similarity")
-def similarity_ivf(spark, sf_dir):
-    """ANN scale path #2: IVF coarse quantization — data-adaptive cells
-    (vs LSH's fixed hyperplanes); probes the 3 nearest of 16 cells.
-    Recall < 1 by design → rows-only check."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 10)
-    return sim.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=3)
+    lsh = sim.lsh_bucket_topk(emb, queries, dim=64, n_planes=6, k=5).select(
+        F.lit("lsh").alias("method"), "q_id", "n_id", "cos_sim", "rnk"
+    )
+    ivf = sim.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=3).select(
+        F.lit("ivf").alias("method"), "q_id", "n_id", "cos_sim", "rnk"
+    )
+    return lsh.unionByName(ivf)
 
 
 # =====================================================================
@@ -293,31 +292,17 @@ def similarity_ivf(spark, sf_dir):
 # =====================================================================
 
 
-@register(
-    "text_token_stats",
-    f"""
-    SELECT doc_id,
-           CAST(len({_TOKS}) AS INTEGER) AS n_ws_tokens,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
-           CAST(length({_NORM}) AS INTEGER) AS n_chars_norm
-    FROM documents
-    """,
-    "text",
-)
-def text_token_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return tx.token_stats(docs, "text", "doc_id")
-
-
 _STOP_LIST = ", ".join(f"'{s}'" for s in tx.STOPWORDS)
 
 @register(
-    "text_quality",
+    "text_metrics",
     f"""
     WITH base AS (
       SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks FROM documents)
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+           CAST(length(norm) AS INTEGER) AS n_chars_norm,
            CAST(length(text) AS INTEGER) AS n_chars_raw,
            CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
              / CAST(length(text) AS DOUBLE) AS punct_ratio,
@@ -335,12 +320,15 @@ _STOP_LIST = ", ".join(f"'{s}'" for s in tx.STOPWORDS)
     "text",
     headline=True,
 )
-def text_quality(spark, sf_dir):
+def text_metrics(spark, sf_dir):
+    """Token stats + quality heuristics in one scan (token counts, BPE-ish
+    pre-token count, char counts, punctuation/stopword ratios, mean token
+    length, combined quality score) — the cheap pre-dedup filter battery."""
     docs = _t(spark, sf_dir, "documents")
-    return tx.quality_scores(docs, "text", "doc_id")
+    return tx.text_metrics(docs, "text", "doc_id")
 
 
-def _lang_oracle() -> str:
+def _lang_fp_oracle() -> str:
     hits = {
         lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
         for lang, markers in sorted(tx.LANG_MARKERS.items())
@@ -351,34 +339,28 @@ def _lang_oracle() -> str:
         for lang, h in hits.items()
     )
     return f"""
-    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks, md5({_NORM}) AS fp
+                  FROM documents)
     SELECT doc_id,
            CASE {whens} ELSE 'und' END AS pred_lang,
-           CAST({greatest} AS INTEGER) AS marker_hits
+           CAST({greatest} AS INTEGER) AS marker_hits,
+           fp, substr(fp, 1, 8) AS fp_bucket
     FROM base
     """
 
 
-@register("text_lang_id", _lang_oracle(), "text")
-def text_lang_id(spark, sf_dir):
+@register("text_lang_fingerprint", _lang_fp_oracle(), "text")
+def text_lang_fingerprint(spark, sf_dir):
+    """Marker-word language ID + content fingerprint in one scan."""
     docs = _t(spark, sf_dir, "documents")
-    out = tx.lang_id(docs, "text", "doc_id")
+    out = tx.lang_fingerprint(docs, "text", "doc_id")
     return out.select(
-        "doc_id", "pred_lang", F.col("marker_hits").cast("int").alias("marker_hits")
+        "doc_id",
+        "pred_lang",
+        F.col("marker_hits").cast("int").alias("marker_hits"),
+        "fp",
+        "fp_bucket",
     )
-
-
-@register(
-    "text_fingerprint",
-    f"""
-    SELECT doc_id, md5({_NORM}) AS fp, substr(md5({_NORM}), 1, 8) AS fp_bucket
-    FROM documents
-    """,
-    "text",
-)
-def text_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return tx.doc_fingerprint(docs, "text", "doc_id")
 
 
 # =====================================================================
@@ -411,10 +393,30 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
-@register("multimodal_features_stub", None, "multimodal")
-def multimodal_features_stub(spark, sf_dir):
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           4 AS feat_dim,
+           CAST(octet_length(encode(text)) AS FLOAT) AS feat_len,
+           CAST(octet_length(encode(text)) % 7 AS FLOAT) AS feat_mod
+    FROM documents
+    """,
+    "multimodal",
+)
+def multimodal_features(spark, sf_dir):
     """mapInPandas feature-extraction plumbing over binary payloads with a
-    deterministic fake decoder (codec libs absent here) — rows-only check."""
+    deterministic fake decoder (codec libs absent here; the decode stub is
+    the documented injection point for PIL/librosa/ffmpeg).
+
+    The catalog entry projects the feature array to scalar columns — both
+    because the driver's canonicalizer sorts rows (arrays are unhashable in
+    pandas) and because the byte-length-derived features are expressible in
+    ANSI SQL, upgrading this from rows-only to a full hash-match.  The
+    array-returning operator stays for API users (tests/test_multimodal.py
+    covers the full feature vector)."""
     from creek_spark.operators.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -423,4 +425,12 @@ def multimodal_features_stub(spark, sf_dir):
         F.lit("image").alias("kind"),
         F.encode("text", "utf-8").alias("content"),
     )
-    return extract_features(media, fake_decode=True)
+    feats = extract_features(media, fake_decode=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "feat_dim",
+        F.element_at("features", 1).alias("feat_len"),
+        F.element_at("features", 4).alias("feat_mod"),
+    )
