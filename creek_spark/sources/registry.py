@@ -26,8 +26,20 @@ class SchemaRegistry:
     def __init__(self, store_dir: str | None = None):
         self.store_dir = store_dir
         self._lru: OrderedDict[str, T.StructType] = OrderedDict()
+        # (fingerprint, source) pairs already persisted.  The reference
+        # never hits this ambiguity — its Avro record name embeds the
+        # table name so two tables cannot share a fingerprint — but our
+        # fingerprint hashes the StructType only, so identical row shapes
+        # from different sources must still each get a store row (else
+        # last_for_source misses the second table).
+        self._persisted: set[tuple[str, str]] = set()
         if store_dir:
             os.makedirs(store_dir, exist_ok=True)
+            if os.path.exists(self._store_path()):
+                with open(self._store_path()) as f:
+                    for line in f:
+                        rec = json.loads(line)
+                        self._persisted.add((rec["fingerprint"], rec["source"]))
 
     def _store_path(self) -> str:
         return os.path.join(self.store_dir, "schemas.jsonl")
@@ -36,10 +48,13 @@ class SchemaRegistry:
         """Persist a schema; returns its fingerprint.  Analog of
         PersistSchemaFromRelation (internal/dao/schemas.go:42-113)."""
         fp = fingerprint_schema(schema)
-        if fp in self._lru:
+        if fp in self._lru and (
+            not self.store_dir or (fp, source) in self._persisted
+        ):
             return fp
         self._cache(fp, schema)
-        if self.store_dir:
+        if self.store_dir and (fp, source) not in self._persisted:
+            self._persisted.add((fp, source))
             rec = {
                 "fingerprint": fp,
                 "schema": schema.json(),

@@ -1,0 +1,199 @@
+"""Dynamic table add/remove (O18): runtime changes to the subscribed set.
+
+Reference semantics (internal/dao/api.go:15-95, internal/dao/init.go:91-114):
+a `LISTEN creek` control channel receives `ADD <schema>.<table>` /
+`REMOVE <table>` payloads emitted by the `_creek.add_table/remove_table`
+SQL functions; ADD persists the table's initial schema BEFORE the
+publication is extended (api.go:82-87), REMOVE just stops the flow —
+already-materialized state is retained.  Malformed payloads are logged and
+skipped (api.go:76-80).
+
+Spark analog: the WAL staging area carries every table's envelope rows
+(one subject per table in the reference maps to a `source.schema/table`
+filter here).  Each subscribed table runs as its OWN streaming query with
+its OWN checkpoint and hash-bucketed state sink (CdcApplier), so:
+
+  * ADD starts a fresh checkpoint for the new table — it consumes the
+    staged stream from the retention horizon with no effect on any other
+    table's offsets;
+  * existing tables resume from their checkpoints exactly (no loss, no
+    re-apply — file-source offsets are per query);
+  * REMOVE drops the table from the set; its state directory stays.
+
+The subscribed set is persisted to `tables.json` so a restarted driver
+resumes the same subscriptions (the reference keeps this in the
+publication's pg_publication_rel).  At 100 TB the per-table-query layout
+is also the right scale shape: tables scale out independently, and a
+hot table's state sink does not contend with a cold one's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from creek_spark.sources.registry import SchemaRegistry
+from creek_spark.streaming import CdcApplier, read_envelope_stream
+
+
+def _qualify(name: str) -> str:
+    """`other` → `public.other` (the reference resolves the namespace via
+    pg_class, init.go:103-110; default namespace is public)."""
+    return name if "." in name else f"public.{name}"
+
+
+class DynamicTables:
+    """Orchestrates one CDC apply pipeline per subscribed table with
+    runtime ADD/REMOVE — the restart path the reference drives over
+    LISTEN/NOTIFY."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        wal_dir: str,
+        base_dir: str,
+        envelope_schema: T.StructType,
+        registry: SchemaRegistry | None = None,
+        *,
+        n_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.wal_dir = wal_dir
+        self.base_dir = base_dir
+        self.envelope_schema = envelope_schema
+        self.registry = registry or SchemaRegistry(
+            os.path.join(base_dir, "registry")
+        )
+        self.n_buckets = n_buckets
+        os.makedirs(base_dir, exist_ok=True)
+        self._tables: dict[str, dict] = {}
+        self._load()
+
+    # ------------------------------------------------------------- config
+
+    def _config_path(self) -> str:
+        return os.path.join(self.base_dir, "tables.json")
+
+    def _load(self) -> None:
+        if os.path.exists(self._config_path()):
+            with open(self._config_path()) as f:
+                self._tables = json.load(f)
+
+    def _save(self) -> None:
+        tmp = self._config_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._tables, f, indent=1)
+        os.replace(tmp, self._config_path())
+
+    def subscribed(self) -> list[str]:
+        return sorted(self._tables)
+
+    # ----------------------------------------------------------- commands
+
+    def add_table(
+        self, name: str, row_schema: T.StructType, key_cols: list[str]
+    ) -> str:
+        """Subscribe a table.  Ordering parity with the reference: the
+        initial schema is persisted to the registry FIRST (api.go:82-87 —
+        initRelationSchema before metrics/publication), then the table
+        joins the subscribed set.  Returns the schema fingerprint."""
+        qname = _qualify(name)
+        fp = self.registry.put(row_schema, source=qname)
+        self._tables[qname] = {"key_cols": list(key_cols), "fingerprint": fp}
+        self._save()
+        return fp
+
+    def remove_table(self, name: str) -> bool:
+        """Unsubscribe.  State and checkpoints are retained (REMOVE only
+        drops the table from the publication, init.go:95-99)."""
+        qname = _qualify(name)
+        if qname not in self._tables:
+            return False
+        del self._tables[qname]
+        self._save()
+        return True
+
+    def handle_command(
+        self,
+        payload: str,
+        *,
+        row_schema: T.StructType | None = None,
+        key_cols: list[str] | None = None,
+    ) -> bool:
+        """Apply one control-channel payload: `ADD <schema>.<table>` or
+        `REMOVE <table>` (the exact NOTIFY strings emitted by
+        _creek.add_table/remove_table, init.go:95-114).  Unknown or
+        malformed payloads are skipped, not raised (api.go:76-80).
+
+        ADD needs the relation's schema; the reference reads it from the
+        pg catalog — here the caller supplies it (or it must already be in
+        the registry via `last_for_source`)."""
+        parts = payload.split(" ", 1)
+        if len(parts) != 2:
+            return False
+        cmd, name = parts
+        if cmd == "ADD":
+            if row_schema is None:
+                known = self.registry.last_for_source(_qualify(name))
+                if known is None:
+                    return False
+                _, row_schema = known
+            self.add_table(name, row_schema, key_cols or [])
+            return True
+        if cmd == "REMOVE":
+            return self.remove_table(name)
+        return False
+
+    # ---------------------------------------------------------------- run
+
+    def _applier(self, qname: str) -> CdcApplier:
+        safe = qname.replace(".", "_")
+        return CdcApplier(
+            self.spark,
+            os.path.join(self.base_dir, "state", safe),
+            self._tables[qname]["key_cols"],
+            self.envelope_schema,
+            n_buckets=self.n_buckets,
+        )
+
+    def _table_stream(self, qname: str) -> DataFrame:
+        ns, tbl = qname.split(".", 1)
+        stream = read_envelope_stream(self.spark, self.wal_dir, self.envelope_schema)
+        # the per-table-subject filter; pushed into the file-source scan
+        return stream.where(
+            (F.col("source.schema") == ns) & (F.col("source.table") == tbl)
+        )
+
+    def run_available(self, timeout_s: int = 120) -> None:
+        """One availableNow pass over every subscribed table's pipeline —
+        each query resumes from (or creates) its own checkpoint.  This is
+        the 'restart with the new table set' step; a long-running
+        deployment would call it after every handle_command."""
+        queries = []
+        for qname in self.subscribed():
+            safe = qname.replace(".", "_")
+            ckpt = os.path.join(self.base_dir, "ckpt", safe)
+            q = self._applier(qname).start(
+                self._table_stream(qname), ckpt, available_now=True
+            )
+            queries.append(q)
+        for q in queries:
+            q.awaitTermination(timeout_s)
+
+    def state(self, name: str) -> DataFrame | None:
+        """Materialized latest-state for a table (None before first run).
+        Works for removed tables too — their state is retained."""
+        safe = _qualify(name).replace(".", "_")
+        state_dir = os.path.join(self.base_dir, "state", safe)
+        applier = CdcApplier(
+            self.spark,
+            state_dir,
+            self._tables.get(_qualify(name), {}).get("key_cols", []),
+            self.envelope_schema,
+            n_buckets=self.n_buckets,
+        )
+        return applier.current_state()
