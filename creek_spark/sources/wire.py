@@ -9,12 +9,17 @@ Parity with the reference's transport:
   * malformed frames are quarantined, the analog of the client's
     Nak/drain on desync (client.go:628-743)
 
-The payload here is JSON rather than Avro binary (the spark-avro connector
-jar is not present in this environment — from_avro/to_avro raise
-AVRO_NOT_LOADED); the framing, registry dispatch, and evolution semantics
-are identical, and the payload codec is swappable for to_avro/from_avro
-where the connector is available.  Everything is JVM built-ins: to_json /
-from_json / concat / substring on binary.
+Two payload codecs ship:
+  * **json** (this module): all-JVM to_json/from_json bodies inside the
+    same frame layout — the fast default when both ends are this engine.
+  * **avro** (sources/avro_codec.py): spec-exact Avro binary bodies in
+    single-object encoding, byte-compatible with the reference's
+    `avro.Marshal` output shape (wal.go:52-58) — a pure-Python
+    from-spec codec run via Arrow-batched mapInPandas, since the
+    spark-avro connector jar is absent here (from_avro/to_avro raise
+    AVRO_NOT_LOADED).  Where the jar is present the frame layout admits
+    to_avro/from_avro directly.
+`encode_envelope` / `decode_envelope` dispatch between them.
 """
 
 from __future__ import annotations
@@ -93,6 +98,47 @@ def decode_frames(
             .select("r.*")
         )
     return out
+
+
+def encode_envelope(
+    env_df: DataFrame, row_struct: T.StructType, codec: str = "json"
+) -> DataFrame:
+    """Envelope rows → (fingerprint, frame) with the chosen body codec.
+
+    json: JVM-side to_json body (this module's framing); avro: spec
+    single-object Avro binary body (avro_codec) — the O11 wire-parity
+    path."""
+    if codec == "avro":
+        from creek_spark.sources.avro_codec import encode_envelope_avro
+
+        return encode_envelope_avro(env_df, row_struct)
+    if codec == "json":
+        return encode_frames(
+            env_df, F.struct(*[F.col(c) for c in env_df.columns])
+        )
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def decode_envelope(
+    frames: DataFrame,
+    registry: dict[str, T.StructType],
+    codec: str = "json",
+    *,
+    envelope_of=None,
+) -> DataFrame | dict[str, DataFrame]:
+    """Frames → envelope rows.  json: split/quarantine then per-generation
+    from_json (returns {fingerprint: DataFrame}); avro: fingerprint-
+    dispatched binary decode (returns one DataFrame).  For avro,
+    ``registry`` maps fingerprint → ROW struct."""
+    if codec == "avro":
+        from creek_spark.sources.avro_codec import decode_envelope_avro
+
+        return decode_envelope_avro(frames, registry)
+    if codec == "json":
+        valid, _ = split_frames(frames)
+        env = envelope_of or (lambda s: s)
+        return decode_frames(valid, {fp: env(s) for fp, s in registry.items()})
+    raise ValueError(f"unknown codec {codec!r}")
 
 
 def reconcile_generations(frames_by_fp: dict[str, DataFrame]) -> DataFrame:
