@@ -73,6 +73,40 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def jdbc_options(
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    num_partitions: int = 16,
+    lower_bound=None,
+    upper_bound=None,
+    properties: dict | None = None,
+) -> dict[str, str]:
+    """Option map for a JDBC scan — pure + unit-testable (no database in
+    this sandbox; the reference exercises its pg path via testcontainers,
+    integration_tests/main_test.go:20-64).
+
+    A partitioned read requires the full (column, lower, upper) triple —
+    Spark silently falls back to a serial read when any is missing, so
+    incomplete triples raise here instead."""
+    opts: dict[str, str] = {"url": url, "dbtable": table}
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        opts.update(
+            partitionColumn=partition_column,
+            numPartitions=str(num_partitions),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+        )
+    for k, v in (properties or {}).items():
+        opts[str(k)] = str(v)
+    return opts
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,
@@ -89,20 +123,30 @@ def read_jdbc_table(
     With a partition column Spark issues `num_partitions` range-predicated
     queries in parallel; without one the read is a single consistent
     partition (exact but serial — the reference's own choice)."""
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("numPartitions", str(num_partitions))
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-        )
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
-    return reader.load()
+    opts = jdbc_options(
+        url,
+        table,
+        partition_column=partition_column,
+        num_partitions=num_partitions,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+        properties=properties,
+    )
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 # ---------------------------------------------------------------- snapshots
+
+
+def _parquet_row_count(path: str) -> int:
+    """Sum of footer num_rows across a parquet directory (pure metadata)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
 
 
 def write_snapshot(
@@ -129,7 +173,10 @@ def write_snapshot(
         "tx_id": tx_id,
         "lsn": lsn,
         "at": at.isoformat(),
-        "approx_rows": df.count(),
+        # exact row count from the just-written parquet footers — metadata
+        # only, no second computation of the input plan (the reference uses
+        # pg_class.reltuples, also a metadata estimate, snapshots.go:70-76)
+        "approx_rows": _parquet_row_count(path),
     }
     with open(os.path.join(path, "_header.json"), "w") as f:
         json.dump(header, f)
