@@ -87,7 +87,9 @@ def main() -> None:
     )
     try:
         with open(base_path) as f:
-            base = json.load(f).get("queries", {})
+            data = json.load(f)
+        # the driver's BENCH_r{N}.json nests the bench line under "parsed"
+        base = data.get("queries") or data.get("parsed", {}).get("queries", {})
         for name, sec in timings.items():
             prev = base.get(name) or base.get(renames.get(name, ""))
             if prev and sec > 2.0 * prev:

@@ -25,17 +25,6 @@ from pyspark.sql import functions as F
 from creek_spark.functions.vectors import cosine_similarity
 
 
-def _exact_norms(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, norm_sq decimal) via explode + exact decimal sum."""
-    pos = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(F.col(vec_col)).alias("pos", "v")
-    )
-    sq = pos.withColumn(
-        "sq", (F.col("v").cast("double") * F.col("v").cast("double")).cast("decimal(38,12)")
-    )
-    return sq.groupBy("_id").agg(F.sum("sq").alias("norm_sq"))
-
-
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,45 +36,33 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (q_id, n_id, cos_sim double, rnk int), rnk 1..k, self-match
-    excluded, ties broken by n_id.  The query side is broadcast; the
-    corpus is exploded once and the dot products reduce with map-side
-    combine — deterministic via exact decimal summation."""
-    qpos = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("q_id"),
-            F.posexplode(F.col(vec_col)).alias("pos", "qv"),
-        )
-    )
-    cpos = corpus.select(
-        F.col(id_col).alias("n_id"),
-        F.posexplode(F.col(vec_col)).alias("pos", "cv"),
-    )
-    prods = qpos.join(cpos, "pos").withColumn(
-        "prod",
-        (F.col("qv").cast("double") * F.col("cv").cast("double")).cast(
-            "decimal(38,12)"
-        ),
-    )
-    dots = prods.groupBy("q_id", "n_id").agg(F.sum("prod").alias("dot"))
+    excluded, ties broken by n_id.
 
-    qn = F.broadcast(
-        _exact_norms(queries, id_col, vec_col).select(
-            F.col("_id").alias("q_id"), F.col("norm_sq").alias("q_norm_sq")
-        )
+    Plan shape: broadcast-nested-loop of the (small) query side against
+    the partitioned corpus; each pair's dot product and each row's norm
+    are `_exact_dot` folds — zip_with + aggregate over DECIMAL, entirely
+    inside whole-stage codegen.  No explode, no pre-ranking shuffle: the
+    only exchange is the per-query top-k window over |Q|·|corpus| scored
+    rows.  Decimal addition is associative, so the fold's left-to-right
+    order is bit-identical to any grouped/exploded summation an ANSI-SQL
+    oracle performs (double summation would be order-dependent)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
+        ).withColumn("_qn", _exact_dot(F.col("_qv"), F.col("_qv")))
     )
-    cn = _exact_norms(corpus, id_col, vec_col).select(
-        F.col("_id").alias("n_id"), F.col("norm_sq").alias("c_norm_sq")
-    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_cn", _exact_dot(F.col("_cv"), F.col("_cv")))
     scored = (
-        dots.join(qn, "q_id")
-        .join(cn, "n_id")
+        c.crossJoin(q)
         .where(F.col("q_id") != F.col("n_id"))
         .withColumn(
             "cos_sim",
-            F.col("dot").cast("double")
+            _exact_dot(F.col("_qv"), F.col("_cv")).cast("double")
             / (
-                F.sqrt(F.col("q_norm_sq").cast("double"))
-                * F.sqrt(F.col("c_norm_sq").cast("double"))
+                F.sqrt(F.col("_qn").cast("double"))
+                * F.sqrt(F.col("_cn").cast("double"))
             ),
         )
     )

@@ -612,11 +612,21 @@ def q16_part_supplier_counts(spark, sf_dir):
 )
 def q21_suppliers_waiting(spark, sf_dir):
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper in
-    multi-supplier finalized orders.  Correlated EXISTS + NOT EXISTS on the
-    same fact table → one late-set computation (single orderkey shuffle),
-    then a left-semi (another supplier shipped in the order) and a
-    left-anti (no *other* supplier was late) both keyed on l_orderkey —
-    no third scan of the fact table, supplier dim broadcast.
+    multi-supplier finalized orders.
+
+    The correlated EXISTS + NOT EXISTS both range over per-order supplier
+    sets, so instead of two self-joins (which would compute the late set
+    twice — Spark does not CSE across join branches) each predicate
+    becomes a windowed set-statistic over ONE computation of its input,
+    partitioned by l_orderkey:
+      * NOT EXISTS (other late supplier)  ⇔  min=max supplier over the
+        late rows of the order (exactly one distinct late supplier);
+      * EXISTS (other supplier shipped)   ⇔  distinct-supplier count ≥ 2
+        over the order's lineitems, computed as a partial-aggregated
+        groupBy reusing the same orderkey hash partitioning.
+    One scan of lineitem per predicate, one shuffle each, both on the
+    same key → the final equi-join is co-partitioned (no extra
+    exchange); the supplier dim is broadcast.
 
     'Late' is l_shipdate > o_orderdate + 60 days (this schema has no
     commit/receipt dates; reference shape preserved)."""
@@ -624,27 +634,26 @@ def q21_suppliers_waiting(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
     late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)  # fact-fact: shuffle join
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    l1 = late.alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    semi = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
+    w = Window.partitionBy("l_orderkey")
+    sole = (
+        late.withColumn("_smin", F.min("l_suppkey").over(w))
+        .withColumn("_smax", F.max("l_suppkey").over(w))
+        .where(F.col("_smin") == F.col("_smax"))  # NOT EXISTS other late
+        .select("l_orderkey", "l_suppkey")
     )
-    sole = semi.alias("l1").join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-        "left_anti",
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("_nsupp"))
+        .where(F.col("_nsupp") >= 2)  # EXISTS another supplier
+        .select("l_orderkey")
     )
     return (
-        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        sole.join(multi, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

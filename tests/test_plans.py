@@ -138,3 +138,34 @@ def test_embedding_near_dups_stays_jvm(spark):
 
     df = _catalog()["dedup_embedding_cosine"].fn(spark, SF_DIR)
     assert not has_python_stage(df), explain_str(df, "simple")
+
+
+def test_similarity_topk_no_explode_single_exchange(spark):
+    """The exact top-k must be the fold formulation: broadcast NLJ of the
+    query side, decimal zip_with/aggregate in codegen, partial top-k
+    (WindowGroupLimit) before the one window exchange — and no Generate
+    (explode) anywhere: the exploded formulation shuffles |corpus|·dim
+    rows, which does not survive 100 TB."""
+    df = _catalog()["similarity_topk"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Generate" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    # exactly one shuffle exchange (the per-query window); the only other
+    # exchange is the broadcast of the query side
+    assert plan.count("+- Exchange") == 1, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_q21_single_late_computation(spark):
+    """Q21's EXISTS/NOT EXISTS must not clone the late-set subplan: one
+    lineitem⋈orders join feeds a window, not two self-joins (Spark does
+    not CSE across join branches, so the naive form doubles the most
+    expensive join at 100 TB)."""
+    df = _catalog()["q21_suppliers_waiting"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    # lineitem scanned once for `late` + once for the distinct-supplier
+    # count = 2 scans; the self-join form needs 3
+    assert plan.count("lineitem.parquet") == 2, plan
+    assert "WindowGroupLimit" not in plan  # sanity: window is min/max, not rank
+    assert has_topk(df), plan
