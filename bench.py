@@ -79,7 +79,11 @@ def main() -> None:
     # recorded bench (the operative baseline — BASELINE.md: the reference
     # publishes no numbers).  >2× slower is a loud warning on stderr and a
     # "regressions" key in the JSON; renamed queries are mapped.
-    renames = {"window_running_lag": "window_running", "text_metrics": "text_quality"}
+    renames = {
+        "window_running_lag": "window_running",
+        "text_metrics": "text_quality",
+        "stream_windows": "stream_tumbling_window",
+    }
     regressions: dict[str, list[float]] = {}
     base_path = os.environ.get(
         "SPARK_GRAFT_BENCH_BASELINE",

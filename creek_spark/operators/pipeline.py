@@ -1,0 +1,158 @@
+"""Training-data pipeline operators: deterministic sampling, PII
+scrubbing, sequence packing, and weighted source mixing.
+
+These are the operations a 100 TB pretraining-data pipeline layers on top
+of dedup/quality (operators/dedup.py, operators/text.py).  Everything is
+JVM built-ins — regexp/md5/window — with no Python in the hot path, and
+every decision is DETERMINISTIC (hash-derived, no RNG), so runs are
+reproducible, resumable, and oracle-checkable against an ANSI-SQL engine
+— the same design rule as the LSH/SimHash family.
+
+Scale notes:
+  * sampling is a stateless per-row predicate on md5(id) — fully pushed
+    into the scan stage, no shuffle, no driver involvement;
+  * packing shuffles once on the shard key and runs one window cumsum
+    per shard — shards bound both skew and the window's sort width;
+  * mixing is a union of per-source sampled scans — no shuffle at all
+    (the union is purely logical; AQE coalesces partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Redaction patterns — deliberately basic POSIX-class regexes that parse
+# identically in Java (Spark) and an ANSI oracle: no lookarounds, no \d
+# shorthand differences.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+IPV4_RE = (
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+)
+
+
+def sample_hash(col: F.Column, rate_pct: int, salt: str = "") -> F.Column:
+    """Deterministic Bernoulli sampling predicate: keep iff the first
+    byte of md5(salt || value) falls under rate_pct% of 0..255.
+
+    The comparison is done lexicographically on the two lowercase hex
+    chars (identical in any engine with md5) — no hex-parsing builtin
+    needed.  rate_pct is quantized to 1/256 steps; the same (value,
+    salt) always decides the same way, so reruns and late-arriving
+    shards sample consistently."""
+    if not 0 <= rate_pct <= 100:
+        raise ValueError("rate_pct must be in [0, 100]")
+    if rate_pct == 100:
+        return F.lit(True)  # '100' would compare BELOW 'ff' lexicographically
+    threshold = format(int(rate_pct * 256 / 100), "02x")
+    digest = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.substring(digest, 1, 2) < F.lit(threshold)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, rate_pct: int, salt: str = ""
+) -> DataFrame:
+    """Filter to a deterministic ~rate_pct% sample keyed on id_col."""
+    return df.where(sample_hash(F.col(id_col), rate_pct, salt))
+
+
+def scrub_pii(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Redact emails and IPv4 addresses from a text column
+    (regexp_replace chain, one projection).  Adds `<out_col>` plus
+    `n_redactions` (count of replaced spans) — the audit column a
+    filtering pipeline logs per shard.  PHONE_RE is exported for callers
+    who want a locale-aware phone pass (phone formats are ambiguous
+    enough that a default-on global regex does more harm than good)."""
+    out_col = out_col or f"{text_col}_scrubbed"
+    c = F.col(text_col)
+    n = (
+        F.coalesce(F.regexp_count(c, F.lit(EMAIL_RE)), F.lit(0))
+        + F.coalesce(F.regexp_count(c, F.lit(IPV4_RE)), F.lit(0))
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    return df.withColumn(out_col, scrubbed).withColumn(
+        "n_redactions", n.cast("int")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    *,
+    budget: int = 2048,
+    n_shards: int = 256,
+    shard_col: F.Column | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (sequence packing for
+    training): documents are sharded deterministically, ordered by id
+    within the shard, and cut into packs by cumulative token offset —
+    pack_id = floor(cum_before / budget).
+
+    Offset-based packing (vs greedy next-fit) is chosen because it is a
+    pure window expression: one shuffle on the shard key, one cumsum, no
+    iterative state.  A document longer than `budget` still gets a pack
+    (callers chunk oversized docs upstream).  Output adds (shard,
+    pack_id, pack_offset).  At 100 TB: n_shards bounds each window's
+    sort; shards are independent so executors never coordinate.
+
+    ``shard_col`` overrides the default md5-derived shard (e.g.
+    ``pmod(id, n)`` for integer ids, or an upstream partition key to
+    keep packing aligned with storage layout)."""
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(n_shards),
+        )
+    ).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "_cum_incl", F.sum(F.col(len_col)).over(w)
+    )
+    cum_before = F.col("_cum_incl") - F.col(len_col)
+    return (
+        out.withColumn("pack_id", F.floor(cum_before / budget).cast("int"))
+        .withColumn(
+            "pack_offset", (cum_before - F.col("pack_id") * budget).cast("int")
+        )
+        .drop("_cum_incl")
+    )
+
+
+def mix_sources(
+    sources: dict[str, tuple[DataFrame, int]],
+    id_col: str,
+    *,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted mixture of document sources: each source is
+    deterministically downsampled to its weight (percent) and tagged
+    with a `source` column.  Columns are aligned by name (missing →
+    null) so heterogeneous sources union cleanly.
+
+    The standard pretraining-mixture op (e.g. 100% wiki + 30% web):
+    weights > 100 raise — upsampling means literal duplication, which
+    the caller should do explicitly (dedup would silently undo it)."""
+    out = None
+    for name, (df, weight) in sorted(sources.items()):
+        if not 0 <= weight <= 100:
+            raise ValueError(f"weight for {name!r} must be in [0, 100]")
+        part = deterministic_sample(df, id_col, weight, salt=salt + name)
+        part = part.withColumn("source", F.lit(name))
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    if out is None:
+        raise ValueError("no sources given")
+    return out

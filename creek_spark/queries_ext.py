@@ -235,70 +235,68 @@ def cdc_changelog_stats(spark, sf_dir):
 
 
 @register(
-    "stream_tumbling_window",
+    "stream_windows",
     """
-    SELECT (epoch_us(ts) // 1000000) // 300 * 300 AS wstart_s,
-           event_type,
+    SELECT 'tumbling' AS kind,
+           event_type AS grp,
+           (epoch_us(ts) // 1000000) // 300 * 300 AS wstart_s,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
     FROM events
-    GROUP BY wstart_s, event_type
+    GROUP BY grp, wstart_s
+    UNION ALL
+    SELECT 'session' AS kind, grp, wstart_s, n_events, sum_value FROM (
+      WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 3600000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM marked)
+      SELECT CAST(user_id AS VARCHAR) || '#' || CAST(sess_id AS VARCHAR) AS grp,
+             epoch_us(MIN(ts)) // 1000000 AS wstart_s,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      FROM sess GROUP BY user_id, sess_id) s
     """,
     "streaming",
     headline=True,
 )
-def stream_tumbling_window(spark, sf_dir):
-    """5-minute tumbling window aggregation via F.window — the exact
-    program creek_spark.streaming runs under readStream with a watermark;
-    here executed on the bounded table so it is oracle-checkable."""
+def stream_windows(spark, sf_dir):
+    """Tumbling (5 min) and session (1 h gap) window aggregations in one
+    tagged result — the exact programs creek_spark.streaming runs under
+    readStream with watermarks (tumbling_counts / session windows), here
+    executed on the bounded events table so both are oracle-checkable.
+    The session side is the gaps-and-islands batch mirror of
+    F.session_window (deterministic, unlike the streaming operator's
+    state timeouts)."""
     ev = _t(spark, sf_dir, "events")
-    return (
+    tumbling = (
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             dsum("value", "sum_value", 14, 2),
         )
         .select(
+            F.lit("tumbling").alias("kind"),
+            F.col("event_type").alias("grp"),
             F.unix_seconds(F.col("w.start")).alias("wstart_s"),
-            "event_type",
             "n_events",
             "sum_value",
         )
     )
-
-
-@register(
-    "stream_session_window",
-    """
-    WITH marked AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
-                  (PARTITION BY user_id ORDER BY ts, event_id)) > 3600000000
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events),
-    sess AS (
-      SELECT user_id, ts, event_id,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-      FROM marked)
-    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           MIN(ts) AS sess_start, MAX(ts) AS sess_end
-    FROM sess GROUP BY user_id, sess_id
-    """,
-    "streaming",
-)
-def stream_session_window(spark, sf_dir):
-    """Sessionization (1h gap) via the gaps-and-islands window pattern —
-    the batch mirror of F.session_window; deterministic and oracle-able."""
-    ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     marked = ev.select(
         "user_id",
         "ts",
         "event_id",
+        "value",
         F.when(gap_us > 3600 * 1000000, 1)
         .when(F.lag("ts").over(w).isNull(), 1)
         .otherwise(0)
@@ -306,8 +304,21 @@ def stream_session_window(spark, sf_dir):
     )
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = marked.withColumn("sess_id", F.sum("new_sess").over(wsum))
-    return sess.groupBy("user_id", "sess_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("sess_start"),
-        F.max("ts").alias("sess_end"),
+    session = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("_start"),
+            dsum("value", "sum_value", 14, 2),
+        )
+        .select(
+            F.lit("session").alias("kind"),
+            F.concat_ws(
+                "#", F.col("user_id").cast("string"), F.col("sess_id").cast("string")
+            ).alias("grp"),
+            F.unix_seconds(F.col("_start")).alias("wstart_s"),
+            "n_events",
+            "sum_value",
+        )
     )
+    return tumbling.unionByName(session)

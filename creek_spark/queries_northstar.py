@@ -434,3 +434,68 @@ def multimodal_features(spark, sf_dir):
         F.element_at("features", 1).alias("feat_len"),
         F.element_at("features", 4).alias("feat_mod"),
     )
+
+
+# =====================================================================
+# training pipeline (sampling / scrubbing / packing — operators/pipeline)
+# =====================================================================
+
+from creek_spark.operators import pipeline as pl  # noqa: E402
+
+_PIPE_SQL = f"""
+    WITH scrubbed AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 2) < '40' AS sampled,
+             CAST(len(regexp_extract_all(text, '{pl.EMAIL_RE}'))
+                  + len(regexp_extract_all(text, '{pl.IPV4_RE}')) AS INTEGER)
+               AS n_redactions,
+             CAST(length(regexp_replace(
+                    regexp_replace(text, '{pl.EMAIL_RE}', '<EMAIL>', 'g'),
+                    '{pl.IPV4_RE}', '<IP>', 'g')) AS INTEGER) AS scrubbed_len,
+             CAST(doc_id % 8 AS INTEGER) AS shard
+      FROM documents),
+    cum AS (
+      SELECT *,
+             SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+               AS cum_before
+      FROM scrubbed)
+    SELECT doc_id, sampled, n_redactions, scrubbed_len, shard,
+           CAST(cum_before // 4096 AS INTEGER) AS pack_id,
+           CAST(cum_before % 4096 AS INTEGER) AS pack_offset
+    FROM cum
+"""
+
+
+@register("training_pipeline", _PIPE_SQL, "pipeline")
+def training_pipeline(spark, sf_dir):
+    """The per-document decisions of a pretraining-data pipeline in one
+    scan: deterministic 25% sample flag (md5-derived — reruns and
+    late shards decide identically), PII scrub audit (emails + IPv4
+    redacted, span count + scrubbed length), and sequence packing
+    (shard → cumulative-offset pack assignment under a 4096-token
+    budget).  Sampling/scrub are stateless per-row expressions that
+    fuse into the scan; packing adds the pipeline's only shuffle (by
+    shard).  Operators: operators/pipeline.py."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n_chars")
+    )
+    scr = pl.scrub_pii(docs, "text")
+    packed = pl.pack_sequences(
+        scr,
+        "doc_id",
+        "n_chars",
+        budget=4096,
+        n_shards=8,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return packed.select(
+        "doc_id",
+        pl.sample_hash(F.col("doc_id"), 25, salt="s").alias("sampled"),
+        "n_redactions",
+        F.length(F.col("text_scrubbed")).cast("int").alias("scrubbed_len"),
+        "shard",
+        "pack_id",
+        "pack_offset",
+    )
