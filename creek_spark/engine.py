@@ -113,3 +113,43 @@ class Engine:
         from creek_spark.operators.multimodal import extract_features
 
         return extract_features(media, **kw)
+
+    # ---------------------------------------------------- training pipeline
+
+    def sample(self, df, id_col: str, rate_pct: int, salt: str = "") -> DataFrame:
+        from creek_spark.operators.pipeline import deterministic_sample
+
+        return deterministic_sample(df, id_col, rate_pct, salt)
+
+    def scrub_pii(self, df, text_col: str, **kw) -> DataFrame:
+        from creek_spark.operators.pipeline import scrub_pii
+
+        return scrub_pii(df, text_col, **kw)
+
+    def pack_sequences(self, df, id_col: str, len_col: str, **kw) -> DataFrame:
+        from creek_spark.operators.pipeline import pack_sequences
+
+        return pack_sequences(df, id_col, len_col, **kw)
+
+    def mix_sources(self, sources, id_col: str, **kw) -> DataFrame:
+        from creek_spark.operators.pipeline import mix_sources
+
+        return mix_sources(sources, id_col, **kw)
+
+    # ------------------------------------------------------------ CDC wire
+
+    def encode_wal(self, env_df, row_struct, codec: str = "json") -> DataFrame:
+        from creek_spark.sources.wire import encode_envelope
+
+        return encode_envelope(env_df, row_struct, codec)
+
+    def decode_wal(self, frames, registry, codec: str = "json", **kw):
+        from creek_spark.sources.wire import decode_envelope
+
+        return decode_envelope(frames, registry, codec, **kw)
+
+    def dynamic_tables(self, wal_dir: str, base_dir: str, envelope_schema, **kw):
+        """O18 orchestrator: runtime ADD/REMOVE of subscribed tables."""
+        from creek_spark.streaming.tables import DynamicTables
+
+        return DynamicTables(self.spark, wal_dir, base_dir, envelope_schema, **kw)
