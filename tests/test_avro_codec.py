@@ -211,3 +211,38 @@ def test_wire_codec_dispatch(spark):
         envelope_of=lambda _s: ENV_SCHEMA,
     )
     assert js[fp].count() == env.count()
+
+
+def test_streaming_frames_decode_and_apply(spark, tmp_path):
+    """The full consumer loop over the binary wire: frames land as files,
+    readStream tails them, the fingerprint-dispatched Avro decode runs
+    inside the stream, and CdcApplier materializes latest state — i.e.
+    the reference's subscribe→decode→apply pipeline (client.go:265-332)
+    with the single-object codec in the middle."""
+    from creek_spark.streaming import CdcApplier
+    from tests.fixtures import OTHER_EXPECTED, other_wal_events
+
+    frames_dir = str(tmp_path / "frames")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    env = spark.createDataFrame(other_wal_events(), schema=ENV_SCHEMA)
+    fp = fingerprint_schema(ROW_SCHEMA)
+    encode_envelope_avro(env, ROW_SCHEMA).coalesce(1).write.mode("append").parquet(
+        frames_dir
+    )
+
+    frames_stream = (
+        spark.readStream.schema("fingerprint string, frame binary")
+        .parquet(frames_dir)
+    )
+    decoded = decode_envelope_avro(frames_stream, {fp: ROW_SCHEMA})
+    applier = CdcApplier(spark, state_dir, ["id"], ENV_SCHEMA, n_buckets=4)
+    q = applier.start(decoded, ckpt)
+    q.awaitTermination(120)
+
+    state = {
+        r["id"]: r["data"]
+        for r in spark.read.parquet(state_dir).select("id", "data").collect()
+    }
+    assert state == OTHER_EXPECTED
