@@ -74,6 +74,8 @@ def spark_type_to_avro(dt: T.DataType, name: str) -> Any:
         return {"type": "int", "logicalType": "date"}
     if isinstance(dt, T.TimestampType):
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.TimestampNTZType):
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
     if isinstance(dt, T.DecimalType):
         return {
             "type": "bytes",
@@ -198,7 +200,7 @@ def _compile_encoder(schema: Any) -> Callable[[Any, bytearray], None]:
             - _EPOCH_DATE.toordinal(),
             out,
         )
-    if logical == "timestamp-micros":
+    if logical in ("timestamp-micros", "local-timestamp-micros"):
         return lambda v, out: enc_long(_to_micros(v), out)
     if logical == "decimal":
         scale = schema["scale"]
@@ -304,6 +306,9 @@ def _compile_decoder(schema: Any) -> Callable[[_Cursor], Any]:
         )
     if logical == "timestamp-micros":
         return lambda c: _EPOCH_TS + datetime.timedelta(microseconds=dec_long(c))
+    if logical == "local-timestamp-micros":
+        naive_epoch = _EPOCH_TS.replace(tzinfo=None)
+        return lambda c: naive_epoch + datetime.timedelta(microseconds=dec_long(c))
     if logical == "decimal":
         scale = schema["scale"]
 

@@ -75,7 +75,14 @@ def read_files(
     """Batch-read ``path`` in ``fmt``.
 
     csv defaults: header=true.  For csv/json pass ``schema`` in
-    production — inference costs one full extra scan of the input."""
+    production — inference costs one full extra scan of the input.
+
+    avro without the connector jar routes to the from-spec container
+    reader (sources/avro_files.py) — same rows, pure-Python parse."""
+    if fmt == "avro" and not is_avro_available():
+        from creek_spark.sources.avro_files import read_avro_files
+
+        return read_avro_files(spark, path, schema=schema)
     fmt = _resolve_format(fmt)
     reader = spark.read
     if fmt == "csv" and "header" not in options:
@@ -98,7 +105,19 @@ def write_files(
     ``partition_by`` produces the hive-style directory layout Spark's
     partition pruning reads for free; choose low-cardinality columns
     (date, table, region) — a high-cardinality partition key makes one
-    tiny file per value, the classic small-files failure at scale."""
+    tiny file per value, the classic small-files failure at scale.
+
+    avro without the connector jar routes to the from-spec container
+    writer (one file per partition; partition_by unsupported there)."""
+    if fmt == "avro" and not is_avro_available():
+        from creek_spark.sources.avro_files import write_avro_files
+
+        if partition_by:
+            raise ValueError(
+                "partition_by is not supported by the jar-free avro writer"
+            )
+        write_avro_files(df, path)
+        return
     fmt = _resolve_format(fmt)
     writer = df.write.mode(mode)
     if fmt == "csv" and "header" not in options:
