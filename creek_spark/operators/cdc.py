@@ -89,7 +89,6 @@ def latest_state(
     wal: DataFrame,
     key_cols: list[str] | None = None,
     *,
-    dedup: bool = True,
     handle_toast: bool = True,
 ) -> DataFrame:
     """Reconstruct current table state from an envelope stream (single table).
@@ -101,7 +100,11 @@ def latest_state(
       t    → discards every change with a smaller LSN (truncate watermark)
 
     At-least-once duplicates (same LSN re-delivered, the reference's NATS
-    MsgID dedup, internal/mq/nats.go:214) are dropped on (lsn, op-leg).
+    MsgID dedup, internal/mq/nats.go:214) need NO explicit dedup stage:
+    re-delivered rows are bit-identical, tie on (lsn, op-leg) inside their
+    key's ranking window, and keep-rank-1 / last(ignoreNulls) produce the
+    same values whichever copy wins — an explicit dropDuplicates would
+    only add a second full shuffle on a different key set.
     TOAST columns marked unchanged (replication.go:527-528 omission) are
     carried forward from the previous row version without a second shuffle.
     """
@@ -127,16 +130,6 @@ def latest_state(
             F.when(F.col("op") == "d", F.col(f"before.{k}")).otherwise(
                 F.col(f"after.{k}")
             ),
-        )
-
-    if dedup:
-        # The key columns MUST be part of the dedup subset: distinct rows can
-        # legitimately share an LSN — every snapshot row folded in by
-        # sources.bootstrap carries the single header LSN as op 'r', and
-        # state re-entry in CdcApplier reuses each key's stored LSN.  Without
-        # the key, all of those collapse to one arbitrary row.
-        df = df.dropDuplicates(
-            [f"_key_{k}" for k in keys] + ["_lsn_num", "op", "_op_seq"]
         )
 
     w = Window.partitionBy(*[F.col(f"_key_{k}") for k in keys]).orderBy(

@@ -169,3 +169,14 @@ def test_q21_single_late_computation(spark):
     assert plan.count("lineitem.parquet") == 2, plan
     assert "WindowGroupLimit" not in plan  # sanity: window is min/max, not rank
     assert has_topk(df), plan
+
+
+def test_cdc_latest_state_single_shuffle(spark):
+    """latest_state must shuffle the stream exactly once (the per-key
+    window); the broadcast truncate watermark and TOAST carry-forward
+    reuse that partitioning, and at-least-once collapse is inherent in
+    the ranking — an explicit dedup stage would add a second full
+    shuffle on a different key set."""
+    df = _catalog()["cdc_latest_state"].fn(spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
