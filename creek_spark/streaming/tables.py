@@ -71,6 +71,7 @@ class DynamicTables:
         self.n_buckets = n_buckets
         os.makedirs(base_dir, exist_ok=True)
         self._tables: dict[str, dict] = {}
+        self._running: dict[str, object] = {}
         self._load()
 
     # ------------------------------------------------------------- config
@@ -183,6 +184,38 @@ class DynamicTables:
             queries.append(q)
         for q in queries:
             q.awaitTermination(timeout_s)
+
+    def run_continuous(self, trigger_seconds: int = 1) -> None:
+        """Start (or restart) one continuously-triggered query per
+        subscribed table — the long-running deployment mode.  Safe to
+        call after every handle_command: only tables whose query is not
+        already running get a new one, so an ADD starts the new table
+        without touching existing tables' queries, and a REMOVE's stopped
+        table simply isn't restarted.  Call stop_all() to shut down."""
+        # stop queries for tables no longer subscribed
+        for qname in list(self._running):
+            if qname not in self._tables:
+                self._running.pop(qname).stop()
+        for qname in self.subscribed():
+            q = self._running.get(qname)
+            if q is not None and q.isActive:
+                continue
+            safe = qname.replace(".", "_")
+            ckpt = os.path.join(self.base_dir, "ckpt", safe)
+            stream = self._table_stream(qname)
+            writer = (
+                stream.writeStream.foreachBatch(self._applier(qname).apply_batch)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(processingTime=f"{trigger_seconds} seconds")
+            )
+            self._running[qname] = writer.start()
+
+    def stop_all(self) -> None:
+        for q in getattr(self, "_running", {}).values():
+            if q.isActive:
+                q.stop()
+        self._running = {}
 
     def state(self, name: str) -> DataFrame | None:
         """Materialized latest-state for a table (None before first run).

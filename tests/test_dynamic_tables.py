@@ -122,3 +122,64 @@ def test_command_parsing_and_persistence(spark, tmp_path):
     dyn2 = DynamicTables(spark, wal, base, ENV_SCHEMA)
     assert dyn2.subscribed() == ["public.other"]
     assert dyn2._tables["public.other"]["key_cols"] == ["id"]
+
+
+def _wait_for(predicate, timeout_s=90, poll_s=1.0):
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            if predicate():
+                return True
+        except Exception:
+            pass
+        time.sleep(poll_s)
+    return False
+
+
+def test_run_continuous_add_mid_flight(spark, tmp_path):
+    """Long-running mode: continuously-triggered per-table queries; an ADD
+    starts the new table's query without restarting the existing one."""
+    wal = str(tmp_path / "wal")
+    base = str(tmp_path / "cdc")
+    dyn = DynamicTables(spark, wal, base, ENV_SCHEMA, n_buckets=4)
+    dyn.add_table("public.other", ROW_SCHEMA, ["id"])
+
+    other = other_wal_events()
+    _write(spark, other[:9], wal)
+    dyn.run_continuous(trigger_seconds=1)
+    try:
+        assert _wait_for(
+            lambda: dyn.state("other") is not None
+            and _as_dict(dyn.state("other"))
+            == {1: "one-again", 2: "two-again", 3: "three-again", 4: "four", 5: "five"}
+        )
+        other_q = dyn._running["public.other"]
+
+        dyn.handle_command(
+            "ADD public.extra", row_schema=ROW_SCHEMA, key_cols=["id"]
+        )
+        dyn.run_continuous(trigger_seconds=1)
+        # the existing table's query object was not restarted
+        assert dyn._running["public.other"] is other_q
+        _write(
+            spark,
+            other[9:] + [_extra_row(1, "c", after=(7, "x-seven"))],
+            wal,
+        )
+        assert _wait_for(
+            lambda: _as_dict(dyn.state("other")) == OTHER_EXPECTED
+        )
+        assert _wait_for(
+            lambda: dyn.state("extra") is not None
+            and _as_dict(dyn.state("extra")) == {7: "x-seven"}
+        )
+
+        dyn.remove_table("extra")
+        dyn.run_continuous(trigger_seconds=1)
+        assert "public.extra" not in dyn._running
+        assert dyn._running["public.other"].isActive
+    finally:
+        dyn.stop_all()
+    assert not dyn._running
