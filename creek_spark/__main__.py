@@ -1,0 +1,65 @@
+"""`python -m creek_spark` — the daemon entrypoint (creekd's serve).
+
+Wires Config → SparkSession → DynamicTables and runs the subscribed
+tables' CDC apply pipelines, continuously (default) or draining once
+(--available-now).  The reference's serve() wires config → dao → mq →
+replication the same way (cmd/creekd.go:63-147); SIGTERM-equivalent
+shutdown is Ctrl-C → stop_all (the reference cancels its context and
+grants a 10 s grace, creekd.go:27-34)."""
+
+from __future__ import annotations
+
+import sys
+
+from creek_spark.config import Config
+
+
+def main(argv: list[str] | None = None, env: dict | None = None) -> int:
+    cfg = Config.load(argv, env)
+
+    from pyspark.sql import SparkSession
+
+    from creek_spark.session import get_spark
+    from creek_spark.streaming.tables import DynamicTables
+
+    # only stop a session we created (embedding hosts keep theirs)
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(shuffle_partitions=cfg.shuffle_partitions)
+    if owns_session:
+        spark.sparkContext.setLogLevel(cfg.log_level.upper())
+
+    dyn = DynamicTables(spark, cfg.wal_dir, cfg.base_dir, None)
+    subscribed = []
+    for t in cfg.tables:
+        # schema must already be registered (reflect_table / prior ADD) —
+        # the reference likewise initializes each table's schema before
+        # streaming (init.go:250-290)
+        if dyn.handle_command(f"ADD {t}"):
+            subscribed.append(t)
+        else:
+            print(f"skipping {t}: no schema registered", file=sys.stderr)
+    if not subscribed:
+        print("no tables subscribed; nothing to do", file=sys.stderr)
+        if owns_session:
+            spark.stop()
+        return 1
+    # the envelope schema is per-table; DynamicTables resolves it lazily
+    # from each table's registered row schema
+    if cfg.available_now:
+        dyn.run_available()
+        if owns_session:
+            spark.stop()
+        return 0
+    dyn.run_continuous(trigger_seconds=cfg.trigger_seconds)
+    try:
+        spark.streams.awaitAnyTermination()
+    except KeyboardInterrupt:
+        dyn.stop_all()
+    finally:
+        if owns_session:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -56,11 +56,14 @@ class DynamicTables:
         spark: SparkSession,
         wal_dir: str,
         base_dir: str,
-        envelope_schema: T.StructType,
+        envelope_schema: T.StructType | None = None,
         registry: SchemaRegistry | None = None,
         *,
         n_buckets: int = 8,
     ):
+        """``envelope_schema`` may be None: each table's envelope shape is
+        then derived from its registered ROW schema (the daemon path —
+        the reference likewise derives the message schema per relation)."""
         self.spark = spark
         self.wal_dir = wal_dir
         self.base_dir = base_dir
@@ -132,7 +135,9 @@ class DynamicTables:
 
         ADD needs the relation's schema; the reference reads it from the
         pg catalog — here the caller supplies it (or it must already be in
-        the registry via `last_for_source`)."""
+        the registry via `last_for_source`).  Key columns default to the
+        schema's ``pgKey`` metadata (the replica-identity bit carried by
+        types/pgtypes — the same source of truth the reference uses)."""
         parts = payload.split(" ", 1)
         if len(parts) != 2:
             return False
@@ -143,6 +148,10 @@ class DynamicTables:
                 if known is None:
                     return False
                 _, row_schema = known
+            if key_cols is None:
+                from creek_spark.types.pgtypes import key_columns
+
+                key_cols = key_columns(row_schema)
             self.add_table(name, row_schema, key_cols or [])
             return True
         if cmd == "REMOVE":
@@ -151,19 +160,31 @@ class DynamicTables:
 
     # ---------------------------------------------------------------- run
 
+    def _env_schema_for(self, qname: str) -> T.StructType:
+        if self.envelope_schema is not None:
+            return self.envelope_schema
+        from creek_spark.types.envelope import envelope_schema as build_env
+
+        row = self.registry.get(self._tables[qname]["fingerprint"])
+        if row is None:
+            raise KeyError(f"no registered schema for {qname}")
+        return build_env(row)
+
     def _applier(self, qname: str) -> CdcApplier:
         safe = qname.replace(".", "_")
         return CdcApplier(
             self.spark,
             os.path.join(self.base_dir, "state", safe),
             self._tables[qname]["key_cols"],
-            self.envelope_schema,
+            self._env_schema_for(qname),
             n_buckets=self.n_buckets,
         )
 
     def _table_stream(self, qname: str) -> DataFrame:
         ns, tbl = qname.split(".", 1)
-        stream = read_envelope_stream(self.spark, self.wal_dir, self.envelope_schema)
+        stream = read_envelope_stream(
+            self.spark, self.wal_dir, self._env_schema_for(qname)
+        )
         # the per-table-subject filter; pushed into the file-source scan
         return stream.where(
             (F.col("source.schema") == ns) & (F.col("source.table") == tbl)
@@ -219,14 +240,23 @@ class DynamicTables:
 
     def state(self, name: str) -> DataFrame | None:
         """Materialized latest-state for a table (None before first run).
-        Works for removed tables too — their state is retained."""
-        safe = _qualify(name).replace(".", "_")
+        Works for removed tables too — their state is retained (the
+        envelope schema is resolved from the registry in that case)."""
+        qname = _qualify(name)
+        safe = qname.replace(".", "_")
         state_dir = os.path.join(self.base_dir, "state", safe)
+        env = self.envelope_schema
+        if env is None:
+            known = self.registry.last_for_source(qname)
+            if known is not None:
+                from creek_spark.types.envelope import envelope_schema as build_env
+
+                env = build_env(known[1])
         applier = CdcApplier(
             self.spark,
             state_dir,
-            self._tables.get(_qualify(name), {}).get("key_cols", []),
-            self.envelope_schema,
+            self._tables.get(qname, {}).get("key_cols", []),
+            env,
             n_buckets=self.n_buckets,
         )
         return applier.current_state()
