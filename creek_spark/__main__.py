@@ -50,12 +50,42 @@ def main(argv: list[str] | None = None, env: dict | None = None) -> int:
         if owns_session:
             spark.stop()
         return 0
+    # subscriptions gauge + per-batch throughput — the daemon's analog of
+    # the reference's Prometheus metrics (internal/metrics/metrics.go)
+    from creek_spark.metrics import StreamMetricsListener
+
+    listener = StreamMetricsListener()
+    spark.streams.addListener(listener)
     dyn.run_continuous(trigger_seconds=cfg.trigger_seconds)
+
+    # signal → flag → graceful stop, the reference's SIGTERM handling
+    # (creekd.go:27-34).  An explicit handler keeps pyspark's default
+    # SIGINT machinery from tearing the context down mid-batch.
+    import signal
+
+    stopping = {"flag": False}
+
+    def _on_signal(signum, frame):
+        stopping["flag"] = True
+
+    prev_int = signal.signal(signal.SIGINT, _on_signal)
+    prev_term = signal.signal(signal.SIGTERM, _on_signal)
     try:
-        spark.streams.awaitAnyTermination()
-    except KeyboardInterrupt:
+        while not stopping["flag"]:
+            # bounded wait: returns to Python regularly so the flag is seen
+            if spark.streams.awaitAnyTermination(timeout=2):
+                break
         dyn.stop_all()
+        snap = listener.snapshot()
+        print(
+            f"metrics: {snap['active_queries']} active, "
+            f"{len(snap['batches'])} batches processed",
+            file=sys.stderr,
+        )
     finally:
+        signal.signal(signal.SIGINT, prev_int)
+        signal.signal(signal.SIGTERM, prev_term)
+        spark.streams.removeListener(listener)
         if owns_session:
             spark.stop()
     return 0

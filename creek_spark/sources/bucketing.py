@@ -15,6 +15,9 @@ Both sides of a planned join must use the SAME bucket count and key.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -29,7 +32,18 @@ def write_bucketed(
 ) -> None:
     """Persist df as a bucketed (and optionally sorted) parquet table in
     the session catalog.  Sorting within buckets additionally enables
-    merge-join without a per-task sort."""
+    merge-join without a per-task sort.
+
+    overwrite is made safe across sessions: with an in-memory catalog a
+    previous process's managed-table LOCATION can outlive its catalog
+    entry, and saveAsTable refuses to reuse it — drop both first."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
     writer = (
         df.write.mode(mode)
         .format("parquet")
