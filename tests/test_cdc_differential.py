@@ -91,3 +91,46 @@ def test_latest_state_matches_reference_interpreter(spark):
             for r in latest_state(df, ["id"]).select("id", "data").collect()
         }
         assert got == expected, f"case {case}: {sorted(events)[:8]}..."
+
+
+def test_cdc_applier_matches_reference_interpreter(spark, tmp_path):
+    """The bucketed incremental sink must converge to the interpreter's
+    state when the same random WAL arrives split across micro-batches at
+    random points (each batch = one availableNow pass over new files)."""
+    from creek_spark.streaming import CdcApplier, read_envelope_stream
+
+    rng = random.Random(7)
+    for case in range(4):
+        events = _scenario(rng, n_events=rng.randint(10, 25))
+        expected = _interpret(events)
+        src = str(tmp_path / f"wal{case}")
+        state_dir = str(tmp_path / f"state{case}")
+        ckpt = str(tmp_path / f"ckpt{case}")
+        applier = CdcApplier(spark, state_dir, ["id"], ENV_SCHEMA, n_buckets=4)
+
+        # split into 1-4 chronological chunks but keep each chunk's
+        # internal arrival order shuffled (micro-batch boundaries are
+        # arbitrary in time, yet files arrive roughly in commit order)
+        ordered = sorted(events, key=lambda e: e[0])
+        n_chunks = rng.randint(1, 4)
+        bounds = sorted(rng.sample(range(1, len(ordered)), n_chunks - 1)) if n_chunks > 1 else []
+        chunks, prev = [], 0
+        for b in bounds + [len(ordered)]:
+            chunk = ordered[prev:b]
+            rng.shuffle(chunk)
+            chunks.append(chunk)
+            prev = b
+        for chunk in chunks:
+            if not chunk:
+                continue
+            spark.createDataFrame(
+                _to_rows(chunk), schema=ENV_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(src)
+            q = applier.start(read_envelope_stream(spark, src, ENV_SCHEMA), ckpt)
+            q.awaitTermination(120)
+
+        got = {}
+        st = applier.current_state()
+        if st is not None:
+            got = {r["id"]: r["data"] for r in st.select("id", "data").collect()}
+        assert got == expected, f"case {case}"
