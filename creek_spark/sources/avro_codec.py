@@ -404,6 +404,73 @@ def encode_envelope_avro(env_df: DataFrame, row_struct: T.StructType) -> DataFra
     return env_df.mapInPandas(encode, schema=FRAME_SCHEMA)
 
 
+def decode_envelope_avro_evolved(
+    frames_df: DataFrame,
+    schemas: dict[str, T.StructType],
+    frame_col: str = "frame",
+) -> DataFrame:
+    """Heterogeneous-stream decode: one stream carrying MULTIPLE row-shape
+    generations (DDL evolution → new fingerprint, O10/§3.2).  Each
+    generation decodes against its own schema, then the generations
+    reconcile into the superset column set (old rows surface with nulls
+    for added columns) — the Avro-wire counterpart of
+    wire.decode_frames + wire.reconcile_generations.
+
+    The per-generation split filters on the frame's embedded fingerprint
+    bytes (a cheap JVM-side prefix compare), so each decode stage only
+    deserializes its own generation's frames."""
+    from creek_spark.sources.wire import reconcile_generations
+
+    decoded = {}
+    for fp, row_struct in schemas.items():
+        mine = frames_df.where(
+            F.substring(F.col(frame_col), 3, 8) == F.lit(_fp_bytes(fp))
+        )
+        decoded[fp] = decode_envelope_avro(mine, {fp: row_struct}, frame_col)
+    # before/after struct shapes differ between generations; flatten to
+    # the envelope's superset by name via unionByName(allowMissingColumns)
+    # over the STRUCT FIELDS: expand structs, reconcile, re-nest.
+    flat = {}
+    for fp, df in decoded.items():
+        env_cols = [c for c in df.columns if c not in ("before", "after")]
+        flat[fp] = df.select(
+            *env_cols,
+            *[
+                F.col(f"before.{f.name}").alias(f"_before_{f.name}")
+                for f in df.schema["before"].dataType.fields
+            ],
+            F.col("before").isNotNull().alias("_has_before"),
+            *[
+                F.col(f"after.{f.name}").alias(f"_after_{f.name}")
+                for f in df.schema["after"].dataType.fields
+            ],
+            F.col("after").isNotNull().alias("_has_after"),
+        )
+    merged = reconcile_generations(flat)
+    before_fields = sorted(
+        c[len("_before_"):] for c in merged.columns if c.startswith("_before_")
+    )
+    after_fields = sorted(
+        c[len("_after_"):] for c in merged.columns if c.startswith("_after_")
+    )
+    env_cols = [
+        c
+        for c in merged.columns
+        if not c.startswith(("_before_", "_after_", "_has_"))
+    ]
+    return merged.select(
+        *env_cols,
+        F.when(
+            F.col("_has_before"),
+            F.struct(*[F.col(f"_before_{f}").alias(f) for f in before_fields]),
+        ).alias("before"),
+        F.when(
+            F.col("_has_after"),
+            F.struct(*[F.col(f"_after_{f}").alias(f) for f in after_fields]),
+        ).alias("after"),
+    )
+
+
 def decode_envelope_avro(
     frames_df: DataFrame,
     schemas: dict[str, T.StructType],

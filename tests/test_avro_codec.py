@@ -246,3 +246,44 @@ def test_streaming_frames_decode_and_apply(spark, tmp_path):
         for r in spark.read.parquet(state_dir).select("id", "data").collect()
     }
     assert state == OTHER_EXPECTED
+
+
+def test_schema_evolution_two_generations_avro(spark):
+    """One binary stream, two row-shape generations (DDL added a column):
+    fingerprint-split decode + reconcile surfaces the superset columns,
+    old rows null for the added column — the Avro-wire mirror of
+    tests/test_wire.py's JSON evolution case."""
+    from creek_spark.sources.avro_codec import decode_envelope_avro_evolved
+
+    gen1 = ROW_SCHEMA  # (id, data)
+    gen2 = T.StructType(
+        list(ROW_SCHEMA.fields)
+        + [T.StructField("extra", T.IntegerType(), True)]
+    )
+    fp1, fp2 = fingerprint_schema(gen1), fingerprint_schema(gen2)
+    assert fp1 != fp2
+
+    env1 = spark.createDataFrame(
+        [other_wal_df(spark).collect()[0]], schema=envelope_schema(gen1)
+    )
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 6, 1, tzinfo=_dt.timezone.utc)
+    env2 = spark.createDataFrame(
+        [
+            ("g2", ("creek", t0, "db", "public", "other", 9, "0/63"), "c", t0,
+             None, (9, "nine", 42), None)
+        ],
+        schema=envelope_schema(gen2),
+    )
+    frames = encode_envelope_avro(env1, gen1).unionByName(
+        encode_envelope_avro(env2, gen2)
+    )
+    out = decode_envelope_avro_evolved(frames, {fp1: gen1, fp2: gen2})
+    rows = {r["source"]["lsn"]: r for r in out.collect()}
+    assert set(out.select("after.*").columns) == {"id", "data", "extra"}
+    assert rows["0/63"]["after"]["extra"] == 42
+    # gen1 row surfaces with null for the added column
+    gen1_lsn = env1.collect()[0]["source"]["lsn"]
+    assert rows[gen1_lsn]["after"]["extra"] is None
+    assert rows[gen1_lsn]["after"]["id"] == 1
