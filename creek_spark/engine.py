@@ -153,3 +153,20 @@ class Engine:
         from creek_spark.streaming.tables import DynamicTables
 
         return DynamicTables(self.spark, wal_dir, base_dir, envelope_schema, **kw)
+
+    # ------------------------------------------------------ sketch rollups
+
+    def sketch_rollup(self, df, value_col: str, **kw) -> DataFrame:
+        from creek_spark.operators.sketches import sketch_rollup
+
+        return sketch_rollup(df, value_col, **kw)
+
+    def estimate_range(self, rollup, start, end, **kw) -> DataFrame:
+        from creek_spark.operators.sketches import estimate_range
+
+        return estimate_range(rollup, start, end, **kw)
+
+    def merge_rollups(self, fine, bucket: str = "month") -> DataFrame:
+        from creek_spark.operators.sketches import merge_rollups
+
+        return merge_rollups(fine, bucket)
