@@ -70,11 +70,28 @@ def main(argv: list[str] | None = None, env: dict | None = None) -> int:
 
     prev_int = signal.signal(signal.SIGINT, _on_signal)
     prev_term = signal.signal(signal.SIGTERM, _on_signal)
+    from creek_spark.streaming.tables import ControlChannel
+
+    channel = ControlChannel(cfg.base_dir)
     try:
         while not stopping["flag"]:
-            # bounded wait: returns to Python regularly so the flag is seen
+            # bounded wait: returns to Python regularly so the flag is
+            # seen AND the control channel (the NOTIFY analog — appended
+            # ADD/REMOVE payload lines) gets polled between triggers
             if spark.streams.awaitAnyTermination(timeout=2):
-                break
+                spark.streams.resetTerminated()
+                # an intentional stop (REMOVE) is not a daemon exit;
+                # leave only on query FAILURE or an empty table set
+                failed = [
+                    q
+                    for q in dyn._running.values()
+                    if q.exception() is not None
+                ]
+                alive = any(q.isActive for q in dyn._running.values())
+                if failed or not alive:
+                    break
+            if channel.poll(dyn):
+                dyn.run_continuous(trigger_seconds=cfg.trigger_seconds)
         dyn.stop_all()
         snap = listener.snapshot()
         print(

@@ -156,3 +156,36 @@ def mix_sources(
     if out is None:
         raise ValueError("no sources given")
     return out
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, int],
+    *,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic dataset splitting: adds a `split` column assigning
+    each row to a named fraction (e.g. {"train": 98, "val": 1,
+    "test": 1} in percent, summing to 100) by its md5 position — the
+    same row always lands in the same split, across reruns and across
+    machines, and train/test leakage cannot happen by re-shuffling.
+
+    Quantized to 1/256 like sample_hash; fraction order is the sorted
+    key order so the mapping is reproducible from the dict alone."""
+    if sum(fractions.values()) != 100:
+        raise ValueError("fractions must sum to 100")
+    digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    first_byte = F.substring(digest, 1, 2)
+    expr = None
+    acc = 0
+    names = sorted(fractions)
+    for name in names:
+        acc += fractions[name]
+        threshold = format(int(acc * 256 / 100), "02x") if acc < 100 else "zz"
+        cond = first_byte < F.lit(threshold)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # rounding can leave a sliver above the last threshold: assign it to
+    # the largest fraction
+    biggest = max(names, key=lambda n: fractions[n])
+    return df.withColumn("split", expr.otherwise(F.lit(biggest)))

@@ -260,3 +260,51 @@ class DynamicTables:
             n_buckets=self.n_buckets,
         )
         return applier.current_state()
+
+
+class ControlChannel:
+    """File-based control channel: the daemon's LISTEN/NOTIFY analog.
+
+    The reference's `_creek.add_table/remove_table` SQL functions NOTIFY
+    payloads onto the `creek` channel (init.go:95-114); here operators
+    append the SAME payload lines (`ADD schema.table` / `REMOVE table`)
+    to `<base_dir>/control`, and the daemon polls the file between
+    triggers.  Offset-tracked (a sidecar `.offset` file), so restarts
+    re-read nothing and the control file is append-only auditable."""
+
+    def __init__(self, base_dir: str):
+        self.path = os.path.join(base_dir, "control")
+        self._offset_path = self.path + ".offset"
+
+    def send(self, payload: str) -> None:
+        with open(self.path, "a") as f:
+            f.write(payload.rstrip("\n") + "\n")
+
+    def _read_offset(self) -> int:
+        try:
+            with open(self._offset_path) as f:
+                return int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            return 0
+
+    def poll(self, dyn: "DynamicTables") -> int:
+        """Apply any new payload lines to ``dyn``; returns how many were
+        applied (malformed/unknown lines are skipped, like api.go:76-80).
+        Callers follow up with run_continuous()/run_available()."""
+        if not os.path.exists(self.path):
+            return 0
+        offset = self._read_offset()
+        applied = 0
+        with open(self.path) as f:
+            f.seek(offset)
+            lines = f.readlines()
+            new_offset = f.tell()
+        for line in lines:
+            line = line.strip()
+            if line and dyn.handle_command(line):
+                applied += 1
+        tmp = self._offset_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_offset))
+        os.replace(tmp, self._offset_path)
+        return applied

@@ -183,3 +183,32 @@ def test_run_continuous_add_mid_flight(spark, tmp_path):
     finally:
         dyn.stop_all()
     assert not dyn._running
+
+
+def test_control_channel_poll(spark, tmp_path):
+    """Appended ADD/REMOVE payload lines drive the table set; offsets
+    persist so re-polls and restarts apply nothing twice."""
+    from creek_spark.streaming.tables import ControlChannel
+
+    wal = str(tmp_path / "wal")
+    base = str(tmp_path / "cdc")
+    os.makedirs(wal, exist_ok=True)
+    dyn = DynamicTables(spark, wal, base, ENV_SCHEMA)
+    dyn.registry.put(ROW_SCHEMA, source="public.other")
+
+    ch = ControlChannel(base)
+    assert ch.poll(dyn) == 0  # no control file yet
+    ch.send("ADD public.other")
+    ch.send("GARBAGE LINE")
+    ch.send("NOISE")
+    assert ch.poll(dyn) == 1
+    assert dyn.subscribed() == ["public.other"]
+    assert ch.poll(dyn) == 0  # offset advanced; nothing re-applied
+
+    ch.send("REMOVE public.other")
+    assert ch.poll(dyn) == 1
+    assert dyn.subscribed() == []
+
+    # a fresh channel object (daemon restart) resumes from the offset
+    ch2 = ControlChannel(base)
+    assert ch2.poll(dyn) == 0

@@ -120,3 +120,29 @@ def test_mix_sources_weights_and_alignment(spark):
         mix_sources({"x": (a, 150)}, "doc_id")
     with pytest.raises(ValueError):
         mix_sources({}, "doc_id")
+
+
+def test_split_assign_deterministic_partition(spark):
+    from creek_spark.operators.pipeline import split_assign
+
+    docs = _docs(spark)
+    n = docs.count()
+    s1 = split_assign(docs, "doc_id", {"train": 90, "val": 5, "test": 5})
+    counts = {
+        r["split"]: r["n"]
+        for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == n  # total partition, nothing dropped
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+    # deterministic across runs
+    a = {(r["doc_id"], r["split"]) for r in s1.select("doc_id", "split").collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in split_assign(docs, "doc_id", {"train": 90, "val": 5, "test": 5})
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        split_assign(docs, "doc_id", {"train": 50, "val": 20})
