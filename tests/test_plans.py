@@ -180,3 +180,14 @@ def test_cdc_latest_state_single_shuffle(spark):
     df = _catalog()["cdc_latest_state"].fn(spark, SF_DIR)
     plan = explain_str(df, "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_training_pipeline_single_shuffle(spark):
+    """Sampling and scrubbing must fuse into the scan projection; the
+    only exchange is the packing window's shard shuffle."""
+    df = _catalog()["training_pipeline"].fn(spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    from creek_spark.plans import has_python_stage
+
+    assert not has_python_stage(df), plan
