@@ -47,6 +47,11 @@ def get_spark(
         # source boundary (sources.read_table) with µs truncation, matching
         # how DuckDB/pyarrow surface the same column.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # µs/ms parquet timestamps with isAdjustedToUTC=false must read as
+        # session-tz TimestampType, not TIMESTAMP_NTZ — the driver switched
+        # events.parquet from nanos to µs-NTZ between rounds, and downstream
+        # functions (unix_seconds, window) reject NTZ input.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

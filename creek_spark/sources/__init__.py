@@ -57,14 +57,37 @@ def _nano_ts_columns(path: str) -> list[str]:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # events.parquet stores TIMESTAMP(NANOS), which Spark rejects unless
-    # nanosAsLong is on.  get_spark sets it at build time, but callers may
-    # hand us a session built elsewhere (the driver does) — the conf is
-    # runtime-settable, so set it defensively here.
+    # The driver has encoded parquet timestamps two different ways so far
+    # (TIMESTAMP(NANOS), then timestamp[us] with no tz) — normalize BOTH at
+    # this boundary so every consumer sees plain TimestampType:
+    #  * nanosAsLong: TIMESTAMP(NANOS) reads as LongType instead of erroring;
+    #    the loop below converts those columns with µs truncation.
+    #  * inferTimestampNTZ=false: µs/ms columns with isAdjustedToUTC=false
+    #    read as session-tz TimestampType, not TimestampNTZType (tz-safe —
+    #    no wall-clock shift, unlike a post-hoc cast under a non-UTC tz).
+    # get_spark sets these at build time, but callers may hand us a session
+    # built elsewhere (the driver does) — both confs are runtime-settable,
+    # so set them defensively here.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    # Belt-and-suspenders: if a future reader path still yields NTZ (e.g. a
+    # conf snapshot taken before ours), cast it away.  Only safe when the
+    # session tz is UTC; otherwise the conf above already prevented NTZ.
+    from pyspark.sql.types import TimestampNTZType
+
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, TimestampNTZType):
+            if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+                raise ValueError(
+                    f"column {f_.name!r} read as TIMESTAMP_NTZ under a "
+                    "non-UTC session timezone; set "
+                    "spark.sql.parquet.inferTimestampNTZ.enabled=false "
+                    "before the first read of this parquet path"
+                )
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     return df
 
 
