@@ -45,13 +45,32 @@ def main() -> None:
         ("similarity_topk_fast", similarity_topk_fast)
     ]
 
+    # Harness self-test hook: SPARK_GRAFT_BENCH_BREAK=<name> swaps that
+    # query for one that raises, proving one failure can't erase the rest.
+    broken = os.environ.get("SPARK_GRAFT_BENCH_BREAK")
+    if broken:
+
+        def _boom(spark, sf_dir):
+            raise RuntimeError(f"deliberately broken ({broken})")
+
+        runs = [(n, _boom if n == broken else f) for n, f in runs]
+
     # untimed warmup at the smallest sf: JIT/codegen compilation and
     # parquet-footer caching otherwise dominate the first (and only)
     # timed execution of each query shape
+    # Fault isolation: one broken query must never erase the other
+    # timings (round 3 lost the entire bench to a single
+    # AnalysisException).  Failures land in an "errors" key instead.
+    errors: dict[str, str] = {}
+
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for _, fn in runs:
-            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        for name, fn in runs:
+            try:
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:
+                errors[name] = f"warmup: {type(e).__name__}: {e}"[:500]
+                print(f"WARMUP FAILED {name}: {e}", file=sys.stderr)
 
     # untimed scan warm at the bench sf: the first timed query otherwise
     # pays the OS page-cache miss for the biggest table (~10× its compute)
@@ -73,12 +92,21 @@ def main() -> None:
     for name, fn in runs:
         best = float("inf")
         for _ in range(reps):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            release_caches()  # don't let cached blocks skew the next run
-        timings[name] = round(best, 3)
+            try:
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            except Exception as e:
+                errors.setdefault(
+                    name, f"timing: {type(e).__name__}: {e}"[:500]
+                )
+                print(f"QUERY FAILED {name}: {e}", file=sys.stderr)
+                break
+            finally:
+                release_caches()  # don't let cached blocks skew the next run
+        if best < float("inf"):
+            timings[name] = round(best, 3)
     # total = sum of per-query minima (NOT wall time of the rep loop)
     total = round(sum(timings.values()), 3)
     wall = round(time.perf_counter() - t_all, 3)
@@ -125,6 +153,8 @@ def main() -> None:
     }
     if regressions:
         out["regressions"] = regressions
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 
