@@ -179,25 +179,146 @@ def embedding_near_dups(
     )
 
 
+def hyperplane_weights(dim: int, n_planes: int) -> list[list[float]]:
+    """±1 weight matrix for the deterministic Rademacher projection.
+
+    Plane p's weight for dimension d is ±1 from one md5("p:d") hex bit —
+    reproducible with no RNG and no state, so an ANSI-SQL oracle can inline
+    the same literals."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) & 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_sign_bits(vec_col, dim: int, n_planes: int = 8):
     """Deterministic random-hyperplane signature (int 0..2^n_planes-1).
 
-    Plane p's weight for dimension d is ±1 from one md5("p:d") hex bit —
-    a reproducible Rademacher projection (no RNG, no state, identical in
-    SQL)."""
-    import hashlib
-
+    Each plane is ONE `zip_with` product + ONE `aggregate` fold over an
+    inlined ±1 weight array — expression size O(n_planes), not the
+    O(dim·n_planes) unrolled sum a per-dimension `element_at` chain builds
+    (512 nodes at dim=64; a whole-stage-codegen 64KB-method risk at
+    dim 1024+).  Products are quantized to DECIMAL(25,12) and summed
+    exactly, so the sign — and therefore the bucket — is independent of
+    fold order and bit-identical in any ANSI-SQL engine."""
     sig = None
-    for p in range(n_planes):
-        acc = None
-        for d in range(dim):
-            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
-            w = 1 if int(h[0], 16) & 1 else -1
-            term = F.element_at(vec_col, d + 1).cast("double") * F.lit(float(w))
-            acc = term if acc is None else acc + term
+    for p, ws in enumerate(hyperplane_weights(dim, n_planes)):
+        warr = F.array(*[F.lit(w) for w in ws])
+        prods = F.zip_with(
+            vec_col,
+            warr,
+            lambda x, w: (x.cast("double") * w).cast("decimal(25,12)"),
+        )
+        acc = F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(25,12)"),
+            lambda a, x: (a + x).cast("decimal(25,12)"),
+        )
         bit = F.when(acc > 0, F.lit(1 << p)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return sig.cast("int")
+
+
+def _pair_cos(qv, cv, qn, cn, exact: bool):
+    """Cosine of a pair.  exact=True: decimal dot over precomputed decimal
+    norm-squares — bit-reproducible in any ANSI-SQL engine.  exact=False:
+    double fold (fast path); qn/cn are ignored (None)."""
+    if exact:
+        return _exact_dot(qv, cv).cast("double") / (
+            F.sqrt(qn.cast("double")) * F.sqrt(cn.cast("double"))
+        )
+    return cosine_similarity(qv, cv)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> DataFrame:
+    """Deterministic centroid sample packed into ONE broadcastable row.
+
+    The ``n_cells`` vectors with the smallest md5(id) — a seedless
+    pseudo-random draw any SQL engine can replicate — are collected into a
+    single md5-sorted array of (mkey, cid, cvec, cnrm) structs.  Array
+    position is the stable tie-break ordinal, so no window is needed
+    anywhere in the index build; the downstream argmax is a per-row fold
+    over this array (see ``ivf_cell_assignment``)."""
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("mkey", F.md5(F.col("cid").cast("string")))
+        .orderBy("mkey", "cid")
+        .limit(n_cells)
+        .withColumn("cnrm", _exact_dot(F.col("cvec"), F.col("cvec")))
+    )
+    return F.broadcast(
+        cents.agg(
+            F.sort_array(
+                F.collect_list(F.struct("mkey", "cid", "cvec", "cnrm"))
+            ).alias("cents")
+        )
+    )
+
+
+def _cent_sims(side_vec: str, nrm_col, exact: bool):
+    """array<struct(s,cid)>: cosine of this row's vector against every
+    centroid in the broadcast array, computed once per centroid."""
+
+    def one(c):
+        return F.struct(
+            _pair_cos(
+                F.col(side_vec), c["cvec"], nrm_col, c["cnrm"], exact
+            ).alias("s"),
+            c["cid"].alias("cid"),
+        )
+
+    return F.transform(F.col("cents"), one)
+
+
+def ivf_cell_assignment(
+    df: DataFrame,
+    cents: DataFrame,
+    side_id: str,
+    side_vec: str,
+    *,
+    exact: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment with ZERO shuffle of the corpus.
+
+    The centroid set is one broadcast row holding an md5-sorted array, so
+    assignment is a per-row `aggregate` fold picking argmax(sim) — a pure
+    map-side projection: no exchange, no aggregate, no window.  (The
+    Window formulation this replaces shuffled and sorted the full
+    N·n_cells cross product; even a partial-agg groupBy still exchanges N
+    rows and sort-aggregates the cross product.)  Tie-break: earliest
+    array position, i.e. smallest md5(cid) — strict `>` in the fold keeps
+    the incumbent.
+
+    Output: (side_id, side_vec, cell_id[, _nrm when exact])."""
+    out = df.crossJoin(cents)  # broadcast NLJ of a single 1-row side
+    if exact:
+        out = out.withColumn("_nrm", _exact_dot(F.col(side_vec), F.col(side_vec)))
+    scored = _cent_sims(side_vec, F.col("_nrm") if exact else None, exact)
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-2.0).alias("s"),  # below any cosine
+            F.when(F.lit(False), F.get(F.col("cents"), 0)["cid"]).alias("cid"),
+        ),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+    )
+    cols = [side_id, side_vec, best["cid"].alias("cell_id")]
+    if exact:
+        cols.append(F.col("_nrm"))
+    return out.select(*cols)
 
 
 def ivf_topk(
@@ -209,6 +330,7 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 3,
+    exact: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: data-adaptive coarse quantization.
 
@@ -222,44 +344,63 @@ def ivf_topk(
     Versus ``lsh_bucket_topk``: IVF cells adapt to the data distribution
     (clustered corpora get balanced cells where fixed hyperplanes
     wouldn't), at the cost of one extra shuffle to build the assignment.
-    Recall < 1 by design → rows-only correctness check.
+
+    ``exact=True`` scores every comparison (assignment, probe ranking,
+    final top-k) with the decimal fold, making the whole result — which
+    cells, which candidates, which ranks — bit-reproducible in an ANSI-SQL
+    oracle.  Recall < 1 by design either way; the default double path is
+    the throughput variant.
 
     Scale shape: centroids are a K-row broadcast; cell assignment is one
-    crossJoin (map-side, no shuffle of the corpus) + a partial-aggregated
-    groupBy on the corpus id; the probe join shuffles on cell_id, whose
+    crossJoin (map-side, no shuffle of the corpus) folded by a
+    partial-aggregated groupBy whose exchange carries N rows (see
+    ``ivf_cell_assignment``); the probe join shuffles on cell_id, whose
     cardinality (n_cells) should be sized ≥ executor count at real scale."""
-    cos = cosine_similarity  # cosine ranks == (negated) distance ranks for argmax
-
-    cents = F.broadcast(
-        corpus.select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-        )
-        .orderBy(F.md5(F.col("cent_id").cast("string")), F.col("cent_id"))
-        .limit(n_cells)
+    cents = ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
     )
-
-    def assign(df: DataFrame, side_id: str, side_vec: str, rank_limit: int):
-        scored = df.crossJoin(cents).withColumn(
-            "_sim", cos(F.col(side_vec), F.col("cent_vec"))
-        )
-        w = Window.partitionBy(side_id).orderBy(
-            F.col("_sim").desc(), F.col("cent_id").asc()
-        )
-        return (
-            scored.withColumn("_crk", F.row_number().over(w))
-            .where(F.col("_crk") <= rank_limit)
-            .select(side_id, side_vec, F.col("cent_id").alias("cell_id"))
-        )
 
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    cells = assign(c, "n_id", "c_vec", 1)
-    probes = F.broadcast(assign(q, "q_id", "q_vec", nprobe))
+    cells = ivf_cell_assignment(c, cents, "n_id", "c_vec", exact=exact)
+
+    # query probes: same broadcast-array trick — score all centroids per
+    # row, sort the array, slice the top nprobe, explode.  No window: the
+    # probe list is computed map-side even when Q is large.
+    qx = q.crossJoin(cents)
+    if exact:
+        qx = qx.withColumn("_qnrm", _exact_dot(F.col("q_vec"), F.col("q_vec")))
+    scored_arr = F.transform(
+        _cent_sims("q_vec", F.col("_qnrm") if exact else None, exact),
+        lambda x, i: F.struct(x["s"].alias("s"), (-i).alias("negi"), x["cid"].alias("cid")),
+    )
+    # struct sort desc: s desc, then -i desc (= array position asc)
+    top_cells = F.slice(F.sort_array(scored_arr, asc=False), 1, nprobe)
+    probe_cols = ["q_id", "q_vec", F.col("_probe.cid").alias("cell_id")]
+    if exact:
+        probe_cols.append("_qnrm")
+    probes = F.broadcast(
+        qx.select(
+            "q_id",
+            "q_vec",
+            *(["_qnrm"] if exact else []),
+            F.explode(top_cells).alias("_probe"),
+        ).select(*probe_cols)
+    )
 
     scored = (
         cells.join(probes, "cell_id")
         .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos_sim", cos(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cos_sim",
+            _pair_cos(
+                F.col("q_vec"),
+                F.col("c_vec"),
+                F.col("_qnrm") if exact else None,
+                F.col("_nrm") if exact else None,
+                exact,
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("n_id").asc()
@@ -280,23 +421,40 @@ def lsh_bucket_topk(
     dim: int = 64,
     n_planes: int = 8,
     k: int = 5,
+    exact: bool = False,
 ) -> DataFrame:
     """ANN: compare queries only against corpus vectors in the same
     random-hyperplane bucket.  Recall < 1 by design; the scale path when
-    brute force is too expensive (expected bucket size = N / 2^n_planes)."""
+    brute force is too expensive (expected bucket size = N / 2^n_planes).
+
+    The signature (``hyperplane_sign_bits``) is decimal-exact, so bucket
+    membership is engine-independent; ``exact=True`` additionally scores
+    the in-bucket pairs with the decimal fold, making the full result
+    oracle-matchable bit for bit."""
     sig = hyperplane_sign_bits(F.col(vec_col), dim, n_planes)
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket")
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sig.alias("bucket")
-        )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sig.alias("bucket")
     )
+    if exact:
+        c = c.withColumn("_cn", _exact_dot(F.col("c_vec"), F.col("c_vec")))
+        q = q.withColumn("_qn", _exact_dot(F.col("q_vec"), F.col("q_vec")))
+    q = F.broadcast(q)
     scored = (
         c.join(q, "bucket")
         .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos_sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cos_sim",
+            _pair_cos(
+                F.col("q_vec"),
+                F.col("c_vec"),
+                F.col("_qn") if exact else None,
+                F.col("_cn") if exact else None,
+                exact,
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("n_id").asc()

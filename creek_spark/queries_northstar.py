@@ -269,22 +269,123 @@ def similarity_topk(spark, sf_dir):
     return sim.cosine_topk(emb, queries, k=5)
 
 
-@register("similarity_ann", None, "similarity")
-def similarity_ann(spark, sf_dir):
-    """Both ANN scale paths in one tagged result: random-hyperplane LSH
-    buckets (fixed planes, zero index shuffle) and IVF coarse quantization
-    (data-adaptive cells, probes 3 of 16).  Recall < 1 by design →
-    rows-only check; exactness is covered by similarity_topk, and recall
-    floors are pytest-gated in tests/test_similarity.py."""
+ANN_DIM = 64
+ANN_PLANES = 6
+ANN_CELLS = 16
+ANN_NPROBE = 3
+
+# Shared oracle CTEs: per-dimension double values and decimal norm-squares
+# (the engine's _exact_dot quantizes each product to DECIMAL(…,12) and sums
+# exactly, so any summation order — Spark fold or SQL GROUP BY — agrees).
+_ANN_EP = """
+ep AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS d,
+              unnest([CAST(x AS DOUBLE) FOR x IN embedding]) AS v FROM embeddings),
+norms AS (SELECT vec_id AS id, SUM(CAST(v * v AS DECIMAL(25,12))) AS ns
+          FROM ep GROUP BY vec_id)"""
+
+_ANN_SCORE = """
+dots AS (SELECT pr.q_id, pr.n_id, SUM(CAST(qe.v * ce.v AS DECIMAL(25,12))) AS dot
+         FROM pairs pr
+         JOIN ep qe ON qe.vec_id = pr.q_id
+         JOIN ep ce ON ce.vec_id = pr.n_id AND ce.d = qe.d
+         GROUP BY pr.q_id, pr.n_id),
+scored AS (SELECT d.q_id, d.n_id,
+                  CAST(d.dot AS DOUBLE)
+                    / (sqrt(CAST(qn.ns AS DOUBLE)) * sqrt(CAST(cn.ns AS DOUBLE))) AS cos_sim
+           FROM dots d JOIN norms qn ON qn.id = d.q_id
+                       JOIN norms cn ON cn.id = d.n_id)
+SELECT q_id, n_id, cos_sim, rnk FROM (
+  SELECT q_id, n_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rnk
+  FROM scored) r
+WHERE rnk <= {k}"""
+
+
+def _lsh_oracle(dim: int = ANN_DIM, n_planes: int = ANN_PLANES, k: int = 5) -> str:
+    """LSH ANN oracle generated from the SAME md5-derived ±1 weight matrix
+    the Spark operator inlines (sim.hyperplane_weights) — both engines are
+    the same projection by construction."""
+    values = ", ".join(
+        f"({p}, [{', '.join(str(int(w)) for w in ws)}])"
+        for p, ws in enumerate(sim.hyperplane_weights(dim, n_planes))
+    )
+    return f"""
+WITH planes(p, w) AS (VALUES {values}),
+{_ANN_EP},
+wp AS (SELECT p, unnest(generate_series(1, len(w))) AS d, unnest(w) AS wv FROM planes),
+plane_sums AS (SELECT e.vec_id, wp.p, SUM(CAST(e.v * wp.wv AS DECIMAL(25,12))) AS s
+               FROM ep e JOIN wp USING (d) GROUP BY e.vec_id, wp.p),
+sigs AS (SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+         FROM plane_sums GROUP BY vec_id),
+pairs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id
+          FROM sigs q JOIN sigs c ON q.bucket = c.bucket
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+{_ANN_SCORE.format(k=k)}
+"""
+
+
+def _ivf_oracle(n_cells: int = ANN_CELLS, nprobe: int = ANN_NPROBE, k: int = 5) -> str:
+    """IVF ANN oracle: centroids are the n_cells smallest md5(id) vectors
+    (same seedless draw as sim.ivf_centroids); assignment and probing rank
+    by the same decimal-exact cosine with the same cent_ord tie-break."""
+    return f"""
+WITH {_ANN_EP.lstrip()},
+cents AS (SELECT vec_id AS cent_id,
+                 CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS cent_ord
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {n_cells}),
+cd AS (SELECT a.vec_id AS id, ce.cent_id, ce.cent_ord,
+              SUM(CAST(a.v * b.v AS DECIMAL(25,12))) AS dot
+       FROM ep a
+       JOIN cents ce ON TRUE
+       JOIN ep b ON b.vec_id = ce.cent_id AND b.d = a.d
+       GROUP BY a.vec_id, ce.cent_id, ce.cent_ord),
+cent_sims AS (SELECT cd.id, cd.cent_id, cd.cent_ord,
+                     CAST(cd.dot AS DOUBLE)
+                       / (sqrt(CAST(n1.ns AS DOUBLE)) * sqrt(CAST(n2.ns AS DOUBLE))) AS sim
+              FROM cd JOIN norms n1 ON n1.id = cd.id
+                      JOIN norms n2 ON n2.id = cd.cent_id),
+cells AS (SELECT id AS n_id, cent_id AS cell_id FROM (
+            SELECT id, cent_id,
+                   row_number() OVER (PARTITION BY id ORDER BY sim DESC, cent_ord) AS r
+            FROM cent_sims) t WHERE r = 1),
+probes AS (SELECT id AS q_id, cent_id AS cell_id FROM (
+            SELECT id, cent_id,
+                   row_number() OVER (PARTITION BY id ORDER BY sim DESC, cent_ord) AS r
+            FROM cent_sims WHERE id < 10) t WHERE r <= {nprobe}),
+pairs AS (SELECT p.q_id, c.n_id
+          FROM probes p JOIN cells c ON c.cell_id = p.cell_id
+          WHERE p.q_id <> c.n_id),
+{_ANN_SCORE.format(k=k)}
+"""
+
+
+@register("similarity_lsh", _lsh_oracle(), "similarity")
+def similarity_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (fixed planes, zero index shuffle), run
+    decimal-exact so bucket membership, candidate set, scores and ranks
+    are all bit-reproducible in the generated DuckDB oracle.  Recall < 1
+    by design (floors pytest-gated in tests/test_similarity.py); the
+    oracle proves the approximation itself is computed correctly."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    lsh = sim.lsh_bucket_topk(emb, queries, dim=64, n_planes=6, k=5).select(
-        F.lit("lsh").alias("method"), "q_id", "n_id", "cos_sim", "rnk"
+    return sim.lsh_bucket_topk(
+        emb, queries, dim=ANN_DIM, n_planes=ANN_PLANES, k=5, exact=True
     )
-    ivf = sim.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=3).select(
-        F.lit("ivf").alias("method"), "q_id", "n_id", "cos_sim", "rnk"
+
+
+@register("similarity_ivf", _ivf_oracle(), "similarity")
+def similarity_ivf(spark, sf_dir):
+    """IVF coarse-quantization ANN (data-adaptive cells, probes 3 of 16),
+    decimal-exact end to end: centroid choice, cell assignment (max_by
+    partial agg, N-row exchange), probe ranking and final top-k all match
+    the generated DuckDB oracle bit for bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.ivf_topk(
+        emb, queries, k=5, n_cells=ANN_CELLS, nprobe=ANN_NPROBE, exact=True
     )
-    return lsh.unionByName(ivf)
 
 
 # =====================================================================

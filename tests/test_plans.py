@@ -191,3 +191,78 @@ def test_training_pipeline_single_shuffle(spark):
     from creek_spark.plans import has_python_stage
 
     assert not has_python_stage(df), plan
+
+
+def test_ivf_assignment_map_side_zero_shuffle(spark):
+    """IVF cell assignment must be a pure map-side projection: the
+    centroid set is one broadcast array row and argmax(sim) is a per-row
+    fold, so the corpus is never shuffled, aggregated, or windowed at all.
+    (The Window formulation this replaces shuffled and sorted the whole
+    N·n_cells cross product.)"""
+    from creek_spark.operators import similarity as sim
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = sim.ivf_centroids(emb)
+    cells = sim.ivf_cell_assignment(
+        emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("c_vec")),
+        cents,
+        "n_id",
+        "c_vec",
+    )
+    plan = explain_str(cells)
+    # the corpus-side subtree: scan → broadcast NLJ with the 1-row
+    # centroid array → project.  No shuffle exchange anywhere.
+    assert "Window" not in plan, plan
+    assert "+- Exchange" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_hyperplane_sign_bits_folded_matches_unrolled(spark):
+    """The folded (zip_with + aggregate) signature must equal the unrolled
+    per-dimension sum it replaced, on real embedding data."""
+    import hashlib
+
+    from creek_spark.operators import similarity as sim
+
+    dim, n_planes = 64, 6
+    emb = read_table(spark, SF_DIR, "embeddings")
+
+    # reference: the original unrolled-double formulation
+    ref = None
+    for p in range(n_planes):
+        acc = None
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            w = 1 if int(h[0], 16) & 1 else -1
+            term = F.element_at(F.col("embedding"), d + 1).cast("double") * F.lit(
+                float(w)
+            )
+            acc = term if acc is None else acc + term
+        bit = F.when(acc > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        ref = bit if ref is None else ref + bit
+
+    out = emb.select(
+        sim.hyperplane_sign_bits(F.col("embedding"), dim, n_planes).alias("folded"),
+        ref.cast("int").alias("unrolled"),
+    )
+    assert out.where(F.col("folded") != F.col("unrolled")).count() == 0
+
+
+def test_hyperplane_sign_bits_high_dim_plan_stays_small(spark):
+    """At dim=1024 the folded signature is O(n_planes) expression nodes;
+    the plan must build, stay inside whole-stage codegen, and execute (the
+    unrolled form risked the JVM 64KB method limit at this width)."""
+    from creek_spark.operators import similarity as sim
+
+    df = spark.range(20).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(1024)),
+            lambda i: (F.sin(i * (F.col("id") + 1))).cast("float"),
+        ).alias("vec"),
+    )
+    out = df.select(sim.hyperplane_sign_bits(F.col("vec"), 1024, 16).alias("sig"))
+    assert codegen_stage_count(out) >= 1, explain_str(out)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["sig"] is not None and 0 <= r["sig"] < 1 << 16 for r in rows)
