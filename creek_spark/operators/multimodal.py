@@ -1,10 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, partition-friendly batch shape, Arrow
-transfer via mapInPandas) is real and tested; the actual codec step is
-STUBBED because no image/audio library ships in this environment — decode
-functions either raise NotImplementedError (strict mode) or produce a
-deterministic fake payload (plumbing-test mode).
+transfer via mapInPandas) is real and tested.  IMAGE header decode
+(PNG IHDR / JPEG SOF / GIF LSD / BMP DIB → width, height, bit depth,
+channels) is REAL and pure-stdlib — see ``parse_image_header`` /
+``decode_image_headers``.  Only pixel-level transforms (resize) and
+audio/video payload decode are stubbed, because no codec library ships in
+this environment: those either raise NotImplementedError (strict mode),
+produce a deterministic fake payload (plumbing-test mode), or accept an
+injected batch codec (PIL/librosa/ffmpeg in real deployments).
 
 Design for 100 TB: binary payloads ride in parquet with the metadata
 columns beside them; decode/feature-extract runs as `mapInPandas` so each
@@ -54,9 +58,109 @@ def attach_binary_metadata(df: DataFrame, content_col: str = "content") -> DataF
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG SOF markers carry frame dims; C4/C8/CC are DHT/JPG/DAC, not SOFs
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
+
+
+def parse_image_header(payload: bytes | None) -> dict | None:
+    """Pure-stdlib image header decode — no codec library involved.
+
+    Recognizes PNG (IHDR chunk), JPEG (SOF segment scan), GIF (logical
+    screen descriptor) and BMP (BITMAPINFOHEADER).  Returns
+    ``{"format", "width", "height", "bit_depth", "n_channels"}`` or None
+    when the payload is not a recognized image."""
+    import struct
+
+    if payload is None or len(payload) < 16:
+        return None
+    b = bytes(payload)
+    if b.startswith(_PNG_SIG) and b[12:16] == b"IHDR" and len(b) >= 26:
+        w, h = struct.unpack(">II", b[16:24])
+        depth, color_type = b[24], b[25]
+        return {
+            "format": "png",
+            "width": w,
+            "height": h,
+            "bit_depth": depth,
+            "n_channels": _PNG_CHANNELS.get(color_type),
+        }
+    if b.startswith(b"\xff\xd8"):
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None  # corrupt segment stream
+            while i < len(b) and b[i] == 0xFF:  # fill bytes
+                i += 1
+            if i >= len(b):
+                return None
+            marker = b[i]
+            i += 1
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue  # no length field
+            if i + 2 > len(b):
+                return None
+            (seg_len,) = struct.unpack(">H", b[i : i + 2])
+            if marker in _JPEG_SOF:
+                if i + 8 > len(b):
+                    return None
+                depth = b[i + 2]
+                h, w = struct.unpack(">HH", b[i + 3 : i + 7])
+                return {
+                    "format": "jpeg",
+                    "width": w,
+                    "height": h,
+                    "bit_depth": depth,
+                    "n_channels": b[i + 7],
+                }
+            if marker == 0xDA:  # start of scan: no SOF seen, give up
+                return None
+            i += seg_len
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        # bits/px = low 3 bits of the LSD packed field + 1
+        return {
+            "format": "gif",
+            "width": w,
+            "height": h,
+            "bit_depth": (b[10] & 0x07) + 1,
+            "n_channels": 1,  # palette-indexed
+        }
+    if b.startswith(b"BM") and len(b) >= 30:
+        (dib,) = struct.unpack("<I", b[14:18])
+        if dib >= 40:
+            w, h = struct.unpack("<ii", b[18:26])
+            (bpp,) = struct.unpack("<H", b[28:30])
+            return {
+                "format": "bmp",
+                "width": abs(w),
+                "height": abs(h),
+                "bit_depth": bpp,
+                "n_channels": max(1, bpp // 8),
+            }
+    return None
+
+
 def _decode_stub(kind: str, payload: bytes, *, fake: bool) -> list[float]:
     if not fake:
-        # Real deployments plug in PIL/librosa/ffmpeg here.
+        if payload is None:
+            return []
+        if kind == "image":
+            # REAL pure-stdlib path: header decode → geometry features.
+            hdr = parse_image_header(payload)
+            if hdr is None:
+                raise ValueError(
+                    "payload is not a recognized image (png/jpeg/gif/bmp)"
+                )
+            return [
+                float(hdr["width"]),
+                float(hdr["height"]),
+                float(hdr["bit_depth"] or 0),
+                float(hdr["n_channels"] or 0),
+            ]
+        # Real deployments plug in librosa/ffmpeg here.
         raise NotImplementedError(
             f"{kind} decode requires a codec library not present in this "
             "environment; run with fake=True to exercise the plumbing"
@@ -97,6 +201,97 @@ def extract_features(
 
     cols = ["media_id", "kind", "content"]
     return media.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def png_bytes(width: int, height: int, *, bit_depth: int = 8, color_type: int = 2) -> bytes:
+    """Spec-valid PNG built with stdlib only (zlib + struct) — used to
+    synthesize deterministic test/demo payloads for the header decoder."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    channels = _PNG_CHANNELS[color_type]
+    raw = b"".join(
+        b"\x00" + bytes(width * channels * (bit_depth // 8)) for _ in range(height)
+    )
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def gif_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    # 0xf7 packed field: global color table, 8 bits/px
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\xf7\x00\x00" + bytes(16)
+
+
+def bmp_bytes(width: int, height: int, *, bpp: int = 24) -> bytes:
+    import struct
+
+    dib = struct.pack("<IiiHH", 40, width, height, 1, bpp) + bytes(24)
+    return b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 54) + dib
+
+
+IMAGE_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def decode_image_headers(media: DataFrame, *, strict: bool = False) -> DataFrame:
+    """REAL image header decode over Arrow batches (no codec library):
+    width/height/bit-depth/channels from PNG/JPEG/GIF/BMP headers via
+    ``parse_image_header``.  Unrecognized payloads yield nulls
+    (strict=True raises instead).
+
+    Scale shape: mapInPandas over (media_id, content) only — column
+    pruning keeps other columns out of the Arrow transfer, and each batch
+    amortizes the Python call; header parsing touches the first few dozen
+    bytes of each payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            headers = []
+            for c in pdf["content"]:
+                hdr = parse_image_header(c)
+                if hdr is None and strict and c is not None:
+                    raise ValueError(
+                        "payload is not a recognized image (png/jpeg/gif/bmp)"
+                    )
+                headers.append(hdr or {})
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [h.get("format") for h in headers],
+                    "width": [h.get("width") for h in headers],
+                    "height": [h.get("height") for h in headers],
+                    "bit_depth": [h.get("bit_depth") for h in headers],
+                    "n_channels": [h.get("n_channels") for h in headers],
+                    "n_bytes": [
+                        len(c) if c is not None else None for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=IMAGE_HEADER_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = T.StructType(

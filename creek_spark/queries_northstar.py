@@ -537,6 +537,56 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_image_headers",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif' ELSE 'png' END AS format,
+           CAST(doc_id % 512 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 256 + 1 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 8 END AS INTEGER) AS bit_depth,
+           CAST(CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 3 END AS INTEGER) AS n_channels
+    FROM documents
+    """,
+    "multimodal",
+)
+def multimodal_image_headers(spark, sf_dir):
+    """Round-trip proof that the image header decoder is REAL: synthesize
+    a deterministic spec-valid BMP/GIF/PNG payload per document (stdlib
+    byte builders), then recover geometry with `decode_image_headers`
+    (pure-stdlib parse over Arrow batches).  The oracle predicts the
+    decoded fields from the same doc_id arithmetic — a hash mismatch means
+    either the builder or the parser mangled real header bytes."""
+    from creek_spark.operators.multimodal import (
+        bmp_bytes,
+        decode_image_headers,
+        gif_bytes,
+        png_bytes,
+    )
+
+    def synth(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = i % 512 + 1, i % 256 + 1
+                content.append([bmp_bytes, gif_bytes, png_bytes][i % 3](w, h))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, content binary"
+    )
+    hdrs = decode_image_headers(media, strict=True)
+    return hdrs.select(
+        "media_id", "format", "width", "height", "bit_depth", "n_channels"
+    )
+
+
 # =====================================================================
 # training pipeline (sampling / scrubbing / packing — operators/pipeline)
 # =====================================================================
