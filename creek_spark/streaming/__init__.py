@@ -15,14 +15,20 @@ Correctness properties preserved (BASELINE.md):
 
 On a cluster the sink would be Delta MERGE; locally we maintain a
 hash-bucketed parquet state directory (hive partitions on
-pmod(xxhash64(key), n_buckets)) rewritten via dynamic partition overwrite
-— only buckets containing batch keys are rewritten per trigger, which
-keeps the same idempotence contract for tests while making per-batch cost
-O(|touched buckets|) instead of O(|state|).
+pmod(xxhash64(key), n_buckets)) — only buckets containing batch keys are
+rewritten per trigger, which keeps the same idempotence contract for tests
+while making per-batch cost O(|touched buckets|) instead of O(|state|).
+Visibility is transactional via a `_manifest.json` swap (Delta-log analog):
+each batch writes its touched buckets into a fresh version directory, then
+atomically replaces the manifest mapping bucket → version dir, so a
+concurrent reader sees the whole old state or the whole new state, never a
+mix; superseded files survive one extra generation before GC (vacuum
+analog) so in-flight readers of the previous manifest stay valid.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -86,12 +92,16 @@ class CdcApplier:
     Scale design: state is hash-bucketed by key —
     ``creek_bucket = pmod(xxhash64(keys), n_buckets)`` hive partitions —
     and each micro-batch rewrites ONLY the buckets whose keys appear in
-    the batch (dynamic partition overwrite).  Per-batch cost is
-    O(|touched buckets|), not O(|state|): a steady trickle of changes no
-    longer re-shuffles the whole table every trigger.  On a real cluster
-    the same contract is Delta MERGE; the bucketed parquet layout keeps
-    the incremental property testable locally.  The only driver traffic
-    is two bounded collects of distinct bucket ids (≤ n_buckets ints)."""
+    the batch, into a fresh version directory published by an atomic
+    ``_manifest.json`` swap (see module docstring): readers always see a
+    consistent committed snapshot, concurrent with writes.  Per-batch
+    cost is O(|touched buckets|), not O(|state|): a steady trickle of
+    changes no longer re-shuffles the whole table every trigger; version
+    sprawl is bounded by an inline compaction fold every
+    ``compact_versions`` generations.  On a real cluster the same
+    contract is Delta MERGE + OPTIMIZE; this layout keeps the incremental
+    property testable locally.  The only driver traffic is two bounded
+    collects of distinct bucket ids (≤ n_buckets ints)."""
 
     def __init__(
         self,
@@ -101,12 +111,14 @@ class CdcApplier:
         envelope_schema: T.StructType,
         *,
         n_buckets: int = 64,
+        compact_versions: int = 8,
     ):
         self.spark = spark
         self.state_dir = state_dir
         self.key_cols = key_cols
         self.envelope_schema = envelope_schema
         self.n_buckets = n_buckets
+        self.compact_versions = compact_versions
         self._lsn_col = "_creek_lsn"
         # NOT underscore-prefixed: Spark's file listing treats `_*` paths
         # as hidden metadata and would skip the partition directories.
@@ -115,14 +127,29 @@ class CdcApplier:
     def _bucket_of(self, cols) -> F.Column:
         return F.pmod(F.xxhash64(*cols), F.lit(self.n_buckets)).cast("int")
 
-    def current_state(self) -> DataFrame | None:
-        # dynamic partition overwrite writes no root _SUCCESS marker —
-        # presence of any bucket partition directory is the state signal
-        if not self._disk_buckets():
-            return None
-        return self.spark.read.parquet(self.state_dir)
+    # -- manifest-transactional state layout ---------------------------
+    # state_dir/_manifest.json        {"version": N, "buckets": {b: vdir}}
+    # state_dir/v000000N/creek_bucket=b/part-*.parquet
+    # Readers resolve buckets through the manifest only; writers publish a
+    # new version dir first and swap the manifest last (os.replace is
+    # atomic), so an interleaved reader sees old-or-new, never a mix.
 
-    def _disk_buckets(self) -> list[int]:
+    _MANIFEST = "_manifest.json"
+
+    def _read_manifest(self) -> dict | None:
+        try:
+            with open(os.path.join(self.state_dir, self._MANIFEST)) as f:
+                m = json.load(f)
+        except (OSError, ValueError):
+            # pre-manifest layout (bucket dirs at the root): synthesize a
+            # manifest pointing at "." so old state keeps working
+            legacy = self._legacy_root_buckets()
+            if legacy:
+                return {"version": 0, "buckets": {str(b): "." for b in legacy}}
+            return None
+        return m
+
+    def _legacy_root_buckets(self) -> list[int]:
         prefix = self._bucket_col + "="
         if not os.path.isdir(self.state_dir):
             return []
@@ -131,6 +158,79 @@ class CdcApplier:
             for name in os.listdir(self.state_dir)
             if name.startswith(prefix)
         ]
+
+    def _state_buckets(self) -> list[int]:
+        m = self._read_manifest()
+        return sorted(int(b) for b in m["buckets"]) if m else []
+
+    def current_state(self) -> DataFrame | None:
+        """The committed state as of the manifest this call reads — a
+        consistent snapshot regardless of concurrent apply_batch runs."""
+        m = self._read_manifest()
+        if not m or not m["buckets"]:
+            return None
+        by_ver: dict[str, list[int]] = {}
+        for b, v in m["buckets"].items():
+            by_ver.setdefault(v, []).append(int(b))
+        parts = []
+        for v, bs in sorted(by_ver.items()):
+            vdir = os.path.normpath(os.path.join(self.state_dir, v))
+            paths = [
+                os.path.join(vdir, f"{self._bucket_col}={b}") for b in sorted(bs)
+            ]
+            parts.append(
+                self.spark.read.option("basePath", vdir).parquet(*paths)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def _publish(
+        self, old: dict | None, new_ver: str, present: set[int], touched: set[int]
+    ) -> None:
+        """Swap the manifest to the post-batch state, then GC bucket dirs
+        no manifest generation references.  Retention = one generation:
+        files the OLD manifest referenced stay on disk until the NEXT
+        publish, so a reader that resolved the old manifest can still open
+        its files (the vacuum analog)."""
+        old_map = dict(old["buckets"]) if old else {}
+        new_map = {
+            b: v for b, v in old_map.items() if int(b) not in touched
+        }
+        new_map.update({str(b): new_ver for b in present})
+        manifest = {
+            "version": (old["version"] + 1) if old else 1,
+            "buckets": new_map,
+            "retain": sorted(
+                {f"{v}/{self._bucket_col}={b}" for b, v in old_map.items()}
+            ),
+        }
+        tmp = os.path.join(self.state_dir, self._MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.state_dir, self._MANIFEST))
+
+        keep = {
+            os.path.normpath(f"{v}/{self._bucket_col}={b}")
+            for b, v in new_map.items()
+        } | {os.path.normpath(p) for p in manifest["retain"]}
+        for root in os.listdir(self.state_dir):
+            rdir = os.path.join(self.state_dir, root)
+            if root.startswith(self._bucket_col + "="):  # legacy root bucket
+                if os.path.normpath(root) not in {
+                    os.path.normpath(p) for p in keep
+                }:
+                    shutil.rmtree(rdir, ignore_errors=True)
+            elif root.startswith("v") and os.path.isdir(rdir):
+                for sub in os.listdir(rdir):
+                    if (
+                        sub.startswith(self._bucket_col + "=")
+                        and os.path.normpath(f"{root}/{sub}") not in keep
+                    ):
+                        shutil.rmtree(os.path.join(rdir, sub), ignore_errors=True)
+                if not os.listdir(rdir):
+                    os.rmdir(rdir)
 
     def _state_as_wal(self, state: DataFrame) -> DataFrame:
         after_t = self.envelope_schema["after"].dataType
@@ -186,9 +286,20 @@ class CdcApplier:
             # A truncate discards every older row in EVERY bucket.
             has_trunc = batch.where(F.col("op") == "t").limit(1).count() > 0
             if has_trunc:
-                touched |= set(self._disk_buckets())
+                touched |= set(self._state_buckets())
             if not touched:
                 return
+
+            manifest = self._read_manifest()
+            # Compaction: when committed buckets are spread over too many
+            # version dirs (long trickle of small batches), fold the whole
+            # state into this batch's version — the inline OPTIMIZE analog
+            # that bounds reader-side union width.
+            if (
+                manifest
+                and len(set(manifest["buckets"].values())) >= self.compact_versions
+            ):
+                touched |= {int(b) for b in manifest["buckets"]}
 
             state = self.current_state()
             if state is not None and state.columns:
@@ -226,25 +337,26 @@ class CdcApplier:
                 )
                 .persist()
             )
-            # Dynamic partition overwrite: only partitions present in
-            # new_state are replaced; untouched buckets' files are not
-            # rewritten (asserted byte-identical in tests).
+            # Publish protocol: (1) write this batch's touched buckets
+            # into a FRESH version dir (never in place — untouched
+            # buckets' files stay byte-identical, asserted in tests);
+            # (2) atomically swap the manifest; (3) GC superseded bucket
+            # dirs with one generation of retention.  A crash between (1)
+            # and (2) leaves an orphan dir the next publish GCs; readers
+            # are consistent at every step.
+            new_ver = f"v{(manifest['version'] + 1) if manifest else 1:09d}"
             (
                 new_state.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(self._bucket_col)
-                .parquet(self.state_dir)
+                .parquet(os.path.join(self.state_dir, new_ver))
             )
-            # Buckets whose last key was deleted produce zero rows, which
-            # dynamic overwrite leaves untouched — remove them explicitly.
+            # Buckets whose last key was deleted produce zero rows —
+            # they simply drop out of the manifest mapping.
             present = {
                 r[0]
                 for r in new_state.select(self._bucket_col).distinct().collect()
             }
-            for b in touched - present:
-                d = os.path.join(self.state_dir, f"{self._bucket_col}={b}")
-                if os.path.exists(d):
-                    shutil.rmtree(d)
+            self._publish(manifest, new_ver, present, touched)
             new_state.unpersist()
         finally:
             batch.unpersist()

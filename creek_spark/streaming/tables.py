@@ -275,10 +275,28 @@ class ControlChannel:
     def __init__(self, base_dir: str):
         self.path = os.path.join(base_dir, "control")
         self._offset_path = self.path + ".offset"
+        # rejected-line sidecar: the reference logs commands it can't
+        # parse (internal/dao/api.go:76-80); a silent skip would lose the
+        # audit trail once the offset moves past them
+        self.quarantine_path = self.path + ".rejected"
 
     def send(self, payload: str) -> None:
         with open(self.path, "a") as f:
             f.write(payload.rstrip("\n") + "\n")
+
+    def rejected(self) -> list[tuple[int, str]]:
+        """Quarantined commands as (byte_offset, line), oldest first."""
+        out: list[tuple[int, str]] = []
+        try:
+            with open(self.quarantine_path) as f:
+                for raw in f:
+                    raw = raw.rstrip("\n")
+                    if raw:
+                        off, _, line = raw.partition("\t")
+                        out.append((int(off), line))
+        except OSError:
+            pass
+        return out
 
     def _read_offset(self) -> int:
         try:
@@ -289,20 +307,31 @@ class ControlChannel:
 
     def poll(self, dyn: "DynamicTables") -> int:
         """Apply any new payload lines to ``dyn``; returns how many were
-        applied (malformed/unknown lines are skipped, like api.go:76-80).
+        applied.  Malformed/unknown lines are NOT silently dropped: each
+        is appended to the `.rejected` sidecar (with its byte offset)
+        before the main offset advances past it — the file-based analog of
+        the reference logging unparseable NOTIFY payloads (api.go:76-80).
         Callers follow up with run_continuous()/run_available()."""
         if not os.path.exists(self.path):
             return 0
         offset = self._read_offset()
         applied = 0
+        rejected: list[str] = []
         with open(self.path) as f:
             f.seek(offset)
-            lines = f.readlines()
+            line_start = offset
+            for raw in f:
+                line = raw.strip()
+                if line:
+                    if dyn.handle_command(line):
+                        applied += 1
+                    else:
+                        rejected.append(f"{line_start}\t{line}")
+                line_start += len(raw.encode())
             new_offset = f.tell()
-        for line in lines:
-            line = line.strip()
-            if line and dyn.handle_command(line):
-                applied += 1
+        if rejected:
+            with open(self.quarantine_path, "a") as f:
+                f.write("\n".join(rejected) + "\n")
         tmp = self._offset_path + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(new_offset))

@@ -243,7 +243,7 @@ def test_streaming_frames_decode_and_apply(spark, tmp_path):
 
     state = {
         r["id"]: r["data"]
-        for r in spark.read.parquet(state_dir).select("id", "data").collect()
+        for r in applier.current_state().select("id", "data").collect()
     }
     assert state == OTHER_EXPECTED
 

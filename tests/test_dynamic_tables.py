@@ -205,6 +205,16 @@ def test_control_channel_poll(spark, tmp_path):
     assert dyn.subscribed() == ["public.other"]
     assert ch.poll(dyn) == 0  # offset advanced; nothing re-applied
 
+    # malformed lines are quarantined with their byte offsets, not
+    # silently dropped (reference logs them, internal/dao/api.go:76-80)
+    quarantined = ch.rejected()
+    assert [line for _, line in quarantined] == ["GARBAGE LINE", "NOISE"]
+    assert all(isinstance(off, int) and off > 0 for off, _ in quarantined)
+    with open(ch.path, "rb") as f:
+        for off, line in quarantined:
+            f.seek(off)
+            assert f.readline().decode().strip() == line  # offset is exact
+
     ch.send("REMOVE public.other")
     assert ch.poll(dyn) == 1
     assert dyn.subscribed() == []

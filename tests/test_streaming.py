@@ -39,7 +39,7 @@ def test_cdc_stream_apply_incremental(spark, tmp_path):
     stream = read_envelope_stream(spark, src, ENV_SCHEMA)
     q = applier.start(stream, ckpt)
     q.awaitTermination(120)
-    st1 = state_dict(spark.read.parquet(state_dir).select("id", "data"))
+    st1 = state_dict(applier.current_state().select("id", "data"))
     assert st1 == {
         1: "one-again", 2: "two-again", 3: "three-again", 4: "four", 5: "five"
     }
@@ -50,14 +50,14 @@ def test_cdc_stream_apply_incremental(spark, tmp_path):
     stream2 = read_envelope_stream(spark, src, ENV_SCHEMA)
     q2 = applier.start(stream2, ckpt)
     q2.awaitTermination(120)
-    st2 = state_dict(spark.read.parquet(state_dir).select("id", "data"))
+    st2 = state_dict(applier.current_state().select("id", "data"))
     assert st2 == OTHER_EXPECTED
 
     # restart again with NO new data: state must be unchanged (idempotence)
     stream3 = read_envelope_stream(spark, src, ENV_SCHEMA)
     q3 = applier.start(stream3, ckpt)
     q3.awaitTermination(120)
-    st3 = state_dict(spark.read.parquet(state_dir).select("id", "data"))
+    st3 = state_dict(applier.current_state().select("id", "data"))
     assert st3 == OTHER_EXPECTED
 
 
@@ -135,7 +135,7 @@ def test_cdc_applier_rewrites_only_touched_buckets(spark, tmp_path):
     _write_batch(spark, other_wal_events(), src)
     q = applier.start(read_envelope_stream(spark, src, ENV_SCHEMA), ckpt)
     q.awaitTermination(120)
-    st1 = state_dict(spark.read.parquet(state_dir).select("id", "data"))
+    st1 = state_dict(applier.current_state().select("id", "data"))
     assert st1 == OTHER_EXPECTED
 
     before = _parquet_file_hashes(state_dir)
@@ -143,21 +143,21 @@ def test_cdc_applier_rewrites_only_touched_buckets(spark, tmp_path):
     _write_batch(spark, [wal_row(20, "u", before=(1,), after=(1, "one-v4"))], src)
     q2 = applier.start(read_envelope_stream(spark, src, ENV_SCHEMA), ckpt)
     q2.awaitTermination(120)
-    st2 = state_dict(spark.read.parquet(state_dir).select("id", "data"))
+    st2 = state_dict(applier.current_state().select("id", "data"))
     assert st2 == {**OTHER_EXPECTED, 1: "one-v4"}
 
     after = _parquet_file_hashes(state_dir)
     touched_bucket = spark.range(1).select(
         F.pmod(F.xxhash64(F.lit(1).cast("int")), F.lit(n_buckets)).cast("int")
     ).collect()[0][0]
-    prefix = f"creek_bucket={touched_bucket}"
-    untouched_before = {k: v for k, v in before.items() if not k.startswith(prefix)}
-    untouched_after = {k: v for k, v in after.items() if not k.startswith(prefix)}
+    prefix = f"creek_bucket={touched_bucket}{os.sep}"
+    untouched_before = {k: v for k, v in before.items() if prefix not in k}
+    untouched_after = {k: v for k, v in after.items() if prefix not in k}
     assert untouched_before == untouched_after
     assert untouched_before  # sanity: other buckets actually exist
     # the touched bucket was rewritten
-    assert {k: v for k, v in before.items() if k.startswith(prefix)} != {
-        k: v for k, v in after.items() if k.startswith(prefix)
+    assert {k: v for k, v in before.items() if prefix in k} != {
+        k: v for k, v in after.items() if prefix in k
     }
 
 
@@ -178,13 +178,13 @@ def test_cdc_applier_delete_empties_bucket(spark, tmp_path):
     )
     q = applier.start(read_envelope_stream(spark, src, ENV_SCHEMA), ckpt)
     q.awaitTermination(120)
-    assert state_dict(spark.read.parquet(state_dir).select("id", "data")) == {
+    assert state_dict(applier.current_state().select("id", "data")) == {
         1: "one",
         2: "two",
     }
     _write_batch(spark, [wal_row(3, "d", before=(1,))], src)
     q2 = applier.start(read_envelope_stream(spark, src, ENV_SCHEMA), ckpt)
     q2.awaitTermination(120)
-    assert state_dict(spark.read.parquet(state_dir).select("id", "data")) == {
+    assert state_dict(applier.current_state().select("id", "data")) == {
         2: "two"
     }
