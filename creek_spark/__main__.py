@@ -52,10 +52,20 @@ def main(argv: list[str] | None = None, env: dict | None = None) -> int:
         return 0
     # subscriptions gauge + per-batch throughput — the daemon's analog of
     # the reference's Prometheus metrics (internal/metrics/metrics.go)
-    from creek_spark.metrics import StreamMetricsListener
+    from creek_spark.metrics import MetricsServer, StreamMetricsListener
 
     listener = StreamMetricsListener()
     spark.streams.addListener(listener)
+    metrics_server = None
+    if cfg.metrics_port is not None:
+        # the reference serves promhttp on :7779 (cmd/creekd.go:48)
+        metrics_server = MetricsServer(
+            listener,
+            port=cfg.metrics_port,
+            extra=lambda: {"creek_subscriptions": len(dyn.subscribed())},
+        )
+        port = metrics_server.start()
+        print(f"metrics: http://127.0.0.1:{port}/metrics", file=sys.stderr)
     dyn.run_continuous(trigger_seconds=cfg.trigger_seconds)
 
     # signal → flag → graceful stop, the reference's SIGTERM handling
@@ -102,6 +112,8 @@ def main(argv: list[str] | None = None, env: dict | None = None) -> int:
     finally:
         signal.signal(signal.SIGINT, prev_int)
         signal.signal(signal.SIGTERM, prev_term)
+        if metrics_server is not None:
+            metrics_server.stop()
         spark.streams.removeListener(listener)
         if owns_session:
             spark.stop()

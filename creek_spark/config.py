@@ -32,6 +32,9 @@ class Config:
     available_now: bool = False
     shuffle_partitions: int | None = None
     log_level: str = "info"
+    # reference serves promhttp on :7779 (cmd/creekd.go:48); None = off,
+    # 0 = ephemeral (tests)
+    metrics_port: int | None = None
 
     def validate(self) -> None:
         if not self.wal_dir:
@@ -60,6 +63,11 @@ class Config:
                 else None
             ),
             log_level=env.get("CREEK_LOG_LEVEL", "info"),
+            metrics_port=(
+                int(env["CREEK_METRICS_PORT"])
+                if "CREEK_METRICS_PORT" in env
+                else None
+            ),
         )
         args = list(argv or [])
         i = 0
@@ -69,6 +77,7 @@ class Config:
             "--trigger-seconds": "trigger_seconds",
             "--log-level": "log_level",
             "--shuffle-partitions": "shuffle_partitions",
+            "--metrics-port": "metrics_port",
         }
         while i < len(args):
             a = args[i]
@@ -84,7 +93,14 @@ class Config:
                 v = args[i + 1]
                 name = flags[a]
                 cur = getattr(cfg, name)
-                setattr(cfg, name, int(v) if isinstance(cur, int) or name == "shuffle_partitions" else v)
+                setattr(
+                    cfg,
+                    name,
+                    int(v)
+                    if isinstance(cur, int)
+                    or name in ("shuffle_partitions", "metrics_port")
+                    else v,
+                )
                 i += 2
                 continue
             raise ValueError(f"unknown flag {a!r}")

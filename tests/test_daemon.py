@@ -79,3 +79,61 @@ def test_daemon_no_tables_is_error(spark, tmp_path):
         },
     )
     assert rc == 1
+
+
+def test_config_metrics_port():
+    cfg = Config.load(
+        ["--metrics-port", "7779"],
+        env={"CREEK_WAL_DIR": "/w", "CREEK_BASE_DIR": "/b"},
+    )
+    assert cfg.metrics_port == 7779
+    cfg = Config.load(
+        [],
+        env={
+            "CREEK_WAL_DIR": "/w",
+            "CREEK_BASE_DIR": "/b",
+            "CREEK_METRICS_PORT": "0",
+        },
+    )
+    assert cfg.metrics_port == 0
+    assert (
+        Config.load([], env={"CREEK_WAL_DIR": "/w", "CREEK_BASE_DIR": "/b"}).metrics_port
+        is None
+    )
+
+
+def test_metrics_server_prometheus_endpoint():
+    """The /metrics endpoint serves the Prometheus text format the
+    reference exposes on :7779 (internal/metrics/metrics.go:51-66)."""
+    import urllib.error
+    import urllib.request
+    from types import SimpleNamespace
+
+    from creek_spark.metrics import MetricsServer
+
+    fake = SimpleNamespace(
+        snapshot=lambda: {
+            "active_queries": 2,
+            "batches": [
+                {"id": "q1", "batchId": 0, "numInputRows": 10,
+                 "inputRowsPerSecond": 5.0, "processedRowsPerSecond": 20.0},
+                {"id": "q1", "batchId": 1, "numInputRows": 7,
+                 "inputRowsPerSecond": 3.5, "processedRowsPerSecond": 14.0},
+            ],
+        }
+    )
+    srv = MetricsServer(fake, port=0, extra=lambda: {"creek_subscriptions": 3})
+    port = srv.start()
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=10
+        ).read().decode()
+        assert "creek_active_queries 2" in body
+        assert "creek_batches_total 2" in body
+        assert 'creek_input_rows_total{query="q1"} 17' in body
+        assert 'creek_processed_rows_per_second{query="q1"} 14.0' in body
+        assert "creek_subscriptions 3" in body
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=10)
+    finally:
+        srv.stop()
