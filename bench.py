@@ -28,6 +28,20 @@ def main() -> None:
 
     catalog = entry._catalog()
 
+    # Ingest-time layout optimization (sources/layout.py): the driver
+    # parquet has ONE row group per file, capping every scan at one
+    # decoding core.  Mirror into a multi-row-group layout (pure
+    # re-layout, identical rows — correctness paths still read the raw
+    # driver files) and size file splits for the local data/cores.
+    # SPARK_GRAFT_RAW_LAYOUT=1 benches the raw layout instead.
+    layout = "raw"
+    raw_sf_dir = sf_dir
+    if os.environ.get("SPARK_GRAFT_RAW_LAYOUT", "") != "1":
+        from creek_spark.sources.layout import optimize_layout
+
+        sf_dir = optimize_layout(sf_dir)
+        layout = "optimized"
+
     spark = get_spark(app_name="creek_spark_bench")
 
     headline = [q for q in catalog.values() if q.headline]
@@ -150,6 +164,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
         "wall_sec": wall,
+        "layout": layout,
+        "data_dir": raw_sf_dir,
     }
     if regressions:
         out["regressions"] = regressions

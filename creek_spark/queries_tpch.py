@@ -659,3 +659,210 @@ def q21_suppliers_waiting(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk, MIN({REV_SQL}) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    elig AS (
+      SELECT ps.pk, ps.sk, ps.cost, s_acctbal, s_name, n_name
+      FROM ps JOIN supplier ON s_suppkey = sk
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'),
+    best AS (SELECT pk, MIN(cost) AS mincost FROM elig GROUP BY pk)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           CAST(e.cost AS DOUBLE) AS supplycost
+    FROM part JOIN elig e ON p_partkey = e.pk
+              JOIN best b ON b.pk = e.pk AND e.cost = b.mincost
+    WHERE p_size <= 5 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    "tpch",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: min-cost supplier per part within a region (the
+    correlated-MIN subquery).  Supply cost is the minimum discounted
+    price a (part, supplier) pair ever shipped at — lineitem again
+    standing in for partsupp.  The correlated MIN is a per-part window
+    minimum over the region-eligible pairs (one shuffle on partkey);
+    decimal costs make the min and the equality engine-exact.  Dims
+    (supplier/nation/region/filtered part) all broadcast; the final
+    top-100 is TakeOrdered, no global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 5) & (F.col("p_type") == "LARGE")
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(_revenue()).alias("cost"))
+    elig = (
+        ps.join(F.broadcast(s), ps.sk == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("pk", "sk", "cost", "s_acctbal", "s_name", "n_name")
+    )
+    w = Window.partitionBy("pk")
+    best = elig.withColumn("mincost", F.min("cost").over(w)).where(
+        F.col("cost") == F.col("mincost")
+    )
+    return (
+        best.join(F.broadcast(p), best.pk == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("cost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH value_ps AS (
+      SELECT l_partkey AS p_partkey, SUM({REV_SQL}) AS val
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+      GROUP BY l_partkey),
+    total AS (SELECT SUM(val) AS tot FROM value_ps)
+    SELECT p_partkey, CAST(val AS DOUBLE) AS value
+    FROM value_ps, total
+    WHERE val * 1000 > tot
+    """,
+    "tpch",
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value within a supplier-nation group,
+    kept only above a fraction of the GLOBAL total (scalar subquery).
+    The global total is a 1-row broadcast cross join; the threshold
+    compare is `val * 1000 > tot` — integer-scaled decimal, exact in
+    both engines (a decimal-fraction multiply would hit each engine's
+    different precision-inference rules)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_12")
+    )
+    value_ps = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_revenue()).alias("val"))
+    )
+    total = value_ps.agg(F.sum("val").alias("tot"))
+    return (
+        value_ps.crossJoin(F.broadcast(total))
+        .where(F.col("val") * 1000 > F.col("tot"))
+        .select("p_partkey", F.col("val").cast("double").alias("value"))
+    )
+
+
+@register(
+    "q12_late_priority",
+    """
+    SELECT l_linestatus AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+    "tpch",
+)
+def q12_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape: late-shipment priority histogram (l_linestatus
+    stands in for the absent l_shipmode; ship-vs-order lateness for the
+    absent commit/receipt dates).  One fact-fact join shuffled on the
+    order key, conditional aggregation entirely map-side partial."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q20_promo_suppliers",
+    """
+    WITH q_ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    q_p AS (SELECT pk, SUM(q) AS qtot FROM q_ps GROUP BY pk),
+    promo AS (SELECT p_partkey FROM part
+              WHERE p_name LIKE 'red%' OR p_name LIKE 'hot%'),
+    sel AS (SELECT DISTINCT sk FROM q_ps
+            JOIN q_p USING (pk)
+            JOIN promo ON p_partkey = pk
+            WHERE q * 4 > qtot)
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier JOIN sel ON s_suppkey = sk
+                  JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_4', 'NATION_5', 'NATION_6')
+    """,
+    "tpch",
+)
+def q20_promo_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers holding an outsized share of promo
+    parts' volume in a year — the nested IN-subquery chain (partkeys by
+    name → supplier share vs part total → suppliers in nations).  The
+    share test `q * 4 > qtot` is integer-scaled decimal (exact both
+    engines); q_p reuses q_ps so the fact scans once; the qualifying
+    supplier set is a broadcast semi join into supplier."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_4", "NATION_5", "NATION_6")
+    )
+    promo = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%") | F.col("p_name").like("hot%")
+    ).select("p_partkey")
+    q_ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(dec("l_quantity")).alias("q"))
+    q_p = q_ps.groupBy("pk").agg(F.sum("q").alias("qtot"))
+    sel = (
+        q_ps.join(q_p, "pk")
+        .join(F.broadcast(promo), F.col("pk") == F.col("p_partkey"))
+        .where(F.col("q") * 4 > F.col("qtot"))
+        .select("sk")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(sel), s.s_suppkey == F.col("sk"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
