@@ -837,8 +837,10 @@ def q20_promo_suppliers(spark, sf_dir):
     parts' volume in a year — the nested IN-subquery chain (partkeys by
     name → supplier share vs part total → suppliers in nations).  The
     share test `q * 4 > qtot` is integer-scaled decimal (exact both
-    engines); q_p reuses q_ps so the fact scans once; the qualifying
-    supplier set is a broadcast semi join into supplier."""
+    engines); the part total is a window sum over the (part, supp)
+    aggregate, so the fact scans ONCE (a second q_p aggregation would
+    re-scan lineitem — Spark does not CSE across join branches); the
+    qualifying supplier set is a broadcast semi join into supplier."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1997-01-01")
         & (F.col("l_shipdate") < "1998-01-01")
@@ -853,9 +855,8 @@ def q20_promo_suppliers(spark, sf_dir):
     q_ps = li.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).agg(F.sum(dec("l_quantity")).alias("q"))
-    q_p = q_ps.groupBy("pk").agg(F.sum("q").alias("qtot"))
     sel = (
-        q_ps.join(q_p, "pk")
+        q_ps.withColumn("qtot", F.sum("q").over(Window.partitionBy("pk")))
         .join(F.broadcast(promo), F.col("pk") == F.col("p_partkey"))
         .where(F.col("q") * 4 > F.col("qtot"))
         .select("sk")

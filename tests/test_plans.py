@@ -266,3 +266,33 @@ def test_hyperplane_sign_bits_high_dim_plan_stays_small(spark):
     rows = out.collect()
     assert len(rows) == 20
     assert all(r["sig"] is not None and 0 <= r["sig"] < 1 << 16 for r in rows)
+
+
+def test_q2_correlated_min_single_fact_shuffle(spark):
+    """Q2's correlated-MIN: the fact aggregates once on (part, supp),
+    re-shuffles once on part for the window minimum; every dim is
+    broadcast and the top-100 is TakeOrdered — no global sort."""
+    df = _catalog()["q2_min_cost_supplier"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q11_scalar_subquery_broadcast(spark):
+    """Q11's global-total threshold must be a 1-row broadcast cross join
+    (BroadcastNestedLoopJoin), never a shuffled join."""
+    df = _catalog()["q11_important_stock"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q20_semi_join_no_fact_resort(spark):
+    """Q20: qualifying suppliers reach supplier as a broadcast semi
+    join; the share test reuses the (part,supp) aggregate, so lineitem
+    is scanned once."""
+    df = _catalog()["q20_promo_suppliers"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan  # single fact scan
