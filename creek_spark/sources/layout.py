@@ -22,6 +22,15 @@ from __future__ import annotations
 import json
 import os
 
+# cache inside the repo (gitignored) — the sandbox contract reserves
+# paths outside it; override with CREEK_LAYOUT_CACHE
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+DEFAULT_CACHE_ROOT = os.environ.get(
+    "CREEK_LAYOUT_CACHE", os.path.join(_REPO_ROOT, ".layout_cache")
+)
+
 TABLES_DEFAULT = (
     "region",
     "nation",
@@ -42,7 +51,7 @@ MIN_ROWS_PER_GROUP = 8192
 def optimize_layout(
     sf_dir: str,
     *,
-    cache_root: str = "/tmp/creek_spark_layout",
+    cache_root: str = DEFAULT_CACHE_ROOT,
     tables=TABLES_DEFAULT,
     target_groups: int = 32,
 ) -> str:
