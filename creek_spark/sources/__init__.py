@@ -49,7 +49,8 @@ def _nano_ts_columns(path: str) -> list[str]:
                 return []
             target = os.path.join(path, parts[0])
         schema = pq.read_schema(target)
-        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+        # match tz-less AND tz-aware nanos ("timestamp[ns]", "timestamp[ns, tz=UTC]")
+        return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
     except Exception:
         return []
 
