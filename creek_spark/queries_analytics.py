@@ -140,3 +140,65 @@ def agg_percentile_disc(spark, sf_dir):
 
 # (unpivot coverage lives in queries.py `pivot_unpivot`, which round-trips
 # groupBy().pivot() and DataFrame.unpivot in one oracle-checked entry.)
+
+
+# =====================================================================
+# table profiling (ANALYZE-style one-pass column statistics)
+# =====================================================================
+
+_PROFILE_COLS = {
+    "orders": [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ],
+    "events": [
+        ("event_id", "num"),
+        ("ts", "ts"),
+        ("user_id", "num"),
+        ("event_type", "str"),
+        ("value", "num"),
+        ("props", "str"),
+    ],
+}
+
+
+def _profile_oracle() -> str:
+    from creek_spark.operators.profile import profile_oracle_sql
+
+    parts = [
+        f"SELECT '{tbl}' AS tbl, p.* FROM ({profile_oracle_sql(tbl, cols)}) p"
+        for tbl, cols in _PROFILE_COLS.items()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "table_profile",
+    _profile_oracle(),
+    "profiling",
+)
+def table_profile(spark, sf_dir):
+    """ANALYZE-style statistics for every column of two tables — row
+    count, null count, exact distinct cardinality, typed min/max — the
+    first pass any training-data pipeline runs to size partitions and
+    catch skew/quality problems.
+
+    One scan + one aggregation per table (stats for ALL columns come out
+    of a single Aggregate; the unpivot is a stack over the one-row
+    result, not a reshuffle).  Exact COUNT(DISTINCT) over k columns
+    costs a k+1-way Expand before the single shuffle — the documented
+    100 TB knob is profile_columns(approx=True), which switches to
+    HyperLogLog++ and drops the Expand (operators/profile.py)."""
+    from creek_spark.operators.profile import profile_columns
+
+    parts = []
+    for tbl, cols in _PROFILE_COLS.items():
+        prof = profile_columns(
+            _t(spark, sf_dir, tbl), [c for c, _ in cols]
+        ).select(F.lit(tbl).alias("tbl"), "*")
+        parts.append(prof)
+    return parts[0].unionByName(parts[1])
