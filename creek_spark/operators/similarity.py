@@ -464,3 +464,215 @@ def lsh_bucket_topk(
         .where(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos_sim", "rnk")
     )
+
+
+# =====================================================================
+# Product quantization (PQ / ADC) — the memory-compressed ANN path
+# =====================================================================
+
+
+def _exact_sqdist(a, b):
+    """Exact decimal squared-L2 distance between two float arrays, same
+    quantize-then-sum discipline as `_exact_dot` (bit-identical to an
+    ANSI-SQL SUM of the identically-quantized per-dimension terms)."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ).cast("decimal(25,12)"),
+    )
+    return F.aggregate(
+        diffs,
+        F.lit(0).cast("decimal(25,12)"),
+        lambda acc, x: (acc + x).cast("decimal(25,12)"),
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_codes: int = 16,
+) -> DataFrame:
+    """Deterministic PQ codebook packed into ONE broadcastable row.
+
+    The ``n_codes`` corpus vectors with the smallest md5(id) (the same
+    seedless draw as ``ivf_centroids``) become the codewords; every
+    subspace slices its codeword from the same sampled vector, so the
+    whole codebook is one md5-sorted array of (mkey, cid, cvec) structs
+    whose position is the code value.  Real k-means training would drop
+    in here without changing any downstream shape — the index contract
+    is just "an ordered array of codeword vectors"."""
+    cb = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("mkey", F.md5(F.col("cid").cast("string")))
+        .orderBy("mkey", "cid")
+        .limit(n_codes)
+    )
+    return F.broadcast(
+        cb.agg(
+            F.sort_array(F.collect_list(F.struct("mkey", "cid", "cvec"))).alias(
+                "_cb"
+            )
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    side_id: str,
+    side_vec: str,
+    *,
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """Encode each vector as ``m`` sub-quantizer codes with ZERO shuffle.
+
+    The codebook is a 1-row broadcast, so encoding is a pure map-side
+    projection: per subspace, an `aggregate` fold argmin of the exact
+    decimal squared distance to each codeword (strict ``<`` keeps the
+    incumbent → ties break to the smallest code, i.e. ORDER BY dist, t).
+    Output: (side_id, side_vec, codes array<int>, _nrm decimal) — at
+    real scale you persist (id, codes, _nrm): dim×4 bytes compress to
+    m codes + one norm, the whole point of PQ."""
+    sub = dim // m
+    out = df.crossJoin(codebook)
+
+    def sub_slice(col, j):
+        return F.slice(col, j * sub + 1, sub)
+
+    def _dist_fn(j):
+        # closure factory, NOT a `j=j` default arg: PySpark infers the
+        # HOF's arity from the lambda's parameter count, so an extra
+        # bound parameter breaks (or silently misbinds) the transform
+        return lambda c, i: F.struct(
+            _exact_sqdist(
+                sub_slice(F.col(side_vec), j), sub_slice(c["cvec"], j)
+            ).alias("d"),
+            i.alias("t"),
+        )
+
+    code_exprs = []
+    for j in range(m):
+        dists = F.transform(F.col("_cb"), _dist_fn(j))
+        best = F.aggregate(
+            dists,
+            F.struct(
+                F.lit(10**12).cast("decimal(25,12)").alias("d"),
+                F.lit(-1).alias("t"),
+            ),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )
+        code_exprs.append(best["t"])
+    return out.select(
+        F.col(side_id),
+        F.col(side_vec),
+        F.array(*code_exprs).alias("codes"),
+        _exact_dot(F.col(side_vec), F.col(side_vec)).alias("_nrm"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    rerank: int = 0,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: asymmetric-distance scan over codes.
+
+    Search precomputes, per query, an m×n_codes lookup table of exact
+    decimal partial dot products (query subvector · codeword subvector);
+    each corpus candidate then costs m table lookups + m decimal adds —
+    the ADC trick that replaces dim multiplies per pair.  Everything is
+    deterministic (md5 codebook draw, decimal arithmetic, total-order
+    ranks), so the full result is reproducible in an ANSI-SQL oracle.
+
+    ``rerank=r`` keeps the top r ADC candidates per query and re-scores
+    them with the exact decimal cosine before the final top-k — the
+    standard recall-restoring refinement.  At 100 TB the re-rank joins
+    the candidate ids back to the vector store; here the vector column
+    is already co-located so it is a projection, not a join.
+
+    Scale shape: codebook = 1-row broadcast (no corpus shuffle to build
+    or apply the index); queries+LUTs broadcast; the only exchange is
+    the per-query top-k window.  For corpus-partitioned pruning compose
+    with IVF: assign cells with ``ivf_cell_assignment``, then ADC-score
+    only probed cells (IVFADC)."""
+    cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, n_codes=n_codes)
+    enc = pq_encode(
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec")),
+        cb,
+        "n_id",
+        "c_vec",
+        dim=dim,
+        m=m,
+    )
+    sub = dim // m
+    qx = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).crossJoin(cb)
+    def _lut_fn(j):
+        # closure factory (see pq_encode): a `j=j` default arg would be
+        # read as the HOF's index parameter and silently misbind
+        return lambda c: _exact_dot(
+            F.slice(F.col("q_vec"), j * sub + 1, sub),
+            F.slice(c["cvec"], j * sub + 1, sub),
+        )
+
+    luts = [F.transform(F.col("_cb"), _lut_fn(j)) for j in range(m)]
+    qlut = F.broadcast(
+        qx.select(
+            "q_id",
+            "q_vec",
+            _exact_dot(F.col("q_vec"), F.col("q_vec")).alias("_qnrm"),
+            F.array(*luts).alias("_lut"),
+        )
+    )
+    scored = enc.crossJoin(qlut).where(F.col("q_id") != F.col("n_id"))
+    terms = [
+        F.element_at(
+            F.element_at(F.col("_lut"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        for j in range(m)
+    ]
+    adc = terms[0]
+    for t_ in terms[1:]:
+        adc = (adc + t_).cast("decimal(25,12)")
+    scored = scored.withColumn(
+        "adc_sim",
+        adc.cast("double")
+        / (F.sqrt(F.col("_qnrm").cast("double")) * F.sqrt(F.col("_nrm").cast("double"))),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("n_id").asc())
+    if not rerank:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("q_id", "n_id", "adc_sim", "rnk")
+        )
+    cands = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= rerank
+    )
+    rescored = cands.withColumn(
+        "cos_sim",
+        _pair_cos(
+            F.col("q_vec"), F.col("c_vec"), F.col("_qnrm"), F.col("_nrm"), True
+        ),
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )

@@ -388,6 +388,70 @@ def similarity_ivf(spark, sf_dir):
     )
 
 
+ANN_PQ_M = 8
+ANN_PQ_CODES = 16
+
+
+def _pq_oracle(dim: int = ANN_DIM, m: int = ANN_PQ_M, n_codes: int = ANN_PQ_CODES, k: int = 5) -> str:
+    """PQ/ADC oracle: same md5-drawn codebook, same decimal-quantized
+    squared-distance argmin encoding (ties → smallest code ordinal),
+    same decimal LUT partial dot products summed per (query, candidate)."""
+    sub = dim // m
+    return f"""
+WITH {_ANN_EP.lstrip()},
+cb AS (SELECT cid, CAST(row_number() OVER (ORDER BY mkey, cid) - 1 AS INTEGER) AS t FROM (
+         SELECT vec_id AS cid, md5(CAST(vec_id AS VARCHAR)) AS mkey
+         FROM embeddings ORDER BY mkey, cid LIMIT {n_codes}) s),
+cbe AS (SELECT cb.t, ep.d, ep.v, CAST((ep.d - 1) // {sub} AS INTEGER) AS j
+        FROM cb JOIN ep ON ep.vec_id = cb.cid),
+cpe AS (SELECT vec_id AS n_id, d, v, CAST((d - 1) // {sub} AS INTEGER) AS j FROM ep),
+dists AS (SELECT c.n_id, c.j, b.t,
+                 SUM(CAST((c.v - b.v) * (c.v - b.v) AS DECIMAL(25,12))) AS dist
+          FROM cpe c JOIN cbe b ON b.j = c.j AND b.d = c.d
+          GROUP BY c.n_id, c.j, b.t),
+codes AS (SELECT n_id, j, t AS code FROM (
+            SELECT n_id, j, t,
+                   row_number() OVER (PARTITION BY n_id, j ORDER BY dist, t) AS rn
+            FROM dists) r WHERE rn = 1),
+qe AS (SELECT vec_id AS q_id, d, v, CAST((d - 1) // {sub} AS INTEGER) AS j
+       FROM ep WHERE vec_id < 10),
+lut AS (SELECT q.q_id, q.j, b.t, SUM(CAST(q.v * b.v AS DECIMAL(25,12))) AS pdot
+        FROM qe q JOIN cbe b ON b.j = q.j AND b.d = q.d
+        GROUP BY q.q_id, q.j, b.t),
+adc AS (SELECT l.q_id, c.n_id, SUM(l.pdot) AS dot
+        FROM codes c JOIN lut l ON l.j = c.j AND l.t = c.code
+        WHERE l.q_id <> c.n_id
+        GROUP BY l.q_id, c.n_id),
+scored AS (SELECT a.q_id, a.n_id,
+                  CAST(a.dot AS DOUBLE)
+                    / (sqrt(CAST(qn.ns AS DOUBLE)) * sqrt(CAST(cn.ns AS DOUBLE))) AS adc_sim
+           FROM adc a JOIN norms qn ON qn.id = a.q_id
+                      JOIN norms cn ON cn.id = a.n_id)
+SELECT q_id, n_id, adc_sim, rnk FROM (
+  SELECT q_id, n_id, adc_sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, n_id) AS INTEGER) AS rnk
+  FROM scored) r
+WHERE rnk <= {k}
+"""
+
+
+@register("similarity_pq", _pq_oracle(), "similarity")
+def similarity_pq(spark, sf_dir):
+    """Product-quantization ANN (8 sub-quantizers × 16 codes, ADC scan):
+    the memory-compressed scale path — each candidate costs m table
+    lookups instead of dim multiplies, and the stored index is m codes +
+    one norm per vector.  Decimal-exact end to end (md5 codebook draw,
+    quantized sq-distance argmin encoding, LUT partial dot products), so
+    codes, scores and ranks match the generated DuckDB oracle bit for
+    bit.  Recall floors pytest-gated in tests/test_similarity.py; the
+    rerank refinement is covered there too."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.pq_topk(
+        emb, queries, dim=ANN_DIM, m=ANN_PQ_M, n_codes=ANN_PQ_CODES, k=5
+    )
+
+
 # =====================================================================
 # text analysis
 # =====================================================================

@@ -296,3 +296,18 @@ def test_q20_semi_join_no_fact_resort(spark):
     plan = explain_str(df)
     assert "LeftSemi" in plan, plan
     assert plan.count("lineitem.parquet") == 1, plan  # single fact scan
+
+
+def test_pq_single_window_exchange_no_corpus_shuffle(spark):
+    """PQ encode + ADC scoring must be pure map-side work over the corpus:
+    the codebook and the query LUTs are 1-row/`|Q|`-row broadcasts, so the
+    only shuffle exchange in the whole plan is the final per-query top-k
+    window (with its WindowGroupLimit partial top-k).  A plan that
+    shuffles the corpus to build or apply the index does not survive
+    100 TB."""
+    df = _catalog()["similarity_pq"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Generate" not in plan, plan  # no explode of dims or codes
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("+- Exchange") == 1, plan
+    assert "BroadcastExchange" in plan, plan

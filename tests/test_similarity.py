@@ -66,3 +66,50 @@ def test_exact_and_fast_paths_agree(spark):
     exact = _topk_sets(sim.cosine_topk(emb, queries, k=5))
     fast = _topk_sets(sim.cosine_topk_fast(emb, queries, k=5))
     assert exact == fast
+
+
+def test_pq_recall_and_rerank(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = _topk_sets(sim.cosine_topk_fast(emb, queries, k=5))
+    adc = _topk_sets(sim.pq_topk(emb, queries, dim=64, m=8, n_codes=16, k=5))
+    # a 16-codeword sampled codebook quantizes the near-uniform synthetic
+    # embeddings hard (top-5 sits at cos ≈ 0.3-0.45 — the worst case for
+    # any quantizer, same story as the LSH floor above), so the gate is
+    # "clearly above random": ≥ 5× a random pick of 5 of N (~1%)
+    r_adc = _recall(adc, exact)
+    assert r_adc >= 0.05
+    # exact re-ranking of the top-25 ADC candidates must not hurt recall
+    rr = _topk_sets(
+        sim.pq_topk(emb, queries, dim=64, m=8, n_codes=16, k=5, rerank=25)
+    )
+    assert _recall(rr, exact) >= r_adc
+
+
+def test_pq_all_queries_answered(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = sim.pq_topk(emb, queries, k=5)
+    per_q = {}
+    for r in out.collect():
+        per_q.setdefault(r["q_id"], []).append(r["rnk"])
+    assert len(per_q) == queries.count()
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_pq_codes_shape(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cb = sim.pq_codebook(emb, n_codes=16)
+    enc = sim.pq_encode(
+        emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("c_vec")),
+        cb, "n_id", "c_vec", dim=64, m=8,
+    )
+    row = enc.select("codes").first()
+    assert len(row["codes"]) == 8
+    stats = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.count_distinct(F.col("codes").cast("string")).alias("nsig"),
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] <= 15
+    assert stats["nsig"] > 1  # quantizer actually separates vectors
