@@ -311,3 +311,42 @@ def test_pq_single_window_exchange_no_corpus_shuffle(spark):
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("+- Exchange") == 1, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """When a selective dim filter feeds a SHUFFLE join (the 100 TB case
+    where the dim side outgrows the broadcast threshold), Catalyst must
+    inject a runtime Bloom filter (`might_contain`) on the fact side so
+    the shuffle carries only candidate rows.  Verifies the engine's
+    session defaults leave spark.sql.optimizer.runtime.bloomFilter
+    active — the knob that replaces hand-built semi-join reductions."""
+    conf = spark.conf
+    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_scan = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # local test parquet is tiny; drop the scan-size floor so the
+        # optimizer considers it (at real scale the default 10GB applies)
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        li = read_table(spark, SF_DIR, "lineitem")
+        o = read_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = explain_str(j)
+        assert "might_contain" in plan, plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_scan,
+        )
