@@ -529,6 +529,7 @@ def pq_encode(
     *,
     dim: int = 64,
     m: int = 8,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as ``m`` sub-quantizer codes with ZERO shuffle.
 
@@ -536,9 +537,10 @@ def pq_encode(
     projection: per subspace, an `aggregate` fold argmin of the exact
     decimal squared distance to each codeword (strict ``<`` keeps the
     incumbent → ties break to the smallest code, i.e. ORDER BY dist, t).
-    Output: (side_id, side_vec, codes array<int>, _nrm decimal) — at
-    real scale you persist (id, codes, _nrm): dim×4 bytes compress to
-    m codes + one norm, the whole point of PQ."""
+    Output: (side_id, side_vec, *keep, codes array<int>, _nrm decimal) —
+    at real scale you persist (id, codes, _nrm): dim×4 bytes compress to
+    m codes + one norm, the whole point of PQ.  ``keep`` passes extra
+    input columns through (e.g. an IVF cell_id for IVFADC)."""
     sub = dim // m
     out = df.crossJoin(codebook)
 
@@ -571,8 +573,52 @@ def pq_encode(
     return out.select(
         F.col(side_id),
         F.col(side_vec),
+        *[F.col(c) for c in keep],
         F.array(*code_exprs).alias("codes"),
         _exact_dot(F.col(side_vec), F.col(side_vec)).alias("_nrm"),
+    )
+
+
+def _pq_query_lut(queries: DataFrame, codebook: DataFrame, dim: int, m: int) -> DataFrame:
+    """(q_id, q_vec, _qnrm, _lut): per-query ADC lookup table — the
+    m×n_codes exact decimal partial dot products against the codebook.
+    Input must already project (q_id, q_vec)."""
+    sub = dim // m
+    qx = queries.crossJoin(codebook)
+
+    def _lut_fn(j):
+        # closure factory (see pq_encode): a `j=j` default arg would be
+        # read as the HOF's index parameter and silently misbind
+        return lambda c: _exact_dot(
+            F.slice(F.col("q_vec"), j * sub + 1, sub),
+            F.slice(c["cvec"], j * sub + 1, sub),
+        )
+
+    luts = [F.transform(F.col("_cb"), _lut_fn(j)) for j in range(m)]
+    return qx.select(
+        "q_id",
+        "q_vec",
+        _exact_dot(F.col("q_vec"), F.col("q_vec")).alias("_qnrm"),
+        F.array(*luts).alias("_lut"),
+    )
+
+
+def _adc_sim_col(m: int):
+    """ADC cosine estimate from a row's `_lut`/`codes`/`_qnrm`/`_nrm`:
+    m decimal lookup-adds, then one double division — the per-candidate
+    cost that replaces dim multiplies."""
+    terms = [
+        F.element_at(
+            F.element_at(F.col("_lut"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        for j in range(m)
+    ]
+    adc = terms[0]
+    for t_ in terms[1:]:
+        adc = (adc + t_).cast("decimal(25,12)")
+    return adc.cast("double") / (
+        F.sqrt(F.col("_qnrm").cast("double")) * F.sqrt(F.col("_nrm").cast("double"))
     )
 
 
@@ -617,42 +663,18 @@ def pq_topk(
         dim=dim,
         m=m,
     )
-    sub = dim // m
-    qx = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    ).crossJoin(cb)
-    def _lut_fn(j):
-        # closure factory (see pq_encode): a `j=j` default arg would be
-        # read as the HOF's index parameter and silently misbind
-        return lambda c: _exact_dot(
-            F.slice(F.col("q_vec"), j * sub + 1, sub),
-            F.slice(c["cvec"], j * sub + 1, sub),
-        )
-
-    luts = [F.transform(F.col("_cb"), _lut_fn(j)) for j in range(m)]
     qlut = F.broadcast(
-        qx.select(
-            "q_id",
-            "q_vec",
-            _exact_dot(F.col("q_vec"), F.col("q_vec")).alias("_qnrm"),
-            F.array(*luts).alias("_lut"),
+        _pq_query_lut(
+            queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+            cb,
+            dim,
+            m,
         )
     )
-    scored = enc.crossJoin(qlut).where(F.col("q_id") != F.col("n_id"))
-    terms = [
-        F.element_at(
-            F.element_at(F.col("_lut"), j + 1),
-            F.element_at(F.col("codes"), j + 1) + 1,
-        )
-        for j in range(m)
-    ]
-    adc = terms[0]
-    for t_ in terms[1:]:
-        adc = (adc + t_).cast("decimal(25,12)")
-    scored = scored.withColumn(
-        "adc_sim",
-        adc.cast("double")
-        / (F.sqrt(F.col("_qnrm").cast("double")) * F.sqrt(F.col("_nrm").cast("double"))),
+    scored = (
+        enc.crossJoin(qlut)
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("adc_sim", _adc_sim_col(m))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("n_id").asc())
     if not rerank:
@@ -675,4 +697,78 @@ def pq_topk(
         rescored.withColumn("rnk", F.row_number().over(w2))
         .where(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos_sim", "rnk")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """IVFADC: IVF cell pruning composed with PQ/ADC scoring — the
+    canonical billion-scale ANN layout (coarse quantizer prunes the
+    candidate set to nprobe/n_cells of the corpus, product codes make
+    each surviving candidate cost m lookups).
+
+    Everything runs the decimal-exact discipline (cell assignment, probe
+    ranking, codes, LUTs), so the full result — which cells, which
+    candidates, which ranks — is reproducible in the generated ANSI-SQL
+    oracle, exactly like the standalone IVF and PQ paths it composes.
+
+    Scale shape: centroids AND codebook are 1-row broadcasts; assignment
+    and encoding are a single map-side projection over the corpus (zero
+    index shuffle); the probe join shuffles on cell_id only; final top-k
+    is the one per-query window.  At real scale, persist the encoded
+    corpus (id, cell_id, codes, _nrm) partitioned by cell_id: searches
+    then scan only probed partitions — partition pruning on cells."""
+    cents = ivf_centroids(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
+    cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, n_codes=n_codes)
+
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
+    cells = ivf_cell_assignment(c, cents, "n_id", "c_vec", exact=True).select(
+        "n_id", "c_vec", "cell_id"
+    )
+    enc = pq_encode(cells, cb, "n_id", "c_vec", dim=dim, m=m, keep=("cell_id",))
+
+    # query side: LUTs + probe list in one projection over two 1-row
+    # broadcasts (codebook, centroids) — same map-side probe selection as
+    # ivf_topk (sorted-array slice, no window)
+    qlut = _pq_query_lut(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        cb,
+        dim,
+        m,
+    )
+    qx = qlut.crossJoin(cents)
+    scored_arr = F.transform(
+        _cent_sims("q_vec", F.col("_qnrm"), True),
+        lambda x, i: F.struct(
+            x["s"].alias("s"), (-i).alias("negi"), x["cid"].alias("cid")
+        ),
+    )
+    top_cells = F.slice(F.sort_array(scored_arr, asc=False), 1, nprobe)
+    probes = F.broadcast(
+        qx.select(
+            "q_id", "_qnrm", "_lut", F.explode(top_cells).alias("_probe")
+        ).select("q_id", "_qnrm", "_lut", F.col("_probe.cid").alias("cell_id"))
+    )
+
+    scored = (
+        enc.join(probes, "cell_id")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("adc_sim", _adc_sim_col(m))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "adc_sim", "rnk")
     )

@@ -435,6 +435,104 @@ WHERE rnk <= {k}
 """
 
 
+def _ivfpq_oracle(
+    dim: int = ANN_DIM,
+    m: int = ANN_PQ_M,
+    n_codes: int = ANN_PQ_CODES,
+    n_cells: int = ANN_CELLS,
+    nprobe: int = ANN_NPROBE,
+    k: int = 5,
+) -> str:
+    """IVFADC oracle: the IVF cell/probe CTEs (verbatim from
+    `_ivf_oracle`, both already driver-proven) restrict the PQ ADC sum
+    (verbatim from `_pq_oracle`) to probed-cell candidate pairs."""
+    sub = dim // m
+    return f"""
+WITH {_ANN_EP.lstrip()},
+cents AS (SELECT vec_id AS cent_id,
+                 CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS cent_ord
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {n_cells}),
+cd AS (SELECT a.vec_id AS id, ce.cent_id, ce.cent_ord,
+              SUM(CAST(a.v * b.v AS DECIMAL(25,12))) AS dot
+       FROM ep a
+       JOIN cents ce ON TRUE
+       JOIN ep b ON b.vec_id = ce.cent_id AND b.d = a.d
+       GROUP BY a.vec_id, ce.cent_id, ce.cent_ord),
+cent_sims AS (SELECT cd.id, cd.cent_id, cd.cent_ord,
+                     CAST(cd.dot AS DOUBLE)
+                       / (sqrt(CAST(n1.ns AS DOUBLE)) * sqrt(CAST(n2.ns AS DOUBLE))) AS sim
+              FROM cd JOIN norms n1 ON n1.id = cd.id
+                      JOIN norms n2 ON n2.id = cd.cent_id),
+cells AS (SELECT id AS n_id, cent_id AS cell_id FROM (
+            SELECT id, cent_id,
+                   row_number() OVER (PARTITION BY id ORDER BY sim DESC, cent_ord) AS r
+            FROM cent_sims) t WHERE r = 1),
+probes AS (SELECT id AS q_id, cent_id AS cell_id FROM (
+            SELECT id, cent_id,
+                   row_number() OVER (PARTITION BY id ORDER BY sim DESC, cent_ord) AS r
+            FROM cent_sims WHERE id < 10) t WHERE r <= {nprobe}),
+pairs AS (SELECT p.q_id, c.n_id
+          FROM probes p JOIN cells c ON c.cell_id = p.cell_id
+          WHERE p.q_id <> c.n_id),
+cb AS (SELECT cid, CAST(row_number() OVER (ORDER BY mkey, cid) - 1 AS INTEGER) AS t FROM (
+         SELECT vec_id AS cid, md5(CAST(vec_id AS VARCHAR)) AS mkey
+         FROM embeddings ORDER BY mkey, cid LIMIT {n_codes}) s),
+cbe AS (SELECT cb.t, ep.d, ep.v, CAST((ep.d - 1) // {sub} AS INTEGER) AS j
+        FROM cb JOIN ep ON ep.vec_id = cb.cid),
+cpe AS (SELECT vec_id AS n_id, d, v, CAST((d - 1) // {sub} AS INTEGER) AS j FROM ep),
+dists AS (SELECT c.n_id, c.j, b.t,
+                 SUM(CAST((c.v - b.v) * (c.v - b.v) AS DECIMAL(25,12))) AS dist
+          FROM cpe c JOIN cbe b ON b.j = c.j AND b.d = c.d
+          GROUP BY c.n_id, c.j, b.t),
+codes AS (SELECT n_id, j, t AS code FROM (
+            SELECT n_id, j, t,
+                   row_number() OVER (PARTITION BY n_id, j ORDER BY dist, t) AS rn
+            FROM dists) r WHERE rn = 1),
+qe AS (SELECT vec_id AS q_id, d, v, CAST((d - 1) // {sub} AS INTEGER) AS j
+       FROM ep WHERE vec_id < 10),
+lut AS (SELECT q.q_id, q.j, b.t, SUM(CAST(q.v * b.v AS DECIMAL(25,12))) AS pdot
+        FROM qe q JOIN cbe b ON b.j = q.j AND b.d = q.d
+        GROUP BY q.q_id, q.j, b.t),
+adc AS (SELECT p.q_id, p.n_id, SUM(l.pdot) AS dot
+        FROM pairs p
+        JOIN codes c ON c.n_id = p.n_id
+        JOIN lut l ON l.q_id = p.q_id AND l.j = c.j AND l.t = c.code
+        GROUP BY p.q_id, p.n_id),
+scored AS (SELECT a.q_id, a.n_id,
+                  CAST(a.dot AS DOUBLE)
+                    / (sqrt(CAST(qn.ns AS DOUBLE)) * sqrt(CAST(cn.ns AS DOUBLE))) AS adc_sim
+           FROM adc a JOIN norms qn ON qn.id = a.q_id
+                      JOIN norms cn ON cn.id = a.n_id)
+SELECT q_id, n_id, adc_sim, rnk FROM (
+  SELECT q_id, n_id, adc_sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, n_id) AS INTEGER) AS rnk
+  FROM scored) r
+WHERE rnk <= {k}
+"""
+
+
+@register("similarity_ivfpq", _ivfpq_oracle(), "similarity")
+def similarity_ivfpq(spark, sf_dir):
+    """IVFADC: IVF cell pruning (probe 3 of 16 cells) composed with
+    PQ/ADC scoring (8×16 codes) — the canonical billion-scale ANN
+    layout, decimal-exact end to end so cells, probes, codes, scores
+    and ranks all match the assembled DuckDB oracle bit for bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.ivfpq_topk(
+        emb,
+        queries,
+        dim=ANN_DIM,
+        m=ANN_PQ_M,
+        n_codes=ANN_PQ_CODES,
+        n_cells=ANN_CELLS,
+        nprobe=ANN_NPROBE,
+        k=5,
+    )
+
+
 @register("similarity_pq", _pq_oracle(), "similarity")
 def similarity_pq(spark, sf_dir):
     """Product-quantization ANN (8 sub-quantizers × 16 codes, ADC scan):

@@ -350,3 +350,17 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_scan,
         )
+
+
+def test_ivfpq_single_window_exchange(spark):
+    """IVFADC must keep both index structures broadcast: centroid
+    assignment + PQ encoding are one map-side projection over the
+    corpus, the probe join broadcasts the query side, and the only
+    shuffle exchange is the final per-query top-k window.  (The Generate
+    in the plan is the nprobe explode on the |Q|-row query side, not a
+    corpus explode.)"""
+    df = _catalog()["similarity_ivfpq"].fn(spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastExchange" in plan, plan

@@ -113,3 +113,27 @@ def test_pq_codes_shape(spark):
     ).first()
     assert stats["lo"] >= 0 and stats["hi"] <= 15
     assert stats["nsig"] > 1  # quantizer actually separates vectors
+
+
+def test_ivfpq_recall_between_parts(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = _topk_sets(sim.cosine_topk_fast(emb, queries, k=5))
+    out = sim.ivfpq_topk(emb, queries, k=5)
+    comp = _topk_sets(out)
+    # composition stacks two approximations (cell pruning × code
+    # quantization); it must still answer every query and clearly beat
+    # the random floor (~1%)
+    assert len(comp) == queries.count()
+    assert _recall(comp, exact) >= 0.04
+    # every IVFADC hit must come from a probed cell: candidates are a
+    # subset of the standalone-PQ ranking restricted to probed cells, so
+    # scores agree with pure ADC where both rank the same pair
+    adc = {
+        (r["q_id"], r["n_id"]): r["adc_sim"]
+        for r in sim.pq_topk(emb, queries, k=500).collect()
+    }
+    for r in out.collect():
+        key = (r["q_id"], r["n_id"])
+        if key in adc:
+            assert abs(adc[key] - r["adc_sim"]) < 1e-12
