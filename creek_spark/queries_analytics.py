@@ -202,3 +202,92 @@ def table_profile(spark, sf_dir):
         ).select(F.lit(tbl).alias("tbl"), "*")
         parts.append(prof)
     return parts[0].unionByName(parts[1])
+
+
+# =====================================================================
+# skew mitigation (driver-verified row for operators/skew.py)
+# =====================================================================
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "skew",
+)
+def skew_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation over the biggest table grouped by a
+    3-value key — the exact shape where one hot key overwhelms a single
+    reducer at 100 TB.  Phase 1 groups by (key, pmod(xxhash64(id), 16))
+    so each key spreads over 16 reducers; phase 2 merges ≤ |keys|×16
+    partial rows.  The salt is deterministic (no rand()), and the sums
+    ride the decimal sandwich, so the salted result is bit-identical to
+    the oracle's plain GROUP BY — proving the rewrite is lossless."""
+    from creek_spark.operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        dec("l_quantity").alias("_qty_dec"),
+        "l_extendedprice",
+        "l_orderkey",
+    )
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        [
+            ("_qty_dec", "sum", "_sum_qty_dec"),
+            ("l_extendedprice", "count", "n_rows"),
+            ("l_extendedprice", "min", "min_price"),
+            ("l_extendedprice", "max", "max_price"),
+        ],
+        salt_col="l_orderkey",
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("_sum_qty_dec").cast("double").alias("sum_qty"),
+        "n_rows",
+        "min_price",
+        "max_price",
+    )
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "skew",
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted shuffle join: the big (fact) side derives a deterministic
+    16-way salt from its own row id and the build side is replicated
+    once per salt, so a hot join key spreads over 16 reducers instead
+    of serializing on one — the explicit fallback when the build side
+    exceeds the broadcast threshold and AQE's skew splitting can't help
+    (e.g. a single monster key inside one shuffle block).  Result is
+    provably identical to the plain join (the oracle)."""
+    from creek_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", dec("l_quantity").alias("_qty_dec")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey", salt_col="l_orderkey", n_salts=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("_qty_dec").cast("double").alias("sum_qty"),
+    )
