@@ -189,3 +189,55 @@ def split_assign(
     # the largest fraction
     biggest = max(names, key=lambda n: fractions[n])
     return df.withColumn("split", expr.otherwise(F.lit(biggest)))
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    min_coverage: float = 0.2,
+) -> DataFrame:
+    """Benchmark-contamination detection: which corpus documents contain
+    a meaningful fraction of an evaluation document's k-gram shingles.
+
+    The standard pre-training hygiene pass — eval answers leaking into
+    the training set inflate scores silently, so every corpus refresh
+    runs exactly this check against the held-out suites.
+
+    Output: (doc, bench_doc, n_overlap bigint, coverage double) with
+    coverage = |corpus∩bench shingles| / |bench shingles| ≥
+    ``min_coverage`` and self-pairs excluded.
+
+    Scale shape: the corpus side is ONE scan + shingle explode (no
+    self-join — unlike near-dup detection the pair space is
+    corpus×bench, and bench is small by construction); the bench shingle
+    set and its per-document sizes are broadcast, so the only shuffle is
+    the per-(doc, bench_doc) count aggregation, bounded by actual
+    shingle matches."""
+    from creek_spark.operators.dedup import shingle_rows
+
+    c_sh = shingle_rows(corpus, text_col, id_col, k)
+    b_sh = shingle_rows(bench, text_col, id_col, k)
+    b_sizes = b_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("_bsz"))
+    b = F.broadcast(b_sh.select(F.col("doc").alias("bench_doc"), "shingle"))
+    inter = (
+        c_sh.join(b, "shingle")
+        .where(F.col("doc") != F.col("bench_doc"))
+        .groupBy("doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        inter.join(
+            F.broadcast(b_sizes.select(F.col("doc").alias("bench_doc"), "_bsz")),
+            "bench_doc",
+        )
+        .withColumn(
+            "coverage",
+            F.col("n_overlap").cast("double") / F.col("_bsz").cast("double"),
+        )
+        .where(F.col("coverage") >= F.lit(min_coverage))
+        .select("doc", "bench_doc", "n_overlap", "coverage")
+    )

@@ -812,3 +812,41 @@ def training_pipeline(spark, sf_dir):
         "pack_id",
         "pack_offset",
     )
+
+
+CONTAM_K = 5
+CONTAM_BENCH_MAX = 20
+CONTAM_MIN_COVERAGE = 0.2
+
+
+def _contamination_oracle() -> str:
+    """Same shingle CTE as the dedup oracles; bench side = doc_id <
+    CONTAM_BENCH_MAX, coverage = overlap / bench shingle count."""
+    return f"""
+    WITH {_sql_shingles(CONTAM_K)},
+    bsz AS (SELECT doc AS bench_doc, CAST(COUNT(*) AS BIGINT) AS bsz
+            FROM sh WHERE doc < {CONTAM_BENCH_MAX} GROUP BY doc),
+    inter AS (SELECT c.doc, b.doc AS bench_doc, CAST(COUNT(*) AS BIGINT) AS n_overlap
+              FROM sh c JOIN sh b ON b.shingle = c.shingle
+              WHERE b.doc < {CONTAM_BENCH_MAX} AND c.doc <> b.doc
+              GROUP BY c.doc, b.doc)
+    SELECT i.doc, i.bench_doc, i.n_overlap,
+           CAST(i.n_overlap AS DOUBLE) / CAST(z.bsz AS DOUBLE) AS coverage
+    FROM inter i JOIN bsz z USING (bench_doc)
+    WHERE CAST(i.n_overlap AS DOUBLE) / CAST(z.bsz AS DOUBLE) >= {CONTAM_MIN_COVERAGE}
+    """
+
+
+@register("contamination_check", _contamination_oracle(), "pipeline")
+def contamination_check(spark, sf_dir):
+    """Eval-set contamination scan: corpus documents covering ≥ 20% of a
+    benchmark document's 5-gram shingles (bench = doc_id < 20 as the
+    stand-in eval suite).  One corpus scan, bench shingles broadcast, no
+    self-join — the pair space is corpus×bench, not corpus²."""
+    from creek_spark.operators.pipeline import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < CONTAM_BENCH_MAX)
+    return contamination_overlap(
+        docs, bench, "text", "doc_id", k=CONTAM_K, min_coverage=CONTAM_MIN_COVERAGE
+    )
