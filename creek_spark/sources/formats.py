@@ -1,5 +1,5 @@
 """File-format connectors: uniform batch read/write over the formats the
-engine supports (parquet, orc, csv, json, text, avro-when-loaded).
+engine supports (parquet, orc, csv, json, text, xml, avro-when-loaded).
 
 The reference's only serialization is Avro single-object encoding on the
 wire (internal/mq/wal.go:52-58) and JSON headers (internal/mq/
@@ -30,7 +30,7 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-BATCH_FORMATS = ("parquet", "orc", "csv", "json", "text", "avro")
+BATCH_FORMATS = ("parquet", "orc", "csv", "json", "text", "xml", "avro")
 
 _AVRO_CLASS = "org.apache.spark.sql.avro.AvroFileFormat"
 
@@ -74,7 +74,8 @@ def read_files(
 ) -> DataFrame:
     """Batch-read ``path`` in ``fmt``.
 
-    csv defaults: header=true.  For csv/json pass ``schema`` in
+    csv defaults: header=true; xml defaults: rowTag=row (Spark 4's
+    built-in XML source).  For csv/json/xml pass ``schema`` in
     production — inference costs one full extra scan of the input.
 
     avro without the connector jar routes to the from-spec container
@@ -87,6 +88,8 @@ def read_files(
     reader = spark.read
     if fmt == "csv" and "header" not in options:
         options["header"] = "true"
+    if fmt == "xml" and "rowTag" not in options:
+        options["rowTag"] = "row"
     if schema is not None:
         reader = reader.schema(schema)
     return reader.options(**options).format(fmt).load(path)
@@ -122,6 +125,8 @@ def write_files(
     writer = df.write.mode(mode)
     if fmt == "csv" and "header" not in options:
         options["header"] = "true"
+    if fmt == "xml" and "rowTag" not in options:
+        options["rowTag"] = "row"
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).format(fmt).save(path)

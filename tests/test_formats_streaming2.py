@@ -26,7 +26,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json", "avro"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json", "xml", "avro"])
 def test_format_roundtrip(spark, tmp_path, fmt):
     if fmt == "avro" and not is_avro_available():
         pytest.skip("avro classes not on classpath")
@@ -67,8 +67,10 @@ def test_avro_resolution(spark, tmp_path):
 
 def test_bad_format_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported format"):
-        write_files(read_table(spark, SF_DIR, "nation"), str(tmp_path / "x"), "xml")
-    assert "avro" in BATCH_FORMATS
+        write_files(
+            read_table(spark, SF_DIR, "nation"), str(tmp_path / "x"), "sequencefile"
+        )
+    assert "avro" in BATCH_FORMATS and "xml" in BATCH_FORMATS
 
 
 def _write_batch(spark, rows, path):
