@@ -170,3 +170,33 @@ class Engine:
         from creek_spark.operators.sketches import merge_rollups
 
         return merge_rollups(fine, bucket)
+
+    # --------------------------------------------- profiling / ANN / hygiene
+
+    def profile(self, df, columns=None, *, approx: bool = False) -> DataFrame:
+        """ANALYZE-style per-column stats in one pass; approx=True is the
+        HLL++ petabyte path (operators/profile.py)."""
+        from creek_spark.operators.profile import profile_columns
+
+        return profile_columns(df, columns, approx=approx)
+
+    def ann_topk(self, corpus, queries, *, method: str = "ivfpq", **kw) -> DataFrame:
+        """Approximate nearest neighbors: method in lsh | ivf | pq | ivfpq
+        (operators/similarity.py; exact path is similarity_topk)."""
+        from creek_spark.operators import similarity as sim
+
+        fns = {
+            "lsh": sim.lsh_bucket_topk,
+            "ivf": sim.ivf_topk,
+            "pq": sim.pq_topk,
+            "ivfpq": sim.ivfpq_topk,
+        }
+        if method not in fns:
+            raise ValueError(f"method must be one of {sorted(fns)}")
+        return fns[method](corpus, queries, **kw)
+
+    def contamination(self, corpus, bench, text_col: str, id_col: str, **kw) -> DataFrame:
+        """Eval-set contamination scan (operators/pipeline.py)."""
+        from creek_spark.operators.pipeline import contamination_overlap
+
+        return contamination_overlap(corpus, bench, text_col, id_col, **kw)
