@@ -359,3 +359,54 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return out
+
+
+def repeated_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Passage-level exact dedup: token windows repeated across documents.
+
+    Doc-level dedup misses boilerplate — headers, licenses, templated
+    paragraphs — that repeats inside otherwise-distinct documents and
+    trains models to memorize it.  This finds every aligned ``window``-
+    token chunk occurring in ≥ ``min_docs`` distinct documents.
+
+    Output: (passage_md5, n_docs, n_occurrences, first_doc) — first_doc
+    is the smallest doc id containing the passage (the deterministic
+    "keep" representative; scrubbing drops the chunk everywhere else).
+
+    Scale shape: one scan + one explode (≈ tokens/window rows per doc,
+    i.e. FEWER rows than the input tokens — cheaper than shingling),
+    then a single hash-agg on the passage digest whose key space is
+    uniform md5 — skew-free at any corpus size."""
+    toked = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("_toks"))
+    n_chunks = (F.size(F.col("_toks")) / window).cast("int")
+    # guard: F.sequence(0, -1) DESCENDS in Spark; short docs get no chunks
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = toked.select(
+        "doc",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_toks"), i * window + 1, window)
+                ),
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy(F.md5(F.col("chunk")).alias("passage_md5"))
+        .agg(
+            F.count_distinct(F.col("doc")).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

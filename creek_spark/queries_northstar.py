@@ -850,3 +850,36 @@ def contamination_check(spark, sf_dir):
     return contamination_overlap(
         docs, bench, "text", "doc_id", k=CONTAM_K, min_coverage=CONTAM_MIN_COVERAGE
     )
+
+
+PASSAGE_WINDOW = 10
+PASSAGE_MIN_DOCS = 2
+
+
+def _passages_oracle() -> str:
+    """Same token CTE as the shingle oracles; aligned 10-token chunks,
+    md5 digest, grouped across the corpus."""
+    w = PASSAGE_WINDOW
+    return f"""
+    WITH toks AS (SELECT doc_id AS doc, {_TOKS} AS t FROM documents),
+    ch AS (SELECT doc, array_to_string(t[i*{w}+1 : i*{w}+{w}], ' ') AS chunk
+           FROM toks, unnest(generate_series(0, len(t) // {w} - 1)) AS g(i))
+    SELECT md5(chunk) AS passage_md5,
+           CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(doc) AS BIGINT) AS first_doc
+    FROM ch GROUP BY md5(chunk)
+    HAVING COUNT(DISTINCT doc) >= {PASSAGE_MIN_DOCS}
+    """
+
+
+@register("dedup_passages", _passages_oracle(), "dedup")
+def dedup_passages(spark, sf_dir):
+    """Passage-level exact dedup: aligned 10-token chunks repeated across
+    ≥2 documents — the boilerplate/template leak doc-level dedup misses.
+    One scan + one explode (fewer rows than the token stream) + one
+    hash-agg on the uniform md5 digest; skew-free at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.repeated_passages(
+        docs, "text", "doc_id", window=PASSAGE_WINDOW, min_docs=PASSAGE_MIN_DOCS
+    )
