@@ -78,12 +78,19 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def text_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def text_metrics(
+    df: DataFrame, text_col: str, id_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """token_stats + quality_scores in a single projection (one scan, no
-    join): (id, n_tokens, n_bpe_tokens, n_chars_norm, n_chars_raw,
-    punct_ratio, stopword_ratio, mean_token_len, quality_score)."""
+    join): (id, *keep, n_tokens, n_bpe_tokens, n_chars_norm, n_chars_raw,
+    punct_ratio, stopword_ratio, mean_token_len, quality_score).
+    ``keep`` passes extra input columns through so downstream grouping
+    (e.g. per-source corpus reports) stays single-scan."""
     base = df.select(
-        F.col(id_col), F.col(text_col).alias("_txt"), tokens(text_col).alias("_toks")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.col(text_col).alias("_txt"),
+        tokens(text_col).alias("_toks"),
     )
     toks = F.col("_toks")
     n_tok = F.size(toks)
@@ -104,6 +111,7 @@ def text_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     return base.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_tok.alias("n_tokens"),
         F.regexp_count(F.col("_txt"), F.lit(BPE_REGEX)).cast("int").alias(
             "n_bpe_tokens"

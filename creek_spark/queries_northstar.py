@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from creek_spark.operators import dedup as dd
 from creek_spark.operators import similarity as sim
 from creek_spark.operators import text as tx
-from creek_spark.queries import _t, register
+from creek_spark.queries import QUERIES, _t, register
 from creek_spark.queries_ext import SQL_NORM, SQL_TOKENS
 
 _NORM = SQL_NORM.format(c="text")
@@ -882,4 +882,44 @@ def dedup_passages(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dd.repeated_passages(
         docs, "text", "doc_id", window=PASSAGE_WINDOW, min_docs=PASSAGE_MIN_DOCS
+    )
+
+
+def _corpus_report_oracle() -> str:
+    """Wraps the text_metrics oracle (nested WITH in a subquery) and
+    aggregates per (source, lang); mean quality rides a decimal cast
+    (scale 12 — no double can tie at a 5^13-denominator midpoint, so
+    both engines round identically)."""
+    inner = QUERIES["text_metrics"].oracle
+    return f"""
+    SELECT d.source, d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(m.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(m.quality_score AS DECIMAL(18,12))) AS DOUBLE)
+             / COUNT(*) AS mean_quality,
+           CAST(SUM(CASE WHEN m.quality_score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+    FROM ({inner}) m JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY d.source, d.lang
+    """
+
+
+@register("corpus_report", _corpus_report_oracle(), "text")
+def corpus_report(spark, sf_dir):
+    """Per-(source, lang) corpus report card: doc counts, token totals,
+    mean quality, low-quality counts — the rollup every ingest batch gets
+    before it is admitted to a training mix.  Single scan: text_metrics
+    passes source/lang through its one projection (keep=), so the report
+    is scan → project → one partial+final aggregate, no join."""
+    docs = _t(spark, sf_dir, "documents")
+    m = tx.text_metrics(docs, "text", "doc_id", keep=("source", "lang"))
+    return m.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.sum(F.col("quality_score").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_quality"),
+        F.sum(
+            F.when(F.col("quality_score") < 0.5, 1).otherwise(0)
+        ).cast("bigint").alias("n_low_quality"),
     )
