@@ -200,3 +200,27 @@ class Engine:
         from creek_spark.operators.pipeline import contamination_overlap
 
         return contamination_overlap(corpus, bench, text_col, id_col, **kw)
+
+    def dedup_passages(self, df, text_col: str, id_col: str, **kw) -> DataFrame:
+        """Passage-level exact dedup: repeated aligned token windows
+        across documents (operators/dedup.py)."""
+        from creek_spark.operators.dedup import repeated_passages
+
+        return repeated_passages(df, text_col, id_col, **kw)
+
+    def corpus_report(self, df, text_col: str, id_col: str, by: list[str]) -> DataFrame:
+        """Per-group quality rollup (n_docs, token totals, mean quality)
+        in a single scan via text_metrics passthrough columns."""
+        from creek_spark.operators.text import text_metrics
+
+        m = text_metrics(df, text_col, id_col, keep=tuple(by))
+        from pyspark.sql import functions as F
+
+        return m.groupBy(*by).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum(F.col("quality_score").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_quality"),
+        )
