@@ -203,3 +203,81 @@ def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         fp.alias("fp"),
         F.substring(fp, 1, 8).alias("fp_bucket"),
     )
+
+
+REPETITION_SIZES = (2, 3, 5)
+
+
+def _gram_structs(toks, n_tok, k: int):
+    """array<struct<k,gram>> of the doc's k-grams (empty when too short).
+
+    The struct tag lets all gram sizes ride ONE explode instead of one
+    scan per size."""
+    empty = F.array().cast("array<struct<k:int,gram:string>>")
+    grams = F.transform(
+        F.sequence(F.lit(1), n_tok - (k - 1)),
+        lambda i: F.struct(
+            F.lit(k).cast("int").alias("k"),
+            F.array_join(F.slice(toks, i, k), " ").alias("gram"),
+        ),
+    )
+    return F.when(n_tok >= k, grams).otherwise(empty)
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sizes: tuple[int, ...] = REPETITION_SIZES,
+) -> DataFrame:
+    """Intra-document repetition metrics (the Gopher-style repetition
+    filters: Rae et al. 2021, arXiv:2112.11446 §A1.1), adapted to
+    token windows because the corpus has no line structure.
+
+    Per document and gram size k: total k-gram occurrences
+    ``n_{k}grams``, the fraction taken by the single most frequent
+    k-gram ``top_{k}gram_frac``, and the fraction of occurrences whose
+    gram appears more than once ``dup_{k}gram_frac``.  Docs shorter
+    than min(sizes) tokens emit no row; sizes the doc is too short for
+    yield NULL columns (mirrored exactly by the SQL oracle).
+
+    Scale: one scan + ONE explode carrying all gram sizes (struct-tagged),
+    then two hash aggregations — (doc, k, gram) then (doc) — both keyed
+    by doc so the second exchange is per-doc-row-sized.  All fractions
+    are single IEEE divisions of exact integers, so results are
+    bit-identical across engines at any corpus size."""
+    base = df.select(
+        F.col(id_col).alias("_doc"), tokens(text_col).alias("_toks")
+    )
+    t = F.col("_toks")
+    n = F.size(t)
+    all_grams = F.concat(*[_gram_structs(t, n, k) for k in sizes])
+    g = base.select(F.col("_doc"), F.explode(all_grams).alias("_g")).select(
+        "_doc", F.col("_g.k").alias("_k"), F.col("_g.gram").alias("_gram")
+    )
+    per_gram = g.groupBy("_doc", "_k", "_gram").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    per_size = per_gram.groupBy("_doc", "_k").agg(
+        F.max("_cnt").alias("_mx"),
+        F.sum("_cnt").alias("_tot"),
+        F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(0)).alias(
+            "_dup"
+        ),
+    )
+    def pick(col, k):
+        return F.max(F.when(F.col("_k") == k, F.col(col)))
+
+    out_cols = []
+    for k in sizes:
+        tot = pick("_tot", k)
+        out_cols.append(tot.cast("bigint").alias(f"n_{k}grams"))
+        out_cols.append(
+            (pick("_mx", k).cast("double") / tot).alias(f"top_{k}gram_frac")
+        )
+        out_cols.append(
+            (pick("_dup", k).cast("double") / tot).alias(f"dup_{k}gram_frac")
+        )
+    return per_size.groupBy("_doc").agg(*out_cols).withColumnRenamed(
+        "_doc", id_col
+    )

@@ -923,3 +923,51 @@ def corpus_report(spark, sf_dir):
             F.when(F.col("quality_score") < 0.5, 1).otherwise(0)
         ).cast("bigint").alias("n_low_quality"),
     )
+
+
+def _repetition_oracle() -> str:
+    """Same gram construction as repetition_metrics: one UNION ALL branch
+    per size (DuckDB list comprehension + inclusive 1-based slices)."""
+    branches = []
+    for k in tx.REPETITION_SIZES:
+        branches.append(
+            f"SELECT doc, {k} AS k, "
+            f"unnest([array_to_string(t[i : i+{k - 1}], ' ') "
+            f"FOR i IN generate_series(1, len(t)-{k - 1})]) AS gram "
+            f"FROM toks WHERE len(t) >= {k}"
+        )
+    union = "\n      UNION ALL\n      ".join(branches)
+    cols = []
+    for k in tx.REPETITION_SIZES:
+        tot = f"MAX(CASE WHEN k={k} THEN tot END)"
+        cols.append(f"CAST({tot} AS BIGINT) AS n_{k}grams")
+        cols.append(
+            f"CAST(MAX(CASE WHEN k={k} THEN mx END) AS DOUBLE) / {tot}"
+            f" AS top_{k}gram_frac"
+        )
+        cols.append(
+            f"CAST(MAX(CASE WHEN k={k} THEN dup END) AS DOUBLE) / {tot}"
+            f" AS dup_{k}gram_frac"
+        )
+    sel = ",\n           ".join(cols)
+    return f"""
+    WITH toks AS (SELECT doc_id AS doc, {_TOKS} AS t FROM documents),
+    g AS ({union}),
+    c AS (SELECT doc, k, gram, COUNT(*) AS cnt FROM g GROUP BY doc, k, gram),
+    p AS (SELECT doc, k, MAX(cnt) AS mx, SUM(cnt) AS tot,
+                 SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+          FROM c GROUP BY doc, k)
+    SELECT doc AS doc_id,
+           {sel}
+    FROM p GROUP BY doc
+    """
+
+
+@register("text_repetition", _repetition_oracle(), "text")
+def text_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition filters (top-k-gram and
+    duplicate-k-gram fractions over token windows) — the standard cheap
+    signal for machine-generated/boilerplate text.  One scan, one
+    struct-tagged explode for all gram sizes, two doc-keyed hash aggs."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.repetition_metrics(docs, "text", "doc_id")
