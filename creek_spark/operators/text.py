@@ -281,3 +281,58 @@ def repetition_metrics(
     return per_size.groupBy("_doc").agg(*out_cols).withColumnRenamed(
         "_doc", id_col
     )
+
+
+def lm_familiarity(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Corpus-n-gram language-model familiarity score per document — the
+    count-based stand-in for LM-perplexity quality filtering (CCNet-style,
+    Wenzek et al. 2020): documents whose n-grams are rare corpus-wide are
+    "surprising" (high novelty), boilerplate scores high familiarity.
+
+    Per doc: ``n_{n}grams`` occurrences, ``mean_{n}gram_freq`` (mean
+    corpus-wide frequency of the doc's n-gram occurrences, self-inclusive)
+    and ``novel_{n}gram_frac`` (fraction of occurrences whose gram appears
+    in no other document and no other position).
+
+    Log-free on purpose: counts and one final IEEE division keep the
+    result bit-identical across engines (ln() is libm-dependent).
+
+    Scale: explode → (doc, gram) pre-agg → gram-keyed corpus count →
+    gram-keyed join → doc-keyed final agg.  Every exchange after the
+    explode carries distinct-(doc,gram) rows — a fraction of the token
+    stream — and the gram key space is uniform (no hot keys beyond
+    natural Zipf, which AQE skew-join handles)."""
+    base = df.select(
+        F.col(id_col).alias("_doc"), tokens(text_col).alias("_toks")
+    )
+    t = F.col("_toks")
+    n_tok = F.size(t)
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select("_doc", F.explode(grams).alias("_gram"))
+    dg = g.groupBy("_doc", "_gram").agg(F.count(F.lit(1)).alias("_occ"))
+    cg = dg.groupBy("_gram").agg(F.sum("_occ").alias("_cnt"))
+    joined = dg.join(cg, "_gram")
+    occ, cnt = F.col("_occ"), F.col("_cnt")
+    tot = F.sum(occ)
+    return (
+        joined.groupBy("_doc")
+        .agg(
+            tot.cast("bigint").alias(f"n_{n}grams"),
+            (F.sum(occ * cnt).cast("double") / tot).alias(
+                f"mean_{n}gram_freq"
+            ),
+            (
+                F.sum(F.when(cnt == occ, occ).otherwise(0)).cast("double")
+                / tot
+            ).alias(f"novel_{n}gram_frac"),
+        )
+        .withColumnRenamed("_doc", id_col)
+    )

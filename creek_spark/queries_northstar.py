@@ -971,3 +971,30 @@ def text_repetition(spark, sf_dir):
     struct-tagged explode for all gram sizes, two doc-keyed hash aggs."""
     docs = _t(spark, sf_dir, "documents")
     return tx.repetition_metrics(docs, "text", "doc_id")
+
+
+def _lm_familiarity_oracle(n: int = 2) -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id AS doc, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc,
+                 unnest([array_to_string(t[i : i+{n - 1}], ' ')
+                         FOR i IN generate_series(1, len(t)-{n - 1})]) AS gram
+          FROM toks WHERE len(t) >= {n}),
+    dg AS (SELECT doc, gram, COUNT(*) AS occ FROM g GROUP BY doc, gram),
+    cg AS (SELECT gram, SUM(occ) AS cnt FROM dg GROUP BY gram)
+    SELECT doc AS doc_id,
+           CAST(SUM(occ) AS BIGINT) AS n_{n}grams,
+           CAST(SUM(occ*cnt) AS DOUBLE) / SUM(occ) AS mean_{n}gram_freq,
+           CAST(SUM(CASE WHEN cnt = occ THEN occ ELSE 0 END) AS DOUBLE)
+             / SUM(occ) AS novel_{n}gram_frac
+    FROM dg JOIN cg USING (gram) GROUP BY doc
+    """
+
+
+@register("text_lm_familiarity", _lm_familiarity_oracle(), "text")
+def text_lm_familiarity(spark, sf_dir):
+    """Count-based corpus-LM familiarity / novelty per document (the
+    perplexity-filter stand-in, log-free so it is oracle-exact).  All
+    post-explode exchanges carry distinct-(doc,gram) rows only."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.lm_familiarity(docs, "text", "doc_id")
