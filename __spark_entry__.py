@@ -22,6 +22,7 @@ def _catalog():
     import creek_spark.queries_northstar  # noqa: F401 — registers part 3
     import creek_spark.queries_tpch  # noqa: F401 — registers part 4
     import creek_spark.queries_analytics  # noqa: F401 — registers part 5
+    import creek_spark.queries_graph  # noqa: F401 — registers part 6
 
     return q.QUERIES
 

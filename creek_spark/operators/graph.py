@@ -1,0 +1,131 @@
+"""Graph operators over event streams — transition graphs, bounded-hop
+reachability (distributed BFS), and PageRank with exact integer
+arithmetic.
+
+The reference (modfin/creek) has no graph surface; these cover the
+"iterative algorithm" quadrant of the engine: multi-round joins whose
+per-round exchanges are keyed on the frontier/destination column, the
+shape a 1000-executor cluster runs as one stage per round.
+
+Determinism: every metric is integer arithmetic (counts, floor
+divisions) so DuckDB oracles match bit-for-bit — PageRank runs on
+integer-scaled ranks (``scale`` units per node) with floor division,
+the classic fixed-point formulation, instead of doubles whose
+summation order differs across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Per-user event-type transition graph: (src, dst, n_transitions).
+
+    One window pass (partitioned by user — the natural key, no skew
+    beyond per-user activity) + one hash agg on the (src, dst) pair.
+    """
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = events.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col).over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    return pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+def k_hop_reachability(edges: DataFrame, k: int = 3) -> DataFrame:
+    """(src, dst, min_hops) for every pair reachable in ≤ k hops.
+
+    Distributed BFS with a deduplicated frontier: each round joins the
+    frontier to the edge list on the frontier's dst (one keyed
+    exchange per round), then anti-joins pairs already seen, so work
+    per round is proportional to NEW pairs — the all-paths blowup of a
+    naive UNION ALL expansion never materializes.  Result is identical
+    to the bounded recursive-CTE oracle because min-hops is invariant
+    to whether longer duplicate paths are enumerated.
+    """
+    e = edges.select("src", "dst").distinct()
+    seen = e.withColumn("min_hops", F.lit(1))
+    frontier = seen.select("src", "dst")
+    for h in range(2, k + 1):
+        grown = (
+            frontier.alias("p")
+            .join(e.alias("n"), F.col("p.dst") == F.col("n.src"))
+            .select(F.col("p.src").alias("src"), F.col("n.dst").alias("dst"))
+            .distinct()
+        )
+        frontier = grown.join(
+            seen.select("src", "dst"), ["src", "dst"], "left_anti"
+        )
+        seen = seen.unionByName(frontier.withColumn("min_hops", F.lit(h)))
+    return seen.select(
+        "src", "dst", F.col("min_hops").cast("int").alias("min_hops")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-point PageRank: (node, pagerank_scaled).
+
+    Ranks live in integer "micro-rank" units (``scale`` per node
+    initially); each round every node sends ``rank div outdeg`` along
+    each out-edge and receives ``base + (85 * incoming) div 100``.
+    Floor division on positive integers is identical in Spark (`div`)
+    and DuckDB (`//`), so an unrolled SQL oracle matches exactly —
+    doubles would diverge on summation order.  Dangling-node mass
+    evaporates (the usual simplification); ``scale`` bounds magnitudes:
+    size it so max-indegree × scale × damping_num stays under 2^63.
+
+    Scale shape: out-degrees are computed once; every iteration is one
+    join keyed on src (rank lookup) + one agg keyed on dst + one left
+    join back to the node list — three keyed exchanges of
+    edge/node-sized data per round, the canonical distributed-pagerank
+    stage plan.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .unionByName(e.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ewd = e.join(outdeg, "src")
+    base = ((damping_den - damping_num) * scale) // damping_den
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = ewd.join(
+            ranks, ewd["src"] == ranks["n"]
+        ).select(
+            F.col("dst"), F.expr("rank div outdeg").alias("c")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, nodes["n"] == sums["dst"], "left")
+            .select(
+                nodes["n"],
+                (
+                    F.lit(base)
+                    + F.coalesce(
+                        F.expr(f"({damping_num} * s) div {damping_den}"),
+                        F.lit(0),
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("n").alias("node"),
+        F.col("rank").cast("bigint").alias("pagerank_scaled"),
+    )

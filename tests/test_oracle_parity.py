@@ -21,13 +21,9 @@ CATALOG = None
 def _catalog():
     global CATALOG
     if CATALOG is None:
-        import creek_spark.queries as q
-        import creek_spark.queries_ext  # noqa: F401
-        import creek_spark.queries_northstar  # noqa: F401
-        import creek_spark.queries_tpch  # noqa: F401
-        import creek_spark.queries_analytics  # noqa: F401
-
-        CATALOG = q.QUERIES
+        # delegate to the driver contract so every registered part is
+        # covered automatically (a local import list would drift)
+        CATALOG = entrymod._catalog()
     return CATALOG
 
 
