@@ -1,0 +1,176 @@
+"""Distributed k-means over embedding columns — exact fixed-point
+arithmetic so the iterative algorithm is oracle-checkable bit-for-bit.
+
+Design (mirrors the IVF machinery in ``similarity.py``):
+
+- Vectors are quantized once to integer "micro-units"
+  (``floor(x * scale)`` per component — a single IEEE multiply + floor,
+  identical in any engine), so distances are exact BIGINT sums and
+  centroid means are exact floor divisions.  No double accumulations
+  anywhere → no summation-order divergence between Spark and a SQL
+  oracle.
+- Initial centroids: the k vectors with the smallest
+  (md5(id), id) — the same seedless deterministic draw as
+  ``ivf_centroids`` — packed into ONE broadcastable row as an
+  md5-sorted struct array.
+- Assignment is a per-row ``aggregate`` fold over that broadcast array
+  (argmin distance, ties keep the earliest array position via strict
+  ``<``): a pure map-side projection, zero shuffle of the corpus.
+- Centroid update: ``posexplode`` of the assigned vectors then
+  groupBy (cell, dim) — partial aggregation collapses each task's
+  contribution to ≤ k·dim rows before the exchange, so the update
+  exchanges metadata-sized data, never the corpus.  Empty cells keep
+  their previous centroid.
+
+Per iteration: one corpus scan, zero corpus-sized exchanges — the plan
+a 1000-executor cluster wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_vectors(
+    df: DataFrame, id_col: str, vec_col: str, scale: int = 10**6
+) -> DataFrame:
+    """(id, v): per-component ``floor(double(x) * scale)`` as BIGINT."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale).cast("long"),
+        ).alias("v"),
+    )
+
+
+def _init_centroids(qv: DataFrame, k: int) -> DataFrame:
+    """(mkey, cid, cv): deterministic md5-ordered seed draw."""
+    return (
+        qv.select(
+            F.md5(F.col("id").cast("string")).alias("mkey"),
+            F.col("id").alias("cid"),
+            F.col("v").alias("cv"),
+        )
+        .orderBy("mkey", "cid")
+        .limit(k)
+    )
+
+
+def _cent_row(cents: DataFrame) -> DataFrame:
+    """Pack centroids into one broadcastable md5-sorted struct-array row."""
+    return F.broadcast(
+        cents.agg(
+            F.sort_array(
+                F.collect_list(F.struct("mkey", "cid", "cv"))
+            ).alias("cents")
+        )
+    )
+
+
+def _sqdist(v, cv):
+    """Exact integer squared distance (BIGINT fold)."""
+    return F.aggregate(
+        F.zip_with(v, cv, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda a, d: a + d,
+    )
+
+
+def _assign(qv: DataFrame, cent_row: DataFrame) -> DataFrame:
+    """(id, v, cid, dist): nearest centroid, map-side only.
+
+    Strict ``<`` keeps the incumbent on ties → earliest array position
+    (smallest (mkey, cid)) wins, matching the oracle's
+    ORDER BY dist, mkey, cid."""
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            _sqdist(F.col("v"), c["cv"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast("long").alias("d"),
+            F.lit(None).cast("long").alias("cid"),
+        ),
+        lambda acc, x: F.when(
+            acc["d"].isNull() | (x["d"] < acc["d"]), x
+        ).otherwise(acc),
+    )
+    return qv.crossJoin(cent_row).select(
+        "id",
+        "v",
+        best["cid"].alias("cid"),
+        best["d"].alias("dist"),
+    )
+
+
+def _update(assigned: DataFrame, cents: DataFrame) -> DataFrame:
+    """New centroids: exact floor-mean per dimension; empty cells keep
+    their previous centroid.  Partial agg bounds the exchange at
+    k·dim rows per task."""
+    ex = assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+    per_dim = ex.groupBy("cid", "pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    new_cv = (
+        per_dim.withColumn("m", F.expr("s div n"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda x: x["m"],
+            ).alias("ncv")
+        )
+    )
+    return cents.join(new_cv, "cid", "left").select(
+        "mkey", "cid", F.coalesce("ncv", "cv").alias("cv")
+    )
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10**6,
+) -> DataFrame:
+    """(id, cluster, dist_scaled): final Lloyd assignment after ``iters``
+    exact (assign → floor-mean update) rounds plus one reporting assign
+    under the final centroids.  ``cluster`` is the seed vector's id."""
+    qv = quantize_vectors(df, id_col, vec_col, scale).persist()
+    cents = _init_centroids(qv, k)
+    for _ in range(iters):
+        assigned = _assign(qv, _cent_row(cents))
+        cents = _update(assigned, cents)
+    final = _assign(qv, _cent_row(cents))
+    return final.select(
+        F.col("id").alias(id_col),
+        F.col("cid").alias("cluster"),
+        F.col("dist").alias("dist_scaled"),
+    )
+
+
+def kmeans_summary(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10**6,
+) -> DataFrame:
+    """(cluster, n_points, inertia_scaled): per-cluster size and exact
+    integer inertia under the final centroids."""
+    a = kmeans_assignments(
+        df, id_col, vec_col, k=k, iters=iters, scale=scale
+    )
+    return a.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("dist_scaled").cast("bigint").alias("inertia_scaled"),
+    )

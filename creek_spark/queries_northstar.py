@@ -998,3 +998,73 @@ def text_lm_familiarity(spark, sf_dir):
     post-explode exchanges carry distinct-(doc,gram) rows only."""
     docs = _t(spark, sf_dir, "documents")
     return tx.lm_familiarity(docs, "text", "doc_id")
+
+
+KM_K = 8
+KM_ITERS = 2
+KM_SCALE = 10**6
+
+
+def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS, s: int = KM_SCALE) -> str:
+    """Unrolled Lloyd iterations in SQL — exact because every step is
+    integer arithmetic (quantized components, BIGINT distances,
+    truncating-division means: DuckDB `//` and Spark `div` both truncate
+    toward zero)."""
+
+    def assign(i, cents):
+        return f"""a{i} AS (
+      SELECT id, v, cid, d AS dist FROM (
+        SELECT id, v, cid, d,
+               row_number() OVER (PARTITION BY id ORDER BY d, mkey, cid) AS rn
+        FROM (SELECT q.id, q.v, c.mkey, c.cid,
+                     list_sum([(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i])
+                               FOR i IN generate_series(1, len(q.v))]) AS d
+              FROM qv q CROSS JOIN {cents} c) dd) rr
+      WHERE rn = 1)"""
+
+    def update(i):
+        return f"""e{i} AS (
+      SELECT cid, i AS pos, SUM(v[i]) AS sm, COUNT(*) AS n
+      FROM a{i}, unnest(generate_series(1, len(v))) AS t(i)
+      GROUP BY cid, i),
+    c{i} AS (
+      SELECT c.mkey, c.cid,
+             CASE WHEN COUNT(e.pos) = 0 THEN any_value(c.cv)
+                  ELSE list(e.sm // e.n ORDER BY e.pos) END AS cv
+      FROM c{i - 1} c LEFT JOIN e{i} e ON e.cid = c.cid
+      GROUP BY c.mkey, c.cid)"""
+
+    ctes = [
+        f"""qv AS (SELECT vec_id AS id,
+                   [CAST(FLOOR(CAST(x AS DOUBLE) * {s}) AS BIGINT)
+                    FOR x IN embedding] AS v
+            FROM embeddings)""",
+        f"""c0 AS (SELECT md5(CAST(id AS VARCHAR)) AS mkey, id AS cid, v AS cv
+            FROM qv ORDER BY mkey, cid LIMIT {k})""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(assign(i, f"c{i - 1}"))
+        ctes.append(update(i))
+    ctes.append(assign(iters + 1, f"c{iters}"))
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(dist) AS BIGINT) AS inertia_scaled
+    FROM a{iters + 1} GROUP BY cid
+    """
+
+
+@register("embedding_kmeans", _kmeans_oracle(), "similarity")
+def embedding_kmeans(spark, sf_dir):
+    """Distributed k-means (2 exact Lloyd rounds + reporting assign) on
+    integer-quantized embeddings.  Assignment is a map-side fold over one
+    broadcast centroid row (zero corpus shuffle); the centroid update's
+    posexplode collapses to k·dim rows per task via partial aggregation —
+    per iteration: one corpus scan, no corpus-sized exchange."""
+    from creek_spark.operators.clustering import kmeans_summary
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_summary(
+        emb, "vec_id", "embedding", k=KM_K, iters=KM_ITERS, scale=KM_SCALE
+    )
