@@ -194,3 +194,48 @@ def changelog_stats(wal: DataFrame) -> DataFrame:
         )
         .orderBy("schema", "table", "op")
     )
+
+
+def scd2_history(wal: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the envelope — the
+    standard warehouse materialization the reference leaves to consumers
+    (its client delivers the ordered change stream, client.go:296-372;
+    versioned-history construction is downstream work).
+
+    Every change becomes a versioned row: ``valid_from`` = source.tx_at,
+    ``valid_to`` = the next change's tx_at for the same key (NULL while
+    current), ``is_current`` = last version and not a delete.  `u_pk`
+    changes are expanded to delete+insert legs first, so a PK move closes
+    the old key's interval and opens one under the new key.
+
+    Scale: identical to latest_state — ONE per-key window shuffle
+    (partition by primary key, near-uniform); truncate markers are
+    excluded (history before a truncate is a policy choice; filtering
+    ops happens before the shuffle either way)."""
+    keys = key_cols or _key_cols_from_envelope(wal)
+    df = wal.filter(F.col("op") != "t").withColumn(
+        "_lsn_num", lsn_num(F.col("source.lsn"))
+    )
+    df = expand_ops(df)
+    for k in keys:
+        df = df.withColumn(
+            f"_key_{k}",
+            F.when(F.col("op") == "d", F.col(f"before.{k}")).otherwise(
+                F.col(f"after.{k}")
+            ),
+        )
+    w = Window.partitionBy(*[F.col(f"_key_{k}") for k in keys]).orderBy(
+        F.col("_lsn_num").asc(), F.col("_op_seq").asc()
+    )
+    nxt = F.lead(F.col("source.tx_at")).over(w)
+    after_fields = [f.name for f in wal.schema["after"].dataType.fields]
+    attrs = [c for c in after_fields if c not in keys]
+    return df.select(
+        *[F.col(f"_key_{k}").alias(k) for k in keys],
+        F.col("op"),
+        F.col("_lsn_num").alias("lsn_num"),
+        F.col("source.tx_at").alias("valid_from"),
+        nxt.alias("valid_to"),
+        (nxt.isNull() & (F.col("op") != "d")).alias("is_current"),
+        *[F.col(f"after.{c}").alias(c) for c in attrs],
+    )

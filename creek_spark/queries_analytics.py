@@ -291,3 +291,41 @@ def skew_salted_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.sum("_qty_dec").cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "ts_rolling_features",
+    """
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(*) OVER wr AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER wr AS DOUBLE) AS sum_1h,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER wl AS gap_us
+    FROM events
+    WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW),
+           wl AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "timeseries",
+)
+def ts_rolling_features(spark, sf_dir):
+    """Per-user rolling event features: trailing-1-hour count and exact
+    decimal sum (RANGE frame over epoch microseconds — an integer order
+    key both engines share), plus inter-event gap via lag.  Both windows
+    partition on user_id, so the whole query is ONE per-user shuffle; the
+    range frame is streamed by the window operator, never materialized."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_599_999_999, Window.currentRow)
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(wr).cast("bigint").alias("n_1h"),
+        F.sum(dec("value", 14, 2)).over(wr).cast("double").alias("sum_1h"),
+        (us - F.lag(us).over(wl)).alias("gap_us"),
+    )

@@ -154,6 +154,31 @@ def scalar_array_map(spark, sf_dir):
 # =====================================================================
 
 
+def _events_envelope(ev):
+    """Map the events table to a WAL envelope (error → delete, else
+    upsert; lsn from event_id) — the deterministic change stream the CDC
+    catalog entries replay through the real operators."""
+    return ev.select(
+        F.lit("fp-events").alias("fingerprint"),
+        F.struct(
+            F.lit("creek").alias("name"),
+            F.col("ts").alias("tx_at"),
+            F.lit("db").alias("db"),
+            F.lit("public").alias("schema"),
+            F.lit("events").alias("table"),
+            F.col("event_id").alias("tx_id"),
+            F.concat(F.lit("0/"), F.upper(F.hex("event_id"))).alias("lsn"),
+        ).alias("source"),
+        F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+        F.col("ts").alias("sent_at"),
+        F.struct(F.col("user_id")).alias("before"),
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.struct("user_id", "event_type", "ts", "value")
+        ).alias("after"),
+        F.lit(None).cast("array<string>").alias("unchanged_toast"),
+    )
+
+
 @register(
     "cdc_latest_state",
     """
@@ -174,26 +199,7 @@ def cdc_latest_state(spark, sf_dir):
     per-key LSN ordering, one shuffle (SURVEY.md §7 step 2)."""
     from creek_spark.operators.cdc import latest_state
 
-    ev = _t(spark, sf_dir, "events")
-    env = ev.select(
-        F.lit("fp-events").alias("fingerprint"),
-        F.struct(
-            F.lit("creek").alias("name"),
-            F.col("ts").alias("tx_at"),
-            F.lit("db").alias("db"),
-            F.lit("public").alias("schema"),
-            F.lit("events").alias("table"),
-            F.col("event_id").alias("tx_id"),
-            F.concat(F.lit("0/"), F.upper(F.hex("event_id"))).alias("lsn"),
-        ).alias("source"),
-        F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
-        F.col("ts").alias("sent_at"),
-        F.struct(F.col("user_id")).alias("before"),
-        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
-            F.struct("user_id", "event_type", "ts", "value")
-        ).alias("after"),
-        F.lit(None).cast("array<string>").alias("unchanged_toast"),
-    )
+    env = _events_envelope(_t(spark, sf_dir, "events"))
     # this envelope never marks TOAST columns → skip the carry-forward pass
     return latest_state(env, key_cols=["user_id"], handle_toast=False)
 
@@ -322,3 +328,34 @@ def stream_windows(spark, sf_dir):
         )
     )
     return tumbling.unionByName(session)
+
+
+@register(
+    "cdc_scd2_history",
+    """
+    WITH ch AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             ts, event_type, value
+      FROM events)
+    SELECT user_id, op,
+           CAST(event_id AS BIGINT) AS lsn_num,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL AND op <> 'd') AS is_current,
+           CASE WHEN op = 'd' THEN NULL ELSE event_type END AS event_type,
+           CASE WHEN op = 'd' THEN NULL ELSE ts END AS ts,
+           CASE WHEN op = 'd' THEN NULL ELSE value END AS value
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    "cdc",
+)
+def cdc_scd2_history(spark, sf_dir):
+    """Type-2 SCD history through the real operator: the envelope replay
+    of cdc_latest_state, materialized as versioned [valid_from, valid_to)
+    rows with an is_current flag — same single per-key window shuffle."""
+    from creek_spark.operators.cdc import scd2_history
+
+    env = _events_envelope(_t(spark, sf_dir, "events"))
+    return scd2_history(env, key_cols=["user_id"])
