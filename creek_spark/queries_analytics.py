@@ -329,3 +329,73 @@ def ts_rolling_features(spark, sf_dir):
         F.sum(dec("value", 14, 2)).over(wr).cast("double").alias("sum_1h"),
         (us - F.lag(us).over(wl)).alias("gap_us"),
     )
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel_oracle(steps=tuple(FUNNEL_STEPS)) -> str:
+    wspec = ("PARTITION BY user_id ORDER BY ts, event_id "
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
+    ctes = []
+    prev = "events"
+    for i in range(len(steps) - 1):
+        cond = f"event_type = '{steps[i]}'"
+        if i > 0:
+            cond += f" AND r{i - 1} IS NOT NULL"
+        ctes.append(
+            f"o{i} AS (SELECT *, MIN(CASE WHEN {cond} THEN ts END) "
+            f"OVER ({wspec}) AS r{i} FROM {prev})"
+        )
+        prev = f"o{i}"
+    flags = []
+    for i, s in enumerate(steps):
+        cond = f"event_type = '{s}'"
+        if i > 0:
+            cond += f" AND r{i - 1} IS NOT NULL"
+        flags.append(f"MAX(CASE WHEN {cond} THEN 1 ELSE 0 END) AS s{i}")
+    ctes.append(
+        f"u AS (SELECT user_id, {', '.join(flags)} FROM {prev} GROUP BY user_id)"
+    )
+    selects = [
+        f"SELECT {i + 1} AS step, '{s}' AS event_type, "
+        f"CAST(SUM(s{i}) AS BIGINT) AS n_users FROM u"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("events_funnel", _funnel_oracle(), "events")
+def events_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel: strict-total-order step
+    qualification via stacked 1-PRECEDING window mins — one shuffle of
+    the stream, per-user flags reuse the partitioning, and the 1-row
+    totals explode into the per-step summary."""
+    from creek_spark.operators.events import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+@register(
+    "events_retention",
+    """
+    WITH firsts AS (SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+                    FROM events GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+               FROM events)
+    SELECT f.cohort AS cohort_week,
+           CAST((epoch_us(a.week) - epoch_us(f.cohort)) // 604800000000 AS INT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort, week_offset
+    """,
+    "events",
+)
+def events_retention(spark, sf_dir):
+    """Weekly retention triangle: first-activity cohort × week offset →
+    distinct active users.  Both aggregations key on user (one shuffle,
+    reused by the join); offsets are exact integer epoch divisions."""
+    from creek_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
