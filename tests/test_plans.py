@@ -20,13 +20,10 @@ from tests.conftest import SF_DIR
 
 
 def _catalog():
-    import creek_spark.queries as q
-    import creek_spark.queries_ext  # noqa: F401
-    import creek_spark.queries_northstar  # noqa: F401
-    import creek_spark.queries_tpch  # noqa: F401
-    import creek_spark.queries_analytics  # noqa: F401
+    # delegate to the driver contract so every registered part is covered
+    import __spark_entry__ as entrymod
 
-    return q.QUERIES
+    return entrymod._catalog()
 
 
 def test_q3_broadcasts_dims(spark):
@@ -364,3 +361,52 @@ def test_ivfpq_single_window_exchange(spark):
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_funnel_single_stream_shuffle(spark):
+    """The funnel's stacked windows and the per-user agg must share ONE
+    user-keyed exchange; the only other exchange is the 1-row totals
+    (SinglePartition).  A second stream-sized shuffle would double the
+    dominant cost at 100 TB."""
+    df = _catalog()["events_funnel"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "SinglePartition" in plan, plan
+
+
+def test_repetition_partial_agg_before_exchange(spark):
+    """text_repetition: one Generate (all gram sizes ride one explode),
+    and the first exchange is keyed on (doc, k, gram) AFTER partial
+    aggregation — the exploded token stream itself never shuffles."""
+    from creek_spark.plans import has_partial_agg
+
+    df = _catalog()["text_repetition"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    # one explode in the executed tree (formatted output names each node
+    # once in the tree and once in the details section)
+    assert plan.count("Generate") <= 2, plan
+    assert has_partial_agg(df), plan
+    assert "hashpartitioning(_doc" in plan, plan
+
+
+def test_kmeans_corpus_never_hash_partitioned_by_id(spark):
+    """k-means: assignment is a broadcast-NLJ fold (no corpus exchange);
+    the only corpus-derived exchanges are the posexplode partial aggs
+    keyed on (cid, pos) — k·dim-bounded after map-side combine.  The
+    corpus id must never be a shuffle key."""
+    from creek_spark.operators.clustering import kmeans_assignments
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    df = kmeans_assignments(emb, k=4, iters=1)
+    plan = explain_str(df)
+    assert "hashpartitioning(id#" not in plan, plan
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_rolling_features_single_user_shuffle(spark):
+    """Both window frames (RANGE rolling + lag) share one user-keyed
+    exchange and one sort."""
+    df = _catalog()["ts_rolling_features"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("hashpartitioning(user_id") == 1, plan
