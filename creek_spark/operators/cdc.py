@@ -239,3 +239,56 @@ def scd2_history(wal: DataFrame, key_cols: list[str] | None = None) -> DataFrame
         (nxt.isNull() & (F.col("op") != "d")).alias("is_current"),
         *[F.col(f"after.{c}").alias(c) for c in attrs],
     )
+
+
+def incremental_latest_state(
+    wal: DataFrame,
+    split_lsn_num: int,
+    key_cols: list[str] | None = None,
+    *,
+    handle_toast: bool = True,
+) -> DataFrame:
+    """latest_state maintained INCREMENTALLY across a batch boundary —
+    the batch analog of the streaming foreachBatch-MERGE sink: state is
+    materialized from changes with lsn ≤ split, then the new batch is
+    applied by recomputing ONLY the keys it touches, carrying every
+    untouched key's row over unchanged.
+
+    Bit-identical to a full recompute by construction (both legs run the
+    same latest_state operator; proven by the cdc_incremental_mv oracle).
+    Work for the update ∝ |touched keys|: the carried leg is one
+    anti-join of the state table against the (small) touched-key set, and
+    the replay leg re-reads only prior changes for touched keys — at 100
+    TB the state table is key-partitioned storage and the touched set is
+    a micro-batch, so the anti/semi joins broadcast the touched side and
+    never shuffle the state.  In production state1 is the already-
+    materialized MERGE target; it is derived here so the operator is
+    self-contained.  Limitation: a truncate ('t') op in the NEW batch
+    invalidates carried rows — callers must full-recompute for such
+    batches (the reference's truncate is equally global,
+    replication.go:456-491)."""
+    keys = key_cols or _key_cols_from_envelope(wal)
+    num = lsn_num(F.col("source.lsn"))
+    prior = wal.filter(num <= F.lit(split_lsn_num))
+    batch = wal.filter(num > F.lit(split_lsn_num))
+
+    state1 = latest_state(prior, keys, handle_toast=handle_toast)
+
+    key_of = lambda k: F.when(
+        F.col("op") == "d", F.col(f"before.{k}")
+    ).otherwise(F.col(f"after.{k}"))
+    touched = batch.select(*[key_of(k).alias(k) for k in keys]).distinct()
+
+    carried = state1.join(touched, keys, "left_anti")
+
+    prior_k = prior
+    for k in keys:
+        prior_k = prior_k.withColumn(f"_ik_{k}", key_of(k))
+    cond = [prior_k[f"_ik_{k}"] == touched[k] for k in keys]
+    replay_src = prior_k.join(touched, cond, "left_semi").drop(
+        *[f"_ik_{k}" for k in keys]
+    )
+    replayed = latest_state(
+        replay_src.unionByName(batch), keys, handle_toast=handle_toast
+    )
+    return carried.unionByName(replayed)

@@ -91,3 +91,88 @@ def merge_rollups(fine: DataFrame, bucket: str = "month") -> DataFrame:
         F.hll_union_agg("sketch").alias("sketch"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    bin_width: float = 5.0,
+    time_col: str = "ts",
+    bucket: str = "hour",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram sketch per (group, time-bucket) tier —
+    the mergeable quantile counterpart of the HLL rollup above.  A
+    histogram is the simplest sketch whose merge is EXACT (bin counts
+    add), so unlike t-digest/KLL the rollup math is deterministic and
+    oracle-checkable while keeping the same scale shape: per-bucket
+    sketch rows are tiny, range/yearly quantile queries read only the
+    rollup, and new buckets append incrementally from a stream sink.
+
+    Bin id = floor(value / bin_width) (one IEEE division + floor, both
+    engines identical).  Output: group_cols + (bucket_start, bin, n).
+    """
+    group_cols = group_cols or []
+    bin_id = F.floor(F.col(value_col).cast("double") / F.lit(bin_width)).cast(
+        "bigint"
+    )
+    return (
+        df.groupBy(
+            F.date_trunc(bucket, F.col(time_col)).alias("bucket_start"),
+            *[F.col(c) for c in group_cols],
+            bin_id.alias("bin"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles: list[float],
+    *,
+    bin_width: float = 5.0,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge histogram-sketch tiers across time and answer quantile
+    queries from the merged counts alone (never the raw data).
+
+    The q-quantile estimate is the LOWER EDGE (bin * bin_width) of the
+    first bin whose cumulative count reaches ceil(q * total) — exact
+    bin selection over exact integer counts, so the rollup answer is
+    deterministic.  One shuffle of bin-count rows (tiny); the cumulative
+    scan is a per-group window over |bins| rows.
+    """
+    group_cols = group_cols or []
+    merged = hist.groupBy(*[F.col(c) for c in group_cols], "bin").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    cum = merged.select(
+        *group_cols,
+        "bin",
+        F.sum("n").over(wcum).alias("_cum"),
+        F.sum("n").over(wtot).alias("_total"),
+    )
+    aggs = [F.max("_total").cast("bigint").alias("n_total")]
+    for q in quantiles:
+        rank = F.ceil(F.lit(q) * F.col("_total").cast("double")).cast("bigint")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col("bin"))).alias(
+                f"_b{int(q * 100)}"
+            )
+        )
+    out = cum.groupBy(*group_cols).agg(*aggs)
+    for q in quantiles:
+        name = f"p{int(q * 100)}_est"
+        out = out.withColumn(
+            name,
+            F.col(f"_b{int(q * 100)}").cast("double") * F.lit(bin_width),
+        ).drop(f"_b{int(q * 100)}")
+    return out

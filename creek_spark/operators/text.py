@@ -336,3 +336,75 @@ def lm_familiarity(
         )
         .withColumnRenamed("_doc", id_col)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword search: top-k documents for a bag of query terms
+    (Robertson & Walker 1994), with the rational idf variant
+    ``(N - df + 0.5) / (df + 0.5)`` — the ln() of textbook BM25 is
+    libm-dependent, and idf is monotone in the rational form, so scores
+    stay bit-identical across engines while ranking quality is standard.
+
+    Per-term scores are rounded to integer nanos (deterministic HALF_UP
+    in both engines for positive scores) and summed as BIGINT, so the
+    cross-term sum is order-independent — doubles are never added to
+    doubles.  Output: (id, score_i) with score_i = round(score * 1e9).
+
+    Scale: ONE corpus scan computes both document length and the
+    query-term postings; the array is filtered to query terms BEFORE
+    explode, so the shuffled posting set is |docs| × |terms| at worst,
+    not the token stream.  df/N/avgdl stats are term- or one-row-sized
+    and broadcast; the final ranking is TakeOrdered (no global sort).
+    """
+    base = df.select(
+        F.col(id_col).alias("_doc"), tokens(text_col).alias("_toks")
+    ).select(
+        "_doc",
+        F.col("_toks"),
+        F.size("_toks").cast("bigint").alias("_dl"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
+        F.sum("_dl").cast("bigint").alias("_sum_dl"),
+    )
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        base.select(
+            "_doc",
+            "_dl",
+            F.explode(
+                F.filter("_toks", lambda t: F.array_contains(qarr, t))
+            ).alias("_term"),
+        )
+        .groupBy("_doc", "_dl", "_term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_tf"))
+    )
+    dft = tf.groupBy("_term").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    scored = tf.join(F.broadcast(dft), "_term").crossJoin(F.broadcast(stats))
+    nd = F.col("_n_docs").cast("double")
+    dfv = F.col("_df").cast("double")
+    tfv = F.col("_tf").cast("double")
+    dlv = F.col("_dl").cast("double")
+    sdl = F.col("_sum_dl").cast("double")
+    # expression trees mirror the oracle SQL exactly (IEEE ops only)
+    idf = (nd - dfv + F.lit(0.5)) / (dfv + F.lit(0.5))
+    num = tfv * F.lit(k1 + 1.0)
+    den = tfv + F.lit(k1 * (1.0 - b)) + ((F.lit(k1 * b) * dlv) * nd) / sdl
+    term_i = F.round((idf * num / den) * F.lit(1000000000.0)).cast("bigint")
+    return (
+        scored.select("_doc", term_i.alias("_si"))
+        .groupBy("_doc")
+        .agg(F.sum("_si").cast("bigint").alias("score_i"))
+        .withColumnRenamed("_doc", id_col)
+        .orderBy(F.col("score_i").desc(), F.col(id_col))
+        .limit(k)
+    )

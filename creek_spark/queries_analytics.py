@@ -399,3 +399,106 @@ def events_retention(spark, sf_dir):
     from creek_spark.operators.events import retention_cohorts
 
     return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "sketch_histogram_quantiles",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+             CAST(floor(CAST(value AS DOUBLE) / 5.0) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3),
+    m AS (SELECT event_type, bin, CAST(SUM(n) AS BIGINT) AS n
+          FROM h GROUP BY 1, 2),
+    c AS (SELECT event_type, bin,
+                 SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 SUM(n) OVER (PARTITION BY event_type) AS total
+          FROM m)
+    SELECT event_type,
+           CAST(MAX(total) AS BIGINT) AS n_total,
+           CAST(MIN(CASE WHEN cum >= CAST(ceil(0.5 * CAST(total AS DOUBLE))
+                                          AS BIGINT)
+                         THEN bin END) AS DOUBLE) * 5.0 AS p50_est,
+           CAST(MIN(CASE WHEN cum >= CAST(ceil(0.9 * CAST(total AS DOUBLE))
+                                          AS BIGINT)
+                         THEN bin END) AS DOUBLE) * 5.0 AS p90_est,
+           CAST(MIN(CASE WHEN cum >= CAST(ceil(0.99 * CAST(total AS DOUBLE))
+                                          AS BIGINT)
+                         THEN bin END) AS DOUBLE) * 5.0 AS p99_est
+    FROM c GROUP BY event_type
+    """,
+    "sketches",
+)
+def sketch_histogram_quantiles(spark, sf_dir):
+    """Mergeable histogram-sketch rollup → quantile estimates: per-hour
+    fixed-width histograms (the stored tier a stream sink appends to) are
+    merged across all hours per event_type, and p50/p90/p99 are answered
+    from the merged counts alone — never the raw events.  Histogram merge
+    is EXACT (bin counts add), so unlike t-digest/KLL the rollup is
+    deterministic and oracle-checked.  One scan builds the tier; every
+    later exchange carries bin-count rows (|types|×|hours|×|bins|)."""
+    from creek_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hist = histogram_sketch(
+        ev, "value", bin_width=5.0, time_col="ts", bucket="hour",
+        group_cols=["event_type"],
+    )
+    return histogram_quantiles(
+        hist, [0.5, 0.9, 0.99], bin_width=5.0, group_cols=["event_type"]
+    )
+
+
+@register(
+    "ts_anomaly_zscore",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))
+                      * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS svv
+      FROM events GROUP BY event_type)
+    SELECT event_id, event_type, value,
+           (CAST(value AS DOUBLE) - sv / CAST(n AS DOUBLE))
+             / sqrt(greatest((svv - (sv * sv) / CAST(n AS DOUBLE))
+                             / CAST(n AS DOUBLE), 1e-12)) AS z
+    FROM events JOIN s USING (event_type)
+    WHERE abs((CAST(value AS DOUBLE) - sv / CAST(n AS DOUBLE))
+              / sqrt(greatest((svv - (sv * sv) / CAST(n AS DOUBLE))
+                              / CAST(n AS DOUBLE), 1e-12))) > 2.5
+    """,
+    "timeseries",
+)
+def ts_anomaly_zscore(spark, sf_dir):
+    """Population z-score outlier detection per event_type: exact decimal
+    sum/sum-of-squares give deterministic mean/variance (one small agg,
+    broadcast back), and |z| > 2.5 flags anomalous events in the same
+    scan.  sqrt/+,-,*,/ are IEEE-deterministic, so flagged rows AND their
+    z values are bit-identical to the oracle.  At 100 TB this is one scan
+    + one |types|-row broadcast — the grouped-stats pattern that replaces
+    a per-row Python scorer."""
+    ev = _t(spark, sf_dir, "events")
+    vd = dec("value", 14, 2)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(vd).cast("double").alias("sv"),
+        F.sum(vd * vd).cast("double").alias("svv"),
+    )
+    nD = F.col("n").cast("double")
+    mean = F.col("sv") / nD
+    var = (F.col("svv") - (F.col("sv") * F.col("sv")) / nD) / nD
+    z = (F.col("value").cast("double") - mean) / F.sqrt(
+        F.greatest(var, F.lit(1e-12))
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > F.lit(2.5))
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )

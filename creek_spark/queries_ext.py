@@ -359,3 +359,44 @@ def cdc_scd2_history(spark, sf_dir):
 
     env = _events_envelope(_t(spark, sf_dir, "events"))
     return scd2_history(env, key_cols=["user_id"])
+
+
+@register(
+    "cdc_incremental_mv",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY event_type
+    """,
+    "cdc",
+)
+def cdc_incremental_mv(spark, sf_dir):
+    """Incrementally-maintained materialized view: the changelog is split
+    at lsn 800 into a materialized batch and a new micro-batch; the new
+    batch updates the state by recomputing ONLY touched keys (anti-join
+    carries untouched rows unchanged), then the per-event_type aggregate
+    is taken over the maintained state.  The oracle is a FULL recompute —
+    hash equality proves the incremental path is lossless, the property a
+    foreachBatch MERGE sink relies on at 100 TB where re-reading the
+    whole log per batch is impossible."""
+    from creek_spark.operators.cdc import incremental_latest_state
+
+    env = _events_envelope(_t(spark, sf_dir, "events"))
+    state = incremental_latest_state(
+        env, 800, key_cols=["user_id"], handle_toast=False
+    )
+    return (
+        state.where(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            dsum("value", "sum_value", 14, 2),
+        )
+    )

@@ -1068,3 +1068,58 @@ def embedding_kmeans(spark, sf_dir):
     return kmeans_summary(
         emb, "vec_id", "embedding", k=KM_K, iters=KM_ITERS, scale=KM_SCALE
     )
+
+
+# =====================================================================
+# BM25 keyword search (retrieval over the documents table)
+# =====================================================================
+
+BM25_TERMS = ["spark", "vector", "merge", "window"]
+BM25_K = 10
+# constants below mirror bm25_topk's k1=1.2, b=0.75 defaults
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH bl AS (
+      SELECT doc_id AS doc, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc, toks, CAST(len(toks) AS BIGINT) AS dl FROM bl),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (
+      SELECT doc, dl, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc, dl, unnest(toks) AS tok FROM dl)
+      WHERE tok IN ({_BM25_TERM_LIST})
+      GROUP BY doc, dl, tok),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT doc,
+             CAST(round(
+               ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE) + 0.3
+                  + ((0.8999999999999999 * CAST(dl AS DOUBLE))
+                     * CAST(n_docs AS DOUBLE)) / CAST(sum_dl AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS si
+      FROM tf JOIN dft USING (term) CROSS JOIN stats)
+    SELECT doc AS doc_id, CAST(SUM(si) AS BIGINT) AS score_i
+    FROM sc GROUP BY doc
+    ORDER BY score_i DESC, doc_id LIMIT {BM25_K}
+    """
+
+
+@register("text_bm25_search", _bm25_oracle(), "text")
+def text_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval: top-10 documents for a 4-term query, with
+    the rational-idf variant (ln is libm-dependent; the rational form is
+    monotone in df so ranking behavior is standard) and per-term scores
+    fixed to integer nanos before the cross-term sum, so results are
+    bit-identical across engines.  One corpus scan (doc length + postings
+    together), query-term filter BEFORE explode, df/N/avgdl broadcast,
+    TakeOrdered top-k — no token-stream shuffle, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bm25_topk(
+        docs, "text", "doc_id", BM25_TERMS, k=BM25_K, k1=1.2, b=0.75
+    )

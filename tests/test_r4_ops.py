@@ -1,0 +1,130 @@
+"""Round-4 additions: BM25 retrieval, mergeable histogram quantiles,
+incremental MV maintenance, z-score anomalies.
+
+The catalog rows prove oracle parity; these tests prove the OPERATOR
+properties the oracles can't state — incremental == full at row level,
+tier-merge exactness, plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from creek_spark.operators.cdc import incremental_latest_state, latest_state
+from creek_spark.operators.sketches import histogram_quantiles, histogram_sketch
+from creek_spark.operators.text import bm25_topk
+from creek_spark.queries_ext import _events_envelope
+from creek_spark.sources import read_table
+
+
+def test_incremental_state_equals_full_recompute(spark, sf_dir):
+    """Row-level equality, not just the aggregated MV: for several split
+    points (empty batch, mid-stream, everything-in-batch) the maintained
+    state is identical to a one-shot latest_state."""
+    env = _events_envelope(read_table(spark, sf_dir, "events"))
+    full = latest_state(env, ["user_id"], handle_toast=False)
+    full_rows = sorted(map(tuple, full.collect()))
+    for split in (0, 800, 10**9):
+        inc = incremental_latest_state(
+            env, split, key_cols=["user_id"], handle_toast=False
+        )
+        assert sorted(map(tuple, inc.collect())) == full_rows, split
+
+
+def test_incremental_state_carries_untouched_rows(spark):
+    """The carried leg must actually fire AND be correct: a key whose
+    last change precedes the split must survive untouched, including a
+    key the batch deletes and one it updates."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # (event_id, user_id, event_type, value) — user 10 untouched by batch
+        (1, 10, "view", 1.0),
+        (2, 20, "view", 2.0),
+        (3, 30, "view", 3.0),
+        # batch (> split=3): update 20, delete 30
+        (4, 20, "click", 4.0),
+        (5, 30, "error", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t0, u, et, v, "{}") for i, u, et, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    env = _events_envelope(ev)
+    inc = incremental_latest_state(env, 3, key_cols=["user_id"], handle_toast=False)
+    got = {r["user_id"]: r["event_type"] for r in inc.collect()}
+    assert got == {10: "view", 20: "click"}
+
+
+def test_histogram_tier_merge_is_exact(spark, sf_dir):
+    """Quantiles from hour-tier rollups == quantiles from one global
+    histogram — the merge-exactness that makes this sketch deterministic."""
+    ev = read_table(spark, sf_dir, "events")
+    by_hour = histogram_sketch(
+        ev, "value", bin_width=5.0, group_cols=["event_type"], bucket="hour"
+    )
+    by_day = histogram_sketch(
+        ev, "value", bin_width=5.0, group_cols=["event_type"], bucket="day"
+    )
+    q_hour = histogram_quantiles(
+        by_hour, [0.5, 0.99], bin_width=5.0, group_cols=["event_type"]
+    )
+    q_day = histogram_quantiles(
+        by_day, [0.5, 0.99], bin_width=5.0, group_cols=["event_type"]
+    )
+    assert sorted(map(tuple, q_hour.collect())) == sorted(
+        map(tuple, q_day.collect())
+    )
+
+
+def test_histogram_quantile_bounds(spark, sf_dir):
+    """Estimates bracket the exact quantiles within one bin width."""
+    ev = read_table(spark, sf_dir, "events")
+    hist = histogram_sketch(ev, "value", bin_width=5.0, group_cols=["event_type"])
+    q = histogram_quantiles(
+        hist, [0.5], bin_width=5.0, group_cols=["event_type"]
+    ).collect()
+    exact = {
+        r["event_type"]: r["p50"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("p50"))
+        .collect()
+    }
+    for row in q:
+        est = row["p50_est"]
+        assert abs(est - exact[row["event_type"]]) <= 5.0 + 1e-9, row
+
+
+def test_bm25_ranking_and_plan(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, "text", "doc_id", ["spark", "vector"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # stats and df sides must broadcast; ranking must be TakeOrdered
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    scores = [r["score_i"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_bm25_rare_term_outranks_common_idf(spark, sf_dir):
+    """A document matching a rarer term scores above one matching an
+    equally-frequent common term — the idf property, preserved by the
+    rational variant."""
+    data = spark.createDataFrame(
+        [
+            (1, "rareword common filler filler"),
+            (2, "common common filler filler"),
+            (3, "common filler pad pad"),
+            (4, "filler pad pad pad"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["score_i"]
+        for r in bm25_topk(data, "text", "doc_id", ["rareword", "common"], k=4).collect()
+    }
+    assert out[1] > out[2]
