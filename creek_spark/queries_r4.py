@@ -1,0 +1,193 @@
+"""Query catalog, part 7: interval-overlap join, snapshot diffing, fuzzy
+string matching — the round-4 widening of the join/CDC families.
+
+Determinism rules as in queries.py (decimal sandwich, total-order
+tiebreaks, IEEE-only scalar math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from creek_spark.queries import _t, register
+from creek_spark.queries_ext import _events_envelope
+
+
+@register(
+    "join_interval_overlap",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS v_lo, MAX(ts) AS v_hi
+               FROM events WHERE event_type = 'view'
+               GROUP BY user_id, date_trunc('day', ts)),
+         c AS (SELECT user_id, MIN(ts) AS c_lo, MAX(ts) AS c_hi
+               FROM events WHERE event_type = 'click'
+               GROUP BY user_id, date_trunc('hour', ts))
+    SELECT v.user_id, v_lo, v_hi, c_lo, c_hi
+    FROM v JOIN c ON v.user_id = c.user_id
+                 AND v_lo <= c_hi AND c_lo <= v_hi
+    """,
+    "join",
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (Flink intervalJoin / range-join analog):
+    per-user daily view spans × hourly click spans that overlap in time.
+
+    The operator replicates each interval to the fixed 6h time cells it
+    touches and joins EQUI on (user_id, cell) with the overlap predicate
+    residual — per-key work is cell-local density, never |v|×|c| per
+    user, and the first-shared-cell rule emits each pair exactly once
+    with no dedup shuffle (operators/intervals.py)."""
+    from creek_spark.operators.intervals import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("_d"))
+        .agg(F.min("ts").alias("v_lo"), F.max("ts").alias("v_hi"))
+        .drop("_d")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("_h"))
+        .agg(F.min("ts").alias("c_lo"), F.max("ts").alias("c_hi"))
+        .drop("_h")
+    )
+    return interval_overlap_join(
+        v, c, ["user_id"],
+        left_bounds=("v_lo", "v_hi"),
+        right_bounds=("c_lo", "c_hi"),
+        cell_seconds=21600,
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    """
+    WITH old_s AS (
+      SELECT user_id, event_type, ts, value FROM (
+        SELECT user_id, event_type, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id <= 800) t
+      WHERE rn = 1 AND event_type <> 'error'),
+    new_s AS (
+      SELECT user_id, event_type, ts, value FROM (
+        SELECT user_id, event_type, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1 AND event_type <> 'error')
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           o.event_type AS old_event_type, n.event_type AS new_event_type,
+           o.value AS old_value, n.value AS new_value
+    FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.event_type IS DISTINCT FROM n.event_type
+       OR o.ts IS DISTINCT FROM n.ts
+       OR o.value IS DISTINCT FROM n.value
+    """,
+    "cdc",
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot diff: classify every key as added/removed/changed between
+    the state at LSN 800 and the current state (reference consumers diff
+    successive snapshots to audit replication; the engine computes it as
+    one full-outer join of two latest_state materializations).  At 100 TB
+    both sides are key-partitioned state tables, so the join co-locates;
+    unchanged keys (the overwhelming majority) are filtered pre-output."""
+    from creek_spark.operators.cdc import latest_state
+    from creek_spark.functions.lsn import lsn_num
+
+    env = _events_envelope(_t(spark, sf_dir, "events"))
+    num = lsn_num(F.col("source.lsn"))
+    old_s = latest_state(env.filter(num <= 800), ["user_id"], handle_toast=False)
+    new_s = latest_state(env, ["user_id"], handle_toast=False)
+    o = old_s.select(
+        F.col("user_id").alias("o_uid"),
+        F.col("event_type").alias("old_event_type"),
+        F.col("ts").alias("o_ts"),
+        F.col("value").alias("old_value"),
+    )
+    n = new_s.select(
+        F.col("user_id").alias("n_uid"),
+        F.col("event_type").alias("new_event_type"),
+        F.col("ts").alias("n_ts"),
+        F.col("value").alias("new_value"),
+    )
+    j = o.join(n, o.o_uid == n.n_uid, "full_outer")
+    differs = (
+        o.o_uid.isNull()
+        | n.n_uid.isNull()
+        | ~F.col("old_event_type").eqNullSafe(F.col("new_event_type"))
+        | ~F.col("o_ts").eqNullSafe(F.col("n_ts"))
+        | ~F.col("old_value").eqNullSafe(F.col("new_value"))
+    )
+    change = (
+        F.when(o.o_uid.isNull(), "added")
+        .when(n.n_uid.isNull(), "removed")
+        .otherwise("changed")
+    )
+    return j.where(differs).select(
+        F.coalesce(o.o_uid, n.n_uid).alias("user_id"),
+        change.alias("change"),
+        "old_event_type",
+        "new_event_type",
+        "old_value",
+        "new_value",
+    )
+
+
+@register(
+    "join_fuzzy_match",
+    """
+    WITH q AS (SELECT p_partkey AS q_key, substring(p_name, 2) AS q_name
+               FROM part WHERE p_partkey % 97 = 0),
+    c AS (SELECT q_key, q_name, p_partkey AS match_key, p_name AS match_name,
+                 CAST(levenshtein(q_name, p_name) AS INTEGER) AS dist
+          FROM q CROSS JOIN part
+          WHERE abs(length(q_name) - length(p_name)) <= 3
+            AND levenshtein(q_name, p_name) <= 3),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_key
+                                       ORDER BY dist, match_key) AS rn
+          FROM c)
+    SELECT q_key, q_name, match_key, match_name, dist FROM r WHERE rn = 1
+    """,
+    "join",
+)
+def join_fuzzy_match(spark, sf_dir):
+    """Fuzzy string matching: corrupted part names (leading char dropped)
+    matched back to the catalog by Levenshtein distance ≤ 3, best match
+    per query with a total-order tiebreak.  The query side is tiny and
+    BROADCAST; a lossless length-band predicate prunes candidates before
+    the edit-distance evaluation, so the scan side does |parts| cheap
+    length checks and only band-local levenshtein calls — the shape that
+    survives a 1000× part catalog (entity-resolution blocking)."""
+    p = _t(spark, sf_dir, "part")
+    q = p.where(F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("q_key"),
+        F.expr("substring(p_name, 2)").alias("q_name"),
+    )
+    cand = (
+        p.join(
+            F.broadcast(q),
+            F.abs(F.length("q_name") - F.length("p_name")) <= 3,
+        )
+        .withColumn("dist", F.levenshtein("q_name", "p_name").cast("int"))
+        .where(F.col("dist") <= 3)
+    )
+    w = Window.partitionBy("q_key").orderBy("dist", "p_partkey")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "q_key",
+            "q_name",
+            F.col("p_partkey").alias("match_key"),
+            F.col("p_name").alias("match_name"),
+            "dist",
+        )
+    )

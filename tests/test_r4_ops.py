@@ -128,3 +128,77 @@ def test_bm25_rare_term_outranks_common_idf(spark, sf_dir):
         for r in bm25_topk(data, "text", "doc_id", ["rareword", "common"], k=4).collect()
     }
     assert out[1] > out[2]
+
+
+def _brute_overlap(lrows, rrows):
+    out = set()
+    for lk, llo, lhi in lrows:
+        for rk, rlo, rhi in rrows:
+            if lk == rk and llo <= rhi and rlo <= lhi:
+                out.add((lk, llo, lhi, rlo, rhi))
+    return out
+
+
+def test_interval_overlap_exactly_once_vs_brute_force(spark):
+    """Multi-cell spanning intervals: each qualifying pair appears
+    EXACTLY once (first-shared-cell rule), matching brute force."""
+    import datetime
+
+    from creek_spark.operators.intervals import interval_overlap_join
+
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)
+    lrows = [
+        (1, t(0), t(13)),   # spans many 1h cells
+        (1, t(5), t(5, 30)),
+        (2, t(3), t(4)),
+    ]
+    rrows = [
+        (1, t(2), t(11)),   # overlaps both user-1 intervals, shares many cells
+        (1, t(12, 30), t(14)),
+        (2, t(5), t(6)),    # no overlap with (2, 3-4)? touches at no point
+    ]
+    left = spark.createDataFrame(lrows, "k long, llo timestamp, lhi timestamp")
+    right = spark.createDataFrame(rrows, "k long, rlo timestamp, rhi timestamp")
+    got = interval_overlap_join(
+        left, right, ["k"], left_bounds=("llo", "lhi"),
+        right_bounds=("rlo", "rhi"), cell_seconds=3600,
+    ).collect()
+    got_set = {(r["k"], r["llo"], r["lhi"], r["rlo"], r["rhi"]) for r in got}
+    assert len(got) == len(got_set), "duplicate pairs emitted"
+    assert got_set == _brute_overlap(lrows, rrows)
+
+
+def test_interval_overlap_is_equi_join(spark, sf_dir):
+    """The plan must be an equi join on (keys, cell) — cell bucketing
+    exists precisely to avoid a per-key nested loop."""
+    from creek_spark.operators.intervals import interval_overlap_join
+
+    ev = read_table(spark, sf_dir, "events")
+    mk = lambda et, b: (
+        ev.where(F.col("event_type") == et)
+        .groupBy("user_id", F.date_trunc(b, F.col("ts")).alias("_b"))
+        .agg(F.min("ts").alias(f"{et}_lo"), F.max("ts").alias(f"{et}_hi"))
+        .drop("_b")
+    )
+    out = interval_overlap_join(
+        mk("view", "day"), mk("click", "hour"), ["user_id"],
+        left_bounds=("view_lo", "view_hi"),
+        right_bounds=("click_lo", "click_hi"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_rejects_ambiguous_columns(spark):
+    import pytest
+
+    from creek_spark.operators.intervals import interval_overlap_join
+
+    df = spark.createDataFrame(
+        [(1, None, None)], "k long, lo timestamp, hi timestamp"
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        interval_overlap_join(
+            df, df, ["k"], left_bounds=("lo", "hi"), right_bounds=("lo", "hi")
+        )
