@@ -241,3 +241,33 @@ def contamination_overlap(
         .where(F.col("coverage") >= F.lit(min_coverage))
         .select("doc", "bench_doc", "n_overlap", "coverage")
     )
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    fraction: float,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Exact-count stratified sample: EXACTLY ceil(fraction · n_g) rows
+    from every group g, chosen by ranking on md5(salt ∥ id) — the
+    balanced-dataset construction step (per-language / per-source quotas)
+    where Bernoulli hash sampling (deterministic_sample) is not enough
+    because small strata need their count guaranteed, not expected.
+
+    Deterministic: the md5 order is a pure function of ids, so any two
+    runs — or two engines — pick the same rows.  One per-group window
+    shuffle; the per-group count rides the same partitioning (no second
+    exchange)."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(key, F.col(id_col))
+    wc = Window.partitionBy(*group_cols)
+    quota = F.ceil(F.lit(fraction) * F.count(F.lit(1)).over(wc).cast("double"))
+    return (
+        df.withColumn("_srank", F.row_number().over(w))
+        .withColumn("_quota", quota)
+        .where(F.col("_srank") <= F.col("_quota"))
+        .drop("_srank", "_quota")
+    )

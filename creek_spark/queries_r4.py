@@ -191,3 +191,63 @@ def join_fuzzy_match(spark, sf_dir):
             "dist",
         )
     )
+
+
+@register(
+    "sample_stratified",
+    """
+    WITH ranked AS (
+      SELECT source, lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS srank,
+             COUNT(*) OVER (PARTITION BY source, lang) AS n
+      FROM documents)
+    SELECT source, lang, doc_id, n_chars
+    FROM ranked
+    WHERE srank <= CAST(ceil(0.2 * CAST(n AS DOUBLE)) AS BIGINT)
+    """,
+    "pipeline",
+)
+def sample_stratified(spark, sf_dir):
+    """Exact-count stratified sampling: EXACTLY ceil(20% · n) documents
+    per (source, lang) stratum, chosen by md5 rank — the balanced-corpus
+    quota step where Bernoulli sampling can't guarantee small strata
+    their count.  Pure function of ids → identical rows in any engine /
+    any run; one per-stratum window shuffle (operators/pipeline.py)."""
+    from creek_spark.operators.pipeline import stratified_exact_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "lang", "doc_id", "n_chars"
+    )
+    return stratified_exact_sample(docs, ["source", "lang"], "doc_id", 0.2)
+
+
+@register(
+    "window_distribution",
+    """
+    SELECT event_id, event_type, value,
+           ntile(4) OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS quartile,
+           cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cume_d,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pct_rank
+    FROM events
+    """,
+    "window",
+)
+def window_distribution(spark, sf_dir):
+    """Distribution window family: ntile quartile assignment (total-order
+    tiebreak), cume_dist and percent_rank — the equal-frequency binning
+    used for feature quantization.  All three specs share one partition
+    key, so the query is a single per-type shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wv = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(wt).alias("quartile"),
+        F.cume_dist().over(wv).alias("cume_d"),
+        F.percent_rank().over(wv).alias("pct_rank"),
+    )
