@@ -224,3 +224,44 @@ class Engine:
                 / F.count(F.lit(1))
             ).alias("mean_quality"),
         )
+
+    # -------------------------------------------------- round-4 surface
+
+    def search_bm25(self, docs, text_col: str, id_col: str, query_terms, **kw) -> DataFrame:
+        """BM25 keyword retrieval, rational-idf variant (operators/text.py)."""
+        from creek_spark.operators.text import bm25_topk
+
+        return bm25_topk(docs, text_col, id_col, list(query_terms), **kw)
+
+    def histogram_rollup(self, df, value_col: str, **kw) -> DataFrame:
+        """Mergeable fixed-width histogram tier (operators/sketches.py)."""
+        from creek_spark.operators.sketches import histogram_sketch
+
+        return histogram_sketch(df, value_col, **kw)
+
+    def histogram_quantiles(self, hist, quantiles, **kw) -> DataFrame:
+        """Quantile estimates from merged histogram tiers."""
+        from creek_spark.operators.sketches import histogram_quantiles
+
+        return histogram_quantiles(hist, list(quantiles), **kw)
+
+    def incremental_state(self, wal, split_lsn_num: int, key_cols=None, **kw) -> DataFrame:
+        """latest_state maintained incrementally across a batch boundary
+        (recompute-touched-keys + carry; operators/cdc.py)."""
+        from creek_spark.operators.cdc import incremental_latest_state
+
+        return incremental_latest_state(wal, split_lsn_num, key_cols, **kw)
+
+    def interval_join(self, left, right, on, *, left_bounds, right_bounds, **kw) -> DataFrame:
+        """Cell-bucketed interval-overlap join (operators/intervals.py)."""
+        from creek_spark.operators.intervals import interval_overlap_join
+
+        return interval_overlap_join(
+            left, right, on, left_bounds=left_bounds, right_bounds=right_bounds, **kw
+        )
+
+    def stratified_sample(self, df, group_cols, id_col: str, fraction: float, **kw) -> DataFrame:
+        """Exact-count stratified sample (operators/pipeline.py)."""
+        from creek_spark.operators.pipeline import stratified_exact_sample
+
+        return stratified_exact_sample(df, list(group_cols), id_col, fraction, **kw)
