@@ -251,3 +251,65 @@ def window_distribution(spark, sf_dir):
         F.cume_dist().over(wv).alias("cume_d"),
         F.percent_rank().over(wv).alias("pct_rank"),
     )
+
+
+@register(
+    "dq_audit",
+    """
+    SELECT 'orders_fk_customer' AS check,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_bad
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer_pk_unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'events_value_nonnull',
+           CAST((SELECT COUNT(CASE WHEN value IS NULL THEN 1 END)
+                 FROM events) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT COUNT(CASE WHEN NOT (l_quantity >= 1
+                                             AND l_quantity <= 50)
+                              THEN 1 END)
+                 FROM lineitem) AS BIGINT)
+    """,
+    "quality",
+)
+def dq_audit(spark, sf_dir):
+    """Data-quality audit (the dbt-test battery as one report): FK
+    orphan counts via broadcast left-anti joins, PK uniqueness as
+    COUNT − COUNT(DISTINCT), null and domain-range violations as
+    conditional counts.  Every check is a one-row aggregate, so the
+    union is metadata-sized; at 100 TB the audit costs one scan per
+    child table with pushdown-friendly predicates
+    (operators/quality.py)."""
+    from creek_spark.operators import quality as dq
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+    return dq.dq_audit(
+        [
+            dq.fk_check("orders_fk_customer", orders, customer,
+                        "o_custkey", "c_custkey"),
+            dq.fk_check("lineitem_fk_orders", lineitem, orders,
+                        "l_orderkey", "o_orderkey"),
+            dq.unique_check("customer_pk_unique", customer, ["c_custkey"]),
+            dq.null_check("events_value_nonnull", events, "value"),
+            dq.range_check(
+                "lineitem_qty_range",
+                lineitem,
+                (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+            ),
+        ]
+    )

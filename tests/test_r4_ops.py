@@ -202,3 +202,36 @@ def test_interval_overlap_rejects_ambiguous_columns(spark):
         interval_overlap_join(
             df, df, ["k"], left_bounds=("lo", "hi"), right_bounds=("lo", "hi")
         )
+
+
+def test_interval_overlap_property_random(spark):
+    """Property check against brute force over randomized interval sets
+    (deterministic seed — Spark session fixtures don't mix with
+    hypothesis' per-example reruns, so this is a seeded sweep)."""
+    import datetime
+    import random
+
+    from creek_spark.operators.intervals import interval_overlap_join
+
+    rng = random.Random(20240814)
+    base = datetime.datetime(2024, 1, 1)
+    for trial in range(5):
+        mk = lambda: [
+            (
+                rng.randint(1, 4),
+                base + datetime.timedelta(minutes=(s := rng.randint(0, 5000))),
+                base + datetime.timedelta(minutes=s + rng.randint(0, 900)),
+            )
+            for _ in range(rng.randint(1, 20))
+        ]
+        lrows, rrows = mk(), mk()
+        left = spark.createDataFrame(lrows, "k long, llo timestamp, lhi timestamp")
+        right = spark.createDataFrame(rrows, "k long, rlo timestamp, rhi timestamp")
+        cell = rng.choice([600, 3600, 21600])
+        got = interval_overlap_join(
+            left, right, ["k"], left_bounds=("llo", "lhi"),
+            right_bounds=("rlo", "rhi"), cell_seconds=cell,
+        ).collect()
+        got_set = {(r["k"], r["llo"], r["lhi"], r["rlo"], r["rhi"]) for r in got}
+        assert len(got) == len(got_set), (trial, cell, "dup pairs")
+        assert got_set == _brute_overlap(lrows, rrows), (trial, cell)
