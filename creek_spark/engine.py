@@ -265,3 +265,13 @@ class Engine:
         from creek_spark.operators.pipeline import stratified_exact_sample
 
         return stratified_exact_sample(df, list(group_cols), id_col, fraction, **kw)
+
+    def rollup_sink(self, state_dir: str, key_cols, add_cols, partition_col: str):
+        """Streaming additive-rollup maintenance sink (histogram tiers,
+        counter cubes): batch_id-fenced, partition-local, manifest-atomic
+        (streaming/rollup.py)."""
+        from creek_spark.streaming.rollup import AdditiveRollupSink
+
+        return AdditiveRollupSink(
+            self.spark, state_dir, list(key_cols), list(add_cols), partition_col
+        )

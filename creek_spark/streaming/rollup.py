@@ -1,0 +1,175 @@
+"""Streaming maintenance of ADDITIVE rollups (histogram tiers, counter
+cubes, HLL sketch unions): a foreachBatch sink that merges each
+micro-batch's pre-aggregated rows into a persistent rollup table.
+
+Additive state (counts/sums per key) composes differently from the
+CdcApplier's latest-state MERGE: merge is ``old + batch`` per key, which
+is NOT idempotent — a replayed batch would double-count.  Structured
+Streaming replays a failed trigger under the SAME batch_id, so the sink
+records ``last_batch_id`` in its manifest and skips replays — the
+standard transactional-sink recipe (batch_id fencing + atomic commit).
+
+Scale design mirrors CdcApplier: state is hive-partitioned on a caller
+-chosen partition key (for time-tier rollups: the day of the bucket), a
+batch rewrites ONLY the partitions its rows touch (a trickle of fresh
+events touches today's partition, never the year of history), and each
+batch publishes a new version directory with an atomic ``os.replace``
+manifest swap — readers always see one committed generation.  The only
+driver traffic is one bounded collect of touched partition values.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "_manifest.json"
+
+
+class AdditiveRollupSink:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        key_cols: list[str],
+        add_cols: list[str],
+        partition_col: str,
+    ):
+        """``key_cols`` identify a rollup row (must include
+        ``partition_col``, a STRING column that buckets state on disk);
+        ``add_cols`` are the additive measures (summed on merge).
+        Batches passed to ``apply_batch`` must already have this shape —
+        pair with e.g. ``operators.sketches.histogram_sketch`` plus a
+        string partition projection."""
+        if partition_col not in key_cols:
+            raise ValueError("partition_col must be one of key_cols")
+        self.spark = spark
+        self.state_dir = state_dir
+        self.key_cols = key_cols
+        self.add_cols = add_cols
+        self.partition_col = partition_col
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------
+    # {"version": N, "parts": {pval: "v000000N"}, "last_batch_id": i}
+
+    def _read_manifest(self) -> dict | None:
+        try:
+            with open(os.path.join(self.state_dir, _MANIFEST)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def last_batch_id(self) -> int:
+        m = self._read_manifest()
+        return m["last_batch_id"] if m else -1
+
+    def current(self) -> DataFrame | None:
+        """The committed rollup as of the latest manifest generation."""
+        m = self._read_manifest()
+        if not m or not m["parts"]:
+            return None
+        by_ver: dict[str, list[str]] = {}
+        for pval, ver in m["parts"].items():
+            by_ver.setdefault(ver, []).append(pval)
+        parts = []
+        for ver, pvals in by_ver.items():
+            vdir = os.path.join(self.state_dir, ver)
+            paths = [
+                os.path.join(vdir, f"{self.partition_col}={v}") for v in pvals
+            ]
+            parts.append(
+                self.spark.read.option("basePath", vdir).parquet(*paths)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # partition values round-trip through hive paths as strings
+        return out.withColumn(
+            self.partition_col, F.col(self.partition_col).cast("string")
+        )
+
+    # -- merge ---------------------------------------------------------
+
+    def apply_batch(self, tier: DataFrame, batch_id: int) -> None:
+        """Merge one micro-batch's pre-aggregated tier rows.  Replays
+        (batch_id ≤ last committed) are no-ops — at-least-once delivery
+        becomes effectively-once."""
+        old = self._read_manifest()
+        if old is not None and batch_id <= old["last_batch_id"]:
+            return
+        tier = tier.groupBy(*self.key_cols).agg(
+            *[F.sum(c).cast("bigint").alias(c) for c in self.add_cols]
+        )
+        touched = {
+            str(r[0])
+            for r in tier.select(self.partition_col).distinct().collect()
+        }
+        if not touched:
+            self._publish(old, None, touched, batch_id)
+            return
+        merged = tier
+        old_parts = (old or {}).get("parts", {})
+        hit = [p for p in touched if p in old_parts]
+        if hit:
+            by_ver: dict[str, list[str]] = {}
+            for pval in hit:
+                by_ver.setdefault(old_parts[pval], []).append(pval)
+            for ver, pvals in by_ver.items():
+                vdir = os.path.join(self.state_dir, ver)
+                prev = self.spark.read.option("basePath", vdir).parquet(
+                    *[os.path.join(vdir, f"{self.partition_col}={v}") for v in pvals]
+                ).withColumn(
+                    self.partition_col, F.col(self.partition_col).cast("string")
+                )
+                merged = merged.unionByName(prev.select(*merged.columns))
+            merged = merged.groupBy(*self.key_cols).agg(
+                *[F.sum(c).cast("bigint").alias(c) for c in self.add_cols]
+            )
+        ver_n = (old["version"] + 1) if old else 1
+        new_ver = f"v{ver_n:07d}"
+        merged.write.partitionBy(self.partition_col).mode("overwrite").parquet(
+            os.path.join(self.state_dir, new_ver)
+        )
+        self._publish(old, new_ver, touched, batch_id)
+
+    def _publish(
+        self, old: dict | None, new_ver: str | None, touched: set, batch_id: int
+    ) -> None:
+        parts = dict((old or {}).get("parts", {}))
+        if new_ver is not None:
+            parts.update({p: new_ver for p in touched})
+        manifest = {
+            "version": (old["version"] + 1) if old else 1,
+            "parts": parts,
+            "last_batch_id": batch_id,
+        }
+        tmp = os.path.join(self.state_dir, _MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.state_dir, _MANIFEST))
+        # GC: version dirs neither the new nor the previous generation
+        # references (1-generation retention for in-flight readers)
+        live = set(parts.values()) | set((old or {}).get("parts", {}).values())
+        for name in os.listdir(self.state_dir):
+            if (
+                name.startswith("v")
+                and name not in live
+                and os.path.isdir(os.path.join(self.state_dir, name))
+            ):
+                shutil.rmtree(
+                    os.path.join(self.state_dir, name), ignore_errors=True
+                )
+
+    def foreach_batch(self, prepare):
+        """Adapter for ``writeStream.foreachBatch``: ``prepare`` maps the
+        raw micro-batch to tier rows (key_cols + add_cols)."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            self.apply_batch(prepare(batch), batch_id)
+
+        return _fn

@@ -1,0 +1,123 @@
+"""AdditiveRollupSink: incremental rollup maintenance == batch recompute,
+replay fencing, partition-local rewrites, atomic manifest visibility."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from creek_spark.operators.sketches import histogram_quantiles, histogram_sketch
+from creek_spark.sources import read_table
+from creek_spark.streaming.rollup import AdditiveRollupSink
+
+
+def _tier(df):
+    """events micro-batch → histogram tier rows with a string day part."""
+    h = histogram_sketch(
+        df, "value", bin_width=5.0, group_cols=["event_type"], bucket="hour"
+    )
+    return h.select(
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "bin",
+        "n",
+    )
+
+
+KEYS = ["day", "hour", "event_type", "bin"]
+
+
+def _sink(spark, tmp_path):
+    return AdditiveRollupSink(
+        spark, str(tmp_path / "rollup"), KEYS, ["n"], "day"
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select(*KEYS, "n").collect()))
+
+
+def test_incremental_equals_batch_recompute(spark, sf_dir, tmp_path):
+    ev = read_table(spark, sf_dir, "events")
+    sink = _sink(spark, tmp_path)
+    # three micro-batches by event_id range
+    for i, (lo, hi) in enumerate([(0, 300), (300, 700), (700, 10**9)]):
+        batch = ev.where(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        )
+        sink.apply_batch(_tier(batch), i)
+    assert _rows(sink.current()) == _rows(_tier(ev))
+
+
+def test_replayed_batch_is_noop(spark, sf_dir, tmp_path):
+    ev = read_table(spark, sf_dir, "events")
+    sink = _sink(spark, tmp_path)
+    b0 = ev.where(F.col("event_id") < 500)
+    b1 = ev.where(F.col("event_id") >= 500)
+    sink.apply_batch(_tier(b0), 0)
+    sink.apply_batch(_tier(b1), 1)
+    before = _rows(sink.current())
+    sink.apply_batch(_tier(b1), 1)  # replay after "crash"
+    sink.apply_batch(_tier(b0), 0)  # stale replay
+    assert _rows(sink.current()) == before
+
+
+def test_batch_rewrites_only_touched_partitions(spark, tmp_path):
+    """A batch whose rows all land in one day must not rewrite other
+    days' state files (the partition-local property)."""
+    import datetime
+
+    mk = lambda d, n: spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, d, 10), 100 + i, "view", 7.0, "{}")
+         for i in range(n)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sink = _sink(spark, tmp_path)
+    sink.apply_batch(_tier(mk(1, 5)), 0)
+    m1 = json.load(open(os.path.join(sink.state_dir, "_manifest.json")))
+    sink.apply_batch(_tier(mk(2, 5)), 1)  # different day only
+    m2 = json.load(open(os.path.join(sink.state_dir, "_manifest.json")))
+    assert m2["parts"]["2024-01-01"] == m1["parts"]["2024-01-01"], (
+        "untouched day was rewritten"
+    )
+    assert m2["parts"]["2024-01-02"] != m1["parts"]["2024-01-01"]
+    # both days' dirs exist and state is the sum of both batches
+    assert sink.current().count() == _tier(mk(1, 5)).count() + _tier(mk(2, 5)).count()
+
+
+def test_quantiles_from_streamed_rollup_match_batch(spark, sf_dir, tmp_path):
+    """End-to-end: quantiles computed from the streamed tier equal those
+    from the one-shot batch sketch (the point of the whole exercise)."""
+    ev = read_table(spark, sf_dir, "events")
+    sink = _sink(spark, tmp_path)
+    for i, (lo, hi) in enumerate([(0, 400), (400, 10**9)]):
+        sink.apply_batch(
+            _tier(ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi))), i
+        )
+    streamed = sink.current().select("event_type", "bin", "n")
+    direct = histogram_sketch(
+        ev, "value", bin_width=5.0, group_cols=["event_type"], bucket="hour"
+    )
+    q = lambda h: sorted(
+        map(
+            tuple,
+            histogram_quantiles(
+                h, [0.5, 0.99], bin_width=5.0, group_cols=["event_type"]
+            ).collect(),
+        )
+    )
+    assert q(streamed) == q(direct)
+
+
+def test_empty_batch_advances_fence_only(spark, sf_dir, tmp_path):
+    ev = read_table(spark, sf_dir, "events")
+    sink = _sink(spark, tmp_path)
+    sink.apply_batch(_tier(ev.where(F.col("event_id") < 100)), 0)
+    before = _rows(sink.current())
+    sink.apply_batch(_tier(ev.where(F.lit(False))), 1)
+    assert sink.last_batch_id() == 1
+    assert _rows(sink.current()) == before
