@@ -405,8 +405,13 @@ def q17_small_qty_revenue(spark, sf_dir):
     headline=True,
 )
 def q18_large_volume(spark, sf_dir):
-    """TPC-H Q18: large-volume orders via HAVING-filtered in-subquery →
-    left-semi join on the grouped keys."""
+    """TPC-H Q18: large-volume orders.  ``o_orderkey`` is unique, so the
+    oracle's per-(customer, order, …) SUM equals the per-order SUM the
+    HAVING subquery already computes — aggregate lineitem ONCE, filter
+    > 300 (a tiny survivor set), broadcast it against orders, broadcast
+    customer, TakeOrdered.  ONE lineitem scan and one shuffle total (the
+    previous shape scanned lineitem twice and re-aggregated the join
+    fanout)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -414,14 +419,18 @@ def q18_large_volume(spark, sf_dir):
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("_sq"))
         .where(F.col("_sq") > 300)
-        .select("l_orderkey")
     )
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
-        .join(li, o.o_orderkey == li.l_orderkey)
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
