@@ -266,6 +266,31 @@ class Engine:
 
         return stratified_exact_sample(df, list(group_cols), id_col, fraction, **kw)
 
+    def semantic_dedup(self, df, id_col: str, vec_col: str, **kw) -> DataFrame:
+        """SemDeDup: k-means blocking + in-cluster cosine keep-earliest
+        (operators/clustering.py)."""
+        from creek_spark.operators.clustering import semantic_dedup
+
+        return semantic_dedup(df, id_col, vec_col, **kw)
+
+    def token_budget_sample(self, df, *, budget: int, **kw) -> DataFrame:
+        """Per-stratum token-budget prefix sample (operators/pipeline.py)."""
+        from creek_spark.operators.pipeline import token_budget_sample
+
+        return token_budget_sample(df, budget=budget, **kw)
+
+    def export_shards(self, df, path: str, id_col: str, **kw) -> None:
+        """Write the corpus as stable md5-prefix shards (operators/pipeline.py)."""
+        from creek_spark.operators.pipeline import write_shards
+
+        return write_shards(df, path, id_col, **kw)
+
+    def shard_manifest(self, df, **kw) -> DataFrame:
+        """Per-shard balance stats for an export (operators/pipeline.py)."""
+        from creek_spark.operators.pipeline import shard_stats
+
+        return shard_stats(df, **kw)
+
     def rollup_sink(self, state_dir: str, key_cols, add_cols, partition_col: str):
         """Streaming additive-rollup maintenance sink (histogram tiers,
         counter cubes): batch_id-fenced, partition-local, manifest-atomic

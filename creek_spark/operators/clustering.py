@@ -174,3 +174,83 @@ def kmeans_summary(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         F.sum("dist_scaled").cast("bigint").alias("inertia_scaled"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10**6,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, then inside
+    each cluster drop every vector whose cosine similarity to an
+    earlier-id cluster member is ≥ ``threshold``.
+
+    Output — one row per input vector:
+        (id, cluster, removed boolean, dup_of bigint|null, max_sim double|null)
+    ``dup_of`` is the smallest offending earlier id; kept rows carry
+    nulls.  The "earlier id wins" rank is the paper's one-pass rule
+    (remove j when ∃ i<j in-cluster with sim ≥ τ) — deliberately NOT the
+    iterative greedy against the kept-set, so the decision for each row
+    is independent and the whole operator is two joins, no fixed point.
+
+    Scale: the pair space is |cluster|²-bounded (never corpus²) — the
+    k-means blocking is the point of SemDeDup; assignment itself is a
+    broadcast-centroid map (zero corpus shuffle, see kmeans_assignments).
+    Norms are computed once per row before the self-join, and dot
+    products are exact decimal folds (similarity._exact_dot) so the
+    result is bit-stable across engines and partitionings.
+    """
+    from creek_spark.operators.similarity import _exact_dot
+
+    asg = kmeans_assignments(
+        df, id_col, vec_col, k=k, iters=iters, scale=scale
+    ).select(F.col(id_col).alias("_id"), "cluster")
+    base = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .join(asg, "_id")
+        .withColumn("_norm_sq", _exact_dot(F.col("_vec"), F.col("_vec")))
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("cluster").alias("_c"),
+        F.col("_vec").alias("_va"),
+        F.col("_norm_sq").alias("_na"),
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("cluster").alias("_c"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm_sq").alias("_nb"),
+    )
+    sims = (
+        a.join(b, "_c")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            _exact_dot(F.col("_va"), F.col("_vb")).cast("double")
+            / (
+                F.sqrt(F.col("_na").cast("double"))
+                * F.sqrt(F.col("_nb").cast("double"))
+            ),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )
+    removed = sims.groupBy("id_b").agg(
+        F.min("id_a").alias("dup_of"), F.max("cos_sim").alias("max_sim")
+    )
+    return (
+        base.select("_id", "cluster")
+        .join(removed, base["_id"] == removed["id_b"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.col("id_b").isNotNull().alias("removed"),
+            "dup_of",
+            "max_sim",
+        )
+    )

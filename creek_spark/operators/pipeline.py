@@ -271,3 +271,130 @@ def stratified_exact_sample(
         .where(F.col("_srank") <= F.col("_quota"))
         .drop("_srank", "_quota")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    *,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget sampling: per stratum, keep documents in md5 order
+    until the stratum's cumulative whitespace-token count would exceed
+    ``budget`` — the "N tokens per source/language" mixture construction
+    step (count-based quotas can't cap compute; token budgets do).
+
+    A doc is kept iff the running total *including it* is ≤ budget, so
+    the kept set is a deterministic prefix of the md5 order — two runs
+    (or two engines) agree exactly.  Output:
+        (id, stratum, n_tokens, cum_tokens), kept rows only.
+
+    Scale: one per-stratum window shuffle (running sum rides the same
+    exchange as the rank); token counting is a JVM-side split/size — no
+    Python, no second pass.
+    """
+    from creek_spark.functions.text import tokens
+
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= F.lit(budget))
+    )
+
+
+def shard_assign(
+    df: DataFrame, id_col: str, *, n_shards: int = 16, salt: str = ""
+) -> DataFrame:
+    """Deterministic shard id (0..n_shards-1) from the md5 hex prefix of
+    the row id — the export-side "split the corpus into N stable shards"
+    primitive (training-data writers want shard membership to be a pure
+    function of the id, not of partitioning or row order, so re-exports
+    and incremental appends land rows in the same shard).
+
+    n_shards must be 16 or 256 (one or two hex chars — keeps the mapping
+    expressible in ANSI SQL with no hex→int conversion builtin).  Adds a
+    ``shard`` int column; purely map-side, no shuffle.
+    """
+    if n_shards not in (16, 256):
+        raise ValueError("n_shards must be 16 or 256 (hex-prefix mapping)")
+    digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    hexpos = lambda c: F.instr(F.lit("0123456789abcdef"), c) - F.lit(1)  # noqa: E731
+    shard = hexpos(F.substring(digest, 1, 1))
+    if n_shards == 256:
+        shard = shard * F.lit(16) + hexpos(F.substring(digest, 2, 1))
+    return df.withColumn("shard", shard.cast("int"))
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    *,
+    n_shards: int = 16,
+    salt: str = "",
+    format: str = "parquet",
+) -> None:
+    """Export the corpus as ``n_shards`` stable shards under
+    ``path/shard=K/``: shard_assign + one hash repartition on the shard
+    column (so each output directory is written by the tasks that own
+    it, not appended by all of them) + partitionBy writer.
+
+    At 100 TB: the repartition is the only exchange; within a shard the
+    writer streams — no sort, no driver collect.  Readers get partition
+    pruning on ``shard`` for free.
+    """
+    out = shard_assign(df, id_col, n_shards=n_shards, salt=salt)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .write.format(format)
+        .partitionBy("shard")
+        .mode("overwrite")
+        .save(path)
+    )
+
+
+def shard_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "source",
+    n_shards: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Per-shard manifest for a shard_assign export: row count, token
+    count, distinct strata, id bounds — the balance check that catches a
+    skewed shard before a trainer does.  One hash-agg shuffle on the
+    16/256-row shard key."""
+    from creek_spark.functions.text import tokens
+
+    return (
+        shard_assign(df, id_col, n_shards=n_shards, salt=salt)
+        .select(
+            "shard",
+            F.col(id_col).alias("_id"),
+            F.col(stratum_col).alias("_st"),
+            F.size(tokens(text_col)).cast("bigint").alias("_nt"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.countDistinct("_st").cast("bigint").alias("n_strata"),
+            F.min("_id").alias("min_id"),
+            F.max("_id").alias("max_id"),
+        )
+    )

@@ -1005,11 +1005,12 @@ KM_ITERS = 2
 KM_SCALE = 10**6
 
 
-def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS, s: int = KM_SCALE) -> str:
-    """Unrolled Lloyd iterations in SQL — exact because every step is
-    integer arithmetic (quantized components, BIGINT distances,
+def _kmeans_ctes(k: int = KM_K, iters: int = KM_ITERS, s: int = KM_SCALE):
+    """Unrolled Lloyd iterations as a CTE chain — exact because every
+    step is integer arithmetic (quantized components, BIGINT distances,
     truncating-division means: DuckDB `//` and Spark `div` both truncate
-    toward zero)."""
+    toward zero).  Returns (ctes, final_assign_name) so other oracles
+    (semantic dedup) can build on the same assignment."""
 
     def assign(i, cents):
         return f"""a{i} AS (
@@ -1046,13 +1047,83 @@ def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS, s: int = KM_SCALE) -> s
         ctes.append(assign(i, f"c{i - 1}"))
         ctes.append(update(i))
     ctes.append(assign(iters + 1, f"c{iters}"))
+    return ctes, f"a{iters + 1}"
+
+
+def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS, s: int = KM_SCALE) -> str:
+    ctes, final = _kmeans_ctes(k, iters, s)
     body = ",\n    ".join(ctes)
     return f"""
     WITH {body}
     SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
            CAST(SUM(dist) AS BIGINT) AS inertia_scaled
-    FROM a{iters + 1} GROUP BY cid
+    FROM {final} GROUP BY cid
     """
+
+
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def _semdedup_oracle(
+    k: int = KM_K, iters: int = KM_ITERS, s: int = KM_SCALE,
+    tau: float = SEMDEDUP_THRESHOLD,
+) -> str:
+    """SemDeDup oracle: the unrolled-Lloyd assignment CTEs as the
+    blocking key, then in-cluster upper-triangular cosine (exact decimal
+    dot, same shape the green similarity_topk oracle uses) and the
+    paper's one-pass "remove j when ∃ i<j with sim ≥ τ" rule."""
+    ctes, final = _kmeans_ctes(k, iters, s)
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    asg AS (SELECT id, cid FROM {final}),
+    ep AS (SELECT vec_id AS id, unnest(generate_series(1, len(embedding))) AS pos,
+                  unnest([CAST(x AS DOUBLE) FOR x IN embedding]) AS ev
+           FROM embeddings),
+    norms AS (SELECT vec_id AS id,
+                     SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS ns
+              FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) u
+              GROUP BY vec_id),
+    pairs AS (SELECT a.id AS id_a, b.id AS id_b
+              FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id),
+    dots AS (SELECT p.id_a, p.id_b,
+                    SUM(CAST(ea.ev * eb.ev AS DECIMAL(38,12))) AS dot
+             FROM pairs p
+             JOIN ep ea ON ea.id = p.id_a
+             JOIN ep eb ON eb.id = p.id_b AND eb.pos = ea.pos
+             GROUP BY p.id_a, p.id_b),
+    sims AS (SELECT id_a, id_b,
+                    CAST(dot AS DOUBLE)
+                      / (sqrt(CAST(na.ns AS DOUBLE)) * sqrt(CAST(nb.ns AS DOUBLE))) AS cs
+             FROM dots
+             JOIN norms na ON na.id = dots.id_a
+             JOIN norms nb ON nb.id = dots.id_b),
+    rem AS (SELECT id_b, MIN(id_a) AS dup_of, MAX(cs) AS max_sim
+            FROM sims WHERE cs >= {tau} GROUP BY id_b)
+    SELECT asg.id AS vec_id, asg.cid AS cluster,
+           (rem.id_b IS NOT NULL) AS removed, rem.dup_of, rem.max_sim
+    FROM asg LEFT JOIN rem ON rem.id_b = asg.id
+    """
+
+
+@register("dedup_semantic", _semdedup_oracle(), "dedup")
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means blocking + in-cluster
+    cosine ≥ τ against any earlier id → removed, with the surviving
+    representative (smallest offending id) attached.
+
+    Scale: pair space is |cluster|²-bounded — the clustering IS the
+    blocking; assignment is a broadcast-centroid map-side fold (zero
+    corpus shuffle per Lloyd round), norms precomputed pre-join, dots
+    exact decimal folds in whole-stage codegen."""
+    from creek_spark.operators.clustering import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding",
+        k=KM_K, iters=KM_ITERS, scale=KM_SCALE,
+        threshold=SEMDEDUP_THRESHOLD,
+    )
 
 
 @register("embedding_kmeans", _kmeans_oracle(), "similarity")

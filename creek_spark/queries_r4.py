@@ -313,3 +313,78 @@ def dq_audit(spark, sf_dir):
             ),
         ]
     )
+
+
+# =====================================================================
+# training-data export: token budgets, stable shards, semantic dedup
+# =====================================================================
+
+from creek_spark.queries_ext import SQL_TOKENS as _SQL_TOKENS
+
+_DOC_TOKS = _SQL_TOKENS.format(c="text")
+
+TOKEN_BUDGET = 2000
+
+
+@register(
+    "sample_token_budget",
+    f"""
+    SELECT doc_id, source, n_tokens, cum_tokens FROM (
+      SELECT doc_id, source,
+             CAST(len({_DOC_TOKS}) AS BIGINT) AS n_tokens,
+             SUM(CAST(len({_DOC_TOKS}) AS BIGINT))
+               OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM documents) t
+    WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+    "pipeline",
+)
+def sample_token_budget(spark, sf_dir):
+    """Token-budget sampling: per source, keep documents in md5 order
+    while the running whitespace-token total stays ≤ 2000 — the
+    "N tokens per source" mixture-construction step (count quotas can't
+    cap compute; token budgets do).  Kept set is a deterministic prefix
+    of the md5 order; one per-stratum window shuffle, running sum rides
+    the rank's exchange (operators/pipeline.py token_budget_sample)."""
+    from creek_spark.operators.pipeline import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, budget=TOKEN_BUDGET, text_col="text",
+        id_col="doc_id", stratum_col="source",
+    )
+
+
+@register(
+    "export_shards",
+    f"""
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len({_DOC_TOKS}) AS BIGINT)) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_strata,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM (SELECT *,
+                 CAST(strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                      AS INTEGER) AS shard
+          FROM documents) t
+    GROUP BY shard
+    """,
+    "pipeline",
+)
+def export_shards(spark, sf_dir):
+    """Stable-shard export manifest: shard = hex-prefix of md5(doc_id)
+    (a pure function of the id — re-exports and incremental appends land
+    rows in the same shard regardless of partitioning), with per-shard
+    doc/token/strata balance stats.  Map-side assignment + one 16-row
+    hash agg; the writer half (write_shards) streams each shard with a
+    single repartition exchange (operators/pipeline.py)."""
+    from creek_spark.operators.pipeline import shard_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_stats(
+        docs, id_col="doc_id", text_col="text",
+        stratum_col="source", n_shards=16,
+    )
