@@ -266,6 +266,19 @@ class Engine:
 
         return stratified_exact_sample(df, list(group_cols), id_col, fraction, **kw)
 
+    def dedup_index(self, df, text_col: str, id_col: str, **kw) -> DataFrame:
+        """Persisted-LSH dedup index rows (operators/dedup.py minhash_index)."""
+        from creek_spark.operators.dedup import minhash_index
+
+        return minhash_index(df, text_col, id_col, **kw)
+
+    def dedup_incremental(self, new_df, index, text_col: str, id_col: str, **kw) -> DataFrame:
+        """New-batch near-dup pairs vs a persisted index plus itself
+        (operators/dedup.py incremental_lsh_candidates)."""
+        from creek_spark.operators.dedup import incremental_lsh_candidates
+
+        return incremental_lsh_candidates(new_df, index, text_col, id_col, **kw)
+
     def semantic_dedup(self, df, id_col: str, vec_col: str, **kw) -> DataFrame:
         """SemDeDup: k-means blocking + in-cluster cosine keep-earliest
         (operators/clustering.py)."""

@@ -410,3 +410,74 @@ def repeated_passages(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Banded LSH rows (doc, band, sig) for a corpus — the persisted
+    dedup index.  Write this once (parquet, partitioned/bucketed by
+    ``sig`` prefix if desired); each new crawl batch then dedups against
+    it via ``incremental_lsh_candidates`` without touching the 100 TB
+    corpus text again.  Size: docs × bands × ~40 B."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes=n_hashes, shingle_k=shingle_k
+    )
+    return lsh_bands(sigs, bands=bands, rows_per_band=rows_per_band)
+
+
+def incremental_lsh_candidates(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs for a NEW batch against an existing
+    corpus index plus itself: (doc_a < doc_b) where at least one side is
+    a new doc.  Exactly the full-corpus pair set restricted to pairs
+    touching the batch (signatures are per-doc, so batch-computed sigs
+    equal corpus-computed sigs) — proven in tests/test_export_ops.py.
+
+    Scale: shingling/hashing runs over the BATCH only; the index side is
+    a pre-computed (doc, band, sig) scan.  Both joins key on (band, sig)
+    so fan-out stays bucket-bounded; cost ∝ batch, not corpus — the
+    production crawl-over-crawl dedup loop."""
+    rows_per_band = n_hashes // bands
+    nb = _persist(
+        lsh_bands(
+            minhash_signatures(
+                new_df, text_col, id_col,
+                n_hashes=n_hashes, shingle_k=shingle_k,
+            ),
+            bands=bands, rows_per_band=rows_per_band,
+        )
+    )
+    ne = (
+        nb.alias("n")
+        .join(index.alias("e"), on=["band", "sig"])
+        .where(F.col("n.doc") != F.col("e.doc"))
+        .select(
+            F.least(F.col("n.doc"), F.col("e.doc")).alias("doc_a"),
+            F.greatest(F.col("n.doc"), F.col("e.doc")).alias("doc_b"),
+        )
+    )
+    nn = (
+        nb.alias("a")
+        .join(nb.alias("b"), on=["band", "sig"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+    )
+    return ne.unionByName(nn).distinct()

@@ -64,7 +64,7 @@ def dedup_exact(spark, sf_dir):
     return dd.exact_dedup(docs, "text", "doc_id")
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(extra_where: str = "") -> str:
     # one-permutation minhash: md5('<g>:'||shingle) split into 8 4-hex
     # chunks (mirrors dedup.minhash_signatures / CHUNKS_PER_MD5)
     mins = ",\n           ".join(
@@ -84,7 +84,7 @@ def _minhash_oracle() -> str:
     bands AS ({bands_sql})
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-    WHERE a.doc < b.doc
+    WHERE a.doc < b.doc{extra_where}
     """
 
 
@@ -96,6 +96,32 @@ def dedup_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dd.minhash_lsh_candidates(
         docs, "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, shingle_k=SHINGLE_K,
+    )
+
+
+@register(
+    "dedup_incremental",
+    _minhash_oracle(" AND (a.doc % 5 = 0 OR b.doc % 5 = 0)"),
+    "dedup",
+)
+def dedup_incremental(spark, sf_dir):
+    """Crawl-over-crawl dedup: the docs with doc_id % 5 = 0 play the NEW
+    batch, the rest the already-indexed corpus.  Only the batch is
+    shingled/hashed; the corpus side is its persisted (doc, band, sig)
+    LSH index (operators/dedup.py minhash_index) — cost ∝ batch, never
+    corpus.  Oracle: the full-corpus LSH pair set restricted to pairs
+    touching the batch (sigs are per-doc, so the two formulations are
+    identical — also proven row-level in tests/test_export_ops.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    index = dd.minhash_index(
+        old, "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, shingle_k=SHINGLE_K,
+    )
+    return dd.incremental_lsh_candidates(
+        new, index, "text", "doc_id",
         n_hashes=N_HASHES, bands=BANDS, shingle_k=SHINGLE_K,
     )
 

@@ -173,3 +173,54 @@ def test_shard_stats_totals(spark, sf_dir):
     assert sum(r["n_docs"] for r in st) == docs.count()
     assert all(0 <= r["shard"] < 16 for r in st)
     assert all(r["min_id"] <= r["max_id"] for r in st)
+
+
+# ----------------------------------------------------- incremental dedup
+
+
+def test_incremental_dedup_equals_filtered_full_pairs(spark, sf_dir):
+    """Pairs from (batch vs index ∪ batch) must equal the full-corpus
+    pair set restricted to pairs touching the batch — the lossless-ness
+    that justifies never re-deduping the corpus."""
+    from creek_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_index,
+        minhash_lsh_candidates,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    inc = incremental_lsh_candidates(
+        new, minhash_index(old, "text", "doc_id"), "text", "doc_id"
+    )
+    full = minhash_lsh_candidates(docs, "text", "doc_id").where(
+        (F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0)
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_incremental_dedup_index_roundtrips_parquet(spark, sf_dir, tmp_path):
+    """The index survives persistence: parquet-written bands give the
+    same pairs as in-memory ones (the production flow writes the index
+    once per corpus, reads it every batch)."""
+    from creek_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    idx = minhash_index(old, "text", "doc_id")
+    p = str(tmp_path / "lsh_index")
+    idx.write.parquet(p)
+    mem = incremental_lsh_candidates(new, idx, "text", "doc_id")
+    disk = incremental_lsh_candidates(
+        new, spark.read.parquet(p), "text", "doc_id"
+    )
+    assert sorted(map(tuple, mem.collect())) == sorted(
+        map(tuple, disk.collect())
+    )
