@@ -11,6 +11,7 @@ both engines).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from creek_spark.operators import dedup as dd
@@ -927,6 +928,52 @@ def _corpus_report_oracle() -> str:
     FROM ({inner}) m JOIN documents d ON d.doc_id = m.doc_id
     GROUP BY d.source, d.lang
     """
+
+
+QUALITY_KEEP_FRAC = 0.5
+
+
+def _quality_filter_oracle() -> str:
+    """Per-language top-half quality filter over the text_metrics score
+    (nested WITH in a subquery, same wrapper trick as corpus_report)."""
+    inner = QUERIES["text_metrics"].oracle
+    return f"""
+    SELECT doc_id, lang, quality_score, qrank FROM (
+      SELECT m.doc_id, d.lang, m.quality_score,
+             CAST(row_number() OVER (PARTITION BY d.lang
+                                     ORDER BY m.quality_score DESC,
+                                              m.doc_id) AS INTEGER) AS qrank,
+             COUNT(*) OVER (PARTITION BY d.lang) AS n
+      FROM ({inner}) m JOIN documents d ON d.doc_id = m.doc_id) t
+    WHERE qrank <= CAST(ceil({QUALITY_KEEP_FRAC} * CAST(n AS DOUBLE)) AS BIGINT)
+    """
+
+
+@register("sample_quality_filter", _quality_filter_oracle(), "pipeline")
+def sample_quality_filter(spark, sf_dir):
+    """Quality-quantile filtering: keep the best ceil(50%·n) documents
+    per language by the text_metrics quality score (ties broken by
+    doc_id) — the model-free FineWeb-style "train on the better half"
+    selection step.  Single scan (text_metrics passes lang through its
+    one projection), then one per-language window shuffle carrying both
+    the rank and the stratum count."""
+    m = tx.text_metrics(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", keep=("lang",)
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("lang")
+    quota = F.ceil(
+        F.lit(QUALITY_KEEP_FRAC) * F.count(F.lit(1)).over(wc).cast("double")
+    )
+    return (
+        m.select("doc_id", "lang", "quality_score")
+        .withColumn("qrank", F.row_number().over(w))
+        .withColumn("_quota", quota)
+        .where(F.col("qrank") <= F.col("_quota"))
+        .drop("_quota")
+    )
 
 
 @register("corpus_report", _corpus_report_oracle(), "text")
