@@ -338,6 +338,75 @@ def lm_familiarity(
     )
 
 
+def dsir_contrast(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target_col: str,
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """DSIR-style importance contrast (Xie et al. 2023, log-free): score
+    each document by how much its n-gram distribution leans toward a
+    TARGET corpus versus the RAW corpus.
+
+    Per doc: score = A/N_T − B/N_R where A = Σ_occ c_T(gram),
+    B = Σ_occ c_R(gram), c_T/c_R are corpus-wide gram counts inside /
+    outside the target set and N_T/N_R their totals.  This is the
+    relative-frequency form of the DSIR log-likelihood-ratio (monotone
+    substitute: per-gram contribution c_T/N_T − c_R/N_R instead of
+    log((c_T/N_T)/(c_R/N_R))) — chosen because ln() is libm-dependent
+    while decimal sums + two IEEE divisions are bit-identical across
+    engines.  Rank-descending + a deterministic sampler (e.g.
+    stratified_exact_sample on the top fraction) = importance
+    resampling.
+
+    Scale: explode → distinct-(doc,gram) pre-agg → gram-keyed count →
+    gram-keyed join back → doc-keyed final agg; the two totals ride a
+    1-row broadcast.  Same exchange profile as lm_familiarity — every
+    post-explode shuffle carries distinct (doc, gram) rows, uniform key
+    space.  Products are decimal(38,0)-exact (c·occ can exceed 2^63 at
+    petabyte gram counts)."""
+    base = df.select(
+        F.col(id_col).alias("_doc"),
+        F.col(is_target_col).cast("boolean").alias("_t"),
+        tokens(text_col).alias("_toks"),
+    )
+    t = F.col("_toks")
+    n_tok = F.size(t)
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select("_doc", "_t", F.explode(grams).alias("_gram"))
+    dg = g.groupBy("_doc", "_t", "_gram").agg(F.count(F.lit(1)).alias("_occ"))
+    cg = dg.groupBy("_gram").agg(
+        F.sum(F.when(F.col("_t"), F.col("_occ")).otherwise(0)).alias("_ct"),
+        F.sum(F.when(~F.col("_t"), F.col("_occ")).otherwise(0)).alias("_cr"),
+    )
+    tot = cg.agg(
+        F.sum("_ct").alias("_nt"), F.sum("_cr").alias("_nr")
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    joined = dg.join(cg, "_gram").crossJoin(F.broadcast(tot))
+    return (
+        joined.groupBy("_doc")
+        .agg(
+            F.sum("_occ").cast("bigint").alias(f"n_{n}grams"),
+            (
+                F.sum(d19("_occ") * d19("_ct")).cast("double")
+                / F.max("_nt").cast("double")
+                - F.sum(d19("_occ") * d19("_cr")).cast("double")
+                / F.max("_nr").cast("double")
+            ).alias("dsir_score"),
+        )
+        .withColumnRenamed("_doc", id_col)
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     text_col: str,

@@ -1064,6 +1064,49 @@ def _lm_familiarity_oracle(n: int = 2) -> str:
     """
 
 
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_oracle(n: int = 2) -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id AS doc, (lang = '{DSIR_TARGET_LANG}') AS t,
+                         {_TOKS} AS tk FROM documents),
+    g AS (SELECT doc, t,
+                 unnest([array_to_string(tk[i : i+{n - 1}], ' ')
+                         FOR i IN generate_series(1, len(tk)-{n - 1})]) AS gram
+          FROM toks WHERE len(tk) >= {n}),
+    dg AS (SELECT doc, t, gram, COUNT(*) AS occ FROM g GROUP BY doc, t, gram),
+    cg AS (SELECT gram,
+                  SUM(CASE WHEN t THEN occ ELSE 0 END) AS ct,
+                  SUM(CASE WHEN NOT t THEN occ ELSE 0 END) AS cr
+           FROM dg GROUP BY gram),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM cg),
+    ds AS (SELECT doc, SUM(occ) AS ng,
+                  SUM(CAST(occ AS DECIMAL(19,0)) * CAST(ct AS DECIMAL(19,0))) AS a,
+                  SUM(CAST(occ AS DECIMAL(19,0)) * CAST(cr AS DECIMAL(19,0))) AS b
+           FROM dg JOIN cg USING (gram) GROUP BY doc)
+    SELECT doc AS doc_id, CAST(ng AS BIGINT) AS n_{n}grams,
+           CAST(a AS DOUBLE) / CAST(nt AS DOUBLE)
+             - CAST(b AS DOUBLE) / CAST(nr AS DOUBLE) AS dsir_score
+    FROM ds, tot
+    """
+
+
+@register("text_dsir_contrast", _dsir_oracle(), "text")
+def text_dsir_contrast(spark, sf_dir):
+    """DSIR-style importance contrast: per-document lean toward the
+    English subset (the "target" domain) vs the rest of the corpus on
+    bigram relative frequencies — the data-selection score that picks
+    raw documents resembling a curated target.  Log-free (decimal sums,
+    two IEEE divisions) so it is oracle-exact; post-explode exchanges
+    carry distinct (doc, gram) rows only, totals ride a 1-row
+    broadcast (operators/text.py dsir_contrast)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_is_en", F.col("lang") == DSIR_TARGET_LANG
+    )
+    return tx.dsir_contrast(docs, "text", "doc_id", "_is_en")
+
+
 @register("text_lm_familiarity", _lm_familiarity_oracle(), "text")
 def text_lm_familiarity(spark, sf_dir):
     """Count-based corpus-LM familiarity / novelty per document (the

@@ -224,3 +224,46 @@ def test_incremental_dedup_index_roundtrips_parquet(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, mem.collect())) == sorted(
         map(tuple, disk.collect())
     )
+
+
+# ------------------------------------------------------- DSIR contrast
+
+
+def test_dsir_contrast_sign_semantics(spark):
+    """Docs made of target-exclusive grams score positive, raw-exclusive
+    negative, and a doc mixing both sits between its endpoints."""
+    from creek_spark.operators.text import dsir_contrast
+
+    rows = [
+        (1, "alpha beta alpha beta alpha beta", True),
+        (2, "alpha beta alpha beta", True),
+        (3, "gamma delta gamma delta gamma delta", False),
+        (4, "gamma delta gamma delta", False),
+        (5, "alpha beta gamma delta", False),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    out = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_contrast(df, "text", "doc_id", "is_t").collect()
+    }
+    assert out[1] > 0 and out[2] > 0
+    assert out[3] < 0 and out[4] < 0
+    assert out[3] < out[5] < out[1]
+
+
+def test_dsir_contrast_deterministic_across_partitionings(spark, sf_dir):
+    from creek_spark.operators.text import dsir_contrast
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "_t", F.col("lang") == "en"
+    )
+    a = sorted(map(tuple, dsir_contrast(docs, "text", "doc_id", "_t").collect()))
+    b = sorted(
+        map(
+            tuple,
+            dsir_contrast(
+                docs.repartition(13), "text", "doc_id", "_t"
+            ).collect(),
+        )
+    )
+    assert a == b
