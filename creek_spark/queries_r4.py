@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from creek_spark.queries import _t, register
+from creek_spark.queries import QUERIES, _t, register
 from creek_spark.queries_ext import _events_envelope
 
 
@@ -388,3 +388,91 @@ def export_shards(spark, sf_dir):
         docs, id_col="doc_id", text_col="text",
         stratum_col="source", n_shards=16,
     )
+
+
+@register(
+    "training_export",
+    None,  # assembled below after QUERIES["text_metrics"] exists
+    "pipeline",
+)
+def training_export(spark, sf_dir):
+    """The full export pipeline as ONE fused plan: quality-filter the
+    corpus (best half per language by text_metrics score) → cap each
+    source at a 2000-token budget (md5-order prefix) → assign stable
+    md5-hex shards → emit the per-shard manifest.
+
+    One corpus scan; the quality metrics computed for filtering are
+    REUSED for the token budget (no re-tokenization) — exchanges are the
+    lang-window, the source-window, and a 16-row shard agg.  The plan a
+    100 TB export wants: nothing corpus-sized is shuffled twice for the
+    same key, and no stage leaves the JVM."""
+    from creek_spark.operators import text as tx
+    from creek_spark.operators.pipeline import shard_assign
+
+    m = tx.text_metrics(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        keep=("lang", "source"),
+    )
+    wq = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    wqc = Window.partitionBy("lang")
+    q = (
+        m.select("doc_id", "lang", "source", "n_tokens", "quality_score")
+        .withColumn("_qrank", F.row_number().over(wq))
+        .withColumn(
+            "_quota",
+            F.ceil(F.lit(0.5) * F.count(F.lit(1)).over(wqc).cast("double")),
+        )
+        .where(F.col("_qrank") <= F.col("_quota"))
+        .drop("_qrank", "_quota")
+    )
+    wb = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tb = q.withColumn(
+        "_cum", F.sum(F.col("n_tokens").cast("bigint")).over(wb)
+    ).where(F.col("_cum") <= 2000)
+    sh = shard_assign(tb, "doc_id", n_shards=16)
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).cast("bigint").alias("n_tokens"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
+def _training_export_oracle() -> str:
+    inner = QUERIES["text_metrics"].oracle
+    return f"""
+    WITH m AS (SELECT mm.doc_id, d.lang, d.source, mm.n_tokens, mm.quality_score
+               FROM ({inner}) mm JOIN documents d ON d.doc_id = mm.doc_id),
+    q AS (SELECT doc_id, lang, source, n_tokens FROM (
+            SELECT m.*,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY quality_score DESC, doc_id) AS qrank,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM m) t
+          WHERE qrank <= CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)),
+    tb AS (SELECT doc_id, lang, source, n_tokens FROM (
+            SELECT q.*,
+                   SUM(CAST(n_tokens AS BIGINT))
+                     OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+            FROM q) t
+          WHERE cum <= 2000),
+    sh AS (SELECT *, CAST(strpos('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                          AS INTEGER) AS shard FROM tb)
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM sh GROUP BY shard
+    """
+
+
+QUERIES["training_export"].oracle = _training_export_oracle()

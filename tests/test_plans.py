@@ -467,3 +467,15 @@ def test_incremental_dedup_hashes_batch_not_index_text(spark):
             if "Scan parquet" in line and "documents" in line
         )
         assert n_doc_scans <= 1, plan
+
+
+def test_training_export_single_scan_three_exchanges(spark):
+    """The fused export pipeline: one documents scan, one lang window,
+    one source window, one 16-row shard agg — quality metrics are
+    computed once and reused (no re-tokenization)."""
+    df = _catalog()["training_export"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    # formatted mode prints each scan twice (tree + detail): one scan = 2
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("hashpartitioning(lang") == 1, plan
+    assert plan.count("hashpartitioning(source") == 1, plan
