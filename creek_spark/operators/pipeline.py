@@ -398,3 +398,36 @@ def shard_stats(
             F.max("_id").alias("max_id"),
         )
     )
+
+
+def stream_shard_writer(
+    path: str,
+    id_col: str,
+    *,
+    n_shards: int = 16,
+    salt: str = "",
+):
+    """foreachBatch sink that grows a stable-shard corpus layout from a
+    stream: every micro-batch lands under ``path/batch=<id>/shard=K/``.
+
+    Replay-idempotent by construction — a restarted batch OVERWRITES its
+    own ``batch=<id>`` directory and touches nothing else, so
+    exactly-once layout needs no fencing state.  Shard membership stays
+    a pure function of the id (``shard_assign``), so a doc ingested in
+    any batch lands in the same shard as a re-export would place it;
+    readers use ``spark.read.option("basePath", path).parquet(path)``
+    and get pruning on both ``batch`` and ``shard``.
+
+    Usage: ``stream.writeStream.foreachBatch(stream_shard_writer(...))``.
+    """
+
+    def _write(df: DataFrame, batch_id: int) -> None:
+        out = shard_assign(df, id_col, n_shards=n_shards, salt=salt)
+        (
+            out.repartition(n_shards, F.col("shard"))
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .parquet(f"{path}/batch={batch_id}")
+        )
+
+    return _write

@@ -267,3 +267,39 @@ def test_dsir_contrast_deterministic_across_partitionings(spark, sf_dir):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------- streaming shard export
+
+
+def test_stream_shard_writer_accumulates_and_replays(spark, sf_dir, tmp_path):
+    """Micro-batches accumulate under batch=<id>/shard=K; replaying a
+    batch is a no-op for the final dataset (its dir is overwritten); all
+    rows land in the shard a batch-free export would choose."""
+    from creek_spark.operators.pipeline import (
+        shard_assign,
+        stream_shard_writer,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "stream_shards")
+    write = stream_shard_writer(path, "doc_id")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    write(b0, 0)
+    write(b1, 1)
+    write(b1, 1)  # replay: overwrite own dir, no duplication
+    write(b2, 2)
+    back = spark.read.option("basePath", path).parquet(path)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    want = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assign(docs, "doc_id").select("doc_id", "shard").collect()
+    }
+    for r in back.select("doc_id", "shard").collect():
+        assert want[int(r["doc_id"])] == int(r["shard"])
+    # batch pruning works: batch=1 holds exactly b1
+    onlyb1 = back.where(F.col("batch") == 1)
+    assert onlyb1.count() == b1.count()
