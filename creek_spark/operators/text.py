@@ -338,6 +338,41 @@ def lm_familiarity(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, *, k: int = 20
+) -> DataFrame:
+    """One BPE-training merge step at corpus scale: the k most frequent
+    adjacent character pairs, weighted by word frequency.
+
+    The scalable formulation: collapse the corpus to DISTINCT words with
+    counts FIRST (the word-count agg is the only token-stream shuffle),
+    then enumerate each distinct word's character pairs once and weight
+    by the word count — pair enumeration cost is vocabulary-sized, not
+    corpus-sized (a 100 TB corpus has ~10⁷ distinct words, not 10¹³
+    character positions).  Final top-k is a TakeOrdered with a total
+    (count DESC, pair ASC) order, so the result set is deterministic.
+
+    Output: (pair, n_pair) — the argmax row is the merge a BPE trainer
+    would apply next."""
+    words = df.select(F.explode(tokens(text_col)).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("wn"))
+    n = F.length(F.col("w"))
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        wc.select(F.explode(pairs).alias("pair"), F.col("wn"))
+        .groupBy("pair")
+        .agg(F.sum("wn").cast("bigint").alias("n_pair"))
+        .orderBy(F.col("n_pair").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
 def dsir_contrast(
     df: DataFrame,
     text_col: str,

@@ -1064,6 +1064,32 @@ def _lm_familiarity_oracle(n: int = 2) -> str:
     """
 
 
+BPE_TOP_K = 20
+
+
+def _bpe_oracle(k: int = BPE_TOP_K) -> str:
+    return f"""
+    WITH w AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    wc AS (SELECT w, COUNT(*) AS wn FROM w GROUP BY w),
+    p AS (SELECT substr(w, i, 2) AS pair, wn
+          FROM wc, unnest(generate_series(1, length(w)-1)) AS t(i)
+          WHERE length(w) >= 2),
+    c AS (SELECT pair, CAST(SUM(wn) AS BIGINT) AS n_pair FROM p GROUP BY pair)
+    SELECT pair, n_pair FROM c ORDER BY n_pair DESC, pair LIMIT {k}
+    """
+
+
+@register("text_bpe_pairs", _bpe_oracle(), "text")
+def text_bpe_pairs(spark, sf_dir):
+    """One BPE-training merge step: top-20 adjacent character pairs by
+    corpus frequency.  Scalable formulation — distinct-word counts first
+    (the only token-stream shuffle), pair enumeration over the
+    VOCABULARY weighted by word count, TakeOrdered top-k with a total
+    (count, pair) order (operators/text.py bpe_pair_counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bpe_pair_counts(docs, "text", k=BPE_TOP_K)
+
+
 DSIR_TARGET_LANG = "en"
 
 

@@ -303,3 +303,35 @@ def test_stream_shard_writer_accumulates_and_replays(spark, sf_dir, tmp_path):
     # batch pruning works: batch=1 holds exactly b1
     onlyb1 = back.where(F.col("batch") == 1)
     assert onlyb1.count() == b1.count()
+
+
+# --------------------------------------------------------- BPE pair counts
+
+
+def test_bpe_pairs_match_brute_force(spark, sf_dir):
+    """Weighted-vocabulary formulation == literal per-occurrence count."""
+    from collections import Counter
+
+    from creek_spark.operators.text import bpe_pair_counts
+
+    docs = read_table(spark, sf_dir, "documents").limit(100)
+    got = [(r["pair"], r["n_pair"]) for r in bpe_pair_counts(docs, "text", k=10).collect()]
+    import re
+
+    c: Counter = Counter()
+    for r in docs.select("text").collect():
+        norm = re.sub(r"[^a-z0-9]+", " ", r["text"].lower()).strip()
+        for w in norm.split():
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want
+
+
+def test_bpe_pairs_plan_uses_take_ordered(spark, sf_dir):
+    from creek_spark.operators.text import bpe_pair_counts
+    from creek_spark.plans import explain_str, has_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    df = bpe_pair_counts(docs, "text")
+    assert has_topk(df), explain_str(df)
