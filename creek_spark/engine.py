@@ -266,6 +266,24 @@ class Engine:
 
         return stratified_exact_sample(df, list(group_cols), id_col, fraction, **kw)
 
+    def dsir_score(self, df, text_col: str, id_col: str, is_target_col: str, **kw) -> DataFrame:
+        """DSIR-style importance contrast vs a target subset (operators/text.py)."""
+        from creek_spark.operators.text import dsir_contrast
+
+        return dsir_contrast(df, text_col, id_col, is_target_col, **kw)
+
+    def bpe_pairs(self, df, text_col: str, **kw) -> DataFrame:
+        """One BPE merge step: top adjacent char pairs (operators/text.py)."""
+        from creek_spark.operators.text import bpe_pair_counts
+
+        return bpe_pair_counts(df, text_col, **kw)
+
+    def stream_shard_sink(self, path: str, id_col: str, **kw):
+        """foreachBatch sink growing the stable-shard layout (operators/pipeline.py)."""
+        from creek_spark.operators.pipeline import stream_shard_writer
+
+        return stream_shard_writer(path, id_col, **kw)
+
     def dedup_index(self, df, text_col: str, id_col: str, **kw) -> DataFrame:
         """Persisted-LSH dedup index rows (operators/dedup.py minhash_index)."""
         from creek_spark.operators.dedup import minhash_index
