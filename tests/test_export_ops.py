@@ -335,3 +335,49 @@ def test_bpe_pairs_plan_uses_take_ordered(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     df = bpe_pair_counts(docs, "text")
     assert has_topk(df), explain_str(df)
+
+
+# ------------------------------------------------------------- edge cases
+
+
+def test_semantic_dedup_identical_vectors_keep_first(spark):
+    """All-identical vectors: every row but the smallest id is removed,
+    and dup_of chains to the first id."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in semantic_dedup(df, k=2, iters=1).collect()}
+    assert not out[1]["removed"]
+    for i in range(2, 6):
+        assert out[i]["removed"] and out[i]["dup_of"] == 1
+
+
+def test_token_budget_empty_and_oversized_docs(spark):
+    """A doc alone over budget is dropped entirely; empty strata yield
+    empty output, not errors."""
+    from creek_spark.operators.pipeline import token_budget_sample
+
+    rows = [
+        (1, "one two three", "a"),
+        (2, " ".join(["w"] * 50), "a"),   # 50 tokens, over budget alone
+        (3, "x y", "b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    kept = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_sample(df, budget=10).collect()
+    }
+    # doc 2 (50 tokens) can only be kept if it comes first in md5 order
+    # AND fits — it doesn't fit, so it is never kept
+    assert 2 not in kept
+    assert 3 in kept
+
+
+def test_bpe_pairs_short_words_excluded(spark):
+    """Single-char words contribute no pairs; empty text contributes
+    nothing (no ANSI substring errors)."""
+    from creek_spark.operators.text import bpe_pair_counts
+
+    rows = [(1, "a b c ab"), (2, ""), (3, "x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["pair"]: r["n_pair"] for r in bpe_pair_counts(df, "text").collect()}
+    assert got == {"ab": 1}
