@@ -176,3 +176,75 @@ def histogram_quantiles(
             F.col(f"_b{int(q * 100)}").cast("double") * F.lit(bin_width),
         ).drop(f"_b{int(q * 100)}")
     return out
+
+
+def _cms_bucket(col, j: int, width: int):
+    """Row-j count-min bucket for a string value: first 8 md5 hex chars
+    of 'j:value' as an integer, mod width — exact integer arithmetic,
+    reproducible in ANSI SQL (DuckDB: CAST('0x'||substr(md5(..),1,8) AS
+    BIGINT) % width)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8), 16, 10
+    ).cast("long")
+    return (h % F.lit(width)).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch of a (string) value stream: (row, bucket, cnt),
+    ≤ depth·width rows total — the fixed-size frequency summary that
+    answers "how often did X occur?" without storing the stream.
+
+    Mergeable by cell addition (sum cnt on (row, bucket)), so sketches
+    compose across batches/partitions losslessly — and plug straight
+    into the streaming AdditiveRollupSink.  The build is one posexplode
+    (depth rows per value) + one hash agg; map-side combine collapses
+    each task to ≤ depth·width rows before the exchange, so shuffle
+    volume is sketch-sized, never stream-sized."""
+    v = F.col(value_col).cast("string")
+    buckets = F.array(*[_cms_bucket(v, j, width) for j in range(depth)])
+    return (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Lossless sketch union: cell-wise addition."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point estimates for probe values: est = min over rows of the
+    probed cell (0 for an absent cell).  Guarantees est ≥ true count;
+    the overestimate is collision mass bounded by stream_len/width per
+    row.  The sketch side is ≤ depth·width rows — broadcast it; probing
+    costs one broadcast join however large the probe set."""
+    v = F.col(probe_col).cast("string")
+    buckets = F.array(*[_cms_bucket(v, j, width) for j in range(depth)])
+    probed = probes.select(
+        F.col(probe_col), F.posexplode(buckets).alias("row", "bucket")
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(probe_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
+    )

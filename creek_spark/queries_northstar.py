@@ -1064,6 +1064,67 @@ def _lm_familiarity_oracle(n: int = 2) -> str:
     """
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_PROBES = ["spark", "vector", "merge", "window", "zzzqq"]
+
+
+def _cms_oracle() -> str:
+    probe_vals = ", ".join(f"('{t}')" for t in CMS_PROBES)
+    probe_list = ", ".join(f"'{t}'" for t in CMS_PROBES)
+    rows_vals = ", ".join(f"({j})" for j in range(CMS_DEPTH))
+    return f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    hrows AS (SELECT * FROM (VALUES {rows_vals}) t(j)),
+    cells AS (SELECT j,
+                     CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 8)
+                          AS BIGINT) % {CMS_WIDTH} AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM toks CROSS JOIN hrows GROUP BY 1, 2),
+    probes AS (SELECT * FROM (VALUES {probe_vals}) p(term)),
+    pc AS (SELECT term, j,
+                  CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 8)
+                       AS BIGINT) % {CMS_WIDTH} AS bucket
+           FROM probes CROSS JOIN hrows),
+    est AS (SELECT term, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+            FROM pc LEFT JOIN cells c ON c.j = pc.j AND c.bucket = pc.bucket
+            GROUP BY term),
+    exact AS (SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS exact_count
+              FROM toks WHERE tok IN ({probe_list}) GROUP BY tok)
+    SELECT est.term, est.est_count,
+           CAST(COALESCE(exact.exact_count, 0) AS BIGINT) AS exact_count
+    FROM est LEFT JOIN exact ON exact.term = est.term
+    """
+
+
+@register("sketch_cms_counts", _cms_oracle(), "sketch")
+def sketch_cms_counts(spark, sf_dir):
+    """Count-min sketch over the document token stream: fixed
+    depth×width cell grid (mergeable by addition — composes with the
+    streaming rollup sink), probed for a term list alongside the exact
+    counts (est ≥ exact always; equality whenever no collision).  Build
+    shuffles ≤ depth·width rows after map-side combine; probing is one
+    broadcast join of the sketch (operators/sketches.py cms_*)."""
+    from creek_spark.functions.text import tokens as _tokens
+    from creek_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    sk = cms_build(toks, "tok", depth=CMS_DEPTH, width=CMS_WIDTH)
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], ["term"])
+    est = cms_estimate(sk, probes, "term", depth=CMS_DEPTH, width=CMS_WIDTH)
+    exact = (
+        toks.where(F.col("tok").isin(CMS_PROBES))
+        .groupBy(F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    )
+    return est.join(exact, "term", "left").select(
+        "term",
+        "est_count",
+        F.coalesce(F.col("exact_count"), F.lit(0)).cast("bigint").alias("exact_count"),
+    )
+
+
 BPE_TOP_K = 20
 
 

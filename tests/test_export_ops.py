@@ -381,3 +381,56 @@ def test_bpe_pairs_short_words_excluded(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["pair"]: r["n_pair"] for r in bpe_pair_counts(df, "text").collect()}
     assert got == {"ab": 1}
+
+
+# --------------------------------------------------------- count-min sketch
+
+
+def test_cms_overestimates_never_underestimates(spark, sf_dir):
+    from creek_spark.operators.sketches import cms_build, cms_estimate
+
+    from creek_spark.functions.text import tokens as _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    # a tight sketch (width 8) forces collisions: est must still be >= exact
+    sk = cms_build(toks, "tok", depth=3, width=8)
+    exact = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probes = spark.createDataFrame([(t,) for t in list(exact)[:30]], ["tok"])
+    est = cms_estimate(sk, probes, "tok", depth=3, width=8)
+    for r in est.collect():
+        assert r["est_count"] >= exact[r["tok"]], r
+
+
+def test_cms_merge_equals_single_build(spark, sf_dir):
+    """Cell-wise merge of per-batch sketches == one sketch of the union
+    — the additivity that makes the sketch streamable."""
+    from creek_spark.operators.sketches import cms_build, cms_merge
+
+    from creek_spark.functions.text import tokens as _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+    b1 = toks.where(F.col("doc_id") % 2 == 0)
+    b2 = toks.where(F.col("doc_id") % 2 == 1)
+    merged = cms_merge(
+        cms_build(b1, "tok"), cms_build(b2, "tok")
+    )
+    single = cms_build(toks, "tok")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+
+
+def test_cms_sketch_is_bounded(spark, sf_dir):
+    from creek_spark.operators.sketches import cms_build
+
+    from creek_spark.functions.text import tokens as _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    sk = cms_build(toks, "tok", depth=4, width=64)
+    assert sk.count() <= 4 * 64
