@@ -28,6 +28,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BATCH_FORMATS = ("parquet", "orc", "csv", "json", "text", "xml", "avro")
@@ -136,3 +137,69 @@ def roundtrip_schema(df: DataFrame) -> T.StructType:
     """The schema to pass back into ``read_files`` for a lossless
     csv/json round-trip of ``df`` (row formats carry no types)."""
     return df.schema
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: T.StructType | str,
+    quarantine_path: str | None = None,
+    **options,
+) -> DataFrame:
+    """PERMISSIVE read of line-based csv/json with corrupt rows routed
+    aside — the file-format analog of the control channel's `.rejected`
+    sidecar (reference logs commands it can't parse;
+    internal/dao/api.go:76-80): bad input must never kill the batch NOR
+    vanish silently.
+
+    Implemented as a text scan + `from_json`/`from_csv` EXPRESSION
+    parse (not the raw-file corrupt column, whose scans Spark restricts
+    — SPARK-21610 breaks even `count()` on the filtered side).  Rows
+    that fail to parse land (raw line, source file) as json under
+    ``quarantine_path``; the returned DataFrame carries only clean rows
+    and supports any downstream plan.  A schema is REQUIRED: with
+    inference Spark widens types to fit bad rows instead of flagging
+    them.  csv: ``header=True`` (default) drops lines equal to the
+    schema's header; json must be line-delimited.
+
+    Scale: one text scan; parse + corrupt predicate are per-row
+    expressions in codegen.  The quarantine leg re-uses the same scan
+    shape and only runs when requested."""
+    if fmt not in ("csv", "json"):
+        raise ValueError("quarantine reads support csv/json input")
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    data_fields = [f for f in schema.fields if f.name != "_corrupt_record"]
+    pschema = T.StructType(
+        data_fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    raw = spark.read.text(path).select(
+        F.col("value"), F.input_file_name().alias("source_file")
+    )
+    header = options.pop("header", True)
+    if fmt == "csv" and header:
+        header_line = ",".join(f.name for f in data_fields)
+        raw = raw.where(F.col("value") != F.lit(header_line))
+    raw = raw.where(F.length(F.trim(F.col("value"))) > 0)
+    parse_opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": "_corrupt_record",
+        **{k: str(v) for k, v in options.items()},
+    }
+    if fmt == "json":
+        parsed = F.from_json(F.col("value"), pschema, parse_opts)
+    else:
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in pschema.fields)
+        parsed = F.from_csv(F.col("value"), ddl, parse_opts)
+    df = raw.withColumn("_p", parsed)
+    is_bad = F.col("_p").isNull() | F.col("_p._corrupt_record").isNotNull()
+    clean = df.where(~is_bad).select(
+        *[F.col(f"_p.{f.name}").alias(f.name) for f in data_fields]
+    )
+    if quarantine_path is not None:
+        bad = df.where(is_bad).select(
+            F.col("value").alias("raw"), F.col("source_file")
+        )
+        bad.write.mode("append").json(quarantine_path)
+    return clean

@@ -434,3 +434,59 @@ def test_cms_sketch_is_bounded(spark, sf_dir):
     toks = docs.select(F.explode(_tokens("text")).alias("tok"))
     sk = cms_build(toks, "tok", depth=4, width=64)
     assert sk.count() <= 4 * 64
+
+
+# ------------------------------------------------------- quarantine reads
+
+
+def test_read_with_quarantine_splits_clean_and_bad(spark, tmp_path):
+    from creek_spark.sources.formats import read_with_quarantine
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"id": 1, "v": "x"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": "y"}\n'
+        '{"id": "boom", "v": 3}\n'
+    )
+    qdir = str(tmp_path / "quarantine")
+    clean = read_with_quarantine(
+        spark, str(src), "json", "id bigint, v string", quarantine_path=qdir
+    )
+    # count() must work too — the raw-file corrupt-column formulation
+    # fails here with SPARK-21610 (the reason this is expression-based)
+    assert clean.count() == 2
+    rows = sorted((r["id"], r["v"]) for r in clean.collect())
+    assert rows == [(1, "x"), (2, "y")]
+    bad = spark.read.json(qdir)
+    raws = sorted(r["raw"] for r in bad.collect())
+    assert len(raws) == 2
+    assert "THIS IS NOT JSON" in raws[1] or "THIS IS NOT JSON" in raws[0]
+    assert all(r["source_file"].endswith("a.json") for r in bad.collect())
+
+
+def test_read_with_quarantine_csv(spark, tmp_path):
+    from creek_spark.sources.formats import read_with_quarantine
+
+    src = tmp_path / "csv_in"
+    src.mkdir()
+    (src / "a.csv").write_text("id,v\n1,x\nnot_a_number,y\n3,z\n")
+    clean = read_with_quarantine(
+        spark, str(src), "csv", "id bigint, v string",
+        quarantine_path=str(tmp_path / "q"),
+    )
+    assert sorted((r["id"], r["v"]) for r in clean.collect()) == [
+        (1, "x"),
+        (3, "z"),
+    ]
+    assert spark.read.json(str(tmp_path / "q")).count() == 1
+
+
+def test_read_with_quarantine_requires_schema_and_format(spark, tmp_path):
+    import pytest
+
+    from creek_spark.sources.formats import read_with_quarantine
+
+    with pytest.raises(ValueError):
+        read_with_quarantine(spark, str(tmp_path), "parquet", "id bigint")
