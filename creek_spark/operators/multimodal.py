@@ -364,3 +364,161 @@ def frame_sample_plan(
     return media.where(F.col("kind") == "video").select(
         "media_id", F.explode(ts).alias("frame_ts")
     )
+
+
+# ---------------------------------------------------------------- AV headers
+
+AV_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def parse_av_header(payload: bytes | None) -> dict | None:
+    """REAL pure-stdlib audio/video container header parse:
+
+    * WAV  — RIFF/WAVE `fmt ` chunk: channels, sample rate, bit depth;
+      duration from the `data` chunk size.
+    * MP4  — ISO-BMFF box walk to `moov/mvhd`: timescale + duration
+      (version 0 and 1 boxes); format from `ftyp` major brand.
+
+    Returns None for unrecognized payloads — same contract as
+    ``parse_image_header``.  Codec-level decode (samples/frames) stays
+    behind the injected-codec stubs; container metadata needs no codec."""
+    import struct
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    # ---- WAV: RIFF <size> WAVE, then chunk walk
+    if len(b) >= 44 and b[0:4] == b"RIFF" and b[8:12] == b"WAVE":
+        pos, fmt, data_size = 12, None, None
+        while pos + 8 <= len(b):
+            tag = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            if tag == b"fmt " and pos + 8 + 16 <= len(b):
+                fmt = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
+            elif tag == b"data":
+                data_size = size
+            pos += 8 + size + (size & 1)
+        if fmt is None:
+            return None
+        _, n_ch, rate, _, block_align, bits = fmt
+        out = {
+            "format": "wav",
+            "sample_rate": rate,
+            "n_channels": n_ch,
+            "bit_depth": bits,
+        }
+        if data_size is not None and rate and block_align:
+            out["duration_ms"] = data_size * 1000 // (rate * block_align)
+        return out
+    # ---- MP4 (ISO base media): top-level box walk
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        brand = b[8:12].decode("ascii", "replace").strip()
+        pos = 0
+        while pos + 8 <= len(b):
+            (size,) = struct.unpack(">I", b[pos : pos + 4])
+            tag = b[pos + 4 : pos + 8]
+            if size < 8:
+                break
+            if tag == b"moov":
+                # walk children for mvhd
+                cpos, cend = pos + 8, min(pos + size, len(b))
+                while cpos + 8 <= cend:
+                    (csize,) = struct.unpack(">I", b[cpos : cpos + 4])
+                    ctag = b[cpos + 4 : cpos + 8]
+                    if csize < 8:
+                        break
+                    if ctag == b"mvhd" and cpos + 8 + 4 <= len(b):
+                        ver = b[cpos + 8]
+                        if ver == 1 and cpos + 8 + 28 + 4 <= len(b):
+                            ts, dur = struct.unpack(
+                                ">IQ", b[cpos + 28 : cpos + 40]
+                            )
+                        elif cpos + 8 + 12 + 8 <= len(b):
+                            ts, dur = struct.unpack(
+                                ">II", b[cpos + 20 : cpos + 28]
+                            )
+                        else:
+                            break
+                        out = {"format": f"mp4/{brand}"}
+                        if ts:
+                            out["duration_ms"] = dur * 1000 // ts
+                        return out
+                    cpos += csize
+            pos += size
+        return {"format": f"mp4/{brand}"}
+    return None
+
+
+def decode_av_headers(media: DataFrame, *, strict: bool = False) -> DataFrame:
+    """Audio/video container metadata over Arrow batches — the AV twin
+    of ``decode_image_headers``; same mapInPandas shape, same
+    column-pruned (media_id, content) transfer, header-only reads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            headers = []
+            for c in pdf["content"]:
+                hdr = parse_av_header(c)
+                if hdr is None and strict and c is not None:
+                    raise ValueError(
+                        "payload is not a recognized container (wav/mp4)"
+                    )
+                headers.append(hdr or {})
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [h.get("format") for h in headers],
+                    "duration_ms": [h.get("duration_ms") for h in headers],
+                    "sample_rate": [h.get("sample_rate") for h in headers],
+                    "n_channels": [h.get("n_channels") for h in headers],
+                    "bit_depth": [h.get("bit_depth") for h in headers],
+                    "n_bytes": [
+                        len(c) if c is not None else None for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=AV_HEADER_SCHEMA
+    )
+
+
+def wav_bytes(
+    *, seconds: float = 1.0, rate: int = 8000, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Minimal valid WAV payload (silence) for tests — stdlib only."""
+    import struct
+
+    n_frames = int(seconds * rate)
+    block = channels * bits // 8
+    data = b"\x00" * (n_frames * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def mp4_bytes(*, timescale: int = 1000, duration: int = 2500) -> bytes:
+    """Minimal ISO-BMFF payload (ftyp + moov/mvhd v0) for tests."""
+    import struct
+
+    mvhd_payload = b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0) + struct.pack(
+        ">II", timescale, duration
+    ) + b"\x00" * 80
+    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov

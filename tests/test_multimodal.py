@@ -215,3 +215,41 @@ def test_extract_features_strict_decodes_real_images(spark):
     got = {r["media_id"]: r for r in extract_features(media).collect()}
     assert got[1]["features"] == [320.0, 200.0, 8.0, 4.0]
     assert got[2]["features"] == [640.0, 480.0, 8.0, 3.0]
+
+
+def test_av_header_decode_real_payloads(spark):
+    """REAL WAV/MP4 container metadata through the mapInPandas path."""
+    from creek_spark.operators.multimodal import (
+        decode_av_headers,
+        mp4_bytes,
+        wav_bytes,
+    )
+
+    rows = [
+        (1, wav_bytes(seconds=2.0, rate=16000, channels=2, bits=16)),
+        (2, wav_bytes(seconds=0.5, rate=8000, channels=1, bits=8)),
+        (3, mp4_bytes(timescale=600, duration=1800)),
+        (4, b"not a container"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r.asDict() for r in decode_av_headers(df).collect()}
+    assert out[1]["format"] == "wav" and out[1]["duration_ms"] == 2000
+    assert out[1]["sample_rate"] == 16000 and out[1]["n_channels"] == 2
+    assert out[2]["duration_ms"] == 500 and out[2]["bit_depth"] == 8
+    assert out[3]["format"] == "mp4/isom" and out[3]["duration_ms"] == 3000
+    assert out[4]["format"] is None
+    assert out[5]["format"] is None and out[5]["n_bytes"] is None
+
+
+def test_av_header_strict_raises_on_garbage(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from creek_spark.operators.multimodal import decode_av_headers
+
+    df = spark.createDataFrame(
+        [(1, b"garbage")], "media_id long, content binary"
+    )
+    with pytest.raises(Exception):
+        decode_av_headers(df, strict=True).collect()
