@@ -727,6 +727,66 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_av_headers",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4/isom' END AS format,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 10 + 1) * 250
+                     ELSE (doc_id % 100 + 1) * 10 END AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 4) * 4000
+                     ELSE NULL END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id // 2) % 2 + 1
+                     ELSE NULL END AS INTEGER) AS n_channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE NULL END AS INTEGER) AS bit_depth
+    FROM documents
+    """,
+    "multimodal",
+)
+def multimodal_av_headers(spark, sf_dir):
+    """AV twin of multimodal_image_headers: synthesize spec-valid WAV
+    (even ids) / MP4 (odd ids) containers from doc_id arithmetic, decode
+    with the pure-stdlib parser, and let the oracle predict every field
+    — duration comes back through the actual RIFF data-size / mvhd
+    timescale math, so a mismatch means real header bytes broke."""
+    from creek_spark.operators.multimodal import (
+        decode_av_headers,
+        mp4_bytes,
+        wav_bytes,
+    )
+
+    def synth(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    content.append(
+                        wav_bytes(
+                            seconds=(i % 10 + 1) * 0.25,
+                            rate=8000 + (i % 4) * 4000,
+                            channels=(i // 2) % 2 + 1,
+                            bits=16,
+                        )
+                    )
+                else:
+                    content.append(
+                        mp4_bytes(timescale=600, duration=(i % 100 + 1) * 6)
+                    )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, content binary"
+    )
+    return decode_av_headers(media, strict=True).select(
+        "media_id", "format", "duration_ms", "sample_rate",
+        "n_channels", "bit_depth",
+    )
+
+
+@register(
     "multimodal_image_headers",
     """
     SELECT doc_id AS media_id,
