@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from creek_spark.queries import QUERIES, _t, register
+from creek_spark.queries import QUERIES, _t, dec, register
 from creek_spark.queries_ext import _events_envelope
 
 
@@ -476,3 +476,110 @@ def _training_export_oracle() -> str:
 
 
 QUERIES["training_export"].oracle = _training_export_oracle()
+
+
+@register(
+    "ts_cusum_changepoints",
+    """
+    WITH stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))
+                      * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS svv
+      FROM events GROUP BY event_type),
+    base AS (
+      SELECT e.event_id, e.event_type, e.value,
+             CAST(SUM(CAST(e.value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS s,
+             CAST(row_number() OVER w AS DOUBLE) AS rn,
+             sv, svv, CAST(n AS DOUBLE) AS nd
+      FROM events e JOIN stats USING (event_type)
+      WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                   ROWS UNBOUNDED PRECEDING)),
+    c AS (SELECT *,
+                 sqrt(GREATEST((svv - sv * sv / nd) / nd, 1e-12)) AS sigma,
+                 s - rn * (sv / nd + 0.5 * sqrt(GREATEST((svv - sv * sv / nd) / nd, 1e-12))) AS cp,
+                 s - rn * (sv / nd - 0.5 * sqrt(GREATEST((svv - sv * sv / nd) / nd, 1e-12))) AS cn
+          FROM base),
+    m AS (SELECT *, MIN(cp) OVER w2 AS cpmin, MAX(cn) OVER w2 AS cnmax
+          FROM c
+          WINDOW w2 AS (PARTITION BY event_type ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING))
+    SELECT event_id, event_type, value,
+           cp - cpmin AS cusum_pos, cnmax - cn AS cusum_neg
+    FROM m
+    WHERE GREATEST(cp - cpmin, cnmax - cn) > 5 * sigma
+    """,
+    "timeseries",
+)
+def ts_cusum_changepoints(spark, sf_dir):
+    """Tabular CUSUM change-point detection per event_type: flags events
+    where the one-sided cumulative deviation (allowance k = 0.5σ,
+    decision threshold h = 5σ — the standard tabular-CUSUM setting)
+    exceeds h.  Uses the prefix-sum form S⁺_t = C⁺_t − min_{j≤t} C⁺_j
+    (C⁺_t = prefix_sum − t·(μ+k); mirrored for S⁻), which turns the
+    non-associative max(0,·) recursion into two window functions over
+    ONE per-type sorted exchange.  Prefix sums are exact decimal
+    (order-independent); μ, σ come from the same broadcast moments as
+    ts_anomaly_zscore, so flagged rows AND both cusum values are
+    bit-identical to the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    vd = dec("value", 14, 2)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(vd).cast("double").alias("sv"),
+        F.sum(vd * vd).cast("double").alias("svv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("s", F.sum(vd).over(w).cast("double"))
+        .withColumn("rn", F.row_number().over(w).cast("double"))
+    )
+    sigma = F.sqrt(
+        F.greatest(
+            (F.col("svv") - F.col("sv") * F.col("sv") / F.col("nd"))
+            / F.col("nd"),
+            F.lit(1e-12),
+        )
+    )
+    mu = F.col("sv") / F.col("nd")
+    c = (
+        base.withColumn("sigma", sigma)
+        .withColumn(
+            "cp",
+            F.col("s")
+            - F.col("rn") * (mu + F.lit(0.5) * F.col("sigma")),
+        )
+        .withColumn(
+            "cn",
+            F.col("s")
+            - F.col("rn") * (mu - F.lit(0.5) * F.col("sigma")),
+        )
+    )
+    w2 = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = c.withColumn("cpmin", F.min("cp").over(w2)).withColumn(
+        "cnmax", F.max("cn").over(w2)
+    )
+    return (
+        m.where(
+            F.greatest(
+                F.col("cp") - F.col("cpmin"), F.col("cnmax") - F.col("cn")
+            )
+            > F.lit(5) * F.col("sigma")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("cp") - F.col("cpmin")).alias("cusum_pos"),
+            (F.col("cnmax") - F.col("cn")).alias("cusum_neg"),
+        )
+    )
