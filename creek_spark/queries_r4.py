@@ -583,3 +583,90 @@ def ts_cusum_changepoints(spark, sf_dir):
             (F.col("cnmax") - F.col("cn")).alias("cusum_neg"),
         )
     )
+
+
+@register(
+    "ts_downsample_lttb",
+    """
+    WITH pts AS (
+      SELECT event_id, event_type, ts, value,
+             date_trunc('day', ts) AS bkt,
+             CAST(epoch_us(ts) AS BIGINT) AS x
+      FROM events),
+    bsum AS (
+      SELECT event_type, bkt,
+             CAST(SUM(x) AS DOUBLE) / COUNT(*) AS ax,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS ay
+      FROM pts GROUP BY event_type, bkt),
+    nb AS (
+      SELECT event_type, bkt,
+             COALESCE(lag(ax)  OVER w, ax) AS px,
+             COALESCE(lag(ay)  OVER w, ay) AS py,
+             COALESCE(lead(ax) OVER w, ax) AS nx,
+             COALESCE(lead(ay) OVER w, ay) AS ny
+      FROM bsum
+      WINDOW w AS (PARTITION BY event_type ORDER BY bkt)),
+    scored AS (
+      SELECT p.event_id, p.event_type, p.ts, p.value,
+             abs((px - nx) * (CAST(p.value AS DOUBLE) - py)
+                 - (px - CAST(p.x AS DOUBLE)) * (ny - py)) AS area,
+             row_number() OVER (
+               PARTITION BY p.event_type, p.bkt
+               ORDER BY abs((px - nx) * (CAST(p.value AS DOUBLE) - py)
+                            - (px - CAST(p.x AS DOUBLE)) * (ny - py)) DESC,
+                        p.event_id) AS rn
+      FROM pts p JOIN nb ON nb.event_type = p.event_type AND nb.bkt = p.bkt)
+    SELECT event_id, event_type, ts, value, area
+    FROM scored WHERE rn = 1
+    """,
+    "timeseries",
+)
+def ts_downsample_lttb(spark, sf_dir):
+    """Largest-Triangle-Three-Buckets downsampling, parallel variant
+    (Steinarsson 2013): one representative point per (event_type, day)
+    — the one subtending the largest triangle against the NEIGHBOR
+    BUCKETS' centroids.  Classic LTTB anchors on the previously selected
+    point (inherently sequential); anchoring on bucket averages instead
+    makes every bucket's choice independent — the standard
+    parallelization, and the one a 1000-executor cluster needs.
+
+    Plan: one corpus scan → per-(type,day) partial agg (bucket
+    centroids, tiny) → centroid lag/lead over the SMALL summary → the
+    summary broadcast back → per-bucket argmax window.  The corpus
+    shuffles once (the argmax window); areas are fixed-order IEEE
+    arithmetic on exact-decimal bucket means, so the selected points
+    match the oracle bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", "event_type", "ts", "value",
+        F.date_trunc("day", F.col("ts")).alias("bkt"),
+        F.unix_micros(F.col("ts")).alias("x"),
+    )
+    bsum = pts.groupBy("event_type", "bkt").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("ax"),
+        (F.sum(dec("value", 14, 2)).cast("double") / F.count(F.lit(1))).alias("ay"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("bkt")
+    nb = bsum.select(
+        "event_type", "bkt",
+        F.coalesce(F.lag("ax").over(wb), F.col("ax")).alias("px"),
+        F.coalesce(F.lag("ay").over(wb), F.col("ay")).alias("py"),
+        F.coalesce(F.lead("ax").over(wb), F.col("ax")).alias("nx"),
+        F.coalesce(F.lead("ay").over(wb), F.col("ay")).alias("ny"),
+    )
+    j = pts.join(F.broadcast(nb), ["event_type", "bkt"])
+    area = F.abs(
+        (F.col("px") - F.col("nx"))
+        * (F.col("value").cast("double") - F.col("py"))
+        - (F.col("px") - F.col("x").cast("double"))
+        * (F.col("ny") - F.col("py"))
+    )
+    wr = Window.partitionBy("event_type", "bkt").orderBy(
+        area.desc(), F.col("event_id")
+    )
+    return (
+        j.withColumn("area", area)
+        .withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") == 1)
+        .select("event_id", "event_type", "ts", "value", "area")
+    )
