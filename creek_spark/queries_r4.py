@@ -670,3 +670,99 @@ def ts_downsample_lttb(spark, sf_dir):
         .where(F.col("_rn") == 1)
         .select("event_id", "event_type", "ts", "value", "area")
     )
+
+
+@register(
+    "events_sequences",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_users_paths
+    FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_users_paths DESC, e1, e2, e3
+    LIMIT 20
+    """,
+    "events",
+)
+def events_sequences(spark, sf_dir):
+    """User-journey mining: the 20 most frequent 3-step event-type
+    sequences across all per-user timelines (the PrefixSpan-lite
+    contiguous variant).  One per-user window (lead×2 shares the sorted
+    exchange), then a tiny path-keyed agg with map-side combine and a
+    TakeOrdered top-k under a total order — path cardinality is
+    |types|³-bounded, so the final agg is metadata-sized at any corpus
+    scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        o.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_paths"))
+        .orderBy(F.col("n_users_paths").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+@register(
+    "text_keywords_tfidf",
+    f"""
+    WITH tk AS (SELECT doc_id AS doc, unnest({_DOC_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tk GROUP BY doc, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc) AS DOUBLE) AS n FROM tk),
+    sc AS (SELECT doc, term, tf, df,
+                  CAST(tf AS DOUBLE) * (n / CAST(df AS DOUBLE)) AS tfidf
+           FROM tf JOIN df USING (term) CROSS JOIN nd),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM sc)
+    SELECT doc AS doc_id, term, tf, df, tfidf, CAST(rn AS INTEGER) AS rn
+    FROM r WHERE rn <= 3
+    """,
+    "text",
+)
+def text_keywords_tfidf(spark, sf_dir):
+    """Keyword extraction: top-3 terms per document by tf-idf with the
+    rational idf N/df (log-free — same ranking family as the BM25 row,
+    and bit-stable across engines where ln() is not).  Shape: doc-term
+    pre-agg → term-keyed df agg → join back → per-doc top-k window.
+    Every post-tokenize exchange carries distinct (doc, term) rows; the
+    corpus-size scalar rides a 1-row broadcast."""
+    from creek_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        F.col("doc_id").alias("doc"), F.explode(_tokens("text")).alias("term")
+    )
+    tf = tk.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nd = tk.agg(F.countDistinct("doc").cast("double").alias("n"))
+    sc = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (F.col("n") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("doc").alias("doc_id"), "term", "tf", "df", "tfidf", "rn"
+        )
+    )
