@@ -787,6 +787,47 @@ def multimodal_av_headers(spark, sf_dir):
 
 
 @register(
+    "multimodal_frame_plan",
+    """
+    SELECT doc_id AS media_id, unnest(generate_series(0, doc_id % 60 + 5, 5)) AS frame_ts
+    FROM documents
+    """,
+    "multimodal",
+)
+def multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling work plan driven by REAL container decode:
+    synthesize an MP4 per document whose mvhd encodes a (doc_id % 60 + 5)
+    second duration, recover the duration through the stdlib box parser,
+    and expand one decode task every 5 s — (media_id, frame_ts) rows.
+    The oracle predicts the expansion from the same arithmetic, so a
+    mismatch means duration recovery or the expansion broke.  Payload
+    bytes are never touched after the header read; the expansion is a
+    JVM sequence/explode."""
+    from creek_spark.operators.multimodal import decode_av_headers, mp4_bytes
+
+    def synth(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            content = [
+                mp4_bytes(timescale=600, duration=(int(i) % 60 + 5) * 600)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(synth, schema="media_id bigint, content binary")
+    hdrs = decode_av_headers(media, strict=True)
+    dur_s = (F.col("duration_ms") / F.lit(1000)).cast("long")
+    return hdrs.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), dur_s, F.lit(5).cast("long"))).alias(
+            "frame_ts"
+        ),
+    )
+
+
+@register(
     "multimodal_image_headers",
     """
     SELECT doc_id AS media_id,

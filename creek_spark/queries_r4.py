@@ -766,3 +766,56 @@ def text_keywords_tfidf(spark, sf_dir):
             F.col("doc").alias("doc_id"), "term", "tf", "df", "tfidf", "rn"
         )
     )
+
+
+@register(
+    "cdc_time_travel",
+    """
+    WITH ch AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             ts, event_type, value
+      FROM events),
+    h AS (
+      SELECT user_id, op, ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             event_type, ts, value
+      FROM ch
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    tm AS (SELECT make_timestamp((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2)
+                    AS tmid
+           FROM events)
+    SELECT user_id, event_type, ts, value, valid_from
+    FROM h, tm
+    WHERE op <> 'd' AND valid_from <= tmid
+      AND (valid_to IS NULL OR valid_to > tmid)
+    """,
+    "cdc",
+)
+def cdc_time_travel(spark, sf_dir):
+    """Time travel: the table state AS OF the stream's midpoint instant,
+    answered from the SCD2 history (the warehouse pattern: one versioned
+    materialization serves every point-in-time query, no log replay).
+    The probe instant is derived from the data (midpoint of the ts
+    range) so the query is scale-factor agnostic.  Plan: the scd2
+    per-key window shuffle + a 1-row broadcast of the probe timestamp —
+    the interval predicate is a per-row filter, no second exchange."""
+    from creek_spark.operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    env = _events_envelope(ev)
+    hist = scd2_history(env, key_cols=["user_id"])
+    tm = ev.agg(
+        F.timestamp_micros(
+            F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2")
+        ).alias("tmid")
+    )
+    return (
+        hist.crossJoin(F.broadcast(tm))
+        .where(
+            (F.col("op") != "d")
+            & (F.col("valid_from") <= F.col("tmid"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("tmid")))
+        )
+        .select("user_id", "event_type", "ts", "value", "valid_from")
+    )
