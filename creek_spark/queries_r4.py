@@ -819,3 +819,74 @@ def cdc_time_travel(spark, sf_dir):
         )
         .select("user_id", "event_type", "ts", "value", "valid_from")
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    stats = ",\n             ".join(
+        f"CAST(SUM(CAST({c} AS DECIMAL(19,4))) AS DOUBLE) AS s_{c},\n             "
+        f"CAST(SUM(CAST({c} AS DECIMAL(19,4)) * CAST({c} AS DECIMAL(19,4))) AS DOUBLE) AS ss_{c}"
+        for c in _CORR_COLS
+    )
+    cross = ",\n             ".join(
+        f"CAST(SUM(CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4))) AS DOUBLE) AS sp_{a}_{b}"
+        for a, b in pairs
+    )
+    sel = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+           (sp_{a}_{b} - s_{a} * s_{b} / nd)
+             / sqrt((ss_{a} - s_{a} * s_{a} / nd) * (ss_{b} - s_{b} * s_{b} / nd)) AS corr
+    FROM m"""
+        for a, b in pairs
+    )
+    return f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+             {stats},
+             {cross}
+      FROM lineitem)
+    {sel}
+    """
+
+
+@register("profile_correlations", _corr_oracle(), "profile")
+def profile_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem numeric columns in
+    ONE scan: every sum / sum-of-squares / cross-product is an exact
+    decimal aggregate in a single partial+final agg (no per-pair passes,
+    no corr() builtin — its streaming accumulation is
+    summation-order-dependent and can't hash-match an oracle), then the
+    correlation formula is fixed-order IEEE arithmetic on the one
+    broadcast stats row.  dim² terms ride one metadata-sized exchange —
+    the column-profiler shape at any corpus size."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    d = lambda c: dec(c, 14, 4)  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("double").alias("nd")]
+    for c in cols:
+        aggs.append(F.sum(d(c)).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d(c) * d(c)).cast("double").alias(f"ss_{c}"))
+    for a, b in pairs:
+        aggs.append(F.sum(d(a) * d(b)).cast("double").alias(f"sp_{a}_{b}"))
+    m = li.agg(*aggs)
+    out = None
+    for a, b in pairs:
+        corr = (
+            F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / F.col("nd")
+        ) / F.sqrt(
+            (F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / F.col("nd"))
+            * (F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}") / F.col("nd"))
+        )
+        row = m.select(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr.alias("corr")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
