@@ -322,6 +322,32 @@ class Engine:
 
         return shard_stats(df, **kw)
 
+    def cms_sketch(self, df, value_col: str, **kw) -> DataFrame:
+        """Count-min sketch build (operators/sketches.py)."""
+        from creek_spark.operators.sketches import cms_build
+
+        return cms_build(df, value_col, **kw)
+
+    def cms_probe(self, sketch, probes, probe_col: str, **kw) -> DataFrame:
+        """Count-min point estimates, est ≥ exact (operators/sketches.py)."""
+        from creek_spark.operators.sketches import cms_estimate
+
+        return cms_estimate(sketch, probes, probe_col, **kw)
+
+    def quarantine_read(self, path: str, fmt: str, schema, quarantine_path=None, **kw) -> DataFrame:
+        """csv/json read with corrupt rows routed to a sidecar (sources/formats.py)."""
+        from creek_spark.sources.formats import read_with_quarantine
+
+        return read_with_quarantine(
+            self.spark, path, fmt, schema, quarantine_path, **kw
+        )
+
+    def av_headers(self, media, **kw) -> DataFrame:
+        """WAV/MP4 container metadata decode (operators/multimodal.py)."""
+        from creek_spark.operators.multimodal import decode_av_headers
+
+        return decode_av_headers(media, **kw)
+
     def rollup_sink(self, state_dir: str, key_cols, add_cols, partition_col: str):
         """Streaming additive-rollup maintenance sink (histogram tiers,
         counter cubes): batch_id-fenced, partition-local, manifest-atomic
