@@ -235,3 +235,90 @@ def test_interval_overlap_property_random(spark):
         got_set = {(r["k"], r["llo"], r["lhi"], r["rlo"], r["rhi"]) for r in got}
         assert len(got) == len(got_set), (trial, cell, "dup pairs")
         assert got_set == _brute_overlap(lrows, rrows), (trial, cell)
+
+
+def test_cusum_prefix_form_equals_recursion(spark, sf_dir):
+    """The prefix-sum rewrite must equal the textbook max(0,·) recursion:
+    S⁺_t = C_t − min_{j≤t} C_j where C_t = Σ(x_i − μ − k).  Checked per
+    event_type against a literal python recursion on the same data."""
+    import __spark_entry__ as entrymod
+
+    got = {
+        r["event_id"]: (r["cusum_pos"], r["cusum_neg"])
+        for r in entrymod._catalog()["ts_cusum_changepoints"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    by_type: dict[str, list] = {}
+    for r in ev.collect():
+        by_type.setdefault(r["event_type"], []).append(r)
+    import math
+
+    n_flagged = 0
+    for rows in by_type.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        vals = [float(r["value"]) for r in rows]
+        n = len(vals)
+        mu = sum(vals) / n
+        var = sum(v * v for v in vals) / n - mu * mu
+        sig = math.sqrt(max(var, 1e-12))
+        k, h = 0.5 * sig, 5 * sig
+        sp = sn = 0.0
+        for r, v in zip(rows, vals):
+            sp = max(0.0, sp + (v - mu - k))
+            sn = max(0.0, sn + (mu - k - v))
+            flagged = r["event_id"] in got
+            # float assoc noise between the two formulations is real;
+            # compare with a tolerance far below the flag threshold
+            if flagged:
+                gp, gn = got[r["event_id"]]
+                assert abs(gp - sp) < 1e-6 * max(1.0, abs(sp)), r
+                assert abs(gn - sn) < 1e-6 * max(1.0, abs(sn)), r
+                n_flagged += 1
+            assert flagged == (max(sp, sn) > h) or abs(max(sp, sn) - h) < 1e-6
+    assert n_flagged == len(got)
+
+
+def test_lttb_picks_max_area_point_per_bucket(spark, sf_dir):
+    """Each selected point must subtend the maximum triangle area in its
+    (type, day) bucket vs the neighbor-bucket centroids (brute force)."""
+    import __spark_entry__ as entrymod
+
+    sel = {
+        (r["event_type"], r["event_id"]): r["area"]
+        for r in entrymod._catalog()["ts_downsample_lttb"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", "event_type", "value",
+        F.date_trunc("day", "ts").alias("bkt"),
+        F.unix_micros("ts").alias("x"),
+    ).collect()
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for r in pts:
+        buckets[(r["event_type"], r["bkt"])].append(r)
+    # centroids per bucket
+    cent = {
+        k: (sum(r["x"] for r in v) / len(v), sum(float(r["value"]) for r in v) / len(v))
+        for k, v in buckets.items()
+    }
+    for (et, bkt), rows in buckets.items():
+        days = sorted(b for e, b in buckets if e == et)
+        i = days.index(bkt)
+        px, py = cent[(et, days[i - 1])] if i > 0 else cent[(et, bkt)]
+        nx, ny = cent[(et, days[i + 1])] if i + 1 < len(days) else cent[(et, bkt)]
+        best = max(
+            rows,
+            key=lambda r: (
+                abs((px - nx) * (float(r["value"]) - py) - (px - r["x"]) * (ny - py)),
+                -r["event_id"],
+            ),
+        )
+        assert (et, best["event_id"]) in sel, (et, bkt)
