@@ -292,3 +292,46 @@ def incremental_latest_state(
         replay_src.unionByName(batch), keys, handle_toast=handle_toast
     )
     return carried.unionByName(replayed)
+
+
+def incremental_scd2(
+    wal: DataFrame,
+    split_lsn_num: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """scd2_history maintained INCREMENTALLY across a batch boundary —
+    the versioned-history twin of incremental_latest_state: history rows
+    for keys the new batch touches are recomputed from their full change
+    log (closing the previously-open interval and appending versions);
+    every untouched key's history is carried over unchanged.
+
+    Bit-identical to a full recompute by construction — both legs run
+    the same scd2_history operator, and a key's history depends only on
+    its OWN changes (the per-key window), so the carried leg cannot be
+    affected by the batch.  Work ∝ |touched keys| exactly as in the MV
+    case: touched keys broadcast into an anti-join (carry) and a
+    semi-join (replay); the state table is never shuffled.  Same
+    truncate limitation as incremental_latest_state."""
+    keys = key_cols or _key_cols_from_envelope(wal)
+    num = lsn_num(F.col("source.lsn"))
+    prior = wal.filter(num <= F.lit(split_lsn_num))
+    batch = wal.filter(num > F.lit(split_lsn_num))
+
+    hist1 = scd2_history(prior, keys)
+
+    key_of = lambda k: F.when(  # noqa: E731
+        F.col("op") == "d", F.col(f"before.{k}")
+    ).otherwise(F.col(f"after.{k}"))
+    touched = batch.select(*[key_of(k).alias(k) for k in keys]).distinct()
+
+    carried = hist1.join(touched, keys, "left_anti")
+
+    prior_k = prior
+    for k in keys:
+        prior_k = prior_k.withColumn(f"_ik_{k}", key_of(k))
+    cond = [prior_k[f"_ik_{k}"] == touched[k] for k in keys]
+    replay_src = prior_k.join(touched, cond, "left_semi").drop(
+        *[f"_ik_{k}" for k in keys]
+    )
+    replayed = scd2_history(replay_src.unionByName(batch), keys)
+    return carried.unionByName(replayed)

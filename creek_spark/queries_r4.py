@@ -769,6 +769,40 @@ def text_keywords_tfidf(spark, sf_dir):
 
 
 @register(
+    "cdc_scd2_incremental",
+    """
+    WITH ch AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             ts, event_type, value
+      FROM events)
+    SELECT user_id, op,
+           CAST(event_id AS BIGINT) AS lsn_num,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL AND op <> 'd') AS is_current,
+           CASE WHEN op = 'd' THEN NULL ELSE event_type END AS event_type,
+           CASE WHEN op = 'd' THEN NULL ELSE ts END AS ts,
+           CASE WHEN op = 'd' THEN NULL ELSE value END AS value
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    "cdc",
+)
+def cdc_scd2_incremental(spark, sf_dir):
+    """SCD2 history maintained incrementally across the LSN-800 batch
+    boundary: recompute history only for keys the batch touches, carry
+    the rest — and hash-match the FULL-recompute oracle, proving the
+    maintenance is lossless (the versioned-history twin of
+    cdc_incremental_mv).  Touched keys broadcast into the anti/semi
+    joins; the carried history is never shuffled."""
+    from creek_spark.operators.cdc import incremental_scd2
+
+    env = _events_envelope(_t(spark, sf_dir, "events"))
+    return incremental_scd2(env, 800, key_cols=["user_id"])
+
+
+@register(
     "cdc_time_travel",
     """
     WITH ch AS (

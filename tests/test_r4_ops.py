@@ -322,3 +322,15 @@ def test_lttb_picks_max_area_point_per_bucket(spark, sf_dir):
             ),
         )
         assert (et, best["event_id"]) in sel, (et, bkt)
+
+
+def test_incremental_scd2_equals_full_recompute(spark, sf_dir):
+    """Row-level equality against a one-shot scd2_history for several
+    split points — including the empty batch and everything-in-batch."""
+    from creek_spark.operators.cdc import incremental_scd2, scd2_history
+
+    env = _events_envelope(read_table(spark, sf_dir, "events"))
+    full = sorted(map(tuple, scd2_history(env, ["user_id"]).collect()))
+    for split in (0, 800, 10**9):
+        inc = incremental_scd2(env, split, key_cols=["user_id"])
+        assert sorted(map(tuple, inc.collect())) == full, split
