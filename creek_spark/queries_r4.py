@@ -924,3 +924,86 @@ def profile_correlations(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "ts_anomaly_mad",
+    """
+    WITH r1 AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                      THEN value END) AS med
+      FROM r1 GROUP BY event_type),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS abs_dev
+      FROM events e JOIN med m USING (event_type)),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs_dev, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev),
+    mad AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                      THEN abs_dev END) AS mad
+      FROM r2 GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value, d.med, d.abs_dev, m.mad
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.abs_dev > 3 * GREATEST(m.mad, 0.01)
+    """,
+    "timeseries",
+)
+def ts_anomaly_mad(spark, sf_dir):
+    """Robust outlier detection per event_type: |x − median| > 3·MAD —
+    the estimator that survives the contaminated data z-scores break on
+    (both median and MAD have a 50% breakdown point; mean/σ have 0%).
+    Percentiles are the exact DISCRETE picks (rank-based, no
+    interpolation) so every field is bit-identical cross-engine.  Two
+    per-type window shuffles (value rank, deviation rank) + two
+    |types|-row broadcasts — no corpus-sized join."""
+    ev = _t(spark, sf_dir, "events")
+    pick = lambda n: F.floor(F.lit(0.5) * (n - 1)).cast("bigint") + 1  # noqa: E731
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    r1 = ev.select(
+        "event_type", "event_id", "value",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = r1.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == pick(F.col("n")), F.col("value"))
+        ).alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_id", "event_type", "value", "med",
+            F.abs(F.col("value") - F.col("med")).alias("abs_dev"),
+        )
+    )
+    w2 = Window.partitionBy("event_type").orderBy("abs_dev", "event_id")
+    r2 = dev.select(
+        "event_type", "abs_dev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mad = r2.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == pick(F.col("n")), F.col("abs_dev"))
+        ).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(
+            F.col("abs_dev") > F.lit(3) * F.greatest(F.col("mad"), F.lit(0.01))
+        )
+        .select("event_id", "event_type", "value", "med", "abs_dev", "mad")
+    )
