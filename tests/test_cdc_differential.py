@@ -134,3 +134,26 @@ def test_cdc_applier_matches_reference_interpreter(spark, tmp_path):
         if st is not None:
             got = {r["id"]: r["data"] for r in st.select("id", "data").collect()}
         assert got == expected, f"case {case}"
+
+
+def test_incremental_scd2_matches_full_on_random_scenarios(spark):
+    """incremental_scd2's carry/replay split must be invisible: for
+    random WALs (u_pk chains, dups, shuffled arrival) and random split
+    points, the maintained history equals a one-shot scd2_history.
+    Truncate-in-batch scenarios are excluded per the documented
+    limitation (callers full-recompute those batches)."""
+    from creek_spark.operators.cdc import incremental_scd2, scd2_history
+
+    rng = random.Random(11)
+    done = 0
+    while done < 12:
+        events = _scenario(rng, n_events=rng.randint(6, 28))
+        split = rng.randint(0, 30)
+        if any(op == "t" and lsn > split for lsn, op, *_ in events):
+            continue
+        done += 1
+        df = spark.createDataFrame(_to_rows(events), schema=ENV_SCHEMA)
+        key = lambda rows: sorted((tuple(map(repr, r)) for r in rows))
+        full = key(scd2_history(df, ["id"]).collect())
+        inc = key(incremental_scd2(df, split, key_cols=["id"]).collect())
+        assert inc == full, (split, sorted(events)[:6])
