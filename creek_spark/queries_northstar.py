@@ -18,6 +18,7 @@ from creek_spark.operators import dedup as dd
 from creek_spark.operators import similarity as sim
 from creek_spark.operators import text as tx
 from creek_spark.queries import QUERIES, _t, register
+from creek_spark.functions.text import norm_text
 from creek_spark.queries_ext import SQL_NORM, SQL_TOKENS
 
 _NORM = SQL_NORM.format(c="text")
@@ -1029,6 +1030,77 @@ def _corpus_report_oracle() -> str:
     FROM ({inner}) m JOIN documents d ON d.doc_id = m.doc_id
     GROUP BY d.source, d.lang
     """
+
+
+def _dedup_keep_best_oracle() -> str:
+    """Exact-dup groups on the normalized-text digest over the corpus ∪
+    a punctuation-damaged copy of every document (same normalized text,
+    strictly worse punct_ratio → lower quality): the kept representative
+    must be the clean original, by QUALITY, not by id."""
+    toks = SQL_TOKENS.format(c="u.text")
+    norm = SQL_NORM.format(c="u.text")
+    quality = f"""(CASE WHEN len({toks}) >= 5 THEN 1.0 ELSE 0.0 END)
+             * (1.0 - CAST(length(u.text) - length(regexp_replace(u.text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                      / CAST(length(u.text) AS DOUBLE))
+             * (0.5 + CAST(len(list_filter({toks}, x -> x IN ({_STOP_LIST}))) AS DOUBLE)
+                      / CAST(len({toks}) AS DOUBLE))"""
+    return f"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' !!!! ???? ####' FROM documents),
+    m AS (SELECT u.doc_id, {quality} AS quality_score, md5({norm}) AS h
+          FROM u),
+    r AS (SELECT doc_id, h, quality_score,
+                 row_number() OVER (PARTITION BY h
+                                    ORDER BY quality_score DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY h) AS n
+          FROM m),
+    kept AS (SELECT h, doc_id AS kept_as FROM r WHERE rn = 1)
+    SELECT r.doc_id, k.kept_as, CAST(r.n AS BIGINT) AS n_copies
+    FROM r JOIN kept k ON k.h = r.h
+    WHERE r.n > 1 AND r.rn > 1
+    """
+
+
+@register("dedup_exact_keep_best", _dedup_keep_best_oracle(), "dedup")
+def dedup_exact_keep_best(spark, sf_dir):
+    """Exact dedup that keeps the BEST copy: the corpus plus a
+    punctuation-damaged twin of every document (same normalized text —
+    the md5 group key — but strictly lower text_metrics quality) is
+    deduped by digest, and within each group the highest quality score
+    survives (doc_id tiebreak); the rest emit (doc_id, kept_as,
+    n_copies).  The production refinement of keep-smallest-id dedup —
+    near-identical crawls differ in truncation/encoding damage and you
+    keep the cleanest.  Single scan + ONE digest-keyed window shuffle;
+    the kept-representative join rides the same hash key."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    damaged = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" !!!! ???? ####")).alias("text"),
+    )
+    u = docs.unionByName(damaged)
+    m = tx.text_metrics(u, "text", "doc_id", keep=("text",)).select(
+        "doc_id", "quality_score",
+        F.md5(norm_text(F.col("text"))).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("h")
+    r = m.select(
+        "doc_id", "h", "quality_score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    kept = r.where(F.col("rn") == 1).select(
+        "h", F.col("doc_id").alias("kept_as")
+    )
+    return (
+        r.join(kept, "h")
+        .where((F.col("n") > 1) & (F.col("rn") > 1))
+        .select("doc_id", "kept_as", F.col("n").cast("bigint").alias("n_copies"))
+    )
 
 
 QUALITY_KEEP_FRAC = 0.5
