@@ -1007,3 +1007,67 @@ def ts_anomaly_mad(spark, sf_dir):
         )
         .select("event_id", "event_type", "value", "med", "abs_dev", "mad")
     )
+
+
+@register(
+    "join_temporal_dim",
+    """
+    WITH ch AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             ts, event_type, value
+      FROM events),
+    h AS (
+      SELECT user_id, op, ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             event_type AS hist_type, value AS hist_value
+      FROM ch
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    probes AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+           h.hist_type, h.hist_value, h.valid_from
+    FROM probes p JOIN h ON h.user_id = p.user_id
+     AND h.op <> 'd'
+     AND h.valid_from <= p.ts
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+    "join",
+)
+def join_temporal_dim(spark, sf_dir):
+    """Point-in-time dimension join: every click event is enriched with
+    the SCD2 version of its user's state that was valid AT THE EVENT'S
+    OWN TIMESTAMP — the warehouse temporal join (FROM fact JOIN dim FOR
+    SYSTEM_TIME AS OF fact.ts) that as-of joins approximate and interval
+    membership answers exactly.  Plan: the scd2 per-key window + ONE
+    user-keyed equi join carrying the interval predicate as a residual —
+    per-key fan-out is that user's version count, never |fact|×|dim|,
+    so the join survives any fact-table scale."""
+    from creek_spark.operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    env = _events_envelope(ev)
+    h = scd2_history(env, key_cols=["user_id"]).select(
+        "user_id", "op", "valid_from", "valid_to",
+        F.col("event_type").alias("hist_type"),
+        F.col("value").alias("hist_value"),
+    )
+    probes = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        probes.alias("p")
+        .join(h.alias("h"), "user_id")
+        .where(
+            (F.col("h.op") != "d")
+            & (F.col("h.valid_from") <= F.col("p.ts"))
+            & (
+                F.col("h.valid_to").isNull()
+                | (F.col("p.ts") < F.col("h.valid_to"))
+            )
+        )
+        .select(
+            "event_id", "user_id", "ts",
+            "hist_type", "hist_value", "valid_from",
+        )
+    )
