@@ -1071,3 +1071,68 @@ def join_temporal_dim(spark, sf_dir):
             "hist_type", "hist_value", "valid_from",
         )
     )
+
+
+@register(
+    "basket_part_pairs",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS n_orders FROM li),
+    pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk)
+    SELECT part_a, part_b, n_pair,
+           CAST(n_pair AS DOUBLE) / n_orders AS support,
+           (CAST(n_pair AS DOUBLE) * n_orders)
+             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN pc ca ON ca.pk = part_a
+    JOIN pc cb ON cb.pk = part_b
+    CROSS JOIN n
+    ORDER BY n_pair DESC, part_a, part_b
+    LIMIT 20
+    """,
+    "aggregation",
+)
+def basket_part_pairs(spark, sf_dir):
+    """Market-basket affinity: the 20 part pairs most often ordered
+    together, with support and lift.  The pair generator self-joins on
+    the ORDER key, so pair space is Σ|basket|² (baskets are a handful of
+    lines), never |parts|² — the co-occurrence shape that scales to any
+    order count.  Per-part counts broadcast back; support/lift are
+    fixed-order IEEE ratios of exact counts; top-k is TakeOrdered under
+    a total order."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("ok").cast("double").alias("n_orders"))
+    pc = li.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = li.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = li.select(F.col("ok"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    ca = pc.select(F.col("pk").alias("part_a"), F.col("c").alias("ca"))
+    cb = pc.select(F.col("pk").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_pair",
+            (F.col("n_pair").cast("double") / F.col("n_orders")).alias("support"),
+            (
+                (F.col("n_pair").cast("double") * F.col("n_orders"))
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_pair").desc(), "part_a", "part_b")
+        .limit(20)
+    )
