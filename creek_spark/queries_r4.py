@@ -1136,3 +1136,105 @@ def basket_part_pairs(spark, sf_dir):
         .orderBy(F.col("n_pair").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "ts_growth_rates",
+    """
+    WITH m AS (
+      SELECT o_orderpriority AS seg, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2),
+    g AS (
+      SELECT seg, mon, rev,
+             lag(rev)     OVER w AS prev_rev,
+             lag(rev, 12) OVER w AS prev_year_rev
+      FROM m WINDOW w AS (PARTITION BY seg ORDER BY mon))
+    SELECT seg, mon, rev,
+           rev - prev_rev AS mom_delta,
+           CASE WHEN prev_year_rev IS NULL OR prev_year_rev = 0 THEN NULL
+                ELSE rev / prev_year_rev END AS yoy_ratio
+    FROM g
+    """,
+    "timeseries",
+)
+def ts_growth_rates(spark, sf_dir):
+    """Period-over-period growth: monthly revenue per order priority
+    with month-over-month delta and year-over-year ratio — the BI
+    staple (lag on an aggregated series).  The corpus collapses to one
+    (seg, month) row per group BEFORE the window, so the lag runs over
+    a metadata-sized series: one partial+final agg shuffle plus a tiny
+    per-seg window.  Decimal revenue sums keep every value bit-exact."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("seg"),
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("mon"),
+    ).agg(F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("rev"))
+    w = Window.partitionBy("seg").orderBy("mon")
+    g = m.select(
+        "seg", "mon", "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+        F.lag("rev", 12).over(w).alias("prev_year_rev"),
+    )
+    return g.select(
+        "seg", "mon", "rev",
+        (F.col("rev") - F.col("prev_rev")).alias("mom_delta"),
+        F.when(
+            F.col("prev_year_rev").isNull() | (F.col("prev_year_rev") == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("rev") / F.col("prev_year_rev")).alias("yoy_ratio"),
+    )
+
+
+@register(
+    "customer_rfm",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS now FROM orders),
+    c AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', MAX(o_orderdate), (SELECT now FROM mx)) AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey)
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS INTEGER) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS INTEGER) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary, custkey) AS INTEGER) AS m_score
+    FROM c
+    """,
+    "aggregation",
+)
+def customer_rfm(spark, sf_dir):
+    """RFM segmentation: per-customer recency (days since last order,
+    relative to the corpus max date so the query is reproducible),
+    frequency, exact-decimal monetary total, and 1-5 quintile scores
+    per dimension (higher = better; deterministic custkey tiebreaks).
+    One customer-keyed agg; the ntile windows run over the already
+    customer-sized aggregate, and the global max date is a 1-row
+    broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("now"))
+    c = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.datediff(F.col("now"), F.col("_last")).cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").desc(), F.col("custkey"))
+    wf = Window.orderBy(F.col("frequency"), F.col("custkey"))
+    wm = Window.orderBy(F.col("monetary"), F.col("custkey"))
+    return c.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(wr).cast("int").alias("r_score"),
+        F.ntile(5).over(wf).cast("int").alias("f_score"),
+        F.ntile(5).over(wm).cast("int").alias("m_score"),
+    )
