@@ -1195,23 +1195,36 @@ def ts_growth_rates(spark, sf_dir):
              CAST(date_diff('day', MAX(o_orderdate), (SELECT now FROM mx)) AS BIGINT) AS recency_days,
              CAST(COUNT(*) AS BIGINT) AS frequency,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS monetary
-      FROM orders GROUP BY o_custkey)
+      FROM orders GROUP BY o_custkey),
+    rr AS (SELECT *,
+                  row_number() OVER (ORDER BY recency_days DESC, custkey) AS rr_r,
+                  row_number() OVER (ORDER BY frequency, custkey) AS rr_f,
+                  row_number() OVER (ORDER BY monetary, custkey) AS rr_m,
+                  COUNT(*) OVER () AS n
+           FROM c)
     SELECT custkey, recency_days, frequency, monetary,
-           CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS INTEGER) AS r_score,
-           CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS INTEGER) AS f_score,
-           CAST(ntile(5) OVER (ORDER BY monetary, custkey) AS INTEGER) AS m_score
-    FROM c
+           CAST(1 + (rr_r - 1) * 5 // n AS INTEGER) AS r_score,
+           CAST(1 + (rr_f - 1) * 5 // n AS INTEGER) AS f_score,
+           CAST(1 + (rr_m - 1) * 5 // n AS INTEGER) AS m_score
+    FROM rr
     """,
     "aggregation",
 )
 def customer_rfm(spark, sf_dir):
     """RFM segmentation: per-customer recency (days since last order,
     relative to the corpus max date so the query is reproducible),
-    frequency, exact-decimal monetary total, and 1-5 quintile scores
+    frequency, exact-decimal monetary total, and 1-5 quantile scores
     per dimension (higher = better; deterministic custkey tiebreaks).
-    One customer-keyed agg; the ntile windows run over the already
-    customer-sized aggregate, and the global max date is a 1-row
-    broadcast."""
+
+    Scores use the rank formula 1 + (rank-1)·5 div n — the same
+    assignment ntile produces for these sizes, but written on explicit
+    ranks so the oracle is engine-agnostic.  The ranking windows run
+    over the CUSTOMER aggregate (one row per customer), already three
+    orders of magnitude smaller than the fact table; at larger customer
+    counts swap the exact rank for the broadcast quantile-cutoff
+    assignment (percentile_disc boundaries + comparisons) — the
+    boundaries themselves come from the same rank-pick machinery as
+    agg_percentile_disc."""
     o = _t(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("now"))
     c = (
@@ -1232,9 +1245,21 @@ def customer_rfm(spark, sf_dir):
     wr = Window.orderBy(F.col("recency_days").desc(), F.col("custkey"))
     wf = Window.orderBy(F.col("frequency"), F.col("custkey"))
     wm = Window.orderBy(F.col("monetary"), F.col("custkey"))
-    return c.select(
+    wc = Window.partitionBy()
+    rr = c.select(
         "custkey", "recency_days", "frequency", "monetary",
-        F.ntile(5).over(wr).cast("int").alias("r_score"),
-        F.ntile(5).over(wf).cast("int").alias("f_score"),
-        F.ntile(5).over(wm).cast("int").alias("m_score"),
+        F.row_number().over(wr).alias("rr_r"),
+        F.row_number().over(wf).alias("rr_f"),
+        F.row_number().over(wm).alias("rr_m"),
+        F.count(F.lit(1)).over(wc).alias("n"),
     )
+    score = lambda rk: (  # noqa: E731
+        F.lit(1) + F.expr(f"(({rk} - 1) * 5) div n")
+    ).cast("int")
+    return rr.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        score("rr_r").alias("r_score"),
+        score("rr_f").alias("f_score"),
+        score("rr_m").alias("m_score"),
+    )
+
