@@ -479,3 +479,33 @@ def test_training_export_single_scan_three_exchanges(spark):
     assert plan.count("Scan parquet") == 2, plan
     assert plan.count("hashpartitioning(lang") == 1, plan
     assert plan.count("hashpartitioning(source") == 1, plan
+
+
+def test_basket_pairs_broadcasts_stats_and_takeordered(spark):
+    """Market basket: per-part counts and the order total must ride
+    broadcasts; the top-k is TakeOrdered, not a global sort."""
+    df = _catalog()["basket_part_pairs"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert has_topk(df), plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+
+
+def test_temporal_dim_join_is_user_keyed_equi(spark):
+    """Point-in-time join must be an equi join on user_id with the
+    interval predicate as residual — no nested loop, no cross."""
+    df = _catalog()["join_temporal_dim"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "user_id" in plan, plan
+
+
+def test_growth_rates_windows_presorted_aggregate(spark):
+    """MoM/YoY lags must run AFTER the monthly aggregation — the fact
+    table is exchanged once for the agg, the window input is the tiny
+    (seg, month) series."""
+    df = _catalog()["ts_growth_rates"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    # exactly one fact-table scan; the window's exchange keys on seg
+    assert plan.count("Scan parquet") == 2, plan  # tree + detail = 1 scan
+    assert plan.count("hashpartitioning(seg") == 1, plan
