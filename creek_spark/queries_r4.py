@@ -1263,3 +1263,55 @@ def customer_rfm(spark, sf_dir):
         score("rr_m").alias("m_score"),
     )
 
+
+
+@register(
+    "ts_forecast_snaive",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS bkt,
+             SUM(CAST(value AS DECIMAL(14,2))) AS v
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT a.event_type, a.bkt, a.v AS actual, f.v AS forecast
+      FROM h a JOIN h f
+        ON f.event_type = a.event_type
+       AND f.bkt = a.bkt - INTERVAL 7 DAY)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(abs(actual - forecast)) AS DOUBLE) / COUNT(*) AS mae,
+           CAST(SUM(actual - forecast) AS DOUBLE) / COUNT(*) AS bias
+    FROM j GROUP BY event_type
+    """,
+    "timeseries",
+)
+def ts_forecast_snaive(spark, sf_dir):
+    """Forecast-baseline evaluation: the seasonal-naive predictor
+    (this hour = same hour last week) scored per event_type with MAE
+    and bias — the sanity bar every fancier forecaster must beat, and
+    the backtest shape (self-join at a fixed lag, exact-decimal error
+    sums) that generalizes to any horizon.  The series is aggregated
+    BEFORE the lag join, so the join touches (type, hour) rows, not
+    events; errors stay decimal-exact until one final division."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bkt")
+    ).agg(F.sum(dec("value", 14, 2)).alias("v"))
+    a = h.select("event_type", "bkt", F.col("v").alias("actual"))
+    f = h.select(
+        "event_type",
+        (F.col("bkt") + F.expr("INTERVAL 7 DAY")).alias("bkt"),
+        F.col("v").alias("forecast"),
+    )
+    j = a.join(f, ["event_type", "bkt"])
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        (
+            F.sum(F.abs(F.col("actual") - F.col("forecast"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae"),
+        (
+            F.sum(F.col("actual") - F.col("forecast")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bias"),
+    )
