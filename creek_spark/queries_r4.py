@@ -1315,3 +1315,66 @@ def ts_forecast_snaive(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("bias"),
     )
+
+
+@register(
+    "pareto_abc",
+    """
+    WITH pr AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT SUM(rev) AS total FROM pr),
+    r AS (
+      SELECT pk, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, pk
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM pr),
+    c AS (
+      SELECT pk, rev,
+             CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80 THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM r CROSS JOIN t)
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           CAST(MIN(rev) AS DOUBLE) AS min_part_rev,
+           CAST(MAX(rev) AS DOUBLE) AS max_part_rev
+    FROM c GROUP BY abc
+    """,
+    "aggregation",
+)
+def pareto_abc(spark, sf_dir):
+    """Pareto/ABC classification: parts bucketed by cumulative revenue
+    share (A ≤ 80%, B ≤ 95%, C the tail) — the inventory-analytics
+    staple built on a cumulative-share window.  The fact table collapses
+    to one row per part BEFORE the ordered window, so the global
+    running sum touches a catalog-sized series (same note as RFM: for
+    catalogs too large even for that, the cutoff-based assignment
+    swaps in).  Revenue stays exact decimal through the running sum; the
+    share comparison is one IEEE division per part."""
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            dec("l_extendedprice", 14, 2)
+            * (F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2))
+        ).alias("rev")
+    )
+    t = pr.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("pk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = pr.withColumn("cum", F.sum("rev").over(w))
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    c = r.crossJoin(F.broadcast(t)).withColumn(
+        "abc",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C"),
+    )
+    return c.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("rev").cast("double").alias("revenue"),
+        F.min("rev").cast("double").alias("min_part_rev"),
+        F.max("rev").cast("double").alias("max_part_rev"),
+    )
