@@ -640,6 +640,46 @@ def _lang_fp_oracle() -> str:
     """
 
 
+def _langid_confusion_oracle() -> str:
+    hits = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in sorted(tx.LANG_MARKERS.items())
+    }
+    greatest = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = "\n           ".join(
+        f"WHEN {greatest} > 0 AND {h} = {greatest} THEN '{lang}'"
+        for lang, h in hits.items()
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    p AS (SELECT lang AS true_lang,
+                 CASE {whens} ELSE 'und' END AS pred_lang
+          FROM base)
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY true_lang, pred_lang
+    """
+
+
+@register("text_langid_confusion", _langid_confusion_oracle(), "text")
+def text_langid_confusion(spark, sf_dir):
+    """Classifier evaluation in-engine: the marker-word language-ID
+    heuristic scored against the labeled lang column as a confusion
+    matrix (true_lang, pred_lang, n) — the quality-report every
+    lang-filter deployment needs before it gates a corpus.  One scan +
+    one |langs|²-bounded agg; the prediction is the same deterministic
+    argmax the green text_lang_fingerprint row proves."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = tx.lang_id(docs, "text", "doc_id").select(
+        "doc_id", F.col("pred_lang")
+    )
+    truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
 @register("text_lang_fingerprint", _lang_fp_oracle(), "text")
 def text_lang_fingerprint(spark, sf_dir):
     """Marker-word language ID + content fingerprint in one scan."""

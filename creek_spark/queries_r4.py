@@ -1378,3 +1378,67 @@ def pareto_abc(spark, sf_dir):
         F.min("rev").cast("double").alias("min_part_rev"),
         F.max("rev").cast("double").alias("max_part_rev"),
     )
+
+
+@register(
+    "orders_near_duplicates",
+    """
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(abs(a.o_totalprice - b.o_totalprice) AS DOUBLE) AS amount_gap,
+           CAST(abs(date_diff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT) AS day_gap
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(a.o_totalprice - b.o_totalprice) <= 500
+     AND abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 30
+    """,
+    "join",
+)
+def orders_near_duplicates(spark, sf_dir):
+    """Duplicate-transaction detection: pairs of orders by the same
+    customer with near-identical totals (within $500) inside a 30-day
+    window — the double-charge / replayed-submission audit.  The
+    amount predicate is banded: side A replicates to its $500 bucket
+    and both neighbors, the join is EQUI on (custkey, bucket) with the
+    exact |Δamount| ≤ 500 residual — so candidate fan-out is bounded by
+    per-(customer, amount-band) density, never a per-customer cross
+    product, and each qualifying pair is emitted exactly once (B's
+    bucket appears exactly once in A's 3-bucket expansion)."""
+    TOL = 500
+    o = _t(spark, sf_dir, "orders")
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_totalprice").alias("_pb"),
+        F.col("o_orderdate").alias("_db"),
+        F.floor(F.col("o_totalprice") / F.lit(TOL)).alias("_bkt"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("o_totalprice").alias("_pa"),
+        F.col("o_orderdate").alias("_da"),
+        F.explode(
+            F.array(
+                F.floor(F.col("o_totalprice") / F.lit(TOL)) - 1,
+                F.floor(F.col("o_totalprice") / F.lit(TOL)),
+                F.floor(F.col("o_totalprice") / F.lit(TOL)) + 1,
+            )
+        ).alias("_bkt"),
+    )
+    return (
+        a.join(b, ["custkey", "_bkt"])
+        .where(
+            (F.col("order_a") < F.col("order_b"))
+            & (F.abs(F.col("_pa") - F.col("_pb")) <= F.lit(TOL))
+            & (F.abs(F.datediff(F.col("_da"), F.col("_db"))) <= F.lit(30))
+        )
+        .select(
+            "custkey", "order_a", "order_b",
+            F.abs(F.col("_pa") - F.col("_pb")).cast("double").alias("amount_gap"),
+            F.abs(F.datediff(F.col("_da"), F.col("_db")))
+            .cast("bigint")
+            .alias("day_gap"),
+        )
+    )
