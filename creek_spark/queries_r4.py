@@ -1442,3 +1442,64 @@ def orders_near_duplicates(spark, sf_dir):
             .alias("day_gap"),
         )
     )
+
+
+@register(
+    "pii_audit",
+    r"""
+    WITH u AS (
+      SELECT source,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents),
+    m AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ip
+      FROM u)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(SUM(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
+           CAST(SUM(n_email) AS BIGINT) AS total_emails,
+           CAST(SUM(n_ip) AS BIGINT) AS total_ips
+    FROM m GROUP BY source
+    """,
+    "pipeline",
+)
+def pii_audit(spark, sf_dir):
+    """PII exposure report before a corpus ships: per source, how many
+    documents contain emails / IPv4 literals and the total match counts
+    — the audit that decides whether scrub_pii must run and proves it
+    did (post-scrub, the counts return to zero; asserted in
+    tests/test_export_ops.py).  The synthetic corpus carries no PII, so
+    every 10th document gets a deterministic injected contact line —
+    the regexes (the SAME ones the scrubber uses,
+    operators/pipeline.py EMAIL_RE / IPV4_RE) must actually fire for
+    the hash to match.  One scan + one source-keyed partial agg."""
+    from creek_spark.operators.pipeline import EMAIL_RE, IPV4_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    u = docs.select("source", injected.alias("text"))
+    ne = F.coalesce(F.regexp_count(F.col("text"), F.lit(EMAIL_RE)), F.lit(0))
+    ni = F.coalesce(F.regexp_count(F.col("text"), F.lit(IPV4_RE)), F.lit(0))
+    m = u.select("source", ne.alias("n_email"), ni.alias("n_ip"))
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_email") > 0, 1).otherwise(0)).cast("bigint").alias("docs_with_email"),
+        F.sum(F.when(F.col("n_ip") > 0, 1).otherwise(0)).cast("bigint").alias("docs_with_ip"),
+        F.sum("n_email").cast("bigint").alias("total_emails"),
+        F.sum("n_ip").cast("bigint").alias("total_ips"),
+    )

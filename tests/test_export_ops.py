@@ -490,3 +490,38 @@ def test_read_with_quarantine_requires_schema_and_format(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_with_quarantine(spark, str(tmp_path), "parquet", "id bigint")
+
+
+# --------------------------------------------------------------- PII audit
+
+
+def test_scrub_zeroes_the_pii_audit(spark):
+    """The audit and the scrubber must agree: after scrub_pii, the same
+    regex counts return to zero and n_redactions equals what the audit
+    saw."""
+    from creek_spark.operators.pipeline import (
+        EMAIL_RE,
+        IPV4_RE,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "write to a@b.com or c.d@e.org today"),
+        (2, "server at 10.1.2.3 and 192.168.0.1"),
+        (3, "clean text with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    scrubbed = scrub_pii(df, "text")
+    got = {r["doc_id"]: r for r in scrubbed.collect()}
+    assert got[1]["n_redactions"] == 2
+    assert got[2]["n_redactions"] == 2
+    assert got[3]["n_redactions"] == 0
+    post = scrubbed.select(
+        F.coalesce(
+            F.regexp_count(F.col("text_scrubbed"), F.lit(EMAIL_RE)), F.lit(0)
+        ).alias("e"),
+        F.coalesce(
+            F.regexp_count(F.col("text_scrubbed"), F.lit(IPV4_RE)), F.lit(0)
+        ).alias("i"),
+    ).agg(F.sum("e").alias("e"), F.sum("i").alias("i")).collect()[0]
+    assert post["e"] == 0 and post["i"] == 0
