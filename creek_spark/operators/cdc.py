@@ -46,8 +46,13 @@ def expand_ops(wal: DataFrame) -> DataFrame:
       an insert of the new row — the same rewrite a MERGE consumer applies.
     * other ops pass through unchanged.
 
-    Uses explode over a 1- or 2-element array — no shuffle.
+    Uses explode over a 1- or 2-element array — no shuffle.  Idempotent:
+    a frame that already carries `_op_seq` (i.e. was expanded upstream,
+    as the incremental operators do before splitting at the LSN boundary)
+    is returned unchanged, preserving the original leg ordering.
     """
+    if "_op_seq" in wal.columns:
+        return wal
     is_upk = F.col("op") == "u_pk"
     before_keys = F.col("before")
     # delete leg keeps `before`, drops `after`; insert leg the reverse
@@ -268,9 +273,16 @@ def incremental_latest_state(
     batches (the reference's truncate is equally global,
     replication.go:456-491)."""
     keys = key_cols or _key_cols_from_envelope(wal)
+    # Expand u_pk into single-key delete+insert legs BEFORE the split so a
+    # PK-changing update in the batch marks BOTH its old and new key as
+    # touched (and a prior u_pk replayed via its new key cannot re-emit the
+    # old key's delete into the replay leg — each expanded row targets
+    # exactly one key).  expand_ops is idempotent, so the inner
+    # latest_state calls leave the legs intact.
+    expanded = expand_ops(wal)
     num = lsn_num(F.col("source.lsn"))
-    prior = wal.filter(num <= F.lit(split_lsn_num))
-    batch = wal.filter(num > F.lit(split_lsn_num))
+    prior = expanded.filter(num <= F.lit(split_lsn_num))
+    batch = expanded.filter(num > F.lit(split_lsn_num))
 
     state1 = latest_state(prior, keys, handle_toast=handle_toast)
 
@@ -305,17 +317,24 @@ def incremental_scd2(
     log (closing the previously-open interval and appending versions);
     every untouched key's history is carried over unchanged.
 
-    Bit-identical to a full recompute by construction — both legs run
-    the same scd2_history operator, and a key's history depends only on
-    its OWN changes (the per-key window), so the carried leg cannot be
-    affected by the batch.  Work ∝ |touched keys| exactly as in the MV
-    case: touched keys broadcast into an anti-join (carry) and a
-    semi-join (replay); the state table is never shuffled.  Same
-    truncate limitation as incremental_latest_state."""
+    Bit-identical to a full recompute by construction — the WAL is first
+    normalized with expand_ops so every row (including each leg of a
+    u_pk) targets exactly one key; both legs then run the same
+    scd2_history operator, and an expanded key's history depends only on
+    its OWN single-key changes (the per-key window), so the carried leg
+    cannot be affected by the batch.  Without the pre-split expansion a
+    batch u_pk's OLD key would never enter the touched set (its open
+    interval carried stale) and a prior u_pk replayed via its new key
+    would re-emit the old key's delete row into the replay leg.  Work ∝
+    |touched keys| exactly as in the MV case: touched keys broadcast
+    into an anti-join (carry) and a semi-join (replay); the state table
+    is never shuffled.  Same truncate limitation as
+    incremental_latest_state."""
     keys = key_cols or _key_cols_from_envelope(wal)
+    expanded = expand_ops(wal)
     num = lsn_num(F.col("source.lsn"))
-    prior = wal.filter(num <= F.lit(split_lsn_num))
-    batch = wal.filter(num > F.lit(split_lsn_num))
+    prior = expanded.filter(num <= F.lit(split_lsn_num))
+    batch = expanded.filter(num > F.lit(split_lsn_num))
 
     hist1 = scd2_history(prior, keys)
 

@@ -157,3 +157,62 @@ def test_incremental_scd2_matches_full_on_random_scenarios(spark):
         full = key(scd2_history(df, ["id"]).collect())
         inc = key(incremental_scd2(df, split, key_cols=["id"]).collect())
         assert inc == full, (split, sorted(events)[:6])
+
+
+def _assert_inc_eq_full(spark, events, split):
+    """Both incremental operators must equal their one-shot twins for
+    the given WAL and split point."""
+    from creek_spark.operators.cdc import (
+        incremental_latest_state,
+        incremental_scd2,
+        latest_state,
+        scd2_history,
+    )
+
+    df = spark.createDataFrame(_to_rows(events), schema=ENV_SCHEMA)
+    key = lambda rows: sorted(tuple(map(repr, r)) for r in rows)
+    assert key(incremental_scd2(df, split, key_cols=["id"]).collect()) == key(
+        scd2_history(df, ["id"]).collect()
+    ), f"scd2 split={split}"
+    assert key(
+        incremental_latest_state(df, split, key_cols=["id"]).collect()
+    ) == key(latest_state(df, ["id"]).collect()), f"latest split={split}"
+
+
+def test_incremental_upk_in_batch_touches_old_key(spark):
+    """Directed regression (round-4 advice): a batch u_pk must mark its
+    OLD key touched — prior c(k=1) + batch u_pk 1→200 at split=1.
+    Without pre-split expand_ops the old key's open interval/live row is
+    carried while the replay leg separately emits the delete."""
+    events = [
+        (1, "c", None, (1, "a"), None),
+        (2, "u_pk", (1,), (200, "b"), None),
+    ]
+    _assert_inc_eq_full(spark, events, split=1)
+
+
+def test_incremental_prior_upk_replayed_via_new_key(spark):
+    """Directed regression (round-4 advice): a PRIOR u_pk pulled into the
+    replay leg via its NEW key must not re-emit the old key's delete row
+    (duplicating carried history): c(5), u_pk 5→6, then a batch update
+    of key 6 at split=2."""
+    events = [
+        (1, "c", None, (5, "a"), None),
+        (2, "u_pk", (5,), (6, "b"), None),
+        (3, "u", (6,), (6, "c"), None),
+    ]
+    _assert_inc_eq_full(spark, events, split=2)
+
+
+def test_incremental_upk_chain_across_split(spark):
+    """u_pk chain 1→2 (prior) then 2→3 (batch): old key 2's history must
+    be replayed, key 1's delete carried exactly once, and the final state
+    contain only key 3."""
+    events = [
+        (1, "c", None, (1, "a"), None),
+        (2, "u_pk", (1,), (2, "b"), None),
+        (3, "u_pk", (2,), (3, "c"), None),
+        (4, "u", (3,), (3, "d"), None),
+    ]
+    for split in (0, 1, 2, 3, 4):
+        _assert_inc_eq_full(spark, events, split=split)
