@@ -595,7 +595,7 @@ def ts_cusum_changepoints(spark, sf_dir):
       FROM events),
     bsum AS (
       SELECT event_type, bkt,
-             CAST(SUM(x) AS DOUBLE) / COUNT(*) AS ax,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS ax,
              CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS ay
       FROM pts GROUP BY event_type, bkt),
     nb AS (
@@ -643,7 +643,11 @@ def ts_downsample_lttb(spark, sf_dir):
         F.unix_micros(F.col("ts")).alias("x"),
     )
     bsum = pts.groupBy("event_type", "bkt").agg(
-        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("ax"),
+        # epoch-µs are ~1.7e15 each: a bigint sum wraps (or throws under
+        # ANSI) at ~5,400 events/bucket, while DuckDB promotes to 128-bit
+        # — sum as decimal(38,0) on BOTH engines so centroids stay exact.
+        (F.sum(F.col("x").cast("decimal(38,0)")).cast("double")
+         / F.count(F.lit(1))).alias("ax"),
         (F.sum(dec("value", 14, 2)).cast("double") / F.count(F.lit(1))).alias("ay"),
     )
     wb = Window.partitionBy("event_type").orderBy("bkt")

@@ -160,12 +160,19 @@ def read_with_quarantine(
     ``quarantine_path``; the returned DataFrame carries only clean rows
     and supports any downstream plan.  A schema is REQUIRED: with
     inference Spark widens types to fit bad rows instead of flagging
-    them.  csv: ``header=True`` (default) drops lines equal to the
-    schema's header; json must be line-delimited.
+    them.  csv: ``header=True`` (default) skips each FILE'S FIRST LINE
+    — native csv-header semantics, so a legitimate data row that happens
+    to equal the header string survives, and headers with odd quoting or
+    column order are still skipped (not quarantined).  The first line is
+    identified positionally: min monotonically_increasing_id among the
+    rows of the file's offset-0 block (a block maps to exactly one scan
+    partition, so ids order rows within it); json must be line-delimited.
 
     Scale: one text scan; parse + corrupt predicate are per-row
-    expressions in codegen.  The quarantine leg re-uses the same scan
-    shape and only runs when requested."""
+    expressions in codegen.  Header detection adds a map-side-combined
+    per-file min (#files rows) broadcast back — no data shuffle.  The
+    quarantine leg re-uses the same scan shape and only runs when
+    requested."""
     if fmt not in ("csv", "json"):
         raise ValueError("quarantine reads support csv/json input")
     if isinstance(schema, str):
@@ -175,12 +182,22 @@ def read_with_quarantine(
         data_fields + [T.StructField("_corrupt_record", T.StringType(), True)]
     )
     raw = spark.read.text(path).select(
-        F.col("value"), F.input_file_name().alias("source_file")
+        F.col("value"),
+        F.col("_metadata.file_path").alias("source_file"),
+        F.col("_metadata.file_block_start").alias("_blk"),
+        F.monotonically_increasing_id().alias("_mid"),
     )
     header = options.pop("header", True)
     if fmt == "csv" and header:
-        header_line = ",".join(f.name for f in data_fields)
-        raw = raw.where(F.col("value") != F.lit(header_line))
+        first = (
+            raw.where(F.col("_blk") == 0)
+            .groupBy("source_file")
+            .agg(F.min("_mid").alias("_first_mid"))
+        )
+        raw = raw.join(F.broadcast(first), "source_file", "left").where(
+            F.col("_first_mid").isNull() | (F.col("_mid") != F.col("_first_mid"))
+        )
+    raw = raw.drop("_blk", "_mid", "_first_mid")
     raw = raw.where(F.length(F.trim(F.col("value"))) > 0)
     parse_opts = {
         "mode": "PERMISSIVE",

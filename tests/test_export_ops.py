@@ -483,6 +483,34 @@ def test_read_with_quarantine_csv(spark, tmp_path):
     assert spark.read.json(str(tmp_path / "q")).count() == 1
 
 
+def test_read_with_quarantine_csv_header_first_line_only(spark, tmp_path):
+    """header=True must skip each file's FIRST line only (round-4
+    advice): a data row equal to the header string survives, an oddly
+    spaced header is still skipped (not quarantined), and a multi-file
+    read drops one header per file."""
+    from creek_spark.sources.formats import read_with_quarantine
+
+    src = tmp_path / "csv_hdr"
+    src.mkdir()
+    # file a: normal header + a DATA row that equals the header string
+    (src / "a.csv").write_text("id,v\n1,x\nid,v\n2,y\n")
+    # file b: header with a space (string-match would miss it)
+    (src / "b.csv").write_text("id, v\n3,z\n")
+    clean = read_with_quarantine(
+        spark, str(src), "csv", "id string, v string",
+        quarantine_path=str(tmp_path / "qh"),
+    )
+    rows = sorted((r["id"], r["v"]) for r in clean.collect())
+    assert rows == [("1", "x"), ("2", "y"), ("3", "z"), ("id", "v")]
+    import glob
+
+    bad_bytes = sum(
+        len(open(p, "rb").read())
+        for p in glob.glob(str(tmp_path / "qh" / "part-*"))
+    )
+    assert bad_bytes == 0  # nothing quarantined — headers were skipped
+
+
 def test_read_with_quarantine_requires_schema_and_format(spark, tmp_path):
     import pytest
 

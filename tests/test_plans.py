@@ -454,9 +454,6 @@ def test_incremental_dedup_hashes_batch_not_index_text(spark):
         idx = spark.read.parquet(p)
         df = incremental_lsh_candidates(new, idx, "text", "doc_id")
         plan = explain_str(df)
-        # the index side contributes scans of the 3-column band file only;
-        # every posexplode (shingling) in the plan belongs to the batch
-        assert "posexplode" not in plan.split("Scan parquet")[0] or True
         # concrete gate: exactly one shingle pipeline (the persisted batch
         # signatures are reused for both joins)
         assert plan.count("InMemoryTableScan") >= 2, plan

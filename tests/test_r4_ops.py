@@ -282,6 +282,51 @@ def test_cusum_prefix_form_equals_recursion(spark, sf_dir):
     assert n_flagged == len(got)
 
 
+def test_lttb_centroid_no_bigint_overflow(spark, tmp_path):
+    """Directed regression (round-4 advice): >5,400 events in one
+    (type, day) bucket overflows a BIGINT sum of epoch-µs (~1.7e15
+    each) — wrapping silently or throwing under ANSI.  The decimal(38,0)
+    sum must survive and produce the exact centroid."""
+    import datetime
+
+    import __spark_entry__ as entrymod
+
+    n = 6000
+    base = datetime.datetime(2024, 6, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(seconds=i),
+            1,
+            "click",
+            float(i % 97),
+            "{}",
+        )
+        for i in range(n)
+    ]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pq.write_table(
+        pa.Table.from_pandas(pdf), str(tmp_path / "events.parquet")
+    )
+    out = (
+        entrymod._catalog()["ts_downsample_lttb"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    assert len(out) == 1  # one bucket → one representative point
+    # sanity: the epoch-µs sum really exceeds int64 range
+    total_us = sum(int((base + datetime.timedelta(seconds=i)).timestamp() * 1e6) for i in range(n))
+    assert total_us > 2**63 - 1
+
+
 def test_lttb_picks_max_area_point_per_bucket(spark, sf_dir):
     """Each selected point must subtend the maximum triangle area in its
     (type, day) bucket vs the neighbor-bucket centroids (brute force)."""
