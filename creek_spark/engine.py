@@ -357,3 +357,26 @@ class Engine:
         return AdditiveRollupSink(
             self.spark, state_dir, list(key_cols), list(add_cols), partition_col
         )
+
+    def running_aggregates(self, df, part_cols, seg_col, order_cols, specs) -> DataFrame:
+        """Distributed prefix sum/min/max/row_number over a total order —
+        bounded within-segment windows + broadcast per-segment offsets
+        (operators/distributed.py)."""
+        from creek_spark.operators.distributed import segmented_running
+
+        return segmented_running(df, part_cols, seg_col, order_cols, specs)
+
+    def rank_select(self, df, part_cols, sort_col, tie_col, bucket_col, ranks_fn) -> DataFrame:
+        """Exact (value, tie) tuple at arbitrary per-group ranks without a
+        per-group sort — two-level bucketed counting
+        (operators/distributed.py)."""
+        from creek_spark.operators.distributed import rank_pick
+
+        return rank_pick(df, part_cols, sort_col, tie_col, bucket_col, ranks_fn)
+
+    def percentile_exact(self, df, part_cols, value_col, bucket_col, p=0.5) -> DataFrame:
+        """Exact discrete per-group percentile via rank_select
+        (operators/distributed.py)."""
+        from creek_spark.operators.distributed import discrete_percentile
+
+        return discrete_percentile(df, part_cols, value_col, bucket_col, p)

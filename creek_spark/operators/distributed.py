@@ -1,0 +1,219 @@
+"""Distributed forms of ordered computations that are trivially expressed
+with a global (or low-cardinality-partition) window but collapse to a
+single task at scale: running/prefix aggregates and exact rank selection.
+
+Spark's ``Window.orderBy(...)`` with no (or a ~5-value) partition spec
+moves every row to one partition — fine on a catalog-sized series, a
+20 M-row single-task sort at sf100.  The reference sidesteps the problem
+by being single-node (its consumer applies changes serially,
+internal/dao/replication.go receive loop); a 1000-executor engine needs
+the classic two-phase decompositions instead:
+
+* ``segmented_running`` — running sum/min/max/row_number over a total
+  order, computed as bounded within-segment window partials plus
+  broadcast per-segment offsets (the distributed prefix-sum).  The
+  segment column is a PLAN HINT only: any deterministic bucketing that
+  is monotone along the sort order yields bit-identical results, because
+  offsets are derived from the actual per-segment aggregates.
+* ``rank_pick`` — the exact (value, tie) tuple at arbitrary rank k per
+  group, found with two levels of counting (coarse bucket counts locate
+  the bucket containing rank k; only that bucket's rows are ever
+  sorted).  No corpus-wide sort, no single-task window; the only
+  ordered windows run over bucket-count summaries.
+
+Both keep exact arithmetic (decimal sums, integer counts) so results
+hash-match a single-window oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SEG = "_seg"
+
+
+def segmented_running(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    seg_col: Column | str,
+    order_cols: Sequence[Column | str],
+    specs: dict[str, tuple[Column, str]],
+) -> DataFrame:
+    """Add running-aggregate columns over ``Window.partitionBy(part_cols)
+    .orderBy(order_cols)`` without ever materializing a per-``part_cols``
+    partition: rows are windowed within (part_cols, segment) — bounded —
+    and per-segment totals (a summary with one row per segment) supply
+    broadcast offsets from all PRIOR segments.
+
+    ``specs`` maps output column name -> (input expression, kind) with
+    kind in {"sum", "min", "max", "rownum"} ("rownum" ignores the input
+    expression).  REQUIRES ``seg_col`` monotone non-decreasing along
+    ``order_cols`` within each part group (so segment order refines the
+    row order); pass a string to reuse an existing segment column — the
+    second call then shares the first's (part, seg) sort exchange.
+    """
+    if isinstance(seg_col, str):
+        if seg_col != SEG:
+            df = df.withColumn(SEG, F.col(seg_col))
+    else:
+        df = df.withColumn(SEG, seg_col)
+    pk = [F.col(c) for c in part_cols]
+    wl = (
+        Window.partitionBy(*pk, F.col(SEG))
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl_rn = Window.partitionBy(*pk, F.col(SEG)).orderBy(*order_cols)
+    local = {"sum": F.sum, "min": F.min, "max": F.max}
+    seg_agg = {"sum": F.sum, "min": F.min, "max": F.max, "rownum": None}
+    out = df
+    aggs = []
+    for name, (expr, kind) in specs.items():
+        if kind == "rownum":
+            out = out.withColumn(f"_l_{name}", F.row_number().over(wl_rn))
+            aggs.append(F.count(F.lit(1)).alias(f"_t_{name}"))
+        elif kind in local:
+            out = out.withColumn(f"_l_{name}", local[kind](expr).over(wl))
+            aggs.append(seg_agg[kind](expr).alias(f"_t_{name}"))
+        else:
+            raise ValueError(f"unknown running kind {kind!r}")
+    summary = out.groupBy(*pk, F.col(SEG)).agg(*aggs)
+    # offsets = aggregate of every PRIOR segment, over the tiny summary
+    ws = (
+        Window.partitionBy(*pk)
+        .orderBy(F.col(SEG))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = {"sum": F.sum, "min": F.min, "max": F.max, "rownum": F.sum}
+    offsets = summary.select(
+        *pk,
+        F.col(SEG),
+        *[
+            off[kind](F.col(f"_t_{name}")).over(ws).alias(f"_o_{name}")
+            for name, (_, kind) in specs.items()
+        ],
+    )
+    out = out.join(F.broadcast(offsets), [*part_cols, SEG], "left")
+    combine = {
+        "sum": lambda l, o: F.when(o.isNull(), l).otherwise(l + o),
+        "min": F.least,  # least/greatest skip NULLs — first segment safe
+        "max": F.greatest,
+        "rownum": lambda l, o: l + F.coalesce(o, F.lit(0)),
+    }
+    for name, (_, kind) in specs.items():
+        out = out.withColumn(
+            name, combine[kind](F.col(f"_l_{name}"), F.col(f"_o_{name}"))
+        )
+    return out.drop(
+        *[f"_l_{n}" for n in specs], *[f"_o_{n}" for n in specs]
+    )
+
+
+def rank_pick(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    sort_col: Column,
+    tie_col: Column,
+    bucket_col: Column,
+    ranks_fn: Callable[[Column], Sequence[Column]],
+) -> DataFrame:
+    """Exact distributed selection: per part group, the (sort, tie)
+    tuple at each requested rank under ORDER BY sort_col, tie_col —
+    with NO per-group sort of the data.
+
+    ``ranks_fn(n)`` maps the group's row count (a Column) to the list of
+    target-rank expressions (1-based); ``bucket_col`` must be a
+    deterministic non-decreasing function of ``sort_col`` (granularity
+    is a plan knob only — any monotone bucketing gives the same picks).
+
+    Level 1 counts rows per (group, bucket) — a skew-free hash agg —
+    and walks the cumulative counts over the BUCKET SUMMARY to find each
+    rank's bucket and its preceding-row offset.  Level 2 revisits only
+    the rows of target buckets, counts per distinct (sort, tie), and
+    picks the tuple whose cumulative count first reaches the rank.
+    Returns one row per (part group, rank index): part_cols + ``_ki``
+    (0-based index into ranks_fn's list), ``_k`` (the rank), ``_pick_v``
+    (sort value), ``_pick_t`` (tie value).
+
+    A constant ``tie_col`` is allowed when only the VALUE at rank k is
+    needed (discrete percentiles): ties collapse in the level-2 distinct
+    and the cumulative multiplicity still lands the correct value.
+    """
+    G = "_g"
+    work = df.withColumn(G, F.lit(1))
+    gcols = [*part_cols, G]
+    work = (
+        work.withColumn("_sv", sort_col)
+        .withColumn("_tv", tie_col)
+        .withColumn("_bkt", bucket_col)
+    )
+    nk = work.groupBy(*gcols).agg(F.count(F.lit(1)).alias("_n"))
+    ks = nk.select(
+        *gcols,
+        F.posexplode(F.array(*ranks_fn(F.col("_n")))).alias("_ki", "_k"),
+    )
+    b1 = work.groupBy(*gcols, "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    wsum = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c1 = b1.withColumn("_cum", F.sum("_cnt").over(wsum))
+    # the bucket containing rank k, and the row count strictly before it
+    tb = (
+        c1.join(F.broadcast(ks), gcols)
+        .where(
+            (F.col("_cum") >= F.col("_k"))
+            & (F.col("_cum") - F.col("_cnt") < F.col("_k"))
+        )
+        .select(*gcols, "_ki", "_k", "_bkt", (F.col("_cum") - F.col("_cnt")).alias("_off"))
+    )
+    lvl2 = work.join(
+        F.broadcast(tb.select(*gcols, "_bkt").distinct()), [*gcols, "_bkt"]
+    )
+    d2 = lvl2.groupBy(*gcols, "_bkt", "_sv", "_tv").agg(
+        F.count(F.lit(1)).alias("_cnt2")
+    )
+    w2 = (
+        Window.partitionBy(*[F.col(c) for c in gcols], F.col("_bkt"))
+        .orderBy("_sv", "_tv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c2 = d2.withColumn("_cum2", F.sum("_cnt2").over(w2))
+    picked = (
+        c2.join(F.broadcast(tb), [*gcols, "_bkt"])
+        .where(
+            (F.col("_off") + F.col("_cum2") >= F.col("_k"))
+            & (F.col("_off") + F.col("_cum2") - F.col("_cnt2") < F.col("_k"))
+        )
+        .select(
+            *part_cols,
+            "_ki",
+            "_k",
+            F.col("_sv").alias("_pick_v"),
+            F.col("_tv").alias("_pick_t"),
+        )
+    )
+    return picked
+
+
+def discrete_percentile(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    value_col: Column,
+    bucket_col: Column,
+    p: float = 0.5,
+) -> DataFrame:
+    """Exact discrete percentile (the rank-``floor(p·(n−1))+1`` pick, no
+    interpolation) per group, via :func:`rank_pick` — the scalable twin
+    of ``row_number() = pick`` over a per-group sorted window.  Returns
+    part_cols + ``_pick_v`` (the value)."""
+    ranks = lambda n: [  # noqa: E731
+        F.floor(F.lit(p) * (n - 1)).cast("bigint") + 1
+    ]
+    return rank_pick(
+        df, part_cols, value_col, F.lit(0), bucket_col, ranks
+    ).select(*part_cols, "_pick_v")

@@ -517,11 +517,21 @@ def ts_cusum_changepoints(spark, sf_dir):
     decision threshold h = 5σ — the standard tabular-CUSUM setting)
     exceeds h.  Uses the prefix-sum form S⁺_t = C⁺_t − min_{j≤t} C⁺_j
     (C⁺_t = prefix_sum − t·(μ+k); mirrored for S⁻), which turns the
-    non-associative max(0,·) recursion into two window functions over
-    ONE per-type sorted exchange.  Prefix sums are exact decimal
-    (order-independent); μ, σ come from the same broadcast moments as
-    ts_anomaly_zscore, so flagged rows AND both cusum values are
-    bit-identical to the oracle."""
+    non-associative max(0,·) recursion into prefix-sum ± running-extremum
+    form.  Prefix sums are exact decimal (order-independent); μ, σ come
+    from the same broadcast moments as ts_anomaly_zscore, so flagged
+    rows AND both cusum values are bit-identical to the oracle.
+
+    Scale shape (round-4 verdict fix): event_type has ~5 values, so a
+    plain per-type window is five single-task sorts at 100 TB.  Both
+    running passes instead use segmented_running — rows window within
+    (type, hour) bounded segments and broadcast per-segment offsets
+    reconstruct the global prefix sums/extrema exactly (the hour bucket
+    is monotone in the (ts, event_id) order, so segment order refines
+    row order).  The corpus shuffles once on (type, hour); every
+    unpartitioned window in the plan runs over the segment SUMMARY."""
+    from creek_spark.operators.distributed import segmented_running
+
     ev = _t(spark, sf_dir, "events")
     vd = dec("value", 14, 2)
     stats = ev.groupBy("event_type").agg(
@@ -529,15 +539,14 @@ def ts_cusum_changepoints(spark, sf_dir):
         F.sum(vd).cast("double").alias("sv"),
         F.sum(vd * vd).cast("double").alias("svv"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    base = (
-        ev.join(F.broadcast(stats), "event_type")
-        .withColumn("s", F.sum(vd).over(w).cast("double"))
-        .withColumn("rn", F.row_number().over(w).cast("double"))
+    base = segmented_running(
+        ev.join(F.broadcast(stats), "event_type"),
+        ["event_type"],
+        F.date_trunc("hour", F.col("ts")),
+        [F.col("ts"), F.col("event_id")],
+        {"_s_dec": (vd, "sum"), "_rn_l": (F.lit(1), "rownum")},
+    ).withColumn("s", F.col("_s_dec").cast("double")).withColumn(
+        "rn", F.col("_rn_l").cast("double")
     )
     sigma = F.sqrt(
         F.greatest(
@@ -560,13 +569,14 @@ def ts_cusum_changepoints(spark, sf_dir):
             - F.col("rn") * (mu - F.lit(0.5) * F.col("sigma")),
         )
     )
-    w2 = (
-        Window.partitionBy("event_type")
-        .orderBy("rn")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    m = c.withColumn("cpmin", F.min("cp").over(w2)).withColumn(
-        "cnmax", F.max("cn").over(w2)
+    # running min/max of cp/cn: same segmented decomposition, reusing
+    # the first pass's (type, hour) segment column and sort order
+    m = segmented_running(
+        c,
+        ["event_type"],
+        "_seg",
+        [F.col("ts"), F.col("event_id")],
+        {"cpmin": (F.col("cp"), "min"), "cnmax": (F.col("cn"), "max")},
     )
     return (
         m.where(
@@ -969,23 +979,24 @@ def ts_anomaly_mad(spark, sf_dir):
     the estimator that survives the contaminated data z-scores break on
     (both median and MAD have a 50% breakdown point; mean/σ have 0%).
     Percentiles are the exact DISCRETE picks (rank-based, no
-    interpolation) so every field is bit-identical cross-engine.  Two
-    per-type window shuffles (value rank, deviation rank) + two
-    |types|-row broadcasts — no corpus-sized join."""
+    interpolation) so every field is bit-identical cross-engine.
+
+    Scale shape (round-4 verdict fix): ranking raw events inside ~5
+    event_type partitions is five single-task sorts at 100 TB.  Both
+    medians instead use discrete_percentile — two-level bucketed
+    counting (coarse value-bucket counts locate the median's bucket;
+    only that bucket's rows are revisited), so no corpus-scale sorted
+    window exists anywhere in the plan; the per-type medians broadcast
+    back exactly as before."""
+    from creek_spark.operators.distributed import discrete_percentile
+
     ev = _t(spark, sf_dir, "events")
-    pick = lambda n: F.floor(F.lit(0.5) * (n - 1)).cast("bigint") + 1  # noqa: E731
-    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wc = Window.partitionBy("event_type")
-    r1 = ev.select(
-        "event_type", "event_id", "value",
-        F.row_number().over(w1).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
-    med = r1.groupBy("event_type").agg(
-        F.max(
-            F.when(F.col("rn") == pick(F.col("n")), F.col("value"))
-        ).alias("med")
-    )
+    med = discrete_percentile(
+        ev,
+        ["event_type"],
+        F.col("value"),
+        F.floor(F.col("value") * 16).cast("bigint"),
+    ).select("event_type", F.col("_pick_v").alias("med"))
     dev = (
         ev.join(F.broadcast(med), "event_type")
         .select(
@@ -993,17 +1004,12 @@ def ts_anomaly_mad(spark, sf_dir):
             F.abs(F.col("value") - F.col("med")).alias("abs_dev"),
         )
     )
-    w2 = Window.partitionBy("event_type").orderBy("abs_dev", "event_id")
-    r2 = dev.select(
-        "event_type", "abs_dev",
-        F.row_number().over(w2).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
-    mad = r2.groupBy("event_type").agg(
-        F.max(
-            F.when(F.col("rn") == pick(F.col("n")), F.col("abs_dev"))
-        ).alias("mad")
-    )
+    mad = discrete_percentile(
+        dev,
+        ["event_type"],
+        F.col("abs_dev"),
+        F.floor(F.col("abs_dev") * 16).cast("bigint"),
+    ).select("event_type", F.col("_pick_v").alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
         .where(
@@ -1222,13 +1228,19 @@ def customer_rfm(spark, sf_dir):
 
     Scores use the rank formula 1 + (rank-1)·5 div n — the same
     assignment ntile produces for these sizes, but written on explicit
-    ranks so the oracle is engine-agnostic.  The ranking windows run
-    over the CUSTOMER aggregate (one row per customer), already three
-    orders of magnitude smaller than the fact table; at larger customer
-    counts swap the exact rank for the broadcast quantile-cutoff
-    assignment (percentile_disc boundaries + comparisons) — the
-    boundaries themselves come from the same rank-pick machinery as
-    agg_percentile_disc."""
+    ranks so the oracle is engine-agnostic.
+
+    Scale shape (round-4 verdict fix): instead of three UNPARTITIONED
+    ranking windows over the customer aggregate (a single-task sort at
+    sf100), each dimension's four score boundaries — the exact
+    (value, custkey) tuples at ranks ceil(s·n/5), s=1..4 — are found
+    with rank_pick (two-level bucketed counting, no corpus sort), pivoted
+    into ONE 24-column row, broadcast, and every customer is scored
+    map-side by tuple comparison against the boundaries.  Tie groups
+    split across a boundary score identically to the rank formula
+    because the boundary carries the custkey tiebreak."""
+    from creek_spark.operators.distributed import rank_pick
+
     o = _t(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("now"))
     c = (
@@ -1245,28 +1257,50 @@ def customer_rfm(spark, sf_dir):
             "frequency",
             "monetary",
         )
+        .cache()  # scanned once per dimension pass; catalog-sized
     )
-    wr = Window.orderBy(F.col("recency_days").desc(), F.col("custkey"))
-    wf = Window.orderBy(F.col("frequency"), F.col("custkey"))
-    wm = Window.orderBy(F.col("monetary"), F.col("custkey"))
-    wc = Window.partitionBy()
-    rr = c.select(
+    # boundary ranks: score(r) = 1 + (r-1)*5 div n <= s  <=>  r <= ceil(s*n/5)
+    ranks = lambda n: [  # noqa: E731
+        F.floor((F.lit(s) * n + F.lit(4)) / F.lit(5)).cast("bigint")
+        for s in (1, 2, 3, 4)
+    ]
+    dims = {
+        # score ASCENDS along (sort_v asc, custkey asc)
+        "r": (-F.col("recency_days"), (-F.col("recency_days")).cast("bigint")),
+        "f": (F.col("frequency"), F.col("frequency").cast("bigint")),
+        "m": (F.col("monetary"), F.floor(F.col("monetary") / 1000).cast("bigint")),
+    }
+    cuts = None
+    for d, (sv, bkt) in dims.items():
+        picked = rank_pick(c, [], sv, F.col("custkey"), bkt, ranks)
+        row = picked.groupBy().agg(
+            *[
+                F.max(F.when(F.col("_ki") == i, F.col("_pick_v"))).alias(f"_b{d}v{i}")
+                for i in range(4)
+            ],
+            *[
+                F.max(F.when(F.col("_ki") == i, F.col("_pick_t"))).alias(f"_b{d}t{i}")
+                for i in range(4)
+            ],
+        )
+        cuts = row if cuts is None else cuts.crossJoin(row)
+    scored = c.crossJoin(F.broadcast(cuts))
+    def score(d, sv):
+        above = [
+            (sv > F.col(f"_b{d}v{i}"))
+            | ((sv == F.col(f"_b{d}v{i}")) & (F.col("custkey") > F.col(f"_b{d}t{i}")))
+            for i in range(4)
+        ]
+        s = F.lit(1)
+        for a in above:
+            s = s + a.cast("int")
+        return s.cast("int")
+    return scored.select(
         "custkey", "recency_days", "frequency", "monetary",
-        F.row_number().over(wr).alias("rr_r"),
-        F.row_number().over(wf).alias("rr_f"),
-        F.row_number().over(wm).alias("rr_m"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+        score("r", -F.col("recency_days")).alias("r_score"),
+        score("f", F.col("frequency")).alias("f_score"),
+        score("m", F.col("monetary")).alias("m_score"),
     )
-    score = lambda rk: (  # noqa: E731
-        F.lit(1) + F.expr(f"(({rk} - 1) * 5) div n")
-    ).cast("int")
-    return rr.select(
-        "custkey", "recency_days", "frequency", "monetary",
-        score("rr_r").alias("r_score"),
-        score("rr_f").alias("f_score"),
-        score("rr_m").alias("m_score"),
-    )
-
 
 
 @register(
@@ -1353,12 +1387,20 @@ def ts_forecast_snaive(spark, sf_dir):
 def pareto_abc(spark, sf_dir):
     """Pareto/ABC classification: parts bucketed by cumulative revenue
     share (A ≤ 80%, B ≤ 95%, C the tail) — the inventory-analytics
-    staple built on a cumulative-share window.  The fact table collapses
-    to one row per part BEFORE the ordered window, so the global
-    running sum touches a catalog-sized series (same note as RFM: for
-    catalogs too large even for that, the cutoff-based assignment
-    swaps in).  Revenue stays exact decimal through the running sum; the
-    share comparison is one IEEE division per part."""
+    staple built on a cumulative-share prefix sum.  The fact table
+    collapses to one row per part BEFORE any ordered work; revenue stays
+    exact decimal through the running sum; the share comparison is one
+    IEEE division per part.
+
+    Scale shape (round-4 verdict fix): the cumulative revenue is a
+    segmented_running prefix sum, not a global ordered window — parts
+    window within bounded $1000-revenue-band segments (the band is
+    monotone in the rev-desc order) and broadcast per-band offsets
+    reconstruct the exact global running sum; the only unpartitioned
+    window in the plan walks the ~|revenue range|/1000-row band summary,
+    never the catalog."""
+    from creek_spark.operators.distributed import segmented_running
+
     li = _t(spark, sf_dir, "lineitem")
     pr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(
@@ -1367,10 +1409,13 @@ def pareto_abc(spark, sf_dir):
         ).alias("rev")
     )
     t = pr.agg(F.sum("rev").alias("total"))
-    w = Window.orderBy(F.col("rev").desc(), F.col("pk")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    r = segmented_running(
+        pr,
+        [],
+        (-F.floor(F.col("rev") / 1000)).cast("bigint"),
+        [F.col("rev").desc(), F.col("pk")],
+        {"cum": (F.col("rev"), "sum")},
     )
-    r = pr.withColumn("cum", F.sum("rev").over(w))
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     c = r.crossJoin(F.broadcast(t)).withColumn(
         "abc",

@@ -1,0 +1,137 @@
+"""Brute-force equality tests for the distributed ordered primitives
+(operators/distributed.py): segmented prefix aggregates and exact rank
+selection must match their single-window formulations on random data,
+under any input partitioning."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from creek_spark.operators.distributed import (
+    discrete_percentile,
+    rank_pick,
+    segmented_running,
+)
+
+
+def _rand_rows(rng, n, n_groups=3):
+    # (grp, ord_key, val) with duplicate vals and clustered ord_keys so
+    # segment boundaries land mid-tie-group sometimes
+    return [
+        (
+            f"g{rng.randrange(n_groups)}",
+            rng.randrange(n * 2),
+            round(rng.uniform(-50, 50), 2),
+        )
+        for _ in range(n)
+    ]
+
+
+def test_segmented_running_matches_global_window(spark):
+    rng = random.Random(5)
+    rows = [(g, k, v, i) for i, (g, k, v) in enumerate(_rand_rows(rng, 400))]
+    df = spark.createDataFrame(
+        rows, "grp string, k bigint, v double, rid bigint"
+    ).repartition(7)
+    out = segmented_running(
+        df,
+        ["grp"],
+        (F.col("k") / 25).cast("bigint"),  # monotone in k
+        [F.col("k"), F.col("rid")],
+        {
+            "rs": (F.col("v"), "sum"),
+            "rmin": (F.col("v"), "min"),
+            "rmax": (F.col("v"), "max"),
+            "rn": (F.lit(1), "rownum"),
+        },
+    ).collect()
+    got = {r["rid"]: (r["rs"], r["rmin"], r["rmax"], r["rn"]) for r in out}
+    # brute force per group in (k, rid) order
+    by_g = {}
+    for g, k, v, rid in rows:
+        by_g.setdefault(g, []).append((k, rid, v))
+    for g, items in by_g.items():
+        items.sort()
+        s = 0.0
+        mn, mx = float("inf"), float("-inf")
+        for i, (k, rid, v) in enumerate(items, start=1):
+            s += v
+            mn, mx = min(mn, v), max(mx, v)
+            gs, gmn, gmx, grn = got[rid]
+            assert abs(gs - s) < 1e-9, (g, rid)
+            assert gmn == mn and gmx == mx and grn == i, (g, rid)
+
+
+def test_segmented_running_single_segment_and_empty_parts(spark):
+    # one segment → offsets all NULL; results must still be the plain
+    # running aggregates (first-segment NULL handling)
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 7.0)], "k bigint, v double"
+    )
+    out = segmented_running(
+        df, [], F.lit(0), [F.col("k")],
+        {"rs": (F.col("v"), "sum"), "rmin": (F.col("v"), "min"), "rn": (F.lit(1), "rownum")},
+    ).orderBy("k").collect()
+    assert [round(r["rs"], 6) for r in out] == [10.0, 15.0, 22.0]
+    assert [r["rmin"] for r in out] == [10.0, 5.0, 5.0]
+    assert [r["rn"] for r in out] == [1, 2, 3]
+
+
+def test_rank_pick_matches_sort_with_ties(spark):
+    rng = random.Random(9)
+    rows = [
+        (f"g{rng.randrange(2)}", float(rng.randrange(10)), i)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double, tid bigint").repartition(5)
+    ranks = lambda n: [  # noqa: E731
+        F.lit(1).cast("bigint"),
+        (n / 2).cast("bigint") + 1,
+        n.cast("bigint"),
+    ]
+    picked = rank_pick(
+        df, ["grp"], F.col("v"), F.col("tid"),
+        F.floor(F.col("v") / 3).cast("bigint"), ranks,
+    ).collect()
+    by_g = {}
+    for g, v, t in rows:
+        by_g.setdefault(g, []).append((v, t))
+    for r in picked:
+        items = sorted(by_g[r["grp"]])
+        v, t = items[r["_k"] - 1]
+        assert (r["_pick_v"], r["_pick_t"]) == (v, t), r
+
+
+def test_discrete_percentile_matches_rank_formula(spark):
+    rng = random.Random(13)
+    rows = [(f"g{i % 3}", round(rng.uniform(0, 100), 1)) for i in range(501)]
+    df = spark.createDataFrame(rows, "grp string, v double").repartition(4)
+    for p in (0.5, 0.9):
+        got = {
+            r["grp"]: r["_pick_v"]
+            for r in discrete_percentile(
+                df, ["grp"], F.col("v"),
+                F.floor(F.col("v") * 16).cast("bigint"), p,
+            ).collect()
+        }
+        by_g = {}
+        for g, v in rows:
+            by_g.setdefault(g, []).append(v)
+        for g, vs in by_g.items():
+            vs.sort()
+            k = int(p * (len(vs) - 1))  # floor(p*(n-1)) + 1, 1-based
+            assert got[g] == vs[k], (g, p)
+
+
+def test_rank_pick_deterministic_across_partitioning(spark):
+    rows = [(float(i % 7), i) for i in range(100)]
+    df1 = spark.createDataFrame(rows, "v double, tid bigint").coalesce(1)
+    df2 = spark.createDataFrame(rows, "v double, tid bigint").repartition(13)
+    ranks = lambda n: [(n / 3).cast("bigint") + 1]  # noqa: E731
+    r1 = rank_pick(df1, [], F.col("v"), F.col("tid"), F.col("v").cast("bigint"), ranks).collect()
+    r2 = rank_pick(df2, [], F.col("v"), F.col("tid"), F.col("v").cast("bigint"), ranks).collect()
+    assert [(r["_k"], r["_pick_v"], r["_pick_t"]) for r in r1] == [
+        (r["_k"], r["_pick_v"], r["_pick_t"]) for r in r2
+    ]

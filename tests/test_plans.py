@@ -497,6 +497,74 @@ def test_temporal_dim_join_is_user_keyed_equi(spark):
     assert "user_id" in plan, plan
 
 
+def test_cusum_windows_segmented(spark):
+    """Round-4 verdict gate: CUSUM's prefix sums/extrema must window
+    within (type, hour) segments, never inside a bare ~5-value
+    event_type partition (a single-task sort per type at 100 TB)."""
+    import re
+
+    df = _catalog()["ts_cusum_changepoints"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    # the old corpus window (partition=event_type only, ordered by ts)
+    assert re.search(r"windowspecdefinition\(event_type#\d+, ts#", plan) is None, plan
+    # the segmented corpus window exists
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, _seg#\d+, ts#", plan
+    ), plan
+
+
+def test_mad_no_corpus_rank_window(spark):
+    """Round-4 verdict gate: the MAD medians must come from bucketed
+    counting — no per-type row_number ranking of raw events, and every
+    window in the plan is value-bucket-scoped."""
+    import re
+
+    df = _catalog()["ts_anomaly_mad"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "row_number" not in plan, plan
+    # each window either partitions by (event_type, _bkt) or walks the
+    # (event_type)-partitioned bucket summary ordered by _bkt
+    for spec in re.findall(
+        r"windowspecdefinition\(event_type#\d+, ([A-Za-z_]\w*)#", plan
+    ):
+        assert spec == "_bkt", plan
+
+
+def test_rfm_no_global_rank_window(spark):
+    """Round-4 verdict gate: RFM scores come from broadcast boundary
+    tuples, not three unpartitioned row_number windows over the customer
+    aggregate."""
+    import re
+
+    df = _catalog()["customer_rfm"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "row_number" not in plan, plan
+    # every remaining window is bucket-summary work
+    for spec in re.findall(r"windowspecdefinition\(([A-Za-z_]\w*)#", plan):
+        assert spec == "_bkt", plan
+    # ... and the boundaries come back as a broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_pareto_prefix_sum_segmented(spark):
+    """Round-4 verdict gate: the cumulative-revenue prefix sum windows
+    within $1000 revenue bands; the only order-only window walks the
+    band summary (_seg), never the part catalog."""
+    import re
+
+    df = _catalog()["pareto_abc"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    # the old global ordered window (order-only, rev DESC first arg)
+    assert re.search(r"windowspecdefinition\(rev#", plan) is None, plan
+    # segmented corpus window present
+    assert re.search(r"windowspecdefinition\(_seg#\d+L?, rev#", plan), plan
+    # any order-only window walks the band summary
+    for spec in re.findall(
+        r"windowspecdefinition\(([A-Za-z_]\w*)#\d+L? ASC", plan
+    ):
+        assert spec == "_seg", plan
+
+
 def test_growth_rates_windows_presorted_aggregate(spark):
     """MoM/YoY lags must run AFTER the monthly aggregation — the fact
     table is exchanged once for the agg, the window input is the tiny
