@@ -380,3 +380,10 @@ class Engine:
         from creek_spark.operators.distributed import discrete_percentile
 
         return discrete_percentile(df, part_cols, value_col, bucket_col, p)
+
+    def streaming_zscore(self, state_dir: str, threshold: float = 2.5):
+        """Incrementally-maintained z-score detector, batch-identical by
+        construction (streaming/detectors.py)."""
+        from creek_spark.streaming.detectors import StreamingZScore
+
+        return StreamingZScore(self.spark, state_dir, threshold)

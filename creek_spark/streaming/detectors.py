@@ -1,0 +1,105 @@
+"""Streaming anomaly detection with batch-identical results — the
+engine's analytics run continuously, not just as one-shot scans (the
+reference's whole point is continuous processing: its consumer loop
+applies changes as they arrive, internal/dao/replication.go).
+
+``StreamingZScore`` maintains the per-type population moments the batch
+``ts_anomaly_zscore`` catalog query computes — COUNT, Σvalue, Σvalue² —
+as an ADDITIVE rollup via :class:`AdditiveRollupSink` (batch_id-fenced,
+partition-local, manifest-atomic), then scores any probe frame against
+the maintained moments.  Because the moments are stored as EXACT
+integers (value rounded to decimal(14,2) exactly as the batch query
+does, then scaled to cents / 10⁻⁴-units) and recombined in decimal
+before one final cast to double, the streamed mean/σ — and therefore
+every flag and z value — are bit-identical to the batch operator over
+the union of all streamed batches.  That is the incremental == batch
+proof obligation, asserted by tests/test_streaming_rollup.py.
+
+Scale: cells are keyed (event_type, day) so a trickle of fresh events
+rewrites only today's partition; per-cell Σvalue² in 10⁻⁴ units stays
+far under int64 for any plausible single day, and the cross-day combine
+runs in decimal(38), so no overflow path exists end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from creek_spark.streaming.rollup import AdditiveRollupSink
+
+KEYS = ["event_type", "day"]
+ADDS = ["n", "sv_c", "svv_c4"]
+
+
+class StreamingZScore:
+    """Incrementally-maintained population z-score detector
+    (|z| > ``threshold`` per event_type), batch-identical by
+    construction."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, threshold: float = 2.5):
+        self.spark = spark
+        self.threshold = threshold
+        self.sink = AdditiveRollupSink(spark, state_dir, KEYS, ADDS, "day")
+
+    # -- ingestion -----------------------------------------------------
+
+    @staticmethod
+    def moments_tier(batch: DataFrame) -> DataFrame:
+        """events micro-batch → additive moment cells.  value is rounded
+        to decimal(14,2) EXACTLY like the batch query's dec(); cents and
+        10⁻⁴-units are exact integers, so cells merge losslessly."""
+        vd = F.col("value").cast("decimal(14,2)")
+        return batch.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((vd * 100).cast("decimal(20,0)")).cast("bigint").alias("sv_c"),
+            F.sum((vd * vd * 10000).cast("decimal(30,0)"))
+            .cast("bigint")
+            .alias("svv_c4"),
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self.sink.apply_batch(self.moments_tier(batch), batch_id)
+
+    def foreach_batch(self):
+        """Adapter for ``writeStream.foreachBatch``."""
+        return self.sink.foreach_batch(self.moments_tier)
+
+    # -- scoring -------------------------------------------------------
+
+    def moments(self) -> DataFrame | None:
+        """Per-type moments recombined across day cells in decimal, cast
+        to double only at the end — matching the batch query's
+        CAST(SUM(decimal) AS DOUBLE) bit-for-bit."""
+        cur = self.sink.current()
+        if cur is None:
+            return None
+        return cur.groupBy("event_type").agg(
+            F.sum("n").cast("bigint").alias("n"),
+            (F.sum(F.col("sv_c").cast("decimal(38,0)")) / 100)
+            .cast("double")
+            .alias("sv"),
+            (F.sum(F.col("svv_c4").cast("decimal(38,0)")) / 10000)
+            .cast("double")
+            .alias("svv"),
+        )
+
+    def score(self, probe: DataFrame) -> DataFrame:
+        """Flag probe rows against the maintained moments — the same
+        arithmetic as the batch ts_anomaly_zscore (IEEE-deterministic)."""
+        stats = self.moments()
+        if stats is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        nD = F.col("n").cast("double")
+        mean = F.col("sv") / nD
+        var = (F.col("svv") - (F.col("sv") * F.col("sv")) / nD) / nD
+        z = (F.col("value").cast("double") - mean) / F.sqrt(
+            F.greatest(var, F.lit(1e-12))
+        )
+        return (
+            probe.join(F.broadcast(stats), "event_type")
+            .where(F.abs(z) > F.lit(self.threshold))
+            .select("event_id", "event_type", "value", z.alias("z"))
+        )

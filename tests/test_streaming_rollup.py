@@ -121,3 +121,33 @@ def test_empty_batch_advances_fence_only(spark, sf_dir, tmp_path):
     sink.apply_batch(_tier(ev.where(F.lit(False))), 1)
     assert sink.last_batch_id() == 1
     assert _rows(sink.current()) == before
+
+
+def test_streaming_zscore_flags_equal_batch(spark, sf_dir, tmp_path):
+    """Round-4 verdict task: one detector proven incremental == batch.
+    The z-score detector's moments stream through AdditiveRollupSink in
+    three micro-batches; scoring all streamed events must flag EXACTLY
+    the batch ts_anomaly_zscore rows, z values bit-identical."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import StreamingZScore
+
+    ev = read_table(spark, sf_dir, "events")
+    det = StreamingZScore(spark, str(tmp_path / "zstate"))
+    for i, (lo, hi) in enumerate([(0, 400), (400, 900), (900, 10**9)]):
+        det.apply_batch(
+            ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi)), i
+        )
+    got = sorted(
+        map(tuple, det.score(ev).select("event_id", "z").collect())
+    )
+    batch = entrymod._catalog()["ts_anomaly_zscore"].fn(spark, sf_dir)
+    want = sorted(map(tuple, batch.select("event_id", "z").collect()))
+    assert got == want
+    assert len(got) > 0  # non-vacuous at sf0.001
+
+    # replaying the last batch under the same batch_id must not change
+    # the moments (at-least-once delivery -> effectively-once flags)
+    det.apply_batch(ev.where(F.col("event_id") >= 900), 2)
+    again = sorted(map(tuple, det.score(ev).select("event_id", "z").collect()))
+    assert again == want
