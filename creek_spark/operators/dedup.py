@@ -481,3 +481,80 @@ def incremental_lsh_candidates(
         )
     )
     return ne.unionByName(nn).distinct()
+
+
+def banded_record_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    amount_col: str,
+    date_col: str,
+    *,
+    tol: float = 500.0,
+    days: int = 30,
+    max_band_rows: int | None = 64,
+):
+    """Near-duplicate RECORD pairs (the duplicate-transaction audit):
+    same ``key_col``, |Δamount| ≤ tol, |Δdate| ≤ days.  The amount
+    predicate is banded — side A replicates to its tol-wide bucket and
+    both neighbors, the join is EQUI on (key, bucket) with the exact
+    residual predicates, so each qualifying pair is emitted exactly once
+    (B's bucket appears exactly once in A's 3-bucket expansion).
+
+    Hot-key cap (the stop-shingle precedent, cf. minhash_signatures'
+    max_shingle_freq): a whale key with n rows in one band would emit
+    O(n²) candidates.  Cells denser than ``max_band_rows`` are EXCLUDED
+    from pair generation on the B side (so no pair is counted inside a
+    capped cell) and reported by the companion audit frame.  Cell counts
+    are a skew-free hash agg joined back BEFORE the pair join, so the
+    quadratic path never materializes.
+
+    Returns ``(pairs, capped_cells)``; ``capped_cells`` lists
+    (key, band, n_rows) for every excluded cell.
+    """
+    b = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id_b"),
+        F.col(amount_col).alias("_pb"),
+        F.col(date_col).alias("_db"),
+        F.floor(F.col(amount_col) / F.lit(tol)).alias("_bkt"),
+    )
+    cells = b.groupBy("key", "_bkt").agg(F.count(F.lit(1)).alias("n_rows"))
+    if max_band_rows is not None:
+        capped = cells.where(F.col("n_rows") > F.lit(max_band_rows))
+        b = b.join(
+            capped.select("key", "_bkt"), ["key", "_bkt"], "left_anti"
+        )
+    else:
+        capped = cells.where(F.lit(False))
+    a = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id_a"),
+        F.col(amount_col).alias("_pa"),
+        F.col(date_col).alias("_da"),
+        F.explode(
+            F.array(
+                F.floor(F.col(amount_col) / F.lit(tol)) - 1,
+                F.floor(F.col(amount_col) / F.lit(tol)),
+                F.floor(F.col(amount_col) / F.lit(tol)) + 1,
+            )
+        ).alias("_bkt"),
+    )
+    pairs = (
+        a.join(b, ["key", "_bkt"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_pa") - F.col("_pb")) <= F.lit(tol))
+            & (F.abs(F.datediff(F.col("_da"), F.col("_db"))) <= F.lit(days))
+        )
+        .select(
+            F.col("key"),
+            "id_a",
+            "id_b",
+            F.abs(F.col("_pa") - F.col("_pb")).cast("double").alias("amount_gap"),
+            F.abs(F.datediff(F.col("_da"), F.col("_db")))
+            .cast("bigint")
+            .alias("day_gap"),
+        )
+    )
+    return pairs, capped.select("key", "_bkt", "n_rows")

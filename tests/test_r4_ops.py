@@ -379,3 +379,42 @@ def test_incremental_scd2_equals_full_recompute(spark, sf_dir):
     for split in (0, 800, 10**9):
         inc = incremental_scd2(env, split, key_cols=["user_id"])
         assert sorted(map(tuple, inc.collect())) == full, split
+
+
+def test_banded_pairs_whale_customer_capped(spark):
+    """Round-4 verdict task: a synthetic whale customer (200 orders in
+    one $500 band within 30 days) must NOT explode quadratically — its
+    cell is excluded from pair generation and reported in the audit
+    frame, while normal customers' pairs are unaffected."""
+    import datetime
+
+    from creek_spark.operators.dedup import banded_record_pairs
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        # whale: 200 near-identical orders, all in band floor(1200/500)=2
+        (1, i, 1200.0 + (i % 7), base + datetime.timedelta(days=i % 20))
+        for i in range(200)
+    ] + [
+        # normal customer: two orders $100 apart, 5 days apart
+        (2, 1000, 900.0, base),
+        (2, 1001, 1000.0, base + datetime.timedelta(days=5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey bigint, o_orderkey bigint, o_totalprice double, o_orderdate date"
+    )
+    pairs, capped = banded_record_pairs(
+        df, "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate",
+        tol=500, days=30, max_band_rows=64,
+    )
+    got = pairs.collect()
+    # whale cell suppressed entirely; the cross-band normal pair survives
+    assert {(r["key"], r["id_a"], r["id_b"]) for r in got} == {(2, 1000, 1001)}
+    audit = capped.collect()
+    assert [(r["key"], r["n_rows"]) for r in audit] == [(1, 200)]
+    # uncapped formulation would have produced the quadratic candidate set
+    unc, _ = banded_record_pairs(
+        df, "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate",
+        tol=500, days=30, max_band_rows=None,
+    )
+    assert unc.count() == 200 * 199 // 2 + 1
