@@ -772,3 +772,87 @@ def ivfpq_topk(
         .where(F.col("rnk") <= k)
         .select("q_id", "n_id", "adc_sim", "rnk")
     )
+
+
+def ivfpq_index_build(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    n_cells: int = 16,
+) -> None:
+    """Persist the IVFADC index the ivfpq_topk docstring prescribes for
+    real scale: the encoded corpus (n_id, codes, _nrm) partitioned by
+    cell_id — searches then scan ONLY probed cell partitions — plus the
+    1-row centroid and codebook broadcasts.  Build cost is one corpus
+    scan (assignment + encoding are map-side folds over two 1-row
+    broadcasts); amortized over every subsequent search."""
+    cents = ivf_centroids(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
+    cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, n_codes=n_codes)
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
+    cells = ivf_cell_assignment(c, cents, "n_id", "c_vec", exact=True).select(
+        "n_id", "c_vec", "cell_id"
+    )
+    enc = pq_encode(cells, cb, "n_id", "c_vec", dim=dim, m=m, keep=("cell_id",))
+    enc.select("n_id", "cell_id", "codes", "_nrm").write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(f"{path}/codes")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivfpq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    nprobe: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Search a persisted IVFADC index: probe selection and ADC LUTs are
+    map-side over the two 1-row broadcasts; the candidate join keys on
+    cell_id — the INDEX'S PARTITION COLUMN, so only nprobe/n_cells of
+    the stored codes are ever scanned (partition pruning).  Results are
+    bit-identical to the inline ivfpq_topk on the same corpus (decimal-
+    exact assignment/encoding round-trips through parquet losslessly)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebook")
+    enc = spark.read.parquet(f"{path}/codes")
+    qlut = _pq_query_lut(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        cb,
+        dim,
+        m,
+    )
+    qx = qlut.crossJoin(cents)
+    scored_arr = F.transform(
+        _cent_sims("q_vec", F.col("_qnrm"), True),
+        lambda x, i: F.struct(
+            x["s"].alias("s"), (-i).alias("negi"), x["cid"].alias("cid")
+        ),
+    )
+    top_cells = F.slice(F.sort_array(scored_arr, asc=False), 1, nprobe)
+    probes = F.broadcast(
+        qx.select(
+            "q_id", "_qnrm", "_lut", F.explode(top_cells).alias("_probe")
+        ).select("q_id", "_qnrm", "_lut", F.col("_probe.cid").alias("cell_id"))
+    )
+    scored = (
+        enc.join(probes, "cell_id")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("adc_sim", _adc_sim_col(m))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "adc_sim", "rnk")
+    )

@@ -137,3 +137,19 @@ def test_ivfpq_recall_between_parts(spark):
         key = (r["q_id"], r["n_id"])
         if key in adc:
             assert abs(adc[key] - r["adc_sim"]) < 1e-12
+
+
+def test_ivfpq_persisted_search_equals_inline(spark, tmp_path):
+    """Searching the persisted cell-partitioned index must return rows
+    bit-identical to the inline ivfpq_topk (decimal index artifacts
+    round-trip parquet losslessly), and the candidate scan must key on
+    cell_id — the partition column — so only probed cells are read."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    inline = sim.ivfpq_topk(emb, queries)
+    sim.ivfpq_index_build(emb, str(tmp_path / "idx"))
+    searched = sim.ivfpq_search(spark, str(tmp_path / "idx"), queries)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(searched) == key(inline)
+    plan = searched._jdf.queryExecution().executedPlan().toString()
+    assert "cell_id" in plan
