@@ -34,6 +34,14 @@ TABLES = (
     "embeddings",
 )
 
+# Known DATE columns of the driver tables — normalized back to DateType
+# at the read_table boundary if a future data regeneration encodes them
+# as timestamps (TESTDATA.md has changed timestamp encodings twice).
+DATE_COLUMNS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate", "l_commitdate", "l_receiptdate"),
+}
+
 
 def _nano_ts_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS).  Spark reads these as
@@ -89,6 +97,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     "before the first read of this parquet path"
                 )
             df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    # DATE-drift armor (same spirit as the timestamp normalization above):
+    # the driver has re-encoded timestamp columns twice across rounds; if a
+    # known DATE column ever arrives as a timestamp encoding (date-as-
+    # timestamp drift), normalize it back to DateType at this boundary so
+    # every consumer keeps seeing dates.
+    from pyspark.sql.types import TimestampType
+
+    for c in DATE_COLUMNS.get(name, ()):
+        f_ = next((x for x in df.schema.fields if x.name == c), None)
+        if f_ is not None and isinstance(
+            f_.dataType, (TimestampType, TimestampNTZType)
+        ):
+            df = df.withColumn(c, F.col(c).cast("date"))
     return df
 
 

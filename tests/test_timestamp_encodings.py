@@ -42,3 +42,32 @@ def test_read_table_normalizes_all_timestamp_encodings(spark, tmp_path, unit, tz
     assert out[0]["s"] == int(
         expected.replace(tzinfo=datetime.timezone.utc).timestamp()
     )
+
+
+def test_date_columns_survive_timestamp_drift(spark, tmp_path):
+    """DATE-drift armor: if the driver ever re-encodes a date column as
+    timestamp[us] (the way it already re-encoded timestamps twice),
+    read_table must still yield DateType with the same calendar dates."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import DateType
+
+    from creek_spark.sources import read_table
+
+    dates = [datetime.date(1995, 3, 14), datetime.date(1997, 12, 1)]
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": [10, 20],
+            "o_totalprice": [100.0, 200.0],
+            # drifted encoding: date stored as midnight timestamp[us]
+            "o_orderdate": pd.to_datetime(dates).astype("datetime64[us]"),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "orders.parquet"))
+    df = read_table(spark, str(tmp_path), "orders")
+    assert isinstance(df.schema["o_orderdate"].dataType, DateType)
+    assert sorted(r["o_orderdate"] for r in df.collect()) == dates
