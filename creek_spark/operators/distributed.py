@@ -41,6 +41,8 @@ def segmented_running(
     seg_col: Column | str,
     order_cols: Sequence[Column | str],
     specs: dict[str, tuple[Column, str]],
+    *,
+    persist: bool = False,
 ) -> DataFrame:
     """Add running-aggregate columns over ``Window.partitionBy(part_cols)
     .orderBy(order_cols)`` without ever materializing a per-``part_cols``
@@ -54,12 +56,22 @@ def segmented_running(
     ``order_cols`` within each part group (so segment order refines the
     row order); pass a string to reuse an existing segment column — the
     second call then shares the first's (part, seg) sort exchange.
+
+    The summary leg re-evaluates the input subtree (Spark DataFrames
+    share no work across consumers without caching).  That is free when
+    the input is a scan projection — the normal case — but pass
+    ``persist=True`` when the input is an expensive derived pipeline
+    (e.g. text metrics): the segmented input is cached once and both
+    legs read it.  Callers own the cache lifetime (Spark's LRU evicts;
+    bench calls release_caches between runs).
     """
     if isinstance(seg_col, str):
         if seg_col != SEG:
             df = df.withColumn(SEG, F.col(seg_col))
     else:
         df = df.withColumn(SEG, seg_col)
+    if persist:
+        df = df.persist()
     pk = [F.col(c) for c in part_cols]
     wl = (
         Window.partitionBy(*pk, F.col(SEG))

@@ -93,15 +93,22 @@ def pack_sequences(
     pack_id = floor(cum_before / budget).
 
     Offset-based packing (vs greedy next-fit) is chosen because it is a
-    pure window expression: one shuffle on the shard key, one cumsum, no
-    iterative state.  A document longer than `budget` still gets a pack
-    (callers chunk oversized docs upstream).  Output adds (shard,
-    pack_id, pack_offset).  At 100 TB: n_shards bounds each window's
-    sort; shards are independent so executors never coordinate.
+    pure window expression: one cumsum, no iterative state.  A document
+    longer than `budget` still gets a pack (callers chunk oversized docs
+    upstream).  Output adds (shard, pack_id, pack_offset).
+
+    Scale shape: the per-shard cumsum is a segmented_running prefix sum
+    — rows window within (shard, id-prefix) segments (numeric ids
+    bucket by floor(id/2²⁰), other ids by a 4-char string prefix; both
+    monotone in the id order) with broadcast per-segment offsets, so
+    even a 16-shard layout never sorts a whole shard in one task;
+    shards stay independent.
 
     ``shard_col`` overrides the default md5-derived shard (e.g.
     ``pmod(id, n)`` for integer ids, or an upstream partition key to
     keep packing aligned with storage layout)."""
+    from creek_spark.operators.distributed import segmented_running
+
     shard = (
         shard_col
         if shard_col is not None
@@ -112,13 +119,17 @@ def pack_sequences(
             F.lit(n_shards),
         )
     ).cast("int")
-    w = (
-        Window.partitionBy("shard")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = df.withColumn("shard", shard).withColumn(
-        "_cum_incl", F.sum(F.col(len_col)).over(w)
+    dt = dict(df.dtypes).get(id_col, "string")
+    if dt in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+        seg = F.floor(F.col(id_col) / F.lit(1 << 20)).cast("bigint")
+    else:
+        seg = F.substring(F.col(id_col).cast("string"), 1, 4)
+    out = segmented_running(
+        df.withColumn("shard", shard),
+        ["shard"],
+        seg,
+        [F.col(id_col)],
+        {"_cum_incl": (F.col(len_col), "sum")},
     )
     cum_before = F.col("_cum_incl") - F.col(len_col)
     return (
@@ -126,7 +137,7 @@ def pack_sequences(
         .withColumn(
             "pack_offset", (cum_before - F.col("pack_id") * budget).cast("int")
         )
-        .drop("_cum_incl")
+        .drop("_cum_incl", "_seg")
     )
 
 
@@ -258,18 +269,34 @@ def stratified_exact_sample(
     because small strata need their count guaranteed, not expected.
 
     Deterministic: the md5 order is a pure function of ids, so any two
-    runs — or two engines — pick the same rows.  One per-group window
-    shuffle; the per-group count rides the same partitioning (no second
-    exchange)."""
+    runs — or two engines — pick the same rows.
+
+    Scale shape: strata are LOW-cardinality (languages × sources), so a
+    plain per-stratum ranking window is a handful of single-task sorts
+    over the corpus.  The rank instead comes from segmented_running —
+    rows window within (stratum, md5-2-hex-prefix) segments (the prefix
+    is monotone in the md5 sort order) with broadcast per-segment
+    offsets — and the quota joins back from a tiny per-stratum count
+    aggregate."""
+    from creek_spark.operators.distributed import segmented_running
+
     key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    w = Window.partitionBy(*group_cols).orderBy(key, F.col(id_col))
-    wc = Window.partitionBy(*group_cols)
-    quota = F.ceil(F.lit(fraction) * F.count(F.lit(1)).over(wc).cast("double"))
+    counts = df.groupBy(*group_cols).agg(
+        F.ceil(F.lit(fraction) * F.count(F.lit(1)).cast("double")).alias(
+            "_quota"
+        )
+    )
+    base = segmented_running(
+        df.withColumn("_skey", key),
+        group_cols,
+        F.substring(F.col("_skey"), 1, 2),
+        [F.col("_skey"), F.col(id_col)],
+        {"_srank": (F.lit(1), "rownum")},
+    )
     return (
-        df.withColumn("_srank", F.row_number().over(w))
-        .withColumn("_quota", quota)
+        base.join(F.broadcast(counts), list(group_cols))
         .where(F.col("_srank") <= F.col("_quota"))
-        .drop("_srank", "_quota")
+        .drop("_srank", "_quota", "_skey", "_seg")
     )
 
 
@@ -292,26 +319,34 @@ def token_budget_sample(
     (or two engines) agree exactly.  Output:
         (id, stratum, n_tokens, cum_tokens), kept rows only.
 
-    Scale: one per-stratum window shuffle (running sum rides the same
-    exchange as the rank); token counting is a JVM-side split/size — no
-    Python, no second pass.
+    Scale: strata are LOW-cardinality, so the running sum is a
+    segmented_running prefix sum — rows window within
+    (stratum, md5-2-hex-prefix) segments (the prefix is monotone in the
+    md5 sort order) with broadcast per-segment offsets; token counting
+    is a JVM-side split/size — no Python, no second pass, no
+    single-task per-stratum sort.
     """
     from creek_spark.functions.text import tokens
 
+    from creek_spark.operators.distributed import segmented_running
+
     key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    w = (
-        Window.partitionBy(stratum_col)
-        .orderBy(key, F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+        key.alias("_skey"),
     )
-    return (
-        df.select(
-            F.col(id_col),
-            F.col(stratum_col),
-            F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
-        )
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .where(F.col("cum_tokens") <= F.lit(budget))
+    out = segmented_running(
+        base,
+        [stratum_col],
+        F.substring(F.col("_skey"), 1, 2),
+        [F.col("_skey"), F.col(id_col)],
+        {"cum_tokens": (F.col("n_tokens"), "sum")},
+        persist=True,  # the projection is tiny (no text) but tokenizing is not
+    )
+    return out.where(F.col("cum_tokens") <= F.lit(budget)).drop(
+        "_skey", "_seg"
     )
 
 

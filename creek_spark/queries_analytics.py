@@ -118,24 +118,30 @@ def agg_percentile_disc(spark, sf_dir):
 
     Discrete (an actual data value is returned, no interpolation) so the
     result is bit-exact across engines — the oracle-able counterpart of
-    percentile_approx, which each engine sketches differently.  One
-    window shuffle on the group key; the pick is a conditional agg over
-    the same partitioning (no second shuffle)."""
+    percentile_approx, which each engine sketches differently.
+
+    Scale shape: ranking raw events inside ~5 event_type partitions is
+    a handful of single-task sorts at 100 TB; both picks instead come
+    from ONE rank_pick call (two target ranks) — two-level bucketed
+    counting, no corpus-scale sorted window anywhere in the plan."""
+    from creek_spark.operators.distributed import rank_pick
+
     ev = _t(spark, sf_dir, "events")
-    wrank = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wcnt = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(wrank).alias("rn"),
-        F.count(F.lit(1)).over(wcnt).alias("n"),
+    ranks = lambda n: [  # noqa: E731
+        F.floor(F.lit(p) * (n - 1)).cast("bigint") + 1 for p in (0.5, 0.9)
+    ]
+    picked = rank_pick(
+        ev,
+        ["event_type"],
+        F.col("value"),
+        F.lit(0),
+        F.floor(F.col("value") * 16).cast("bigint"),
+        ranks,
     )
-
-    def pick(p, alias):
-        idx = F.floor(F.lit(p) * (F.col("n") - 1)).cast("bigint") + 1
-        return F.max(F.when(F.col("rn") == idx, F.col("value"))).alias(alias)
-
-    return ranked.groupBy("event_type").agg(pick(0.5, "p50"), pick(0.9, "p90"))
+    return picked.groupBy("event_type").agg(
+        F.max(F.when(F.col("_ki") == 0, F.col("_pick_v"))).alias("p50"),
+        F.max(F.when(F.col("_ki") == 1, F.col("_pick_v"))).alias("p90"),
+    )
 
 
 # (unpivot coverage lives in queries.py `pivot_unpivot`, which round-trips

@@ -1167,25 +1167,41 @@ def sample_quality_filter(spark, sf_dir):
     """Quality-quantile filtering: keep the best ceil(50%·n) documents
     per language by the text_metrics quality score (ties broken by
     doc_id) — the model-free FineWeb-style "train on the better half"
-    selection step.  Single scan (text_metrics passes lang through its
-    one projection), then one per-language window shuffle carrying both
-    the rank and the stratum count."""
-    m = tx.text_metrics(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", keep=("lang",)
+    selection step.
+
+    Scale shape (proactive round-5 fix): lang has a handful of values,
+    so a per-language ranking window is a few single-task sorts of the
+    corpus.  The rank instead comes from segmented_running — documents
+    window within (lang, score-bucket) segments (the bucket is monotone
+    along the score-desc order) with broadcast per-segment offsets — and
+    the quota joins back from a tiny per-language count of the raw
+    table (no second metrics pass)."""
+    from creek_spark.operators.distributed import segmented_running
+
+    docs = _t(spark, sf_dir, "documents")
+    m = tx.text_metrics(docs, "text", "doc_id", keep=("lang",)).select(
+        "doc_id", "lang", "quality_score"
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.col("quality_score").desc(), F.col("doc_id")
+    base = segmented_running(
+        m,
+        ["lang"],
+        (-F.floor(F.col("quality_score") * 64)).cast("bigint"),
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        {"qrank": (F.lit(1), "rownum")},
+        persist=True,  # input is the derived metrics pipeline
     )
-    wc = Window.partitionBy("lang")
-    quota = F.ceil(
-        F.lit(QUALITY_KEEP_FRAC) * F.count(F.lit(1)).over(wc).cast("double")
+    quota = docs.groupBy("lang").agg(
+        F.ceil(
+            F.lit(QUALITY_KEEP_FRAC) * F.count(F.lit(1)).cast("double")
+        ).alias("_quota")
     )
     return (
-        m.select("doc_id", "lang", "quality_score")
-        .withColumn("qrank", F.row_number().over(w))
-        .withColumn("_quota", quota)
+        base.join(F.broadcast(quota), "lang")
         .where(F.col("qrank") <= F.col("_quota"))
-        .drop("_quota")
+        .select(
+            "doc_id", "lang", "quality_score",
+            F.col("qrank").cast("int").alias("qrank"),
+        )
     )
 
 

@@ -238,18 +238,61 @@ def sample_stratified(spark, sf_dir):
 def window_distribution(spark, sf_dir):
     """Distribution window family: ntile quartile assignment (total-order
     tiebreak), cume_dist and percent_rank — the equal-frequency binning
-    used for feature quantization.  All three specs share one partition
-    key, so the query is a single per-type shuffle."""
-    ev = _t(spark, sf_dir, "events")
-    wt = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wv = Window.partitionBy("event_type").orderBy("value")
-    return ev.select(
+    used for feature quantization.
+
+    Scale shape (proactive round-5 fix): Spark's native
+    ntile/cume_dist/percent_rank over ~5-value event_type partitions are
+    single-task sorts of the corpus.  All three are instead derived in
+    closed form from distributed counts: the global row_number comes
+    from segmented_running (value-bucket segments, monotone in the
+    (value, event_id) order), tie-aware ≤/< counts come from a
+    cumulative sum over the (type, value)-distinct summary (same
+    segmented decomposition), and n is a tiny broadcast aggregate.
+      ntile(4):    tiles of size n div 4 (+1 for the first n mod 4)
+      cume_dist:   cnt_le / n          (one exact-int double division)
+      percent_rank:(rank-1)/(n-1) with rank = cnt_lt + 1, 0 when n = 1
+    — identical values to the native window functions, no corpus-scale
+    sorted partition anywhere in the plan."""
+    from creek_spark.operators.distributed import segmented_running
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    seg = F.floor(F.col("value") * 16).cast("bigint")
+    base = segmented_running(
+        ev,
+        ["event_type"],
+        seg,
+        [F.col("value"), F.col("event_id")],
+        {"_rn": (F.lit(1), "rownum")},
+    )
+    vc = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("_vc"))
+    vcum = segmented_running(
+        vc,
+        ["event_type"],
+        F.floor(F.col("value") * 16).cast("bigint"),
+        [F.col("value")],
+        {"_cle": (F.col("_vc"), "sum")},
+    ).select("event_type", "value", "_vc", "_cle")
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    j = base.drop("_seg").join(vcum, ["event_type", "value"]).join(
+        F.broadcast(n), "event_type"
+    )
+    rn, nn = F.col("_rn"), F.col("_n")
+    base_sz = F.floor(nn / 4).cast("bigint")
+    rem = nn - base_sz * 4
+    cut = rem * (base_sz + 1)
+    quartile = F.when(
+        rn <= cut, F.ceil(rn / (base_sz + 1))
+    ).otherwise(rem + F.ceil((rn - cut) / F.greatest(base_sz, F.lit(1))))
+    cnt_lt = F.col("_cle") - F.col("_vc")
+    return j.select(
         "event_id",
         "event_type",
         "value",
-        F.ntile(4).over(wt).alias("quartile"),
-        F.cume_dist().over(wv).alias("cume_d"),
-        F.percent_rank().over(wv).alias("pct_rank"),
+        quartile.cast("int").alias("quartile"),
+        (F.col("_cle").cast("double") / nn.cast("double")).alias("cume_d"),
+        F.when(nn == 1, F.lit(0.0))
+        .otherwise(cnt_lt.cast("double") / (nn - 1).cast("double"))
+        .alias("pct_rank"),
     )
 
 
@@ -401,39 +444,44 @@ def training_export(spark, sf_dir):
     source at a 2000-token budget (md5-order prefix) → assign stable
     md5-hex shards → emit the per-shard manifest.
 
-    One corpus scan; the quality metrics computed for filtering are
-    REUSED for the token budget (no re-tokenization) — exchanges are the
-    lang-window, the source-window, and a 16-row shard agg.  The plan a
-    100 TB export wants: nothing corpus-sized is shuffled twice for the
-    same key, and no stage leaves the JVM."""
+    One metrics pass; the quality metrics computed for filtering are
+    REUSED for the token budget (no re-tokenization).  Both ordered
+    stages are segmented_running decompositions (proactive round-5 fix —
+    lang and source are LOW-cardinality, so plain per-stratum windows
+    would be single-task corpus sorts): the quality rank windows within
+    (lang, score-bucket) segments, the token cumsum within
+    (source, md5-prefix) segments, each with broadcast per-segment
+    offsets; quotas come from a tiny per-language count of the raw
+    table.  No stage leaves the JVM."""
     from creek_spark.operators import text as tx
+    from creek_spark.operators.distributed import segmented_running
     from creek_spark.operators.pipeline import shard_assign
 
-    m = tx.text_metrics(
-        _t(spark, sf_dir, "documents"), "text", "doc_id",
-        keep=("lang", "source"),
+    docs = _t(spark, sf_dir, "documents")
+    m = tx.text_metrics(docs, "text", "doc_id", keep=("lang", "source"))
+    ranked = segmented_running(
+        m.select("doc_id", "lang", "source", "n_tokens", "quality_score"),
+        ["lang"],
+        (-F.floor(F.col("quality_score") * 64)).cast("bigint"),
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        {"_qrank": (F.lit(1), "rownum")},
+        persist=True,  # input is the derived metrics pipeline
     )
-    wq = Window.partitionBy("lang").orderBy(
-        F.col("quality_score").desc(), F.col("doc_id")
+    quota = docs.groupBy("lang").agg(
+        F.ceil(F.lit(0.5) * F.count(F.lit(1)).cast("double")).alias("_quota")
     )
-    wqc = Window.partitionBy("lang")
     q = (
-        m.select("doc_id", "lang", "source", "n_tokens", "quality_score")
-        .withColumn("_qrank", F.row_number().over(wq))
-        .withColumn(
-            "_quota",
-            F.ceil(F.lit(0.5) * F.count(F.lit(1)).over(wqc).cast("double")),
-        )
+        ranked.join(F.broadcast(quota), "lang")
         .where(F.col("_qrank") <= F.col("_quota"))
-        .drop("_qrank", "_quota")
+        .drop("_qrank", "_quota", "_seg")
     )
-    wb = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tb = q.withColumn(
-        "_cum", F.sum(F.col("n_tokens").cast("bigint")).over(wb)
+    tb = segmented_running(
+        q.withColumn("_skey", F.md5(F.col("doc_id").cast("string"))),
+        ["source"],
+        F.substring(F.col("_skey"), 1, 2),
+        [F.col("_skey"), F.col("doc_id")],
+        {"_cum": (F.col("n_tokens").cast("bigint"), "sum")},
+        persist=True,  # input chains the metrics + quality-filter legs
     ).where(F.col("_cum") <= 2000)
     sh = shard_assign(tb, "doc_id", n_shards=16)
     return sh.groupBy("shard").agg(

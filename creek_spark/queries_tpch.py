@@ -329,9 +329,10 @@ def q14_promo_revenue(spark, sf_dir):
     "tpch",
 )
 def q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15: argmax supplier by quarterly revenue.  The max is an
-    unpartitioned window over the post-agg result — |suppliers| rows,
-    tiny at any corpus scale (the fact table was already reduced)."""
+    """TPC-H Q15: argmax supplier by quarterly revenue.  The max is a
+    one-row aggregate broadcast back against the supplier revenue table
+    — no unpartitioned window forcing the post-agg result into a single
+    task (suppliers grow with the corpus)."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.expr("TIMESTAMP'1997-01-01'"))
         & (F.col("l_shipdate") < F.expr("TIMESTAMP'1997-04-01'"))
@@ -339,11 +340,11 @@ def q15_top_supplier(spark, sf_dir):
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_revenue()).cast("double").alias("total_revenue")
     )
-    w = Window.partitionBy()
-    rev = rev.withColumn("_mx", F.max("total_revenue").over(w))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
     s = _t(spark, sf_dir, "supplier")
     return (
         s.join(rev, s.s_suppkey == rev.supplier_no)
+        .crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("_mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
