@@ -129,7 +129,6 @@ class PgOutputDecoder:
         self.source_name = source_name
         self.db = db
         self.relations: dict[int, PGRelation] = {}
-        self._rel_ids: dict[int, int] = {}
         self._xid: int | None = None
         self._commit_ts: _dt.datetime | None = None
 
@@ -317,3 +316,46 @@ class PgOutputDecoder:
         for lsn, payload in messages:
             out.extend(self.feed(payload, lsn))
         return out
+
+
+# -- replication-stream transport framing ------------------------------
+#
+# On the wire each pgoutput message arrives inside a CopyData payload:
+#   'w' XLogData: wal_start u64, wal_end u64, server_clock i64, payload
+#   'k' Primary keepalive: wal_end u64, server_clock i64, reply u8
+# (public docs: "Streaming Replication Protocol", protocol.sgml)
+
+
+def unwrap_xlogdata(frame: bytes) -> tuple[int, bytes] | None:
+    """CopyData frame → (wal_start, pgoutput payload), or None for
+    keepalives/unknown frames (the caller's receive loop drops them —
+    the reference's pglogrepl does the same before handleMessage)."""
+    tag = chr(frame[0])
+    if tag == "w":
+        (wal_start,) = struct.unpack_from(">Q", frame, 1)
+        return wal_start, frame[25:]
+    if tag == "k":
+        return None
+    return None
+
+
+def decode_capture_file(path: str, **decoder_kw) -> list[dict]:
+    """Decode a recorded replication capture: a text file with one
+    lowercase-hex CopyData frame per line (blank lines and '#' comments
+    skipped).  Returns envelope row dicts in WAL order — the offline
+    twin of the live receive loop, so a capture taken against a real
+    primary replays through the same operators the staged-envelope
+    tests use."""
+    dec = PgOutputDecoder(**decoder_kw)
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            unwrapped = unwrap_xlogdata(bytes.fromhex(line))
+            if unwrapped is None:
+                continue
+            wal_start, payload = unwrapped
+            out.extend(dec.feed(payload, wal_start))
+    return out

@@ -103,3 +103,74 @@ class StreamingZScore:
             .where(F.abs(z) > F.lit(self.threshold))
             .select("event_id", "event_type", "value", z.alias("z"))
         )
+
+
+class StreamingGrowthRates:
+    """Continuously-maintained MoM/YoY growth rates — the streaming twin
+    of the ts_growth_rates catalog query.  Monthly revenue cells
+    (seg, month) are EXACT integer cents maintained through
+    AdditiveRollupSink (a trickle of fresh orders rewrites only the
+    months it touches); scoring recombines cents in decimal and applies
+    the same lag arithmetic over the metadata-sized series, so streamed
+    growth rows equal the batch operator bit-for-bit."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.sink = AdditiveRollupSink(
+            spark, state_dir, ["seg", "mon"], ["n", "rev_c"], "mon"
+        )
+
+    @staticmethod
+    def revenue_tier(batch: DataFrame) -> DataFrame:
+        """orders micro-batch → additive monthly revenue cells (cents)."""
+        return batch.groupBy(
+            F.col("o_orderpriority").alias("seg"),
+            F.date_format(
+                F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd"
+            ).alias("mon"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast(
+                    "decimal(20,0)"
+                )
+            )
+            .cast("bigint")
+            .alias("rev_c"),
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self.sink.apply_batch(self.revenue_tier(batch), batch_id)
+
+    def foreach_batch(self):
+        return self.sink.foreach_batch(self.revenue_tier)
+
+    def rates(self) -> DataFrame:
+        """Growth rows from the maintained cells — same arithmetic as
+        the batch query (decimal recombine, one final double cast, lag
+        over the tiny (seg, month) series)."""
+        from pyspark.sql import Window
+
+        cur = self.sink.current()
+        if cur is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        m = cur.groupBy("seg", F.to_date(F.col("mon")).alias("mon")).agg(
+            (F.sum(F.col("rev_c").cast("decimal(38,0)")) / 100)
+            .cast("double")
+            .alias("rev")
+        )
+        w = Window.partitionBy("seg").orderBy("mon")
+        g = m.select(
+            "seg", "mon", "rev",
+            F.lag("rev").over(w).alias("prev_rev"),
+            F.lag("rev", 12).over(w).alias("prev_year_rev"),
+        )
+        return g.select(
+            "seg", "mon", "rev",
+            (F.col("rev") - F.col("prev_rev")).alias("mom_delta"),
+            F.when(
+                F.col("prev_year_rev").isNull()
+                | (F.col("prev_year_rev") == 0),
+                F.lit(None).cast("double"),
+            ).otherwise(F.col("rev") / F.col("prev_year_rev")).alias("yoy_ratio"),
+        )

@@ -213,3 +213,36 @@ def test_decoded_rows_replay_through_latest_state(spark):
     df = spark.createDataFrame(rows, schema)
     got = {r["id"]: r["data"] for r in latest_state(df, ["id"]).collect()}
     assert got == {2: "keep", 100: "cool"}
+
+
+def test_capture_file_with_xlogdata_and_keepalives(tmp_path):
+    """A recorded capture (XLogData-framed hex lines, keepalives mixed
+    in) decodes to the same envelope rows as feeding raw payloads."""
+    import struct as st
+
+    from creek_spark.sources.pgoutput import decode_capture_file
+
+    def w(lsn, payload):
+        return (
+            b"w" + st.pack(">QQq", lsn, lsn + len(payload), 0) + payload
+        ).hex()
+
+    keepalive = (b"k" + st.pack(">Qq?", 0x500, 0, False)).hex()
+    lines = [
+        "# recorded capture",
+        w(0, begin()),
+        w(0, OTHER),
+        keepalive,
+        w(0x300, insert(55, 9, "from capture")),
+        "",
+        w(0x308, commit()),
+    ]
+    p = tmp_path / "capture.hex"
+    p.write_text("\n".join(lines) + "\n")
+    rows = decode_capture_file(str(p), source_name="cap", db="capdb")
+    assert len(rows) == 1
+    (c,) = rows
+    assert c["op"] == "c"
+    assert c["after"] == {"id": 9, "data": "from capture"}
+    assert c["source"]["lsn"] == "0/300"
+    assert c["source"]["name"] == "cap"

@@ -151,3 +151,25 @@ def test_streaming_zscore_flags_equal_batch(spark, sf_dir, tmp_path):
     det.apply_batch(ev.where(F.col("event_id") >= 900), 2)
     again = sorted(map(tuple, det.score(ev).select("event_id", "z").collect()))
     assert again == want
+
+
+def test_streaming_growth_rates_equal_batch(spark, sf_dir, tmp_path):
+    """Second incremental == batch proof: MoM/YoY growth from monthly
+    cells streamed in three micro-batches (plus a replay) must equal the
+    batch ts_growth_rates rows exactly."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import StreamingGrowthRates
+
+    o = read_table(spark, sf_dir, "orders")
+    det = StreamingGrowthRates(spark, str(tmp_path / "gstate"))
+    for i, (lo, hi) in enumerate([(0, 3000), (3000, 9000), (9000, 10**12)]):
+        det.apply_batch(
+            o.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)), i
+        )
+    det.apply_batch(o.where(F.col("o_orderkey") >= 9000), 2)  # replay fence
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    batch = entrymod._catalog()["ts_growth_rates"].fn(spark, sf_dir)
+    got, want = key(det.rates()), key(batch)
+    assert len(got) > 0
+    assert got == want
