@@ -1620,3 +1620,68 @@ def pii_audit(spark, sf_dir):
         F.sum("n_email").cast("bigint").alias("total_emails"),
         F.sum("n_ip").cast("bigint").alias("total_ips"),
     )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS t_start, MAX(ts) AS t_end,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                AS BIGINT) AS duration_secs,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+    FROM s GROUP BY user_id, session_id
+    """,
+    "events",
+)
+def events_sessionize(spark, sf_dir):
+    """Batch sessionization: per-user event timelines split at >30-minute
+    inactivity gaps (the web/product-analytics staple, and the
+    conversation-segmentation shape an LLM-data pipeline applies to chat
+    logs before packing).  Session boundaries are a lag-gap indicator
+    summed into session ids; stats aggregate per (user, session).
+
+    Scale: user_id is near-uniform high-cardinality, so BOTH windows are
+    honest per-key work sharing ONE sorted exchange, and the final agg
+    reuses the same partitioning prefix.  Gap arithmetic is integer
+    epoch-µs — bit-exact cross-engine; duration uses integer division."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap > F.lit(1800) * 1000000), 1
+    ).otherwise(0)
+    s = ev.select("user_id", "event_id", "event_type", "ts").withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return s.groupBy(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("duration_secs"),
+        F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
+    )

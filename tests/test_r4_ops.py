@@ -418,3 +418,54 @@ def test_banded_pairs_whale_customer_capped(spark):
         tol=500, days=30, max_band_rows=None,
     )
     assert unc.count() == 200 * 199 // 2 + 1
+
+
+def test_sessionize_brute_force_and_single_exchange(spark):
+    """Session splitting matches a per-user brute force on a synthetic
+    timeline (gaps straddling the 30-min threshold), and the whole
+    query runs on ONE corpus exchange (the user_id sort; the session agg
+    reuses the same partitioning — user_id ⊆ grouping keys)."""
+    import datetime
+
+    import __spark_entry__ as entrymod
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    # user 1: gaps 10m, exactly 30m (same session), 30m1s (new session)
+    for off in [0, 600, 600 + 1800, 600 + 1800 + 1801]:
+        rows.append((eid, base + datetime.timedelta(seconds=off), 1, "click", 1.0, "{}"))
+        eid += 1
+    # user 2: single event
+    rows.append((eid, base, 2, "view", 2.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(pdf), f"{d}/events.parquet")
+        q = entrymod._catalog()["events_sessionize"]
+        out = q.fn(spark, d)
+        got = {
+            (r["user_id"], r["session_id"]): (r["n_events"], r["duration_secs"])
+            for r in out.collect()
+        }
+        # user 1: [e0,e1,e2] one session (gaps 600s, 1800s == threshold),
+        # then e3 alone (1801s > threshold)
+        assert got == {
+            (1, 1): (3, 600 + 1800),
+            (1, 2): (1, 0),
+            (2, 1): (1, 0),
+        }
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # every exchange keys on user_id (+ session keys) — skew-free,
+        # no low-cardinality or global repartition anywhere
+        import re
+
+        keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+        assert keys and all(k == "user_id" for k in keys), plan
