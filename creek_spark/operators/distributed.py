@@ -168,12 +168,18 @@ def rank_pick(
         F.posexplode(F.array(*ranks_fn(F.col("_n")))).alias("_ki", "_k"),
     )
     b1 = work.groupBy(*gcols, "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
-    wsum = (
-        Window.partitionBy(*[F.col(c) for c in gcols])
-        .orderBy("_bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c1 = b1.withColumn("_cum", F.sum("_cnt").over(wsum))
+    # cumulative bucket counts via the segmented prefix sum (1024-bucket
+    # super-segments), so even a pathological bucket cardinality never
+    # sorts the whole summary in one task
+    c1 = segmented_running(
+        b1,
+        gcols,
+        F.floor(F.col("_bkt") / 1024).cast("bigint")
+        if dict(b1.dtypes)["_bkt"] in ("tinyint", "smallint", "int", "bigint")
+        else F.col("_bkt"),
+        [F.col("_bkt")],
+        {"_cum": (F.col("_cnt"), "sum")},
+    ).drop(SEG)
     # the bucket containing rank k, and the row count strictly before it
     tb = (
         c1.join(F.broadcast(ks), gcols)

@@ -174,3 +174,71 @@ class StreamingGrowthRates:
                 F.lit(None).cast("double"),
             ).otherwise(F.col("rev") / F.col("prev_year_rev")).alias("yoy_ratio"),
         )
+
+
+class StreamingForecastBacktest:
+    """Continuously-maintained seasonal-naive backtest — the streaming
+    twin of ts_forecast_snaive.  Hourly value sums per event_type are
+    EXACT integer cents maintained through AdditiveRollupSink (fresh
+    events rewrite only the days they touch); scoring recombines cents
+    in decimal, self-joins the tiny (type, hour) series at the 7-day
+    lag and emits MAE/bias per type — bit-identical to the batch
+    operator over the union of streamed batches."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.sink = AdditiveRollupSink(
+            spark, state_dir, ["event_type", "day", "bkt"], ["v_c"], "day"
+        )
+
+    @staticmethod
+    def hourly_tier(batch: DataFrame) -> DataFrame:
+        vd = F.col("value").cast("decimal(14,2)")
+        return batch.groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("bkt"),
+        ).agg(
+            F.sum((vd * 100).cast("decimal(20,0)")).cast("bigint").alias("v_c")
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self.sink.apply_batch(self.hourly_tier(batch), batch_id)
+
+    def foreach_batch(self):
+        return self.sink.foreach_batch(self.hourly_tier)
+
+    def backtest(self) -> DataFrame:
+        """MAE/bias of the this-hour-equals-last-week predictor over the
+        maintained series — same decimal-exact error sums as the batch
+        query, one final double division."""
+        cur = self.sink.current()
+        if cur is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        h = cur.groupBy(
+            "event_type", F.to_timestamp(F.col("bkt")).alias("bkt")
+        ).agg(
+            (F.sum(F.col("v_c").cast("decimal(38,0)")) / 100)
+            .cast("decimal(24,2)")
+            .alias("v")
+        )
+        a = h.select("event_type", "bkt", F.col("v").alias("actual"))
+        f = h.select(
+            "event_type",
+            (F.col("bkt") + F.expr("INTERVAL 7 DAY")).alias("bkt"),
+            F.col("v").alias("forecast"),
+        )
+        j = a.join(f, ["event_type", "bkt"])
+        return j.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            (
+                F.sum(F.abs(F.col("actual") - F.col("forecast"))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mae"),
+            (
+                F.sum(F.col("actual") - F.col("forecast")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("bias"),
+        )

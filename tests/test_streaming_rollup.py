@@ -173,3 +173,24 @@ def test_streaming_growth_rates_equal_batch(spark, sf_dir, tmp_path):
     got, want = key(det.rates()), key(batch)
     assert len(got) > 0
     assert got == want
+
+
+def test_streaming_forecast_backtest_equals_batch(spark, sf_dir, tmp_path):
+    """Third incremental == batch proof: seasonal-naive MAE/bias from
+    hourly cells streamed in three micro-batches equals the batch
+    ts_forecast_snaive rows exactly."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import StreamingForecastBacktest
+
+    ev = read_table(spark, sf_dir, "events")
+    det = StreamingForecastBacktest(spark, str(tmp_path / "fstate"))
+    for i, (lo, hi) in enumerate([(0, 300), (300, 700), (700, 10**12)]):
+        det.apply_batch(
+            ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi)), i
+        )
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    batch = entrymod._catalog()["ts_forecast_snaive"].fn(spark, sf_dir)
+    got, want = key(det.backtest()), key(batch)
+    assert len(got) > 0
+    assert got == want
