@@ -387,3 +387,38 @@ class Engine:
         from creek_spark.streaming.detectors import StreamingZScore
 
         return StreamingZScore(self.spark, state_dir, threshold)
+
+    def decode_pgoutput_capture(self, path: str, **kw) -> list[dict]:
+        """Envelope rows from a recorded pgoutput hex capture
+        (sources/pgoutput.py)."""
+        from creek_spark.sources.pgoutput import decode_capture_file
+
+        return decode_capture_file(path, **kw)
+
+    def streaming_growth_rates(self, state_dir: str):
+        """Incrementally-maintained MoM/YoY growth rates, batch-identical
+        (streaming/detectors.py)."""
+        from creek_spark.streaming.detectors import StreamingGrowthRates
+
+        return StreamingGrowthRates(self.spark, state_dir)
+
+    def streaming_forecast_backtest(self, state_dir: str):
+        """Incrementally-maintained seasonal-naive backtest,
+        batch-identical (streaming/detectors.py)."""
+        from creek_spark.streaming.detectors import StreamingForecastBacktest
+
+        return StreamingForecastBacktest(self.spark, state_dir)
+
+    def ann_index_build(self, corpus, path: str, **kw) -> None:
+        """Persist the cell-partitioned IVFADC index
+        (operators/similarity.py)."""
+        from creek_spark.operators.similarity import ivfpq_index_build
+
+        ivfpq_index_build(corpus, path, **kw)
+
+    def ann_search(self, path: str, queries, **kw) -> DataFrame:
+        """Search a persisted IVFADC index with cell partition pruning
+        (operators/similarity.py)."""
+        from creek_spark.operators.similarity import ivfpq_search
+
+        return ivfpq_search(self.spark, path, queries, **kw)
