@@ -545,12 +545,13 @@ def test_mad_no_corpus_rank_window(spark):
     df = _catalog()["ts_anomaly_mad"].fn(spark, SF_DIR)
     plan = explain_str(df)
     assert "row_number" not in plan, plan
-    # each window either partitions by (event_type, _bkt) or walks the
-    # (event_type)-partitioned bucket summary ordered by _bkt
+    # each window either partitions by (event_type, _bkt), walks the
+    # bucket summary, or is the summary's own segmented decomposition
+    # (_seg super-buckets from rank_pick's hardened level-1 walk)
     for spec in re.findall(
         r"windowspecdefinition\(event_type#\d+, ([A-Za-z_]\w*)#", plan
     ):
-        assert spec == "_bkt", plan
+        assert spec in ("_bkt", "_seg"), plan
 
 
 def test_rfm_no_global_rank_window(spark):
@@ -562,9 +563,9 @@ def test_rfm_no_global_rank_window(spark):
     df = _catalog()["customer_rfm"].fn(spark, SF_DIR)
     plan = explain_str(df)
     assert "row_number" not in plan, plan
-    # every remaining window is bucket-summary work
+    # every remaining window is bucket-/segment-summary work
     for spec in re.findall(r"windowspecdefinition\(([A-Za-z_]\w*)#", plan):
-        assert spec == "_bkt", plan
+        assert spec in ("_bkt", "_seg"), plan
     # ... and the boundaries come back as a broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
