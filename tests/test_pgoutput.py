@@ -246,3 +246,27 @@ def test_capture_file_with_xlogdata_and_keepalives(tmp_path):
     assert c["after"] == {"id": 9, "data": "from capture"}
     assert c["source"]["lsn"] == "0/300"
     assert c["source"]["name"] == "cap"
+
+
+def test_relation_redefinition_mid_stream():
+    """A second Relation message for the same relid (ALTER TABLE ADD
+    COLUMN mid-stream) must take effect immediately — the reference
+    re-registers the schema on every Relation message
+    (replication.go handleRelationMessage → PersistSchemaFromRelation)."""
+    v1 = relation(70, "public", "evolving", [(1, "id", 23, -1), (0, "a", 25, -1)])
+    v2 = relation(
+        70, "public", "evolving",
+        [(1, "id", 23, -1), (0, "a", 25, -1), (0, "b", 25, -1)],
+    )
+    dec = PgOutputDecoder()
+    rows = dec.decode_stream(
+        [
+            (0, begin()),
+            (0, v1),
+            (0x10, insert(70, 1, "x")),
+            (0, v2),
+            (0x20, insert(70, 2, "y", "z")),
+        ]
+    )
+    assert rows[0]["after"] == {"id": 1, "a": "x"}
+    assert rows[1]["after"] == {"id": 2, "a": "y", "b": "z"}
