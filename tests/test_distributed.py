@@ -135,3 +135,57 @@ def test_rank_pick_deterministic_across_partitioning(spark):
     assert [(r["_k"], r["_pick_v"], r["_pick_t"]) for r in r1] == [
         (r["_k"], r["_pick_v"], r["_pick_t"]) for r in r2
     ]
+
+
+def test_segmented_running_hypothesis(spark):
+    """Property form: for arbitrary (group, key, value) rows and an
+    arbitrary monotone segment width, segmented running aggregates equal
+    the brute-force prefix scan.  One Spark job per example, so examples
+    are few but shrinkable."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 2),            # group
+                st.integers(-100, 100),       # sort key
+                st.integers(-50, 50),         # value (ints: exact equality)
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        width=st.integers(1, 40),
+    )
+    def check(rows, width):
+        data = [(g, k, v, i) for i, (g, k, v) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "g int, k int, v long, rid int"
+        ).repartition(3)
+        out = {
+            r["rid"]: (r["rs"], r["rmin"], r["rn"])
+            for r in segmented_running(
+                df,
+                ["g"],
+                F.floor(F.col("k") / width).cast("bigint"),
+                [F.col("k"), F.col("rid")],
+                {
+                    "rs": (F.col("v"), "sum"),
+                    "rmin": (F.col("v"), "min"),
+                    "rn": (F.lit(1), "rownum"),
+                },
+            ).collect()
+        }
+        by_g = {}
+        for g, k, v, rid in data:
+            by_g.setdefault(g, []).append((k, rid, v))
+        for items in by_g.values():
+            items.sort()
+            s, mn = 0, None
+            for i, (k, rid, v) in enumerate(items, 1):
+                s += v
+                mn = v if mn is None else min(mn, v)
+                assert out[rid] == (s, mn, i), (rid, out[rid], (s, mn, i))
+
+    check()
