@@ -690,10 +690,13 @@ def ts_downsample_lttb(spark, sf_dir):
 
     Plan: one corpus scan → per-(type,day) partial agg (bucket
     centroids, tiny) → centroid lag/lead over the SMALL summary → the
-    summary broadcast back → per-bucket argmax window.  The corpus
-    shuffles once (the argmax window); areas are fixed-order IEEE
-    arithmetic on exact-decimal bucket means, so the selected points
-    match the oracle bit-for-bit."""
+    summary broadcast back → per-bucket argmax as a max_by HASH
+    aggregate (map-side combine — no sorted window anywhere near the
+    corpus, so a huge single day never becomes a single-task sort;
+    round-5 swap of the former row_number formulation).  Areas are
+    fixed-order IEEE arithmetic on exact-decimal bucket means, and
+    max_by's (area, −event_id) struct order reproduces the oracle's
+    ORDER BY area DESC, event_id tiebreak exactly."""
     ev = _t(spark, sf_dir, "events")
     pts = ev.select(
         "event_id", "event_type", "ts", "value",
@@ -723,14 +726,22 @@ def ts_downsample_lttb(spark, sf_dir):
         - (F.col("px") - F.col("x").cast("double"))
         * (F.col("ny") - F.col("py"))
     )
-    wr = Window.partitionBy("event_type", "bkt").orderBy(
-        area.desc(), F.col("event_id")
-    )
-    return (
+    sel = (
         j.withColumn("area", area)
-        .withColumn("_rn", F.row_number().over(wr))
-        .where(F.col("_rn") == 1)
-        .select("event_id", "event_type", "ts", "value", "area")
+        .groupBy("event_type", "bkt")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "ts", "value", "area"),
+                F.struct(F.col("area"), (-F.col("event_id")).alias("_nid")),
+            ).alias("_sel")
+        )
+    )
+    return sel.select(
+        F.col("_sel.event_id").alias("event_id"),
+        "event_type",
+        F.col("_sel.ts").alias("ts"),
+        F.col("_sel.value").alias("value"),
+        F.col("_sel.area").alias("area"),
     )
 
 
