@@ -1324,27 +1324,42 @@ def customer_rfm(spark, sf_dir):
         for s in (1, 2, 3, 4)
     ]
     dims = {
-        # score ASCENDS along (sort_v asc, custkey asc)
+        # score ASCENDS along (sort_v asc, custkey asc); sort values cast
+        # to double (exact for these magnitudes) so all three dimensions
+        # ride ONE union frame and ONE rank_pick pass
         "r": (-F.col("recency_days"), (-F.col("recency_days")).cast("bigint")),
         "f": (F.col("frequency"), F.col("frequency").cast("bigint")),
         "m": (F.col("monetary"), F.floor(F.col("monetary") / 1000).cast("bigint")),
     }
-    cuts = None
+    u = None
     for d, (sv, bkt) in dims.items():
-        picked = rank_pick(c, [], sv, F.col("custkey"), bkt, ranks)
-        row = picked.groupBy().agg(
-            *[
-                F.max(F.when(F.col("_ki") == i, F.col("_pick_v"))).alias(f"_b{d}v{i}")
-                for i in range(4)
-            ],
-            *[
-                F.max(F.when(F.col("_ki") == i, F.col("_pick_t"))).alias(f"_b{d}t{i}")
-                for i in range(4)
-            ],
+        part = c.select(
+            F.lit(d).alias("dim"),
+            sv.cast("double").alias("sv"),
+            F.col("custkey"),
+            bkt.alias("bkt"),
         )
-        cuts = row if cuts is None else cuts.crossJoin(row)
+        u = part if u is None else u.unionByName(part)
+    picked = rank_pick(u, ["dim"], F.col("sv"), F.col("custkey"), F.col("bkt"), ranks)
+    cuts = picked.groupBy().agg(
+        *[
+            F.max(
+                F.when((F.col("dim") == d) & (F.col("_ki") == i), F.col("_pick_v"))
+            ).alias(f"_b{d}v{i}")
+            for d in dims
+            for i in range(4)
+        ],
+        *[
+            F.max(
+                F.when((F.col("dim") == d) & (F.col("_ki") == i), F.col("_pick_t"))
+            ).alias(f"_b{d}t{i}")
+            for d in dims
+            for i in range(4)
+        ],
+    )
     scored = c.crossJoin(F.broadcast(cuts))
     def score(d, sv):
+        sv = sv.cast("double")
         above = [
             (sv > F.col(f"_b{d}v{i}"))
             | ((sv == F.col(f"_b{d}v{i}")) & (F.col("custkey") > F.col(f"_b{d}t{i}")))

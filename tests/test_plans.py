@@ -563,9 +563,10 @@ def test_rfm_no_global_rank_window(spark):
     df = _catalog()["customer_rfm"].fn(spark, SF_DIR)
     plan = explain_str(df)
     assert "row_number" not in plan, plan
-    # every remaining window is bucket-/segment-summary work
+    # every remaining window is bucket-/segment-summary work (the fused
+    # single-pass form partitions by the dimension tag first)
     for spec in re.findall(r"windowspecdefinition\(([A-Za-z_]\w*)#", plan):
-        assert spec in ("_bkt", "_seg"), plan
+        assert spec in ("_bkt", "_seg", "dim"), plan
     # ... and the boundaries come back as a broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
