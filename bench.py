@@ -177,6 +177,25 @@ def main() -> None:
         hits = sum(len(v & approx.get(q, set())) for q, v in exact.items())
         total_n = sum(len(v) for v in exact.values())
         extras["similarity_ivfpq_recall_at5"] = round(hits / total_n, 3)
+        # the speed/recall dial: widen the probe list (8/16 cells) on the
+        # same persisted index — recall should rise toward the probe
+        # fraction ceiling on this clustering-free synthetic corpus
+        from creek_spark.operators.similarity import ivfpq_topk
+
+        wide = {}
+        for r in ivfpq_topk(emb, qs, nprobe=8).collect():
+            wide.setdefault(r["q_id"], set()).add(r["n_id"])
+        hits8 = sum(len(v & wide.get(q, set())) for q, v in exact.items())
+        extras["similarity_ivfpq_recall_at5_nprobe8"] = round(hits8 / total_n, 3)
+        # exact-cosine rerank of the top-25 ADC candidates — the recall
+        # restorer when PQ quantization (not probe pruning) is the binder
+        rr = {}
+        for r in ivfpq_topk(emb, qs, rerank=25).collect():
+            rr.setdefault(r["q_id"], set()).add(r["n_id"])
+        hits_rr = sum(len(v & rr.get(q, set())) for q, v in exact.items())
+        extras["similarity_ivfpq_recall_at5_rerank25"] = round(
+            hits_rr / total_n, 3
+        )
     except Exception as e:
         errors.setdefault("similarity_ivfpq", f"extras: {type(e).__name__}: {e}"[:500])
 

@@ -712,6 +712,7 @@ def ivfpq_topk(
     n_cells: int = 16,
     nprobe: int = 3,
     k: int = 5,
+    rerank: int = 0,
 ) -> DataFrame:
     """IVFADC: IVF cell pruning composed with PQ/ADC scoring — the
     canonical billion-scale ANN layout (coarse quantizer prunes the
@@ -767,10 +768,37 @@ def ivfpq_topk(
         .withColumn("adc_sim", _adc_sim_col(m))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("n_id").asc())
+    if not rerank:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("q_id", "n_id", "adc_sim", "rnk")
+        )
+    # recall-restoring refinement (see pq_topk): exact cosine over the
+    # top-r ADC candidates only — r·|queries| rows, never the corpus.
+    # The query vector rides the probe broadcast; the candidate vector is
+    # still co-located from the encoding projection.
+    cands = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= rerank
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    rescored = cands.join(qv, "q_id").withColumn(
+        "cos_sim",
+        _pair_cos(
+            F.col("q_vec"), F.col("c_vec"), F.col("_qnrm"), F.col("_nrm"), True
+        ),
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        rescored.withColumn("rnk", F.row_number().over(w2))
         .where(F.col("rnk") <= k)
-        .select("q_id", "n_id", "adc_sim", "rnk")
+        .select("q_id", "n_id", "cos_sim", "rnk")
     )
 
 
@@ -816,6 +844,8 @@ def ivfpq_search(
     m: int = 8,
     nprobe: int = 3,
     k: int = 5,
+    rerank: int = 0,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Search a persisted IVFADC index: probe selection and ADC LUTs are
     map-side over the two 1-row broadcasts; the candidate join keys on
@@ -851,8 +881,46 @@ def ivfpq_search(
         .withColumn("adc_sim", _adc_sim_col(m))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("n_id").asc())
-    return (
+    if not rerank:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("q_id", "n_id", "adc_sim", "rnk")
+        )
+    # refinement against the vector store: the persisted index holds only
+    # codes+norms, so the top-r ADC candidate ids (a tiny broadcast —
+    # r·|queries| rows) join back to ``vectors`` for exact rescoring;
+    # at 100 TB that is the standard candidates→store lookup.
+    if vectors is None:
+        raise ValueError("rerank needs the vector store (vectors=...)")
+    cands = F.broadcast(
         scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= rerank)
+        .select("q_id", "n_id", "_qnrm", "_nrm")
+    )
+    vstore = vectors.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec")
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    rescored = (
+        vstore.join(cands, "n_id")
+        .join(qv, "q_id")
+        .withColumn(
+            "cos_sim",
+            _pair_cos(
+                F.col("q_vec"), F.col("c_vec"), F.col("_qnrm"), F.col("_nrm"), True
+            ),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w2))
         .where(F.col("rnk") <= k)
-        .select("q_id", "n_id", "adc_sim", "rnk")
+        .select("q_id", "n_id", "cos_sim", "rnk")
     )

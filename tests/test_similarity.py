@@ -184,3 +184,23 @@ def test_ivf_recall_high_on_clustered_data(spark):
     approx = _topk_sets(sim.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=3))
     r = _recall(approx, exact)
     assert r >= 0.7, r  # probe fraction is 3/16 ≈ 0.19; structure >> that
+
+
+def test_ivfpq_rerank_restores_recall(spark, tmp_path):
+    """The exact-cosine rerank over top-25 ADC candidates must beat the
+    raw ADC ranking's recall (PQ quantization noise dominates on the
+    near-uniform driver embeddings), and the persisted-index rerank path
+    must agree with the inline one."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = _topk_sets(sim.cosine_topk_fast(emb, queries, k=5))
+    raw = _topk_sets(sim.ivfpq_topk(emb, queries))
+    rr = _topk_sets(sim.ivfpq_topk(emb, queries, rerank=25))
+    assert _recall(rr, exact) >= _recall(raw, exact)
+    sim.ivfpq_index_build(emb, str(tmp_path / "idx"))
+    rr_p = _topk_sets(
+        sim.ivfpq_search(
+            spark, str(tmp_path / "idx"), queries, rerank=25, vectors=emb
+        )
+    )
+    assert rr_p == rr
