@@ -1711,3 +1711,105 @@ def events_sessionize(spark, sf_dir):
         .alias("duration_secs"),
         F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
     )
+
+
+@register(
+    "ts_cusum_hourly",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS vd
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(vd) AS DOUBLE) AS sv,
+             CAST(SUM(vd * vd) AS DOUBLE) AS svv
+      FROM h GROUP BY event_type),
+    base AS (
+      SELECT h.event_type, h.bucket, h.vd,
+             CAST(SUM(vd) OVER w AS DOUBLE) AS s,
+             CAST(row_number() OVER w AS DOUBLE) AS rn,
+             nd, sv, svv
+      FROM h JOIN stats USING (event_type)
+      WINDOW w AS (PARTITION BY h.event_type ORDER BY h.bucket
+                   ROWS UNBOUNDED PRECEDING)),
+    c AS (SELECT *,
+                 sqrt(GREATEST((svv - sv * sv / nd) / nd, 1e-12)) AS sigma,
+                 s - rn * (sv / nd + 0.5 * sqrt(GREATEST((svv - sv * sv / nd) / nd, 1e-12))) AS cp,
+                 s - rn * (sv / nd - 0.5 * sqrt(GREATEST((svv - sv * sv / nd) / nd, 1e-12))) AS cn
+          FROM base),
+    m AS (SELECT *, MIN(cp) OVER w2 AS cpmin, MAX(cn) OVER w2 AS cnmax
+          FROM c
+          WINDOW w2 AS (PARTITION BY event_type ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING))
+    SELECT event_type, bucket, CAST(vd AS DOUBLE) AS v,
+           cp - cpmin AS cusum_pos, cnmax - cn AS cusum_neg
+    FROM m
+    WHERE GREATEST(cp - cpmin, cnmax - cn) > 5 * sigma
+    """,
+    "timeseries",
+)
+def ts_cusum_hourly(spark, sf_dir):
+    """Tabular CUSUM over the HOURLY aggregated series (allowance 0.5σ,
+    threshold 5σ over hourly totals) — the level-shift detector for
+    aggregate drift, and the formulation whose state is purely additive:
+    its streaming twin (streaming/detectors.py::StreamingCusum)
+    maintains the hourly cells through AdditiveRollupSink and rescoring
+    reproduces these rows bit-for-bit.
+
+    Scale: the corpus collapses to the (type, hour) summary BEFORE any
+    ordered work, so the prefix windows here walk a bounded series —
+    plain per-type windows are correct (contrast ts_cusum_changepoints,
+    which flags individual events and therefore windows the corpus in
+    (type, hour) segments).  Hourly sums stay decimal through the prefix
+    sum; one final double cast."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.sum(dec("value", 14, 2)).cast("decimal(18,2)").alias("vd"))
+    stats = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("vd").cast("double").alias("sv"),
+        F.sum(F.col("vd") * F.col("vd")).cast("double").alias("svv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        h.join(F.broadcast(stats), "event_type")
+        .withColumn("s", F.sum("vd").over(w).cast("double"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("event_type").orderBy("bucket")
+        ).cast("double"))
+    )
+    sigma = F.sqrt(
+        F.greatest(
+            (F.col("svv") - F.col("sv") * F.col("sv") / F.col("nd"))
+            / F.col("nd"),
+            F.lit(1e-12),
+        )
+    )
+    mu = F.col("sv") / F.col("nd")
+    c = (
+        base.withColumn("sigma", sigma)
+        .withColumn("cp", F.col("s") - F.col("rn") * (mu + F.lit(0.5) * F.col("sigma")))
+        .withColumn("cn", F.col("s") - F.col("rn") * (mu - F.lit(0.5) * F.col("sigma")))
+    )
+    m = c.withColumn("cpmin", F.min("cp").over(w)).withColumn(
+        "cnmax", F.max("cn").over(w)
+    )
+    return (
+        m.where(
+            F.greatest(F.col("cp") - F.col("cpmin"), F.col("cnmax") - F.col("cn"))
+            > F.lit(5) * F.col("sigma")
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.col("vd").cast("double").alias("v"),
+            (F.col("cp") - F.col("cpmin")).alias("cusum_pos"),
+            (F.col("cnmax") - F.col("cn")).alias("cusum_neg"),
+        )
+    )

@@ -242,3 +242,96 @@ class StreamingForecastBacktest:
                 / F.count(F.lit(1))
             ).alias("bias"),
         )
+
+
+class StreamingCusum:
+    """Continuously-maintained tabular CUSUM over the hourly series —
+    the streaming twin of ts_cusum_hourly.  The hourly cells are the
+    SAME exact-cents tier as StreamingForecastBacktest (one maintained
+    rollup can feed both detectors); rescoring recombines cents in
+    decimal and reruns the prefix-form arithmetic over the bounded
+    (type, hour) series, so flagged hours and both cusum values equal
+    the batch operator bit-for-bit."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.sink = AdditiveRollupSink(
+            spark, state_dir, ["event_type", "day", "bkt"], ["v_c"], "day"
+        )
+
+    hourly_tier = staticmethod(StreamingForecastBacktest.hourly_tier)
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self.sink.apply_batch(self.hourly_tier(batch), batch_id)
+
+    def foreach_batch(self):
+        return self.sink.foreach_batch(self.hourly_tier)
+
+    def changepoints(self) -> DataFrame:
+        from pyspark.sql import Window
+
+        cur = self.sink.current()
+        if cur is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        h = cur.groupBy(
+            "event_type", F.to_timestamp(F.col("bkt")).alias("bucket")
+        ).agg(
+            (F.sum(F.col("v_c").cast("decimal(38,0)")) / 100)
+            .cast("decimal(18,2)")
+            .alias("vd")
+        )
+        stats = h.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("double").alias("nd"),
+            F.sum("vd").cast("double").alias("sv"),
+            F.sum(F.col("vd") * F.col("vd")).cast("double").alias("svv"),
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        base = (
+            h.join(F.broadcast(stats), "event_type")
+            .withColumn("s", F.sum("vd").over(w).cast("double"))
+            .withColumn(
+                "rn",
+                F.row_number()
+                .over(Window.partitionBy("event_type").orderBy("bucket"))
+                .cast("double"),
+            )
+        )
+        sigma = F.sqrt(
+            F.greatest(
+                (F.col("svv") - F.col("sv") * F.col("sv") / F.col("nd"))
+                / F.col("nd"),
+                F.lit(1e-12),
+            )
+        )
+        mu = F.col("sv") / F.col("nd")
+        c = (
+            base.withColumn("sigma", sigma)
+            .withColumn(
+                "cp", F.col("s") - F.col("rn") * (mu + F.lit(0.5) * F.col("sigma"))
+            )
+            .withColumn(
+                "cn", F.col("s") - F.col("rn") * (mu - F.lit(0.5) * F.col("sigma"))
+            )
+        )
+        m = c.withColumn("cpmin", F.min("cp").over(w)).withColumn(
+            "cnmax", F.max("cn").over(w)
+        )
+        return (
+            m.where(
+                F.greatest(
+                    F.col("cp") - F.col("cpmin"), F.col("cnmax") - F.col("cn")
+                )
+                > F.lit(5) * F.col("sigma")
+            )
+            .select(
+                "event_type",
+                "bucket",
+                F.col("vd").cast("double").alias("v"),
+                (F.col("cp") - F.col("cpmin")).alias("cusum_pos"),
+                (F.col("cnmax") - F.col("cn")).alias("cusum_neg"),
+            )
+        )

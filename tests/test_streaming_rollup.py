@@ -194,3 +194,33 @@ def test_streaming_forecast_backtest_equals_batch(spark, sf_dir, tmp_path):
     got, want = key(det.backtest()), key(batch)
     assert len(got) > 0
     assert got == want
+
+
+def test_streaming_cusum_equals_batch(spark, sf_dir, tmp_path):
+    """Fourth incremental == batch proof: hourly-series CUSUM from
+    maintained cells equals batch ts_cusum_hourly exactly — and the
+    SAME maintained rollup state can feed both the CUSUM and the
+    forecast-backtest detectors (shared tier)."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import (
+        StreamingCusum,
+        StreamingForecastBacktest,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    det = StreamingCusum(spark, str(tmp_path / "cstate"))
+    for i, (lo, hi) in enumerate([(0, 500), (500, 10**12)]):
+        det.apply_batch(
+            ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi)), i
+        )
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    batch = entrymod._catalog()["ts_cusum_hourly"].fn(spark, sf_dir)
+    got, want = key(det.changepoints()), key(batch)
+    assert len(got) > 0
+    assert got == want
+    # shared-tier property: a backtest detector pointed at the SAME state
+    # dir reads the same committed cells
+    bt = StreamingForecastBacktest(spark, str(tmp_path / "cstate"))
+    fb = entrymod._catalog()["ts_forecast_snaive"].fn(spark, sf_dir)
+    assert key(bt.backtest()) == key(fb)
