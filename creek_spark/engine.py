@@ -422,3 +422,10 @@ class Engine:
         from creek_spark.operators.similarity import ivfpq_search
 
         return ivfpq_search(self.spark, path, queries, **kw)
+
+    def streaming_dedup(self, state_dir: str, text_col: str = "text", id_col: str = "doc_id", **kw):
+        """Continuous near-dedup against an append-only persisted LSH
+        index, batch_id-fenced (streaming/dedup.py)."""
+        from creek_spark.streaming.dedup import StreamingDedup
+
+        return StreamingDedup(self.spark, state_dir, text_col, id_col, **kw)

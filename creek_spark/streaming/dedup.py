@@ -1,0 +1,128 @@
+"""Continuous near-duplicate detection — the streaming form of the
+crawl-over-crawl incremental dedup (operators/dedup.py): each
+micro-batch is compared against EVERYTHING ingested so far (plus
+itself), then its signatures join the persisted LSH index.  Cost per
+batch ∝ batch size; the corpus is never re-shingled.
+
+State layout mirrors AdditiveRollupSink's recipe (batch_id fencing +
+atomic manifest swap): the index is an append-only set of per-batch
+band-signature parquet directories listed in ``_manifest.json``; pairs
+land under ``pairs/batch=<id>`` with overwrite semantics, so a replayed
+trigger rewrites identical content instead of duplicating it
+(at-least-once in, effectively-once out).
+
+Losslessness (tests/test_streaming_dedup.py): the union of per-batch
+candidate pairs over any batch split equals the full-corpus
+minhash_lsh_candidates pair set — every cross-batch pair is emitted by
+the later batch, every within-batch pair by its own batch, each exactly
+once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "_manifest.json"
+
+
+class StreamingDedup:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        **lsh_kw,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.lsh_kw = lsh_kw
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- manifest: {"last_batch_id": i, "index_parts": ["idx/b0", ...]} --
+
+    def _read_manifest(self) -> dict | None:
+        try:
+            with open(os.path.join(self.state_dir, _MANIFEST)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def last_batch_id(self) -> int:
+        m = self._read_manifest()
+        return m["last_batch_id"] if m else -1
+
+    def _index(self, m: dict | None) -> DataFrame | None:
+        parts = (m or {}).get("index_parts", [])
+        if not parts:
+            return None
+        return self.spark.read.parquet(
+            *[os.path.join(self.state_dir, p) for p in parts]
+        )
+
+    # -- ingestion -----------------------------------------------------
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from creek_spark.operators.dedup import (
+            incremental_lsh_candidates,
+            minhash_index,
+            minhash_lsh_candidates,
+        )
+
+        m = self._read_manifest()
+        if m is not None and batch_id <= m["last_batch_id"]:
+            return  # replayed trigger — state already reflects it
+        index = self._index(m)
+        if index is None:
+            pairs = minhash_lsh_candidates(
+                batch, self.text_col, self.id_col, **self.lsh_kw
+            )
+        else:
+            pairs = incremental_lsh_candidates(
+                batch, index, self.text_col, self.id_col, **self.lsh_kw
+            )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, f"pairs/batch={batch_id}")
+        )
+        part = f"idx/b{batch_id}"
+        minhash_index(
+            batch, self.text_col, self.id_col, **self.lsh_kw
+        ).write.mode("overwrite").parquet(os.path.join(self.state_dir, part))
+        manifest = {
+            "last_batch_id": batch_id,
+            "index_parts": (m or {}).get("index_parts", []) + [part],
+        }
+        tmp = os.path.join(self.state_dir, _MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.state_dir, _MANIFEST))
+
+    def foreach_batch(self):
+        """Adapter for ``writeStream.foreachBatch``."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch, batch_id)
+
+        return _fn
+
+    # -- results -------------------------------------------------------
+
+    def candidates(self) -> DataFrame:
+        """Every candidate pair emitted so far (committed batches only)."""
+        m = self._read_manifest()
+        if m is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        paths = [
+            os.path.join(self.state_dir, f"pairs/batch={i}")
+            for i in range(m["last_batch_id"] + 1)
+            if os.path.isdir(
+                os.path.join(self.state_dir, f"pairs/batch={i}")
+            )
+        ]
+        return self.spark.read.parquet(*paths).distinct()
