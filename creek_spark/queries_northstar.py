@@ -470,11 +470,13 @@ def _ivfpq_oracle(
     n_cells: int = ANN_CELLS,
     nprobe: int = ANN_NPROBE,
     k: int = 5,
+    rerank: int = 0,
 ) -> str:
     """IVFADC oracle: the IVF cell/probe CTEs (verbatim from
     `_ivf_oracle`, both already driver-proven) restrict the PQ ADC sum
     (verbatim from `_pq_oracle`) to probed-cell candidate pairs."""
     sub = dim // m
+    tail = _ivfpq_tail_rerank(k, rerank) if rerank else _ivfpq_tail_plain(k)
     return f"""
 WITH {_ANN_EP.lstrip()},
 cents AS (SELECT vec_id AS cent_id,
@@ -532,13 +534,46 @@ scored AS (SELECT a.q_id, a.n_id,
                   CAST(a.dot AS DOUBLE)
                     / (sqrt(CAST(qn.ns AS DOUBLE)) * sqrt(CAST(cn.ns AS DOUBLE))) AS adc_sim
            FROM adc a JOIN norms qn ON qn.id = a.q_id
-                      JOIN norms cn ON cn.id = a.n_id)
+                      JOIN norms cn ON cn.id = a.n_id){tail}
+"""
+
+
+def _ivfpq_tail_plain(k: int) -> str:
+    return f"""
 SELECT q_id, n_id, adc_sim, rnk FROM (
   SELECT q_id, n_id, adc_sim,
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, n_id) AS INTEGER) AS rnk
   FROM scored) r
-WHERE rnk <= {k}
-"""
+WHERE rnk <= {k}"""
+
+
+def _ivfpq_tail_rerank(k: int, rerank: int) -> str:
+    """Exact-cosine refinement of the top-``rerank`` ADC candidates —
+    the decimal dot/norm arithmetic is the driver-proven SIM_ORACLE
+    pattern, applied to the ADC-ranked candidate set."""
+    return f""",
+adc_rank AS (SELECT q_id, n_id FROM (
+  SELECT q_id, n_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, n_id) AS rn
+  FROM scored) r WHERE rn <= {rerank}),
+ex AS (SELECT ar.q_id, ar.n_id,
+              SUM(CAST(a.v * b.v AS DECIMAL(25,12))) AS dot
+       FROM adc_rank ar
+       JOIN ep a ON a.vec_id = ar.q_id
+       JOIN ep b ON b.vec_id = ar.n_id AND b.d = a.d
+       GROUP BY ar.q_id, ar.n_id)
+SELECT q_id, n_id, cos_sim, rnk FROM (
+  SELECT e.q_id, e.n_id,
+         CAST(e.dot AS DOUBLE)
+           / (sqrt(CAST(qn.ns AS DOUBLE)) * sqrt(CAST(cn.ns AS DOUBLE))) AS cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY e.q_id
+           ORDER BY CAST(e.dot AS DOUBLE)
+                      / (sqrt(CAST(qn.ns AS DOUBLE)) * sqrt(CAST(cn.ns AS DOUBLE))) DESC,
+                    e.n_id) AS INTEGER) AS rnk
+  FROM ex e JOIN norms qn ON qn.id = e.q_id
+            JOIN norms cn ON cn.id = e.n_id) t
+WHERE rnk <= {k}"""
 
 
 @register("similarity_ivfpq", _ivfpq_oracle(), "similarity")
@@ -558,6 +593,30 @@ def similarity_ivfpq(spark, sf_dir):
         n_cells=ANN_CELLS,
         nprobe=ANN_NPROBE,
         k=5,
+    )
+
+
+@register("similarity_ivfpq_rerank", _ivfpq_oracle(rerank=25), "similarity")
+def similarity_ivfpq_rerank(spark, sf_dir):
+    """IVFADC with exact-cosine rerank of the top-25 ADC candidates —
+    the recall-restoring refinement as a fully ORACLED operator: cells,
+    probes, codes, the ADC candidate ranking AND the exact rescoring all
+    reproduce in the generated ANSI-SQL oracle bit for bit.  Candidate
+    ids are a tiny broadcast joined back to the co-located vectors; at
+    100 TB this is the standard candidates→store lookup
+    (operators/similarity.py ivfpq_topk(rerank=...) / ivfpq_search)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.ivfpq_topk(
+        emb,
+        queries,
+        dim=ANN_DIM,
+        m=ANN_PQ_M,
+        n_codes=ANN_PQ_CODES,
+        n_cells=ANN_CELLS,
+        nprobe=ANN_NPROBE,
+        k=5,
+        rerank=25,
     )
 
 
