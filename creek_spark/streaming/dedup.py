@@ -97,6 +97,7 @@ class StreamingDedup:
         manifest = {
             "last_batch_id": batch_id,
             "index_parts": (m or {}).get("index_parts", []) + [part],
+            "stale_parts": (m or {}).get("stale_parts", []),
         }
         tmp = os.path.join(self.state_dir, _MANIFEST + ".tmp")
         with open(tmp, "w") as f:
@@ -126,3 +127,39 @@ class StreamingDedup:
             )
         ]
         return self.spark.read.parquet(*paths).distinct()
+
+
+    def compact(self) -> None:
+        """Fold the accumulated per-batch index parts into ONE part —
+        after thousands of micro-batches the part list (and its file
+        count) is the scaling hazard, not the data volume.  Rewrites the
+        union into a fresh directory and swaps the manifest atomically;
+        a concurrent reader holding the old manifest still sees every
+        old part (directories are immutable; stale parts are removed on
+        the NEXT compaction)."""
+        import shutil
+
+        m = self._read_manifest()
+        if m is None or len(m.get("index_parts", [])) <= 1:
+            return
+        old_parts = m["index_parts"]
+        gen = m["last_batch_id"]
+        part = f"idx/compact_{gen}_{len(old_parts)}"
+        self._index(m).coalesce(
+            max(1, self.spark.sparkContext.defaultParallelism // 4)
+        ).write.mode("overwrite").parquet(os.path.join(self.state_dir, part))
+        # 1-generation retention: the PREVIOUS compaction's stale parts go
+        # now; this compaction's inputs become stale and survive until the
+        # next one, so a reader holding the old manifest stays valid.
+        for p in m.get("stale_parts", []):
+            if p != part:
+                shutil.rmtree(os.path.join(self.state_dir, p), ignore_errors=True)
+        manifest = {
+            "last_batch_id": gen,
+            "index_parts": [part],
+            "stale_parts": [p for p in old_parts if p != part],
+        }
+        tmp = os.path.join(self.state_dir, _MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.state_dir, _MANIFEST))

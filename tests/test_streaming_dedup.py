@@ -38,3 +38,35 @@ def test_streaming_dedup_replay_fenced(spark, sf_dir, tmp_path):
     sd.apply_batch(b0, 0)  # stale replay — also a no-op
     assert _pairs(sd.candidates()) == before
     assert sd.last_batch_id() == 1
+
+
+def test_compact_preserves_candidates(spark, sf_dir, tmp_path):
+    """Compaction folds the per-batch index parts into one; candidate
+    generation for the NEXT batch is unchanged."""
+    from creek_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sd = StreamingDedup(spark, str(tmp_path / "cstate"))
+    sd.apply_batch(docs.where(F.col("doc_id") % 3 == 0), 0)
+    sd.apply_batch(docs.where(F.col("doc_id") % 3 == 1), 1)
+    sd.compact()
+    m = sd._read_manifest()
+    assert len(m["index_parts"]) == 1 and m["last_batch_id"] == 1
+    # 1-generation retention: this compaction's inputs survive until the
+    # NEXT compaction (a reader on the old manifest stays valid)
+    import os
+
+    assert all(
+        os.path.isdir(os.path.join(str(tmp_path / "cstate"), p))
+        for p in m["stale_parts"]
+    )
+    sd.apply_batch(docs.where(F.col("doc_id") % 3 == 2), 2)
+    got = _pairs(sd.candidates())
+    want = _pairs(minhash_lsh_candidates(docs, "text", "doc_id"))
+    assert got == want
+    stale_before = m["stale_parts"]
+    sd.compact()
+    assert not any(
+        os.path.isdir(os.path.join(str(tmp_path / "cstate"), p))
+        for p in stale_before
+    )
