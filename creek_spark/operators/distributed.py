@@ -141,6 +141,11 @@ def rank_pick(
     deterministic non-decreasing function of ``sort_col`` (granularity
     is a plan knob only — any monotone bucketing gives the same picks).
 
+    Ranks beyond the group size are silently absent from the result
+    (no bucket's cumulative count reaches them) — callers derive ranks
+    from the group's own count (``ranks_fn(n)``), which keeps them in
+    range by construction; guard explicitly if passing literals.
+
     Level 1 counts rows per (group, bucket) — a skew-free hash agg —
     and walks the cumulative counts over the BUCKET SUMMARY to find each
     rank's bucket and its preceding-row offset.  Level 2 revisits only

@@ -170,6 +170,12 @@ class PgOutputDecoder:
             elif tag == "u":
                 vals[col.name] = None
                 toast.append(col.name)
+            elif tag == "b":
+                # binary-format datum (the publication's binary option,
+                # protocol.sgml) — carried as raw bytes; the reference's
+                # text pipeline never requests binary, so this is the
+                # lossless fallback, not a per-type binary codec
+                vals[col.name] = bytes(raw)
             else:
                 oid = next(
                     (o for o, nm in OID_NAMES.items() if nm == col.pg_type), 25
