@@ -326,3 +326,62 @@ def test_wire_to_warehouse_end_to_end(spark, tmp_path):
         r["id"]: r["data"] for r in applier.current_state().collect()
     }
     assert got == {200: "uno", 3: "three"}
+
+
+def test_generative_wire_decode_matches_interpreter(spark):
+    """Wire-level differential test: the random WAL scenarios from
+    test_cdc_differential are RENDERED TO pgoutput BYTES, decoded by the
+    parser, replayed through latest_state, and must match the in-memory
+    reference interpreter — covering the byte parser with the same
+    breadth (u_pk chains, TOAST, truncate, deletes of absent keys) the
+    envelope-level differential test has."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from creek_spark.operators.cdc import latest_state
+    from creek_spark.types.envelope import envelope_schema
+    from tests.test_cdc_differential import _interpret, _scenario
+
+    def render(ev):
+        lsn, op, before, after, toast = ev
+        if op == "c":
+            return insert(55, *after)
+        if op == "u":
+            if toast and "data" in toast:
+                return update(55, new=(after[0], "TOAST"))
+            return update(55, new=after)
+        if op == "u_pk":
+            return update(55, new=after, old=(before[0], None))
+        if op == "d":
+            return delete(55, old=(before[0], None))
+        if op == "t":
+            return truncate(55)
+        raise AssertionError(op)
+
+    row_schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), metadata={"pgKey": True}),
+            T.StructField("data", T.StringType()),
+        ]
+    )
+    schema = envelope_schema(row_schema)
+    rng = random.Random(77)
+    for case in range(6):
+        events = _scenario(rng, n_events=rng.randint(6, 24))
+        expected = _interpret(events)
+        # wire order: pgoutput delivers in LSN order (the transport is
+        # ordered); duplicates redeliver the same bytes at the same LSN
+        dec = PgOutputDecoder()
+        msgs = [(0, begin()), (0, OTHER)]
+        for ev in sorted(events, key=lambda e: (e[0], 0 if e[1] == "t" else 1)):
+            msgs.append((ev[0], render(ev)))
+        rows = dec.decode_stream(msgs)
+        # TOAST semantics: the decoder NULLs the unchanged column and
+        # lists it in unchanged_toast — exactly the envelope contract
+        df = spark.createDataFrame(rows, schema)
+        got = {
+            r["id"]: r["data"]
+            for r in latest_state(df, ["id"]).select("id", "data").collect()
+        }
+        assert got == expected, (case, sorted(events)[:6])
