@@ -24,7 +24,6 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 _MANIFEST = "_manifest.json"
 
