@@ -977,6 +977,82 @@ def multimodal_image_headers(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_patch_plan",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 512 + 1 AS BIGINT) AS width,
+             CAST(doc_id % 256 + 1 AS BIGINT) AS height,
+             CAST(((doc_id % 512 + 1 + 15) // 16)
+                  * ((doc_id % 256 + 1 + 15) // 16) AS BIGINT) AS n_patches,
+             CAST(doc_id % 8 AS INTEGER) AS shard
+      FROM documents),
+    cum AS (
+      SELECT *, SUM(n_patches) OVER (PARTITION BY shard ORDER BY media_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_incl
+      FROM m)
+    SELECT media_id, n_patches, shard,
+           CAST((cum_incl - n_patches) // 1024 AS INTEGER) AS pack_id,
+           CAST((cum_incl - n_patches) % 1024 AS INTEGER) AS pack_offset
+    FROM cum
+    """,
+    "multimodal",
+)
+def multimodal_patch_plan(spark, sf_dir):
+    """Vision-LM preprocessing plan driven by REAL image decode: every
+    document gets a spec-valid synthesized image, geometry is recovered
+    through the stdlib header parser, ViT-style 16×16 patch counts are
+    computed (ceil(w/16)·ceil(h/16)), and images are packed into
+    1024-patch batches per shard — the multimodal twin of text sequence
+    packing, sharing pack_sequences' segmented cumsum.  The oracle
+    predicts geometry AND pack layout from the doc_id arithmetic, so a
+    mismatch means header decode, patch math, or the distributed cumsum
+    broke.  Image bytes are touched only inside the Arrow-batched
+    header parse; everything after is JVM integer arithmetic."""
+    from creek_spark.operators.multimodal import (
+        bmp_bytes,
+        decode_image_headers,
+        gif_bytes,
+        png_bytes,
+    )
+    from creek_spark.operators.pipeline import pack_sequences
+
+    def synth(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = i % 512 + 1, i % 256 + 1
+                content.append([bmp_bytes, gif_bytes, png_bytes][i % 3](w, h))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(synth, schema="media_id bigint, content binary")
+    hdrs = decode_image_headers(media, strict=True)
+    patches = hdrs.select(
+        "media_id",
+        (
+            F.floor((F.col("width") + 15) / 16)
+            * F.floor((F.col("height") + 15) / 16)
+        )
+        .cast("bigint")
+        .alias("n_patches"),
+    )
+    packed = pack_sequences(
+        patches,
+        "media_id",
+        "n_patches",
+        budget=1024,
+        shard_col=F.pmod(F.col("media_id"), F.lit(8)),
+    )
+    return packed.select(
+        "media_id", "n_patches", "shard", "pack_id", "pack_offset"
+    )
+
+
 # =====================================================================
 # training pipeline (sampling / scrubbing / packing — operators/pipeline)
 # =====================================================================
