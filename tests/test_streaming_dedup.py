@@ -70,3 +70,55 @@ def test_compact_preserves_candidates(spark, sf_dir, tmp_path):
         os.path.isdir(os.path.join(str(tmp_path / "cstate"), p))
         for p in stale_before
     )
+
+
+def test_crash_before_manifest_swap_is_invisible(spark, sf_dir, tmp_path):
+    """A crash AFTER writing a batch's pairs/index dirs but BEFORE the
+    manifest swap must leave the state logically unchanged: the next
+    (replayed) apply_batch rewrites both dirs and commits atomically."""
+    import os
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    sd = StreamingDedup(spark, str(tmp_path / "xstate"))
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    sd.apply_batch(b0, 0)
+    committed = sd._read_manifest()
+    # simulate the torn write: batch 1's dirs exist, manifest still at 0
+    from creek_spark.operators.dedup import minhash_index
+
+    minhash_index(b1, "text", "doc_id").write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path / "xstate"), "idx/b1")
+    )
+    assert sd._read_manifest() == committed  # crash point: manifest old
+    assert sd.last_batch_id() == 0
+    # recovery = the stream replays batch 1; state converges
+    sd.apply_batch(b1, 1)
+    from creek_spark.operators.dedup import minhash_lsh_candidates
+
+    assert _pairs(sd.candidates()) == _pairs(
+        minhash_lsh_candidates(docs, "text", "doc_id")
+    )
+
+
+def test_detector_restart_resumes_from_state(spark, sf_dir, tmp_path):
+    """A NEW StreamingZScore object pointed at an existing state dir
+    must resume exactly (the restart path): moments from disk, replay
+    fencing intact, final flags equal the batch operator."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import StreamingZScore
+
+    ev = read_table(spark, sf_dir, "events")
+    d1 = StreamingZScore(spark, str(tmp_path / "zrestart"))
+    d1.apply_batch(ev.where(F.col("event_id") < 500), 0)
+    del d1  # "process exit"
+    d2 = StreamingZScore(spark, str(tmp_path / "zrestart"))
+    d2.apply_batch(ev.where(F.col("event_id") < 500), 0)  # replay: no-op
+    d2.apply_batch(ev.where(F.col("event_id") >= 500), 1)
+    got = sorted(
+        map(tuple, d2.score(ev).select("event_id", "z").collect())
+    )
+    batch = entrymod._catalog()["ts_anomaly_zscore"].fn(spark, sf_dir)
+    want = sorted(map(tuple, batch.select("event_id", "z").collect()))
+    assert got == want
