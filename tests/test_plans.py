@@ -599,3 +599,24 @@ def test_growth_rates_windows_presorted_aggregate(spark):
     # exactly one fact-table scan; the window's exchange keys on seg
     assert plan.count("Scan parquet") == 2, plan  # tree + detail = 1 scan
     assert plan.count("hashpartitioning(seg") == 1, plan
+
+
+def test_no_unpartitioned_windows_anywhere(spark):
+    """Catalog-wide scale gate (round-5): an order-only window moves
+    every row to ONE task, so no query may plan one — except the
+    allow-listed summary walkers whose window input is provably tiny
+    (pareto_abc's revenue-band summary).  New queries that regress to a
+    global window fail here before any verdict does."""
+    import re
+
+    ALLOWED_ORDER_ONLY = {"pareto_abc"}
+    offenders = {}
+    for name, q in _catalog().items():
+        df = q.fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for sp in re.finditer(r"windowspecdefinition\((.{0,160})", plan):
+            head = sp.group(1).split(" ASC")[0].split(" DESC")[0]
+            parts = [c for c in head.split(",")[:-1] if "#" in c]
+            if not parts and name not in ALLOWED_ORDER_ONLY:
+                offenders.setdefault(name, []).append(sp.group(1)[:80])
+    assert not offenders, offenders
