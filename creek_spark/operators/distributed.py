@@ -131,6 +131,8 @@ def rank_pick(
     tie_col: Column,
     bucket_col: Column,
     ranks_fn: Callable[[Column], Sequence[Column]],
+    *,
+    persist: bool = False,
 ) -> DataFrame:
     """Exact distributed selection: per part group, the (sort, tie)
     tuple at each requested rank under ORDER BY sort_col, tie_col —
@@ -167,6 +169,11 @@ def rank_pick(
         .withColumn("_tv", tie_col)
         .withColumn("_bkt", bucket_col)
     )
+    if persist:
+        # three consumers (count, bucket counts, target-bucket revisit)
+        # re-evaluate the input subtree otherwise — same trade-off as
+        # segmented_running's persist knob
+        work = work.persist()
     nk = work.groupBy(*gcols).agg(F.count(F.lit(1)).alias("_n"))
     ks = nk.select(
         *gcols,
@@ -229,6 +236,8 @@ def discrete_percentile(
     value_col: Column,
     bucket_col: Column,
     p: float = 0.5,
+    *,
+    persist: bool = False,
 ) -> DataFrame:
     """Exact discrete percentile (the rank-``floor(p·(n−1))+1`` pick, no
     interpolation) per group, via :func:`rank_pick` — the scalable twin
@@ -238,5 +247,5 @@ def discrete_percentile(
         F.floor(F.lit(p) * (n - 1)).cast("bigint") + 1
     ]
     return rank_pick(
-        df, part_cols, value_col, F.lit(0), bucket_col, ranks
+        df, part_cols, value_col, F.lit(0), bucket_col, ranks, persist=persist
     ).select(*part_cols, "_pick_v")

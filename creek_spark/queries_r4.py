@@ -593,6 +593,7 @@ def ts_cusum_changepoints(spark, sf_dir):
         F.date_trunc("hour", F.col("ts")),
         [F.col("ts"), F.col("event_id")],
         {"_s_dec": (vd, "sum"), "_rn_l": (F.lit(1), "rownum")},
+        persist=True,  # both passes and both legs read this once
     ).withColumn("s", F.col("_s_dec").cast("double")).withColumn(
         "rn", F.col("_rn_l").cast("double")
     )
@@ -1068,6 +1069,7 @@ def ts_anomaly_mad(spark, sf_dir):
         ["event_type"],
         F.col("abs_dev"),
         F.floor(F.col("abs_dev") * 16).cast("bigint"),
+        persist=True,  # dev chains a broadcast join; three consumers
     ).select("event_type", F.col("_pick_v").alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -1340,7 +1342,10 @@ def customer_rfm(spark, sf_dir):
             bkt.alias("bkt"),
         )
         u = part if u is None else u.unionByName(part)
-    picked = rank_pick(u, ["dim"], F.col("sv"), F.col("custkey"), F.col("bkt"), ranks)
+    picked = rank_pick(
+        u, ["dim"], F.col("sv"), F.col("custkey"), F.col("bkt"), ranks,
+        persist=True,  # the union re-reads the cached customer aggregate
+    )
     cuts = picked.groupBy().agg(
         *[
             F.max(
