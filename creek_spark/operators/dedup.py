@@ -215,8 +215,12 @@ def connected_components(
     partial-aggregated groupBy); converges in O(component diameter)
     iterations — dedup clusters are near-cliques, so typically 2-3.  The
     driver-side loop only checks a changed-count per iteration; all data
-    work is distributed.  Labels persist each round and the previous
-    round is unpersisted, so peak storage is 2 × |nodes|."""
+    work is distributed.  Each round's labels are eagerly
+    ``localCheckpoint``ed: execution already reused the cache, but the
+    *logical* lineage used to keep the full history (852 exchanges in the
+    static plan at 25 rounds), so driver-side plan analysis grew per
+    iteration — truncation pins it at O(1) exchanges per round
+    (tests/test_plans.py::test_iterative_loops_truncate_lineage)."""
     fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
     edges = fwd.unionByName(rev).distinct().persist()
@@ -224,7 +228,7 @@ def connected_components(
         edges.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -241,7 +245,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -250,7 +254,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

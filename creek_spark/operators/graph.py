@@ -51,9 +51,15 @@ def k_hop_reachability(edges: DataFrame, k: int = 3) -> DataFrame:
     naive UNION ALL expansion never materializes.  Result is identical
     to the bounded recursive-CTE oracle because min-hops is invariant
     to whether longer duplicate paths are enumerated.
+
+    Lineage: every round eagerly ``localCheckpoint``s the new frontier and
+    the accumulated ``seen`` set, so round h's logical plan reads two
+    materialized RDDs instead of nesting rounds 1..h-1 — plan size and
+    analysis cost stay O(1) per round at production hop counts
+    (tests/test_plans.py::test_iterative_loops_truncate_lineage).
     """
-    e = edges.select("src", "dst").distinct()
-    seen = e.withColumn("min_hops", F.lit(1))
+    e = edges.select("src", "dst").distinct().persist()
+    seen = e.withColumn("min_hops", F.lit(1)).localCheckpoint(eager=True)
     frontier = seen.select("src", "dst")
     for h in range(2, k + 1):
         grown = (
@@ -64,8 +70,11 @@ def k_hop_reachability(edges: DataFrame, k: int = 3) -> DataFrame:
         )
         frontier = grown.join(
             seen.select("src", "dst"), ["src", "dst"], "left_anti"
-        )
-        seen = seen.unionByName(frontier.withColumn("min_hops", F.lit(h)))
+        ).localCheckpoint(eager=True)
+        seen = seen.unionByName(
+            frontier.withColumn("min_hops", F.lit(h))
+        ).localCheckpoint(eager=True)
+    e.unpersist()
     return seen.select(
         "src", "dst", F.col("min_hops").cast("int").alias("min_hops")
     )
@@ -94,15 +103,23 @@ def pagerank(
     join back to the node list — three keyed exchanges of
     edge/node-sized data per round, the canonical distributed-pagerank
     stage plan.
+
+    Lineage: the loop-invariant inputs (``nodes``, weighted edges) are
+    persisted once, and each round's ``ranks`` is eagerly
+    ``localCheckpoint``ed, truncating the logical plan to one
+    materialized RDD — without this, round i's plan nests rounds 1..i-1
+    and analysis cost grows superlinearly at the 20-50 iterations real
+    PageRank needs (tests/test_plans.py::test_iterative_loops_truncate_lineage).
     """
     e = edges.select("src", "dst").distinct()
     nodes = (
         e.select(F.col("src").alias("n"))
         .unionByName(e.select(F.col("dst").alias("n")))
         .distinct()
+        .persist()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ewd = e.join(outdeg, "src")
+    ewd = e.join(outdeg, "src").persist()
     base = ((damping_den - damping_num) * scale) // damping_den
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for _ in range(iters):
@@ -124,7 +141,9 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-        )
+        ).localCheckpoint(eager=True)
+    nodes.unpersist()
+    ewd.unpersist()
     return ranks.select(
         F.col("n").alias("node"),
         F.col("rank").cast("bigint").alias("pagerank_scaled"),

@@ -48,6 +48,51 @@ def has_partial_agg(df: DataFrame) -> bool:
     return "partial_" in explain_str(df, "simple")
 
 
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's own size estimate for the optimized plan (bytes).
+
+    For parquet scans this is file-size based (no ANALYZE needed); without
+    CBO a filter does NOT shrink the estimate, so the number is an upper
+    bound on the relation size — exactly the conservative figure a
+    broadcast decision should use."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def broadcast_if_small(df: DataFrame, threshold_bytes: int | None = None) -> DataFrame:
+    """`F.broadcast(df)` only when Catalyst's size estimate fits the
+    session's `spark.sql.autoBroadcastJoinThreshold`.
+
+    An unconditional hint *forces* the broadcast and overrides AQE — on a
+    table that grows with scale factor (customer, supplier: ~rows × sf)
+    that is a driver OOM at the 100 TB design point.  Gating on the
+    optimizer's estimate keeps the hint (and the current plan) at bench
+    scale while letting an over-threshold side fall back to SMJ, where
+    the session's runtime Bloom filter takes over row pruning
+    (test_runtime_bloom_filter_prunes_shuffle_join).  Fixed-cardinality
+    dims (region: 5 rows, nation: 25) don't need the gate.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if threshold_bytes is None:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        try:
+            threshold_bytes = int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                    raw
+                )
+            )
+        except Exception:
+            threshold_bytes = -1
+    if threshold_bytes is None or threshold_bytes <= 0:
+        return df  # broadcasting disabled session-wide: never force it
+    try:
+        size = plan_size_bytes(df)
+    except Exception:
+        return df  # unknown size: let AQE decide at runtime
+    return F.broadcast(df) if 0 <= size <= threshold_bytes else df
+
+
 def has_python_stage(df: DataFrame) -> bool:
     """True if the plan drops into row/Arrow Python evaluation."""
     s = explain_str(df, "simple")

@@ -37,6 +37,112 @@ def test_q5_broadcasts_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 3, plan
 
 
+def test_q3_q5_oracle_green_without_broadcast(spark):
+    """The broadcast hints on scale-growing sides (customer, supplier) are
+    size-gated (plans.broadcast_if_small): at 100 TB those tables exceed
+    any broadcast threshold and the join MUST fall back to SMJ instead of
+    forcing a driver-OOM broadcast.  Simulate the over-threshold world by
+    disabling broadcasting session-wide and assert (a) the gate removes
+    the hint — customer/supplier joins plan as SortMergeJoin, (b) results
+    are identical on both plan shapes (the hinted shape is the
+    oracle-certified one)."""
+    cat = _catalog()
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    baseline = {}
+    for qn in ("q3_shipping_priority", "q5_regional_revenue"):
+        df = cat[qn].fn(spark, SF_DIR)
+        assert "BroadcastHashJoin" in explain_str(df), explain_str(df)
+        baseline[qn] = sorted(map(tuple, df.collect()))
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for qn, want_smj in (
+            ("q3_shipping_priority", 1),
+            ("q5_regional_revenue", 2),
+        ):
+            df = cat[qn].fn(spark, SF_DIR)
+            plan = explain_str(df)
+            assert plan.count("SortMergeJoin") >= want_smj, plan
+            assert sorted(map(tuple, df.collect())) == baseline[qn], qn
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_broadcast_gate_respects_size_estimate(spark):
+    """broadcast_if_small adds the hint iff Catalyst's size estimate fits
+    the session threshold — the unit contract behind the q3/q5 gates."""
+    from creek_spark.plans import broadcast_if_small, plan_size_bytes
+
+    c = read_table(spark, SF_DIR, "customer")
+    size = plan_size_bytes(c)
+    assert size > 0
+    hinted = broadcast_if_small(c, threshold_bytes=size + 1)
+    unhinted = broadcast_if_small(c, threshold_bytes=max(1, size - 1))
+    probe = read_table(spark, SF_DIR, "orders")
+    assert "BroadcastHashJoin" in explain_str(
+        probe.join(hinted, probe.o_custkey == hinted.c_custkey)
+    )
+    # over-threshold: no forced hint; with broadcasting disabled the join
+    # must NOT plan as broadcast
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        un2 = broadcast_if_small(
+            read_table(spark, SF_DIR, "customer"), threshold_bytes=None
+        )
+        plan = explain_str(probe.join(un2, probe.o_custkey == un2.c_custkey))
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert unhinted is not None
+
+
+def test_iterative_loops_truncate_lineage(spark):
+    """The three iterative operators (pagerank, k-hop BFS, connected
+    components) must eagerly localCheckpoint per round so the logical
+    plan does NOT nest the full round history: one extra iteration adds
+    O(1) exchanges (here: zero — the final plan reads the last
+    checkpointed RDD).  Before this gate, dedup_clusters' static plan
+    carried 852 exchanges / 672 scans at max_iter=25."""
+    from creek_spark.operators import dedup as dd
+    from creek_spark.operators import graph as gr
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d")],
+        "src string, dst string",
+    )
+
+    def exchanges(df):
+        return explain_str(df).count("Exchange")
+
+    p_lo, p_hi = (
+        exchanges(gr.pagerank(edges, iters=3)),
+        exchanges(gr.pagerank(edges, iters=4)),
+    )
+    assert p_hi - p_lo <= 1 and p_hi <= 4, (p_lo, p_hi)
+
+    r_lo, r_hi = (
+        exchanges(gr.k_hop_reachability(edges, k=2)),
+        exchanges(gr.k_hop_reachability(edges, k=3)),
+    )
+    assert r_hi - r_lo <= 1 and r_hi <= 4, (r_lo, r_hi)
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    cc = dd.connected_components(pairs, max_iter=8)
+    assert exchanges(cc) <= 4, explain_str(cc)
+    got = {(r.doc, r.cluster) for r in cc.collect()}
+    assert got == {
+        ("a", "a"),
+        ("b", "a"),
+        ("c", "a"),
+        ("x", "x"),
+        ("y", "x"),
+    }
+
+
 def test_filter_pushdown_reaches_scan(spark):
     li = read_table(spark, SF_DIR, "lineitem")
     df = li.where(F.col("l_shipdate") > "1997-01-01").select("l_orderkey")
