@@ -26,22 +26,13 @@ from pyspark.sql import functions as F
 
 from creek_spark.functions.text import shingles_from_tokens, tokens
 
-# Cached intermediates (LSH signatures, shingle rows) registered here so
-# long-lived sessions can release them after the consuming action —
-# repeated operator calls would otherwise accumulate storage until
-# eviction pressure.  bench.py / tests call release_caches() per query.
-_CACHES: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    cached = df.persist()
-    _CACHES.append(cached)
-    return cached
-
-
-def release_caches() -> None:
-    while _CACHES:
-        _CACHES.pop().unpersist()
+# Cached intermediates (LSH signatures, shingle rows, rank_pick/RFM/CUSUM
+# inputs) live in the shared registry: lifetimes are caller-owned, and
+# bench.py / tests call release_caches() per query.
+from creek_spark.operators.cachereg import (  # noqa: F401  (re-export)
+    register_cache as _persist,
+    release_caches,
+)
 
 
 def _with_min_parallelism(df: DataFrame, id_col: str) -> DataFrame:

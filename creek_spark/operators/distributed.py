@@ -27,6 +27,7 @@ hash-match a single-window oracle bit-for-bit.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -71,7 +72,9 @@ def segmented_running(
     else:
         df = df.withColumn(SEG, seg_col)
     if persist:
-        df = df.persist()
+        from creek_spark.operators.cachereg import register_cache
+
+        df = register_cache(df)
     pk = [F.col(c) for c in part_cols]
     wl = (
         Window.partitionBy(*pk, F.col(SEG))
@@ -108,7 +111,22 @@ def segmented_running(
             for name, (_, kind) in specs.items()
         ],
     )
-    out = out.join(F.broadcast(offsets), [*part_cols, SEG], "left")
+    # Null-safe key equality: a NULL part/segment value is an ordinary
+    # partition value in the native window formulation this replaces, so
+    # the offsets join must match it too (plain EqualTo would leave the
+    # offset NULL and silently restart the running agg per segment).
+    # EqualNullSafe keys still plan as a broadcast hash join.
+    key_cols = [*part_cols, SEG]
+    off_r = offsets
+    for c in key_cols:
+        off_r = off_r.withColumnRenamed(c, f"_k_{c}")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_k_{c}")) for c in key_cols],
+    )
+    out = out.join(F.broadcast(off_r), cond, "left").drop(
+        *[f"_k_{c}" for c in key_cols]
+    )
     combine = {
         "sum": lambda l, o: F.when(o.isNull(), l).otherwise(l + o),
         "min": F.least,  # least/greatest skip NULLs — first segment safe
@@ -160,6 +178,14 @@ def rank_pick(
     A constant ``tie_col`` is allowed when only the VALUE at rank k is
     needed (discrete percentiles): ties collapse in the level-2 distinct
     and the cumulative multiplicity still lands the correct value.
+
+    PRECONDITION: ``part_cols`` values and ``sort_col``/``tie_col``/
+    ``bucket_col`` must be non-NULL.  The two internal bucket joins use
+    plain (non-null-safe) equality, so a NULL group key or NULL sort
+    value silently drops rows — unlike the native window form, which
+    ranks NULL as an ordinary value.  Callers with nullable keys must
+    map NULL to a sentinel (or filter) first; every catalog caller
+    derives these from non-null scan columns.
     """
     G = "_g"
     work = df.withColumn(G, F.lit(1))
@@ -172,8 +198,11 @@ def rank_pick(
     if persist:
         # three consumers (count, bucket counts, target-bucket revisit)
         # re-evaluate the input subtree otherwise — same trade-off as
-        # segmented_running's persist knob
-        work = work.persist()
+        # segmented_running's persist knob; registered for caller-owned
+        # release (cachereg.release_caches)
+        from creek_spark.operators.cachereg import register_cache
+
+        work = register_cache(work)
     nk = work.groupBy(*gcols).agg(F.count(F.lit(1)).alias("_n"))
     ks = nk.select(
         *gcols,

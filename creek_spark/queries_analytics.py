@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from creek_spark.operators.cachereg import register_cache
 from creek_spark.queries import _t, dec, dsum, register
 
 
@@ -64,7 +65,8 @@ def ts_gap_fill(spark, sf_dir):
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         dsum("value", "sum_value", 14, 2),
-    ).persist()
+    )
+    hourly = register_cache(hourly)  # caller-owned release (cachereg)
     bounds = hourly.agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )

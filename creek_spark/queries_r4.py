@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from creek_spark.operators.cachereg import register_cache
 from creek_spark.queries import QUERIES, _t, dec, register
 from creek_spark.queries_ext import _events_envelope
 
@@ -1318,8 +1319,8 @@ def customer_rfm(spark, sf_dir):
             "frequency",
             "monetary",
         )
-        .cache()  # scanned once per dimension pass; catalog-sized
     )
+    c = register_cache(c)  # scanned once per dimension pass; caller-owned release
     # boundary ranks: score(r) = 1 + (r-1)*5 div n <= s  <=>  r <= ceil(s*n/5)
     ranks = lambda n: [  # noqa: E731
         F.floor((F.lit(s) * n + F.lit(4)) / F.lit(5)).cast("bigint")

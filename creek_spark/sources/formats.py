@@ -189,15 +189,47 @@ def read_with_quarantine(
     )
     header = options.pop("header", True)
     if fmt == "csv" and header:
-        first = (
+        # Identify each file's header by VALUE, not by a row id shared
+        # across two scan evaluations (round-5 ADVICE: the two legs plan
+        # independent splits, so a cross-evaluation row-id match could
+        # drop a wrong row if split planning diverged between them).
+        # `_mid` is used only WITHIN the summary leg's single evaluation
+        # — where it correctly orders rows inside the offset-0 split —
+        # to pick the first line's text; only (file, header_line)
+        # crosses legs.  Dropping "the" header then means dropping ONE
+        # of the block-0 rows equal to that line: such rows are
+        # indistinguishable (same value, same file), so removing any one
+        # is exact — a legit data row that repeats the header string
+        # still survives via the count-1 re-emission.
+        hdr = (
             raw.where(F.col("_blk") == 0)
             .groupBy("source_file")
-            .agg(F.min("_mid").alias("_first_mid"))
+            .agg(F.min_by("value", "_mid").alias("_hline"))
         )
-        raw = raw.join(F.broadcast(first), "source_file", "left").where(
-            F.col("_first_mid").isNull() | (F.col("_mid") != F.col("_first_mid"))
+        raw = raw.join(F.broadcast(hdr), "source_file", "left")
+        is_hdr = (
+            (F.col("_blk") == 0)
+            & F.col("_hline").isNotNull()
+            & (F.col("value") == F.col("_hline"))
         )
-    raw = raw.drop("_blk", "_mid", "_first_mid")
+        passthrough = raw.where(~is_hdr)
+        dup_survivors = (
+            raw.where(is_hdr)
+            .groupBy("source_file", "value")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > 1)
+            .select(
+                "source_file",
+                "value",
+                F.lit(0).cast("long").alias("_blk"),
+                F.lit(None).cast("long").alias("_mid"),
+                F.col("value").alias("_hline"),
+                F.explode(F.sequence(F.lit(2), F.col("_c"))).alias("_i"),
+            )
+            .select("value", "source_file", "_blk", "_mid", "_hline")
+        )
+        raw = passthrough.unionByName(dup_survivors)
+    raw = raw.drop("_blk", "_mid", "_hline")
     raw = raw.where(F.length(F.trim(F.col("value"))) > 0)
     parse_opts = {
         "mode": "PERMISSIVE",

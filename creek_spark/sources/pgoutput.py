@@ -46,6 +46,7 @@ Per-op envelope rules replicate the reference exactly
 from __future__ import annotations
 
 import datetime as _dt
+import re
 import struct
 from dataclasses import dataclass, field
 from decimal import Decimal
@@ -104,9 +105,27 @@ def decode_text_value(raw: bytes, type_oid: int):
     if name in ("timestamp", "timestamptz"):
         if s in ("infinity", "-infinity"):
             return s
-        fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in s else "%Y-%m-%d %H:%M:%S"
-        base = s.split("+")[0].split("Z")[0]
-        return _dt.datetime.strptime(base, fmt)
+        # Postgres renders timestamptz with the server's UTC offset —
+        # '+HH[:MM[:SS]]' east of UTC, '-HH[:MM[:SS]]' west (a US server
+        # prints '... -08'), or 'Z'.  Parse the offset explicitly, convert
+        # to UTC, then drop tzinfo (envelope timestamps are naive UTC);
+        # naive 'timestamp' values pass through unchanged.
+        base, offset = s, None
+        if base.endswith("Z"):
+            base, offset = base[:-1], _dt.timedelta(0)
+        else:
+            m = re.search(r"([+-])(\d{2})(?::?(\d{2}))?(?::?(\d{2}))?$", base)
+            if m and ("-" in base[10:] or "+" in base[10:]):
+                sign = -1 if m.group(1) == "-" else 1
+                offset = sign * _dt.timedelta(
+                    hours=int(m.group(2)),
+                    minutes=int(m.group(3) or 0),
+                    seconds=int(m.group(4) or 0),
+                )
+                base = base[: m.start()]
+        fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in base else "%Y-%m-%d %H:%M:%S"
+        ts = _dt.datetime.strptime(base.strip(), fmt)
+        return ts - offset if offset is not None else ts
     if name == "date":
         if s in ("infinity", "-infinity"):
             return s
@@ -259,7 +278,10 @@ class PgOutputDecoder:
             (relid,) = struct.unpack_from(">I", buf, off)
             off += 4
             rel = self._rel(relid)
-            assert chr(buf[off]) == "N"
+            if chr(buf[off]) != "N":
+                raise ValueError(
+                    f"Insert: expected new-tuple tag 'N', got {buf[off]:#x}"
+                )
             t, off = self._tuple(buf, off + 1)
             env = self._envelope(rel, wal_start)
             env["op"] = "c"
@@ -275,7 +297,10 @@ class PgOutputDecoder:
             if nxt in ("K", "O"):
                 old, off = self._tuple(buf, off + 1)
                 nxt = chr(buf[off])
-            assert nxt == "N", nxt
+            if nxt != "N":
+                raise ValueError(
+                    f"Update: expected new-tuple tag 'N', got {nxt!r}"
+                )
             new, off = self._tuple(buf, off + 1)
             env = self._envelope(rel, wal_start)
             if old is not None:  # replication.go:425-427

@@ -189,3 +189,56 @@ def test_segmented_running_hypothesis(spark):
                 assert out[rid] == (s, mn, i), (rid, out[rid], (s, mn, i))
 
     check()
+
+
+def test_segmented_running_null_part_key_matches_native_window(spark):
+    """A NULL partition key is an ordinary partition value in the native
+    window form segmented_running replaces — the null-safe offsets join
+    must preserve that (round-5 ADVICE: a plain left join left the
+    offset NULL and restarted the running agg per segment)."""
+    from pyspark.sql import Window
+
+    rows = [
+        # grp=None spans three segments so the offsets join matters
+        (None, 1, 10.0),
+        (None, 30, 5.0),
+        (None, 60, 2.0),
+        (None, 90, 8.0),
+        ("g1", 2, 1.0),
+        ("g1", 55, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, k bigint, v double").repartition(5)
+    out = segmented_running(
+        df,
+        ["grp"],
+        (F.col("k") / 25).cast("bigint"),
+        [F.col("k")],
+        {"rs": (F.col("v"), "sum"), "rn": (F.lit(1), "rownum")},
+    )
+    w = Window.partitionBy("grp").orderBy("k")
+    native = df.withColumn(
+        "rs", F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("rn", F.row_number().over(w))
+    got = {(r["grp"], r["k"]): (r["rs"], r["rn"]) for r in out.collect()}
+    want = {(r["grp"], r["k"]): (r["rs"], r["rn"]) for r in native.collect()}
+    assert got == want
+
+
+def test_operator_persists_are_registered_and_releasable(spark, sf_dir):
+    """Every operator/query persist routes through cachereg so a
+    long-lived session can deterministically release storage after the
+    consuming action (round-5 ADVICE: customer_rfm's cache + the
+    persist=True knobs previously leaked until LRU pressure)."""
+    from creek_spark.operators import cachereg
+
+    cachereg.release_caches()
+    import __spark_entry__ as em
+
+    cat = em._catalog()
+    cat["customer_rfm"].fn(spark, sf_dir).collect()
+    assert cachereg._CACHES, "customer_rfm persist not registered"
+    cached = list(cachereg._CACHES)
+    cachereg.release_caches()
+    assert not cachereg._CACHES
+    for df in cached:
+        assert not df.storageLevel.useMemory and not df.storageLevel.useDisk

@@ -385,3 +385,74 @@ def test_generative_wire_decode_matches_interpreter(spark):
             for r in latest_state(df, ["id"]).select("id", "data").collect()
         }
         assert got == expected, (case, sorted(events)[:6])
+
+
+def test_timestamptz_offsets_normalize_to_utc():
+    """A timestamptz rendered with a negative UTC offset ('… -08', normal
+    for a server west of UTC) must decode — not crash — and every offset
+    form must convert to the same UTC instant (envelope timestamps are
+    naive UTC).  Round-5 ADVICE: the old parser stripped only '+'/'Z'."""
+    import datetime as dt
+
+    from creek_spark.sources.pgoutput import decode_text_value
+
+    utc = dt.datetime(2024, 1, 2, 11, 4, 5)
+    for rendered in (
+        b"2024-01-02 03:04:05-08",
+        b"2024-01-02 03:04:05-08:00",
+        b"2024-01-02 02:34:05-08:30",
+        b"2024-01-02 11:04:05Z",
+        b"2024-01-02 11:04:05+00",
+        b"2024-01-02 19:04:05+08",
+        b"2024-01-02 16:34:05+05:30",
+    ):
+        assert decode_text_value(rendered, 1184) == utc, rendered
+    # fractional seconds survive the offset strip
+    assert decode_text_value(b"2024-01-02 03:04:05.123456-08", 1184) == dt.datetime(
+        2024, 1, 2, 11, 4, 5, 123456
+    )
+    # naive 'timestamp' (oid 1114) has no offset and passes through
+    assert decode_text_value(b"2024-01-02 03:04:05", 1114) == dt.datetime(
+        2024, 1, 2, 3, 4, 5
+    )
+    assert decode_text_value(b"2024-01-02 03:04:05.5", 1114) == dt.datetime(
+        2024, 1, 2, 3, 4, 5, 500000
+    )
+    # ±infinity sentinel strings pass through
+    assert decode_text_value(b"infinity", 1184) == "infinity"
+
+
+def test_timestamptz_offset_row_through_decoder():
+    """End-to-end: an envelope row whose timestamptz column carries a
+    negative offset decodes to the UTC instant."""
+    import datetime as dt
+
+    rel = relation(91, "public", "tzed", [(1, "id", 23, -1), (0, "at", 1184, -1)])
+    dec = PgOutputDecoder()
+    rows = dec.decode_stream(
+        [
+            (0, begin()),
+            (0, rel),
+            (0, insert(91, 7, "2024-06-01 16:00:00-07")),
+            (0, commit()),
+        ]
+    )
+    (env,) = [r for r in rows if r["op"] == "c"]
+    assert env["after"]["at"] == dt.datetime(2024, 6, 1, 23, 0, 0)
+
+
+def test_malformed_tuple_tag_raises_value_error():
+    """Wire-format violations must raise (not assert — '-O' strips
+    asserts and would misparse at the wrong offset)."""
+    import pytest
+
+    # Insert whose tuple tag is 'X' instead of 'N'
+    bad_insert = b"I" + struct.pack(">I", 55) + b"X" + tup(1, "x")
+    dec = PgOutputDecoder()
+    dec.decode_stream([(0, begin()), (0, OTHER)])
+    with pytest.raises(ValueError, match="Insert"):
+        dec.decode_stream([(0, bad_insert)])
+    # Update whose new-tuple tag is missing
+    bad_update = b"U" + struct.pack(">I", 55) + b"X" + tup(1, "x")
+    with pytest.raises(ValueError, match="Update"):
+        dec.decode_stream([(0, bad_update)])
