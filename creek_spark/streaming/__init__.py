@@ -274,15 +274,15 @@ class CdcApplier:
                 F.col("before").isNotNull(),
                 self._bucket_of([F.col(f"before.{k}") for k in self.key_cols]),
             )
-            touched = {
-                r[0]
-                for r in batch.select(
+            from creek_spark.streaming.rollup import bounded_partition_values
+
+            touched = bounded_partition_values(
+                batch.select(
                     F.explode(F.array(b_after, b_before)).alias("b")
-                )
-                .where(F.col("b").isNotNull())
-                .distinct()
-                .collect()
-            }
+                ).where(F.col("b").isNotNull()),
+                "b",
+                what="CdcApplier touched buckets",
+            )
             # A truncate discards every older row in EVERY bucket.
             has_trunc = batch.where(F.col("op") == "t").limit(1).count() > 0
             if has_trunc:
@@ -352,10 +352,9 @@ class CdcApplier:
             )
             # Buckets whose last key was deleted produce zero rows —
             # they simply drop out of the manifest mapping.
-            present = {
-                r[0]
-                for r in new_state.select(self._bucket_col).distinct().collect()
-            }
+            present = bounded_partition_values(
+                new_state, self._bucket_col, what="CdcApplier state buckets"
+            )
             self._publish(manifest, new_ver, present, touched)
             new_state.unpersist()
         finally:

@@ -29,6 +29,30 @@ from pyspark.sql import functions as F
 
 _MANIFEST = "_manifest.json"
 
+# Driver round-trips in the sinks collect the DISTINCT partition/bucket
+# values a batch touches — bounded by partition-key cardinality, not data
+# volume.  The cap turns a mis-chosen partition key (e.g. partitioning a
+# rollup by event id) into a loud error instead of a silent multi-million
+# row collect that stalls or OOMs the driver.
+MAX_DRIVER_PARTITION_VALUES = 100_000
+
+
+def bounded_partition_values(
+    df: DataFrame, col: str, *, what: str, cap: int = MAX_DRIVER_PARTITION_VALUES
+) -> set[str]:
+    """Collect the distinct values of ``col`` to the driver, raising with
+    guidance when cardinality exceeds ``cap`` (collects cap+1 rows max).
+    Values keep their native type; callers stringify as needed."""
+    rows = df.select(col).distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what}: over {cap} distinct {col!r} values in one batch — "
+            "this column is a driver-side partition key and must be low-"
+            "cardinality (a day/tier/bucket, not a row id); repartition "
+            "the state on a coarser key or raise the cap explicitly"
+        )
+    return {r[0] for r in rows}
+
 
 class AdditiveRollupSink:
     def __init__(
@@ -106,8 +130,10 @@ class AdditiveRollupSink:
             *[F.sum(c).cast("bigint").alias(c) for c in self.add_cols]
         )
         touched = {
-            str(r[0])
-            for r in tier.select(self.partition_col).distinct().collect()
+            str(v)
+            for v in bounded_partition_values(
+                tier, self.partition_col, what="AdditiveRollupSink.apply_batch"
+            )
         }
         if not touched:
             self._publish(old, None, touched, batch_id)

@@ -224,3 +224,22 @@ def test_streaming_cusum_equals_batch(spark, sf_dir, tmp_path):
     bt = StreamingForecastBacktest(spark, str(tmp_path / "cstate"))
     fb = entrymod._catalog()["ts_forecast_snaive"].fn(spark, sf_dir)
     assert key(bt.backtest()) == key(fb)
+
+
+def test_driver_partition_collect_is_capped(spark):
+    """The sinks' only driver round-trip — distinct touched partition
+    values — must be bounded: a mis-chosen high-cardinality partition key
+    raises with guidance instead of collecting millions of rows
+    (round-5 verdict item 6)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from creek_spark.streaming.rollup import bounded_partition_values
+
+    df = spark.range(50).select(F.col("id").alias("pv"))
+    # under the cap: all values, native type preserved
+    vals = bounded_partition_values(df, "pv", what="t", cap=50)
+    assert vals == set(range(50)) and all(isinstance(v, int) for v in vals)
+    # over the cap: loud error naming the column and the fix
+    with pytest.raises(ValueError, match="pv.*low-.?cardinality"):
+        bounded_partition_values(df, "pv", what="t", cap=10)
