@@ -1,0 +1,188 @@
+"""Walsender session surface over recorded transcripts: the replication
+receive loop's observable protocol behavior (START from the confirmed
+LSN, 5 s status cadence on the server clock, immediate reply-requested
+acks, CopyDone/disconnect handling) and the resume contract — a
+kill/restart mid-transcript must produce the same latest state as one
+uninterrupted run (reference: internal/dao/replication.go:96-307,
+init.go:147-248)."""
+
+from __future__ import annotations
+
+import struct
+
+from creek_spark.sources.walsender import (
+    TranscriptTransport,
+    WalSenderSession,
+    encode_keepalive,
+    encode_xlogdata,
+)
+from tests.test_pgoutput import OTHER, begin, commit, delete, insert, update
+
+US = 1_000_000
+
+
+def _transcript(path, frames):
+    path.write_text(
+        "# recorded replication session\n"
+        + "\n".join(f if isinstance(f, str) else f.hex() for f in frames)
+        + "\n"
+    )
+    return str(path)
+
+
+def _events():
+    """(lsn, pgoutput payload) sequence: two transactions + keepalives."""
+    return [
+        encode_xlogdata(0x10, begin(lsn=0x30), clock=0),
+        encode_xlogdata(0x10, OTHER, clock=0),
+        encode_xlogdata(0x14, insert(55, 1, "a"), clock=1 * US),
+        encode_xlogdata(0x18, insert(55, 2, "b"), clock=2 * US),
+        encode_xlogdata(0x30, commit(lsn=0x30), clock=2 * US),
+        encode_keepalive(0x30, clock=6 * US),  # past cadence → status
+        encode_xlogdata(0x40, begin(lsn=0x60), clock=7 * US),
+        encode_xlogdata(0x44, update(55, new=(1, "a2")), clock=7 * US),
+        encode_xlogdata(0x48, delete(55, (2, None)), clock=8 * US),
+        encode_xlogdata(0x4C, insert(55, 3, "c"), clock=8 * US),
+        encode_xlogdata(0x60, commit(lsn=0x60), clock=8 * US),
+        encode_keepalive(0x60, clock=9 * US, reply=True),  # must ack NOW
+    ]
+
+
+def _interpret_ops(rows):
+    state = {}
+    for r in rows:
+        if r["op"] == "c":
+            state[r["after"]["id"]] = r["after"]["data"]
+        elif r["op"] == "u":
+            state[r["after"]["id"]] = r["after"]["data"]
+        elif r["op"] == "u_pk":
+            state.pop(r["before"]["id"], None)
+            state[r["after"]["id"]] = r["after"]["data"]
+        elif r["op"] == "d":
+            state.pop(r["before"]["id"], None)
+    return state
+
+
+def test_session_protocol_start_cadence_and_reply(tmp_path):
+    t = TranscriptTransport(_transcript(tmp_path / "s.hex", _events()))
+    sess = WalSenderSession(t, str(tmp_path / "state"))
+    rows = sess.stream_rows()
+    assert _interpret_ops(rows) == {1: "a2", 3: "c"}
+    # START_REPLICATION from LSN 0 (no prior confirmed_flush)
+    assert t.sent[0] == ("start", 0)
+    statuses = [s for s in t.sent if s[0] == "status"]
+    # first frame (clock 0) sends the initial status; the 6s keepalive
+    # crosses the 5s cadence; the reply-requested keepalive forces one;
+    # close sends the final one
+    assert len(statuses) >= 3
+    # every status acks write=flush=apply=current LSN (pglogrepl default)
+    for _, w, f, a, _r in statuses:
+        assert w == f == a
+    # the reply-requested keepalive (current LSN 0x60) was acked at 0x60
+    assert ("status", 0x60, 0x60, 0x60, 0) in statuses
+    # raw 'r' frames are well-formed
+    tag, w, f, a, clock, reply = (
+        t.sent_raw[-1][0:1],
+        *struct.unpack_from(">QQQqB", t.sent_raw[-1], 1),
+    )
+    assert tag == b"r" and w == 0x60
+
+
+def test_kill_restart_resumes_from_saved_lsn(tmp_path):
+    """Consume tx1 only, ack its commit LSN, kill.  Restart with a
+    transcript that (like a real slot) re-delivers from the confirmed
+    LSN: re-sent rows ≤ acked are dropped, and the combined state equals
+    the uninterrupted interpreter."""
+    frames = _events()
+    path = _transcript(tmp_path / "s.hex", frames)
+    state_dir = str(tmp_path / "state")
+
+    # -- first run: process transaction 1's rows, ack, die mid-stream
+    t1 = TranscriptTransport(path)
+    s1 = WalSenderSession(t1, state_dir)
+    got1 = []
+    for lsn, row in s1.stream():
+        got1.append(row)
+        if lsn == 0x18:  # last tx1 data row applied downstream
+            s1.ack(lsn)
+            break  # kill
+    assert _interpret_ops(got1) == {1: "a", 2: "b"}
+
+    # -- restart: full transcript again (server resends everything past
+    # confirmed_flush; this transcript resends EVERYTHING — the session
+    # must drop rows ≤ 0x30 itself)
+    t2 = TranscriptTransport(path)
+    s2 = WalSenderSession(t2, state_dir)
+    assert s2.acked_lsn == 0x18
+    rows2 = s2.stream_rows()
+    # nothing from tx1 re-applied
+    assert all(r["after"] != {"id": 1, "data": "a"} for r in rows2 if r["op"] == "c")
+    combined = _interpret_ops(got1 + rows2)
+    full = _interpret_ops(
+        WalSenderSession(
+            TranscriptTransport(path), str(tmp_path / "state_full")
+        ).stream_rows()
+    )
+    assert combined == full == {1: "a2", 3: "c"}
+    # restart STARTed from the saved LSN
+    assert t2.sent[0] == ("start", 0x18)
+
+
+def test_disconnect_and_copydone_reconnect_resume(tmp_path):
+    """A mid-session disconnect triggers reconnect + START from the
+    acked LSN with re-delivered frames deduped; CopyDone is acked and
+    replication restarted (replication.go:137-148, 183-200)."""
+    frames = _events()
+    # disconnect after tx1's commit, then (server resends tx1) full tail
+    injected = frames[:5] + ["!disconnect"] + frames + ["!copydone"]
+    path = _transcript(tmp_path / "s.hex", injected)
+    t = TranscriptTransport(path)
+    sess = WalSenderSession(t, str(tmp_path / "state"))
+    out = []
+    for lsn, row in sess.stream():
+        out.append(row)
+        sess.ack(lsn)  # consumer commits every row immediately
+    # tx1 delivered once despite being re-sent after the reconnect
+    assert _interpret_ops(out) == {1: "a2", 3: "c"}
+    inserts = [r for r in out if r["op"] == "c" and r["after"]["id"] == 1]
+    assert len(inserts) == 1
+    starts = [s for s in t.sent if s[0] == "start"]
+    assert len(starts) == 3  # initial, post-disconnect, post-copydone
+    # resumed from the last acked row LSN (tx1's final data row)
+    assert starts[1] == ("start", 0x18)
+    assert ("copydone",) in t.sent
+
+
+def test_transcript_to_cdc_applier_latest_state(spark, tmp_path):
+    """The VERDICT e2e: transcript → session → envelope DataFrame →
+    latest_state equals the interpreter, across a kill/restart."""
+    from pyspark.sql import types as T
+
+    from creek_spark.operators.cdc import latest_state
+    from creek_spark.types.envelope import envelope_schema
+
+    path = _transcript(tmp_path / "s.hex", _events())
+    state_dir = str(tmp_path / "state")
+    row_schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), metadata={"pgKey": True}),
+            T.StructField("data", T.StringType()),
+        ]
+    )
+    schema = envelope_schema(row_schema)
+
+    # run 1: tx1, ack, die
+    s1 = WalSenderSession(TranscriptTransport(path), state_dir)
+    batch1 = []
+    for lsn, row in s1.stream():
+        batch1.append(row)
+        if lsn == 0x18:
+            s1.ack(lsn)
+            break
+    # run 2: resume
+    s2 = WalSenderSession(TranscriptTransport(path), state_dir)
+    batch2 = s2.stream_rows()
+
+    df = spark.createDataFrame(batch1 + batch2, schema)
+    got = {r["id"]: r["data"] for r in latest_state(df, ["id"]).collect()}
+    assert got == {1: "a2", 3: "c"}
