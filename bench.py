@@ -118,7 +118,13 @@ def main() -> None:
                 print(f"QUERY FAILED {name}: {e}", file=sys.stderr)
                 break
             finally:
-                release_caches()  # don't let cached blocks skew the next run
+                # per-query session-state reset (r5 verdict item 7: q5
+                # drifted +31% with an untouched plan — suspected cache/
+                # storage interference between queries): release operator
+                # caches AND drop any other cached plans so every query
+                # times against a clean storage state
+                release_caches()
+                spark.catalog.clearCache()
         if best < float("inf"):
             timings[name] = round(best, 3)
     # total = sum of per-query minima (NOT wall time of the rep loop)
@@ -177,24 +183,27 @@ def main() -> None:
         hits = sum(len(v & approx.get(q, set())) for q, v in exact.items())
         total_n = sum(len(v) for v in exact.values())
         extras["similarity_ivfpq_recall_at5"] = round(hits / total_n, 3)
-        # the speed/recall dial: widen the probe list (8/16 cells) on the
-        # same persisted index — recall should rise toward the probe
-        # fraction ceiling on this clustering-free synthetic corpus
+        # the SHIPPED default operating point (ivfpq_topk defaults:
+        # n_codes=64, nprobe=8/16, exact-cosine rerank-100): this is the
+        # recall number the engine stands behind — gated ≥ 0.6 in
+        # tests/test_similarity.py on this same corpus
         from creek_spark.operators.similarity import ivfpq_topk
 
-        wide = {}
-        for r in ivfpq_topk(emb, qs, nprobe=8).collect():
-            wide.setdefault(r["q_id"], set()).add(r["n_id"])
-        hits8 = sum(len(v & wide.get(q, set())) for q, v in exact.items())
-        extras["similarity_ivfpq_recall_at5_nprobe8"] = round(hits8 / total_n, 3)
-        # exact-cosine rerank of the top-25 ADC candidates — the recall
-        # restorer when PQ quantization (not probe pruning) is the binder
-        rr = {}
-        for r in ivfpq_topk(emb, qs, rerank=25).collect():
-            rr.setdefault(r["q_id"], set()).add(r["n_id"])
-        hits_rr = sum(len(v & rr.get(q, set())) for q, v in exact.items())
-        extras["similarity_ivfpq_recall_at5_rerank25"] = round(
-            hits_rr / total_n, 3
+        dflt = {}
+        for r in ivfpq_topk(emb, qs).collect():
+            dflt.setdefault(r["q_id"], set()).add(r["n_id"])
+        hits_d = sum(len(v & dflt.get(q, set())) for q, v in exact.items())
+        extras["similarity_ivfpq_recall_at5_default"] = round(
+            hits_d / total_n, 3
+        )
+        # the dial below the default: raw ADC at the same probe width —
+        # shows how much of the default's recall the rerank contributes
+        raw = {}
+        for r in ivfpq_topk(emb, qs, rerank=0).collect():
+            raw.setdefault(r["q_id"], set()).add(r["n_id"])
+        hits_r = sum(len(v & raw.get(q, set())) for q, v in exact.items())
+        extras["similarity_ivfpq_recall_at5_norerank"] = round(
+            hits_r / total_n, 3
         )
     except Exception as e:
         errors.setdefault("similarity_ivfpq", f"extras: {type(e).__name__}: {e}"[:500])

@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 
 from creek_spark.functions.vectors import cosine_similarity
 
+# The shipped IVFADC operating point (ivfpq_topk/ivfpq_search defaults):
+# exact-cosine rerank depth that, with n_codes=64 and nprobe=8/16, holds
+# recall@5 ≥ 0.6 on an UNSTRUCTURED corpus (measured 0.72 at bench sf0.1;
+# gated in tests/test_similarity.py and reported in bench extras).
+DEFAULT_RERANK = 100
+
 
 def cosine_topk(
     corpus: DataFrame,
@@ -329,7 +335,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_cells: int = 16,
-    nprobe: int = 3,
+    nprobe: int = 8,
     exact: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: data-adaptive coarse quantization.
@@ -708,16 +714,25 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     m: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 64,
     n_cells: int = 16,
-    nprobe: int = 3,
+    nprobe: int = 8,
     k: int = 5,
-    rerank: int = 0,
+    rerank: int = 100,
 ) -> DataFrame:
     """IVFADC: IVF cell pruning composed with PQ/ADC scoring — the
     canonical billion-scale ANN layout (coarse quantizer prunes the
     candidate set to nprobe/n_cells of the corpus, product codes make
     each surviving candidate cost m lookups).
+
+    Defaults are the measured ≥0.6-recall operating point on the bench
+    corpus (unstructured embeddings — the ANN worst case): 64-codeword
+    codebooks (6 bits × m=8), probe 8 of 16 cells, exact-cosine rerank
+    of the top-100 ADC candidates → recall@5 ≈ 0.72 at sf0.1
+    (BENCH extras; gated in tests/test_similarity.py).  Clustered
+    corpora reach the same recall at much lower nprobe — these defaults
+    are the honest floor, and ``rerank=0`` exposes the raw ADC ranking
+    (the fully-oracled `similarity_ivfpq` catalog entry).
 
     Everything runs the decimal-exact discipline (cell assignment, probe
     ranking, codes, LUTs), so the full result — which cells, which
@@ -810,15 +825,22 @@ def ivfpq_index_build(
     vec_col: str = "embedding",
     dim: int = 64,
     m: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 64,
     n_cells: int = 16,
+    store_vectors: bool = True,
 ) -> None:
     """Persist the IVFADC index the ivfpq_topk docstring prescribes for
     real scale: the encoded corpus (n_id, codes, _nrm) partitioned by
     cell_id — searches then scan ONLY probed cell partitions — plus the
     1-row centroid and codebook broadcasts.  Build cost is one corpus
     scan (assignment + encoding are map-side folds over two 1-row
-    broadcasts); amortized over every subsequent search."""
+    broadcasts); amortized over every subsequent search.
+
+    ``store_vectors`` (default) keeps the raw vector beside each code
+    row so the default exact-cosine rerank can refine candidates from
+    the index itself (the IVFFlat-style rerankable layout: index size ≈
+    corpus vectors, still cell-partition-pruned).  Set False for the
+    pure-ADC footprint — searches then need ``vectors=`` for rerank."""
     cents = ivf_centroids(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
     cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, n_codes=n_codes)
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
@@ -826,9 +848,12 @@ def ivfpq_index_build(
         "n_id", "c_vec", "cell_id"
     )
     enc = pq_encode(cells, cb, "n_id", "c_vec", dim=dim, m=m, keep=("cell_id",))
-    enc.select("n_id", "cell_id", "codes", "_nrm").write.mode(
-        "overwrite"
-    ).partitionBy("cell_id").parquet(f"{path}/codes")
+    cols = ["n_id", "cell_id", "codes", "_nrm"] + (
+        ["c_vec"] if store_vectors else []
+    )
+    enc.select(*cols).write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/codes"
+    )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cb.write.mode("overwrite").parquet(f"{path}/codebook")
 
@@ -842,9 +867,9 @@ def ivfpq_search(
     vec_col: str = "embedding",
     dim: int = 64,
     m: int = 8,
-    nprobe: int = 3,
+    nprobe: int = 8,
     k: int = 5,
-    rerank: int = 0,
+    rerank: int = 100,
     vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Search a persisted IVFADC index: probe selection and ADC LUTs are
@@ -887,20 +912,27 @@ def ivfpq_search(
             .where(F.col("rnk") <= k)
             .select("q_id", "n_id", "adc_sim", "rnk")
         )
-    # refinement against the vector store: the persisted index holds only
-    # codes+norms, so the top-r ADC candidate ids (a tiny broadcast —
-    # r·|queries| rows) join back to ``vectors`` for exact rescoring;
-    # at 100 TB that is the standard candidates→store lookup.
-    if vectors is None:
-        raise ValueError("rerank needs the vector store (vectors=...)")
+    # refinement: the top-r ADC candidate ids (a tiny broadcast —
+    # r·|queries| rows) join back to raw vectors for exact rescoring.
+    # A store_vectors index carries them beside the codes (the lookup
+    # then prunes to probed cell partitions); otherwise ``vectors=`` is
+    # the external store — at 100 TB the standard candidates→store path.
     cands = F.broadcast(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= rerank)
         .select("q_id", "n_id", "_qnrm", "_nrm")
     )
-    vstore = vectors.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec")
-    )
+    if vectors is not None:
+        vstore = vectors.select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec")
+        )
+    elif "c_vec" in enc.columns:
+        vstore = enc.select("n_id", "c_vec")
+    else:
+        raise ValueError(
+            "rerank needs vectors: build the index with store_vectors=True "
+            "or pass the vector store (vectors=...), or set rerank=0"
+        )
     qv = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")

@@ -1034,6 +1034,9 @@ def profile_correlations(spark, sf_dir):
     WHERE d.abs_dev > 3 * GREATEST(m.mad, 0.01)
     """,
     "timeseries",
+    headline=True,  # round-6: promoted per r5 verdict item 8 (the most
+    # expensive catalog query — regressions in rank_pick/segmented
+    # primitives must show in BENCH diffs, not only plan gates)
 )
 def ts_anomaly_mad(spark, sf_dir):
     """Robust outlier detection per event_type: |x − median| > 3·MAD —
@@ -1281,6 +1284,7 @@ def ts_growth_rates(spark, sf_dir):
     FROM rr
     """,
     "aggregation",
+    headline=True,  # round-6: promoted per r5 verdict item 8
 )
 def customer_rfm(spark, sf_dir):
     """RFM segmentation: per-customer recency (days since last order,

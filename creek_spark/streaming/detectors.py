@@ -335,3 +335,85 @@ class StreamingCusum:
                 (F.col("cnmax") - F.col("cn")).alias("cusum_neg"),
             )
         )
+
+
+class StreamingCorpusReport:
+    """Continuously-maintained per-(source, lang) corpus report card —
+    the streaming twin of the ``corpus_report`` catalog query (doc
+    counts, token totals, mean quality, low-quality counts: the rollup
+    every ingest batch gets before admission to a training mix).
+
+    The batch query is fully additive: counts and token sums are integer
+    cells, and mean quality decomposes into Σquality (held exactly as
+    integer 10⁻¹²-units — quality_score is cast to decimal(18,12) by the
+    batch query, so the scaled value is integral) over Σdocs.  Cells are
+    keyed (source, lang) and partitioned by source, so a batch from one
+    source rewrites only that source's partition.  Recombining sums in
+    decimal(38) and casting to double only at the end reproduces the
+    batch doubles bit-for-bit — the fifth incremental == batch proof
+    (tests/test_streaming_rollup.py::test_streaming_corpus_report_equals_batch).
+    """
+
+    KEYS = ["source", "lang"]
+    ADDS = ["n_docs", "total_tokens", "sq_u12", "n_low"]
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.sink = AdditiveRollupSink(
+            spark, state_dir, self.KEYS, self.ADDS, "source"
+        )
+
+    @staticmethod
+    def report_tier(batch: DataFrame) -> DataFrame:
+        """documents micro-batch → additive report cells (one metrics
+        projection, one partial-aggregated groupBy — same single-scan
+        shape as the batch query)."""
+        from creek_spark.operators.text import text_metrics
+
+        m = text_metrics(batch, "text", "doc_id", keep=("source", "lang"))
+        qd = F.col("quality_score").cast("decimal(18,12)")
+        return m.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            # narrow decimal(13,0) multiplier keeps the product at
+            # decimal(32,12) — a bare long literal widens to decimal(20,0)
+            # and the 39-digit product silently drops the 12th decimal
+            F.sum((qd * F.lit(10**12).cast("decimal(13,0)")).cast("decimal(32,0)"))
+            .cast("bigint")
+            .alias("sq_u12"),
+            F.sum(F.when(F.col("quality_score") < 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self.sink.apply_batch(self.report_tier(batch), batch_id)
+
+    def foreach_batch(self):
+        return self.sink.foreach_batch(self.report_tier)
+
+    def report(self) -> DataFrame:
+        """The corpus_report frame over everything streamed so far —
+        column-for-column and bit-for-bit the batch query's output."""
+        cur = self.sink.current()
+        if cur is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        return cur.groupBy("source", "lang").agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+            (
+                # decimal(24,0) / decimal(13,0) → decimal(38,14): scale
+                # ≥ 12 so Σ 10⁻¹²-units divides back exactly.  Wider
+                # operands overflow precision 38 and Spark silently
+                # truncates the result scale to 6 (sum() itself widens,
+                # hence the explicit cast back down after it)
+                (
+                    F.sum(F.col("sq_u12").cast("decimal(24,0)"))
+                    .cast("decimal(24,0)")
+                    / F.lit(10**12).cast("decimal(13,0)")
+                )
+                .cast("double")
+                / F.sum("n_docs").cast("bigint")
+            ).alias("mean_quality"),
+            F.sum("n_low").cast("bigint").alias("n_low_quality"),
+        )

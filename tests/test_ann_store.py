@@ -77,7 +77,11 @@ def test_adc_over_store_matches_inline_path(spark, tmp_path):
     queries = emb.where(F.col("vec_id") < 5)
     expected = {
         (r["q_id"], r["n_id"], r["rnk"]): r["adc_sim"]
-        for r in sim.ivfpq_topk(emb, queries, k=3).collect()
+        # pin the store's parameters (16 codes, 3 probes, raw ADC) — the
+        # shipped defaults are wider (64 codes, 8 probes, rerank-100)
+        for r in sim.ivfpq_topk(
+            emb, queries, k=3, n_codes=16, nprobe=3, rerank=0
+        ).collect()
     }
 
     enc = spark.read.parquet(store)

@@ -119,7 +119,7 @@ def test_ivfpq_recall_between_parts(spark):
     emb = read_table(spark, SF_DIR, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     exact = _topk_sets(sim.cosine_topk_fast(emb, queries, k=5))
-    out = sim.ivfpq_topk(emb, queries, k=5)
+    out = sim.ivfpq_topk(emb, queries, k=5, rerank=0)  # raw ADC ranking
     comp = _topk_sets(out)
     # composition stacks two approximations (cell pruning × code
     # quantization); it must still answer every query and clearly beat
@@ -131,7 +131,8 @@ def test_ivfpq_recall_between_parts(spark):
     # scores agree with pure ADC where both rank the same pair
     adc = {
         (r["q_id"], r["n_id"]): r["adc_sim"]
-        for r in sim.pq_topk(emb, queries, k=500).collect()
+        # same codebook width as ivfpq_topk's default (64 codewords)
+        for r in sim.pq_topk(emb, queries, k=500, n_codes=64).collect()
     }
     for r in out.collect():
         key = (r["q_id"], r["n_id"])
@@ -194,7 +195,7 @@ def test_ivfpq_rerank_restores_recall(spark, tmp_path):
     emb = read_table(spark, SF_DIR, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     exact = _topk_sets(sim.cosine_topk_fast(emb, queries, k=5))
-    raw = _topk_sets(sim.ivfpq_topk(emb, queries))
+    raw = _topk_sets(sim.ivfpq_topk(emb, queries, rerank=0))
     rr = _topk_sets(sim.ivfpq_topk(emb, queries, rerank=25))
     assert _recall(rr, exact) >= _recall(raw, exact)
     sim.ivfpq_index_build(emb, str(tmp_path / "idx"))
@@ -204,3 +205,21 @@ def test_ivfpq_rerank_restores_recall(spark, tmp_path):
         )
     )
     assert rr_p == rr
+
+
+def test_ivfpq_default_recall_gate(spark):
+    """The shipped IVFADC defaults (n_codes=64, nprobe=8/16, exact-cosine
+    rerank-100) must hold recall@5 ≥ 0.6 on the BENCH corpus — the
+    near-uniform embeddings that are the ANN worst case (round-5 verdict
+    item 3: a 0.2-recall default is not a done ANN path).  Runs against
+    sf0.1 (the bench scale) when present, else the test SF_DIR."""
+    import os
+
+    bench_dir = "/root/testdata/sf0.1"
+    sf = bench_dir if os.path.isdir(bench_dir) else SF_DIR
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = _topk_sets(sim.cosine_topk_fast(emb, queries, k=5))
+    dflt = _topk_sets(sim.ivfpq_topk(emb, queries))  # all defaults
+    r = _recall(dflt, exact)
+    assert r >= 0.6, r

@@ -243,3 +243,30 @@ def test_driver_partition_collect_is_capped(spark):
     # over the cap: loud error naming the column and the fix
     with pytest.raises(ValueError, match="pv.*low-.?cardinality"):
         bounded_partition_values(df, "pv", what="t", cap=10)
+
+
+def test_streaming_corpus_report_equals_batch(spark, sf_dir, tmp_path):
+    """Fifth incremental == batch proof: the per-(source, lang) corpus
+    report card maintained from document micro-batches equals the batch
+    corpus_report bit-for-bit, and a replayed batch is a no-op."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import StreamingCorpusReport
+
+    docs = read_table(spark, sf_dir, "documents")
+    det = StreamingCorpusReport(spark, str(tmp_path / "rstate"))
+    splits = [(0, 40), (40, 90), (90, 10**12)]
+    for i, (lo, hi) in enumerate(splits):
+        det.apply_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), i
+        )
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    batch = entrymod._catalog()["corpus_report"].fn(spark, sf_dir)
+    got, want = key(det.report()), key(batch)
+    assert len(got) > 0
+    assert got == want
+    # replay fence: re-applying the last batch must not double-count
+    det.apply_batch(
+        docs.where(F.col("doc_id") >= splits[-1][0]), len(splits) - 1
+    )
+    assert key(det.report()) == want
