@@ -1338,15 +1338,24 @@ def customer_rfm(spark, sf_dir):
         "f": (F.col("frequency"), F.col("frequency").cast("bigint")),
         "m": (F.col("monetary"), F.floor(F.col("monetary") / 1000).cast("bigint")),
     }
-    u = None
-    for d, (sv, bkt) in dims.items():
-        part = c.select(
-            F.lit(d).alias("dim"),
-            sv.cast("double").alias("sv"),
-            F.col("custkey"),
-            bkt.alias("bkt"),
-        )
-        u = part if u is None else u.unionByName(part)
+    # one scan of c fans out all three dimensions via explode — a union
+    # of three projections would stack 3× the cached partitions and every
+    # rank_pick pass over it would pay 3× the task count
+    u = c.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        sv.cast("double").alias("sv"),
+                        F.col("custkey").alias("custkey"),
+                        bkt.cast("bigint").alias("bkt"),
+                    )
+                    for d, (sv, bkt) in dims.items()
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.dim", "_e.sv", "_e.custkey", "_e.bkt")
     picked = rank_pick(
         u, ["dim"], F.col("sv"), F.col("custkey"), F.col("bkt"), ranks,
         persist=True,  # the union re-reads the cached customer aggregate
