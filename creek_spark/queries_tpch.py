@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from creek_spark.plans import broadcast_if_small
 from creek_spark.queries import _t, dec, register
 
 def _revenue():
@@ -137,8 +138,8 @@ def q7_volume_shipping(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
         .where(pair)
@@ -191,10 +192,10 @@ def q8_market_share(spark, sf_dir):
     )
     vol = _revenue().alias("vol")
     base = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .join(broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
@@ -240,7 +241,7 @@ def q10_returned_items(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
@@ -300,7 +301,7 @@ def q14_promo_revenue(spark, sf_dir):
         & (F.col("l_shipdate") < F.expr("TIMESTAMP'1997-10-01'"))
     )
     p = _t(spark, sf_dir, "part")
-    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    base = li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey).select(
         "p_type", _revenue().alias("vol")
     )
     promo = F.when(F.col("p_type") == "PROMO", F.col("vol"))
@@ -378,7 +379,7 @@ def q17_small_qty_revenue(spark, sf_dir):
         ).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
         .join(pa, li.l_partkey == pa.pk)
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -421,9 +422,14 @@ def q18_large_volume(spark, sf_dir):
         .agg(F.sum(dec("l_quantity")).alias("_sq"))
         .where(F.col("_sq") > 300)
     )
+    # big grows linearly with sf (~60k orderkeys/sf past the HAVING):
+    # size-gate the hint — Catalyst's non-CBO estimate for the aggregate
+    # is lineitem-sized, so past bench scale the static hint drops and
+    # AQE decides from the ACTUAL post-shuffle size (still a broadcast
+    # whenever big truly fits; never a forced driver OOM at 100 TB)
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(broadcast_if_small(big), o.o_orderkey == big.l_orderkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -472,7 +478,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
         | band("Brand#3", 20, 20, 30)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
     )
@@ -557,8 +563,8 @@ def q9_profit_by_nation_year(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     amount = _revenue() - dec("p_retailprice") * dec("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .join(broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
@@ -592,7 +598,7 @@ def q16_part_supplier_counts(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
@@ -663,7 +669,7 @@ def q21_suppliers_waiting(spark, sf_dir):
     )
     return (
         sole.join(multi, "l_orderkey", "left_semi")
-        .join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .join(broadcast_if_small(s), sole.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -714,7 +720,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).agg(F.min(_revenue()).alias("cost"))
     elig = (
-        ps.join(F.broadcast(s), ps.sk == s.s_suppkey)
+        ps.join(broadcast_if_small(s), ps.sk == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("pk", "sk", "cost", "s_acctbal", "s_name", "n_name")
@@ -724,7 +730,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         F.col("cost") == F.col("mincost")
     )
     return (
-        best.join(F.broadcast(p), best.pk == p.p_partkey)
+        best.join(broadcast_if_small(p), best.pk == p.p_partkey)
         .select(
             "s_acctbal",
             "s_name",
@@ -767,7 +773,7 @@ def q11_important_stock(spark, sf_dir):
         F.col("n_name").isin("NATION_3", "NATION_8", "NATION_12")
     )
     value_ps = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(_revenue()).alias("val"))
@@ -867,13 +873,15 @@ def q20_promo_suppliers(spark, sf_dir):
     ).agg(F.sum(dec("l_quantity")).alias("q"))
     sel = (
         q_ps.withColumn("qtot", F.sum("q").over(Window.partitionBy("pk")))
-        .join(F.broadcast(promo), F.col("pk") == F.col("p_partkey"))
+        .join(broadcast_if_small(promo), F.col("pk") == F.col("p_partkey"))
         .where(F.col("q") * 4 > F.col("qtot"))
         .select("sk")
         .distinct()
     )
+    # sel (excess-stock suppliers) grows with sf — same gate rationale
+    # as q18's big: let AQE runtime-size the semi-join build side
     return (
-        s.join(F.broadcast(sel), s.s_suppkey == F.col("sk"), "left_semi")
+        s.join(broadcast_if_small(sel), s.s_suppkey == F.col("sk"), "left_semi")
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
     )
