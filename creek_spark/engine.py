@@ -429,3 +429,37 @@ class Engine:
         from creek_spark.streaming.dedup import StreamingDedup
 
         return StreamingDedup(self.spark, state_dir, text_col, id_col, **kw)
+
+    def streaming_corpus_report(self, state_dir: str):
+        """Incrementally-maintained per-(source, lang) corpus report
+        card, batch-identical (streaming/detectors.py)."""
+        from creek_spark.streaming.detectors import StreamingCorpusReport
+
+        return StreamingCorpusReport(self.spark, state_dir)
+
+    def replication_session(self, transcript_path: str, state_dir: str, **kw):
+        """Walsender session over a recorded transcript: keepalive/status
+        protocol, resume from the persisted confirmed-LSN analog
+        (sources/walsender.py)."""
+        from creek_spark.sources.walsender import (
+            TranscriptTransport,
+            WalSenderSession,
+        )
+
+        return WalSenderSession(
+            TranscriptTransport(transcript_path), state_dir, **kw
+        )
+
+    def reference_schema(self, relation) -> dict:
+        """The reference-exact publish_message Avro schema for a relation
+        (sources/golden.py; byte-equal to the reference's golden)."""
+        from creek_spark.sources.golden import publish_message_schema
+
+        return publish_message_schema(relation)
+
+    def reference_wire_codec(self, relation):
+        """Byte-level creek-compatible WAL frame codec for a relation
+        (sources/creek_wire.py)."""
+        from creek_spark.sources.creek_wire import ReferenceWireCodec
+
+        return ReferenceWireCodec(relation)

@@ -1068,6 +1068,10 @@ def ts_anomaly_mad(spark, sf_dir):
             F.abs(F.col("value") - F.col("med")).alias("abs_dev"),
         )
     )
+    # dev feeds BOTH the MAD percentile pass and the final filter; cached
+    # once (caller-owned release via cachereg) so the events scan + median
+    # broadcast join run once instead of twice
+    dev = register_cache(dev)
     mad = discrete_percentile(
         dev,
         ["event_type"],

@@ -163,3 +163,39 @@ def test_fingerprint_mismatch_rejected():
     frame = other.encode(_row(op="d", before={"id": 1}, after=None))
     with pytest.raises(ValueError, match="fingerprint"):
         codec.decode(frame)
+
+
+def test_producer_loop_transcript_to_creek_frames(tmp_path):
+    """The full producer pipeline analog: recorded walsender transcript →
+    session (pgoutput decode, protocol handling) → envelope rows →
+    reference wire frames a creek client decodes.  Uses the RELATION THE
+    STREAM DECLARES (decoder state) for the schema, exactly as the
+    reference builds its publish schema from the RelationMessage."""
+    from creek_spark.sources.walsender import (
+        TranscriptTransport,
+        WalSenderSession,
+        encode_xlogdata,
+    )
+    from tests.test_pgoutput import OTHER, begin, commit, insert, update
+
+    frames = [
+        encode_xlogdata(0x10, begin(lsn=0x30)),
+        encode_xlogdata(0x10, OTHER),
+        encode_xlogdata(0x14, insert(55, 1, "alpha")),
+        encode_xlogdata(0x18, update(55, new=(1, "beta"))),
+        encode_xlogdata(0x30, commit(lsn=0x30)),
+    ]
+    p = tmp_path / "s.hex"
+    p.write_text("\n".join(f.hex() for f in frames) + "\n")
+    sess = WalSenderSession(TranscriptTransport(str(p)), str(tmp_path / "st"))
+    rows = sess.stream_rows()
+    assert len(rows) == 2
+    rel = sess.decoder.relations[55]
+    codec = ReferenceWireCodec(rel)
+    for row in rows:
+        wire_row = dict(row)
+        wire_row.pop("unchanged_toast", None)  # engine extension, not wire
+        got = codec.decode(codec.encode(wire_row))
+        assert got["op"] == row["op"]
+        assert got["after"] == row["after"]
+        assert got["source"]["table"] == "other"
