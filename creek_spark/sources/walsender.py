@@ -210,3 +210,48 @@ class WalSenderSession:
     def stream_rows(self):
         """Envelope rows only (transcript-wide), for DataFrame assembly."""
         return [r for _, r in self.stream()]
+
+
+def ingest_transcript(
+    spark,
+    session: WalSenderSession,
+    wal_dir: str,
+    row_schema,
+    *,
+    batch_rows: int = 1000,
+) -> int:
+    """Drain a walsender session into staged envelope parquet under
+    ``wal_dir`` — the directory the streaming pipeline tails
+    (streaming.read_envelope_stream → CdcApplier) — acking the session
+    only AFTER each batch is durably written, so a crash between write
+    and ack re-delivers (and the applier's same-LSN merge no-ops it:
+    at-least-once transport + idempotent sink = effectively-once).
+
+    This is the bridge that makes the session product-reachable: the
+    reference's producer loop writes decoded WAL to its bus the same
+    way (receive → publish → ack LSN).  Returns rows written."""
+    from creek_spark.types.envelope import envelope_schema
+
+    schema = envelope_schema(row_schema)
+    buf: list[dict] = []
+    hi = 0
+    total = 0
+
+    def flush() -> None:
+        nonlocal buf, total
+        if not buf:
+            return
+        spark.createDataFrame(buf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(wal_dir)
+        session.ack(hi)  # durable → confirm (crash before this re-sends)
+        total += len(buf)
+        buf = []
+
+    for lsn, row in session.stream():
+        buf.append(row)
+        hi = max(hi, lsn)
+        if len(buf) >= batch_rows:
+            flush()
+    flush()
+    return total

@@ -186,3 +186,57 @@ def test_transcript_to_cdc_applier_latest_state(spark, tmp_path):
     df = spark.createDataFrame(batch1 + batch2, schema)
     got = {r["id"]: r["data"] for r in latest_state(df, ["id"]).collect()}
     assert got == {1: "a2", 3: "c"}
+
+
+def test_ingest_transcript_to_cdc_applier_with_crash(spark, tmp_path):
+    """Product path: transcript → ingest_transcript (staged envelope
+    parquet, ack-after-write) → read_envelope_stream → CdcApplier.
+    A crash AFTER a durable write but BEFORE more rows are ingested,
+    followed by a fresh session over the same transcript, must converge
+    to the interpreter's state — the at-least-once + idempotent-sink
+    contract the reference's producer/consumer pair relies on."""
+    from pyspark.sql import types as T
+
+    from creek_spark.sources.walsender import ingest_transcript
+    from creek_spark.streaming import CdcApplier, read_envelope_stream
+    from creek_spark.types.envelope import envelope_schema
+
+    path = _transcript(tmp_path / "s.hex", _events())
+    state_dir = str(tmp_path / "lsn_state")
+    wal_dir = str(tmp_path / "wal")
+    row_schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), metadata={"pgKey": True}),
+            T.StructField("data", T.StringType()),
+        ]
+    )
+
+    # run 1: tiny batches; kill after the first durable batch (simulate
+    # by draining a session limited to the first two data rows)
+    s1 = WalSenderSession(TranscriptTransport(path), state_dir)
+    taken = []
+    for lsn, row in s1.stream():
+        taken.append((lsn, row))
+        if len(taken) == 2:
+            break
+    schema = envelope_schema(row_schema)
+    spark.createDataFrame([r for _, r in taken], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(wal_dir)
+    s1.ack(max(lsn for lsn, _ in taken))
+
+    # run 2 (restart): fresh session resumes from the acked LSN and
+    # ingests the remainder through the real helper
+    s2 = WalSenderSession(TranscriptTransport(path), state_dir)
+    n = ingest_transcript(spark, s2, wal_dir, row_schema, batch_rows=1)
+    assert n > 0
+
+    applier = CdcApplier(
+        spark, str(tmp_path / "state"), ["id"], schema, n_buckets=2
+    )
+    q = applier.start(
+        read_envelope_stream(spark, wal_dir, schema), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["data"] for r in applier.current_state().collect()}
+    assert got == {1: "a2", 3: "c"}
