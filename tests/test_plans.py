@@ -728,3 +728,35 @@ def test_no_unpartitioned_windows_anywhere(spark):
             if not parts and name not in ALLOWED_ORDER_ONLY:
                 offenders.setdefault(name, []).append(sp.group(1)[:80])
     assert not offenders, offenders
+
+
+def test_no_unconditional_broadcast_on_growing_tables_in_source():
+    """Regression tripwire for the round-5 verdict's broadcast audit: in
+    the catalog modules, `F.broadcast(<var>)` must not be applied to the
+    conventional variable names bound to scale-growing relations
+    (customer/supplier/part scans and the sf-growing derived frames) —
+    those sites go through plans.broadcast_if_small.  Fixed-cardinality
+    dims (nation/region) and 1-row/stats aggregates keep the hint."""
+    import ast
+    import os
+
+    GROWING = {"c", "s", "p", "li", "o", "big", "sel", "sole", "promo"}
+    base = os.path.join(os.path.dirname(__file__), "..", "creek_spark")
+    offenders = []
+    for fname in os.listdir(base):
+        if not (fname.startswith("queries") and fname.endswith(".py")):
+            continue
+        tree = ast.parse(open(os.path.join(base, fname)).read())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+                and node.args
+                and isinstance(node.args[0], ast.Name)
+                and node.args[0].id in GROWING
+            ):
+                offenders.append(f"{fname}:{node.lineno} F.broadcast({node.args[0].id})")
+    assert not offenders, offenders
