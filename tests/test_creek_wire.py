@@ -199,3 +199,70 @@ def test_producer_loop_transcript_to_creek_frames(tmp_path):
         assert got["op"] == row["op"]
         assert got["after"] == row["after"]
         assert got["source"]["table"] == "other"
+
+
+def test_generative_round_trip_random_relations_and_rows():
+    """Property: for RANDOM relations (arbitrary subsets of the mapped pg
+    types, random PK choice) and random rows — including NULLs, ±infinity
+    temporals, empty arrays and unicode — encode∘decode is identity (up
+    to the documented wire representations: json→bytes, -infinity magic
+    symbol) and the canonical fingerprint is stable across codec
+    instances."""
+    import random
+
+    rng = random.Random(4242)
+    TYPES = [
+        ("int4", lambda: rng.randint(-(2**31), 2**31 - 1)),
+        ("int8", lambda: rng.randint(-(2**62), 2**62)),
+        ("bool", lambda: rng.random() < 0.5),
+        ("text", lambda: "".join(rng.choice("abæ日 z'\"\\") for _ in range(rng.randint(0, 8)))),
+        ("float8", lambda: round(rng.uniform(-1e6, 1e6), 6)),
+        ("date", lambda: datetime.date(2000 + rng.randint(0, 30), 1 + rng.randint(0, 11), 1 + rng.randint(0, 27))),
+        ("timestamp", lambda: datetime.datetime(2020, 1, 1) + datetime.timedelta(seconds=rng.randint(0, 10**8), microseconds=rng.randint(0, 999999))),
+        ("time", lambda: datetime.time(rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59), rng.randint(0, 999999))),
+        ("numeric", lambda: decimal.Decimal(rng.randint(-10**9, 10**9)).scaleb(-5)),
+        ("uuid", lambda: "ab4ed73c-9b1d-4795-801d-338d6b9fc3%02x" % rng.randint(0, 255)),
+        ("_text", lambda: ["".join(rng.choice("xyz") for _ in range(3)) for _ in range(rng.randint(0, 4))]),
+        ("_int4", lambda: [rng.randint(-100, 100) for _ in range(rng.randint(0, 5))]),
+    ]
+    nm = ((10 << 16) | 5) + 4
+    for case in range(25):
+        cols = [PGColumn("pk", "int4", -1, 1)]
+        gens = {"pk": lambda: rng.randint(0, 10**6)}
+        for i, (t, gen) in enumerate(rng.sample(TYPES, rng.randint(1, 8))):
+            name = f"c{i}_{t.strip('_')}"
+            cols.append(PGColumn(name, t, nm if t == "numeric" else -1, 0))
+            gens[name] = gen
+        rel = PGRelation("public", f"t{case}", cols, "d")
+        codec = ReferenceWireCodec(rel)
+        # fingerprint stability across instances
+        assert ReferenceWireCodec(rel).fingerprint_int == codec.fingerprint_int
+        after = {}
+        for col in cols:
+            r = rng.random()
+            if col.flags != 1 and r < 0.2:
+                after[col.name] = None
+            elif col.pg_type in ("date", "timestamp", "time") and r < 0.3:
+                after[col.name] = rng.choice(["infinity", "-infinity"])
+            else:
+                after[col.name] = gens[col.name]()
+        row = _row(op=rng.choice(["c", "u", "u_pk", "d", "t", "r"]), after=after)
+        got = codec.decode(codec.encode(row))
+        assert got["op"] == row["op"] and got["after"] == after, (case, after, got["after"])
+
+
+def test_canonical_form_is_parseable_json_and_deterministic():
+    """The PCF string must itself be valid JSON (the fingerprint is
+    defined over those exact bytes) and independent of dict insertion
+    order in the input schema."""
+    import json as _json
+
+    from creek_spark.sources.golden import avro_canonical_form
+
+    schema = publish_message_schema(_rel())
+    pcf = avro_canonical_form(schema)
+    assert _json.loads(pcf)  # parses
+    assert " " not in pcf.replace('" "', "")  # no whitespace outside strings
+    # reordering attributes in a record node must not change the PCF
+    reordered = {k: schema[k] for k in reversed(list(schema))}
+    assert avro_canonical_form(reordered) == pcf
