@@ -42,7 +42,7 @@ from __future__ import annotations
 import os
 import struct
 
-from creek_spark.sources.pgoutput import PgOutputDecoder
+from creek_spark.sources.pgoutput import PgOutputDecoder, lsn_str
 
 _STATE_FILE = "walsender_lsn"
 
@@ -170,16 +170,26 @@ class WalSenderSession:
         excluding rows at or below the acked LSN (re-delivered data
         after a resume).  Runs the full session protocol on the way."""
         self.transport.send_start(self.acked_lsn)
+        rows_since_copydone = 1  # first CopyDone always restarts
         for line in self.transport.frames():
+            # (the transport's generator survives reconnects: it reads
+            # whatever socket/line source the transport currently holds)
             if line == "!disconnect":
                 # conn closed → tryConnect backoff → StartReplication
                 # from the confirmed LSN (replication.go:137-148, 583-599)
                 self.transport.send_start(self.acked_lsn)
                 continue
             if line == "!copydone":
-                # server ended the copy stream: ack CopyDone, restart
-                # replication on the returned position (replication.go:183-200)
+                # server ended the copy stream: ack CopyDone, then restart
+                # replication (replication.go:183-200) — unless the
+                # previous cycle yielded no NEW rows, in which case the
+                # stream is drained (a replay server re-delivering only
+                # already-acked data would otherwise loop forever;
+                # keepalives alone don't count as progress)
                 self.transport.send_copydone()
+                if rows_since_copydone == 0:
+                    break
+                rows_since_copydone = 0
                 self.transport.send_start(self.acked_lsn)
                 continue
             frame = bytes.fromhex(line)
@@ -200,6 +210,7 @@ class WalSenderSession:
                 rows = self.decoder.feed(frame[25:], wal_start)
                 if wal_start > self.acked_lsn:
                     for r in rows:
+                        rows_since_copydone += 1
                         yield wal_start, r
                 self._maybe_status(clock)
                 continue
@@ -255,3 +266,281 @@ def ingest_transcript(
             flush()
     flush()
     return total
+
+
+# -- v3 wire-protocol socket transport ---------------------------------
+#
+# The reference's capture loop speaks the PostgreSQL frontend/backend
+# protocol over a live socket (pgconn inside pglogrepl): startup with
+# replication=database, simple-query START_REPLICATION, then CopyBoth
+# streaming.  SocketTransport implements that client side against any
+# server speaking the protocol — the sandbox has no Postgres, so
+# TranscriptServer (below) replays a recorded transcript over real TCP,
+# which exercises every byte of the client path.  Message framing per
+# the public "Frontend/Backend Protocol" docs: one type byte ('R' auth,
+# 'S' parameter, 'Z' ready, 'W' CopyBothResponse, 'd' CopyData,
+# 'c' CopyDone, 'E' error) + i32 length (self-inclusive) + payload;
+# the startup packet alone has no type byte.
+
+_PROTO_V3 = 196608
+
+
+def _read_exact(sock, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("connection closed")
+        buf += chunk
+    return buf
+
+
+def _read_msg(sock) -> tuple[str, bytes]:
+    tag = _read_exact(sock, 1)
+    (length,) = struct.unpack(">i", _read_exact(sock, 4))
+    return tag.decode(), _read_exact(sock, length - 4)
+
+
+def _send_msg(sock, tag: str, payload: bytes) -> None:
+    sock.sendall(tag.encode() + struct.pack(">i", len(payload) + 4) + payload)
+
+
+class SocketTransport:
+    """Walsender client over a real TCP socket, presenting the same
+    ``frames()``/``send_*`` surface as TranscriptTransport so
+    WalSenderSession is transport-agnostic.
+
+    ``send_start`` performs the full (re)connect dance: startup packet
+    with ``replication=database`` (init.go / connectSlot's
+    RuntimeParams), auth-ok + parameter/ready drain, then the
+    START_REPLICATION simple query and the CopyBothResponse wait —
+    exactly the sequence pglogrepl.StartReplication drives."""
+
+    def __init__(self, host: str, port: int, *, user: str = "creek",
+                 database: str = "postgres", slot: str = "creek",
+                 publication: str = "creek"):
+        self.addr = (host, port)
+        self.user, self.database = user, database
+        self.slot, self.publication = slot, publication
+        self.sock = None
+        self.sent: list[tuple] = []  # observability parity with transcripts
+        self.sent_raw: list[bytes] = []
+
+    # -- handshake ----------------------------------------------------
+
+    def _connect(self) -> None:
+        import socket as _socket
+
+        if self.sock is not None:
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+        self.sock = _socket.create_connection(self.addr, timeout=30)
+        params = {
+            "user": self.user,
+            "database": self.database,
+            "replication": "database",
+        }
+        body = struct.pack(">i", _PROTO_V3)
+        for k, v in params.items():
+            body += k.encode() + b"\x00" + v.encode() + b"\x00"
+        body += b"\x00"
+        self.sock.sendall(struct.pack(">i", len(body) + 4) + body)
+        # drain auth/parameter messages until ReadyForQuery
+        while True:
+            tag, payload = _read_msg(self.sock)
+            if tag == "R":
+                (code,) = struct.unpack_from(">i", payload)
+                if code != 0:
+                    raise ConnectionError(f"unsupported auth method {code}")
+            elif tag == "E":
+                raise ConnectionError(f"server error during startup: {payload!r}")
+            elif tag == "Z":
+                return
+            # 'S' ParameterStatus / 'K' BackendKeyData: informational
+
+    def send_start(self, lsn: int) -> None:
+        self._connect()
+        q = (
+            f"START_REPLICATION SLOT {self.slot} LOGICAL {lsn_str(lsn)} "
+            f"(proto_version '1', publication_names '{self.publication}')"
+        )
+        _send_msg(self.sock, "Q", q.encode() + b"\x00")
+        # wait for CopyBothResponse; 'E' means the server rejected it
+        while True:
+            tag, payload = _read_msg(self.sock)
+            if tag == "W":
+                break
+            if tag == "E":
+                raise ConnectionError(f"START_REPLICATION rejected: {payload!r}")
+        self.sent.append(("start", lsn))
+
+    # -- streaming ----------------------------------------------------
+
+    def frames(self):
+        """Yield CopyData payloads (hex, matching TranscriptTransport)
+        until the server ends the copy stream or the connection drops
+        (surfaced as the session's '!copydone'/'!disconnect')."""
+        while True:
+            try:
+                tag, payload = _read_msg(self.sock)
+            except (ConnectionError, OSError):
+                return  # server gone: session close-path sends final status
+            if tag == "d":
+                yield payload.hex()
+            elif tag == "c":
+                yield "!copydone"
+            elif tag == "Z":
+                return  # ReadyForQuery after our CopyDone: stream over
+            elif tag == "E":
+                # reference: Sync → ReadyForQuery → restart replication
+                _send_msg(self.sock, "S", b"")
+                while True:
+                    t2, _ = _read_msg(self.sock)
+                    if t2 == "Z":
+                        break
+                yield "!disconnect"  # session re-STARTs from acked LSN
+
+    def send_copydone(self) -> None:
+        self.sent.append(("copydone",))
+        try:
+            _send_msg(self.sock, "c", b"")
+        except OSError:
+            pass
+
+    def send_status(self, write: int, flush: int, apply: int, clock: int, reply: int) -> None:
+        frame = b"r" + struct.pack(">QQQqB", write, flush, apply, clock, reply)
+        self.sent.append(("status", write, flush, apply, reply))
+        self.sent_raw.append(frame)
+        try:
+            _send_msg(self.sock, "d", frame)
+        except OSError:
+            pass  # final status after server close is best-effort
+
+
+class TranscriptServer:
+    """Replay/test harness: a TCP server speaking the walsender BACKEND
+    side from a recorded transcript — auth-ok handshake, CopyBoth on
+    START_REPLICATION, one CopyData per transcript frame, CopyDone
+    handoff — so the socket client path is exercised byte-for-byte
+    without a Postgres.  Frames at or below the client's requested START
+    LSN are skipped (confirmed_flush semantics).  Records every client
+    message in ``received`` for assertions."""
+
+    def __init__(self, transcript_path: str, *, host: str = "127.0.0.1"):
+        import socket as _socket
+        import threading
+
+        with open(transcript_path) as f:
+            self.lines = [
+                ln.strip()
+                for ln in f
+                if ln.strip() and not ln.strip().startswith("#")
+            ]
+        self.received: list[tuple] = []
+        self._srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+        self._srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, 0))
+        self._srv.listen(4)
+        self.port = self._srv.getsockname()[1]
+        self._stop = False
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._stop = True
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+    # -- backend conversation -----------------------------------------
+
+    def _serve(self) -> None:
+        while not self._stop:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            try:
+                self._handle(conn)
+            except (ConnectionError, OSError):
+                pass
+            finally:
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+
+    def _handle(self, conn) -> None:
+        # startup packet (no type byte)
+        (length,) = struct.unpack(">i", _read_exact(conn, 4))
+        body = _read_exact(conn, length - 4)
+        (proto,) = struct.unpack_from(">i", body)
+        kv = body[4:].rstrip(b"\x00").split(b"\x00")
+        params = dict(zip(kv[::2], kv[1::2]))
+        self.received.append(("startup", proto, {k.decode(): v.decode() for k, v in params.items()}))
+        _send_msg(conn, "R", struct.pack(">i", 0))  # AuthenticationOk
+        _send_msg(conn, "S", b"server_version\x0016.0\x00")
+        _send_msg(conn, "Z", b"I")
+        # START_REPLICATION simple query
+        tag, payload = _read_msg(conn)
+        if tag != "Q":
+            raise ConnectionError(f"expected Query, got {tag}")
+        query = payload.rstrip(b"\x00").decode()
+        self.received.append(("query", query))
+        start_lsn = 0
+        if " LOGICAL " in query:
+            lsn_txt = query.split(" LOGICAL ")[1].split(" ")[0]
+            hi, lo = lsn_txt.split("/")
+            start_lsn = (int(hi, 16) << 32) | int(lo, 16)
+        _send_msg(conn, "W", struct.pack(">BH", 0, 0))  # CopyBothResponse
+        conn.settimeout(0.05)
+        # confirmed_flush semantics are TRANSACTION-level: skip whole
+        # transactions whose commit (the Begin message's final LSN) is at
+        # or below the requested start, resend everything newer — and
+        # always resend Relation metadata, which the server re-declares
+        # per session before first use.  Keepalives always flow.
+        tx_final = 0
+        for line in self.lines:
+            if line.startswith("!"):
+                continue  # directives are transcript-mode only
+            frame = bytes.fromhex(line)
+            if frame[0:1] == b"w":
+                ptag = frame[25:26]
+                if ptag == b"B":
+                    (tx_final,) = struct.unpack_from(">Q", frame, 26)
+                if ptag != b"R" and tx_final <= start_lsn:
+                    continue
+            _send_msg(conn, "d", frame)
+            self._drain_client(conn)
+        _send_msg(conn, "c", b"")  # server ends the copy stream
+        # read until client CopyDone (collecting status updates)
+        conn.settimeout(5)
+        try:
+            while True:
+                tag, payload = _read_msg(conn)
+                self._record(tag, payload)
+                if tag == "c":
+                    break
+        except (ConnectionError, OSError):
+            return
+        _send_msg(conn, "Z", b"I")
+
+    def _drain_client(self, conn) -> None:
+        try:
+            while True:
+                tag, payload = _read_msg(conn)
+                self._record(tag, payload)
+        except (TimeoutError, OSError):
+            pass
+
+    def _record(self, tag: str, payload: bytes) -> None:
+        if tag == "d" and payload[:1] == b"r":
+            w, f, a, clock, reply = struct.unpack_from(">QQQqB", payload, 1)
+            self.received.append(("status", w, f, a, reply))
+        elif tag == "c":
+            self.received.append(("copydone",))
+        else:
+            self.received.append((tag, payload))
