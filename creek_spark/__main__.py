@@ -29,6 +29,34 @@ def main(argv: list[str] | None = None, env: dict | None = None) -> int:
         spark.sparkContext.setLogLevel(cfg.log_level.upper())
 
     dyn = DynamicTables(spark, cfg.wal_dir, cfg.base_dir, None)
+    if cfg.transcript:
+        # Ingest the recorded replication session FIRST: decode pgoutput,
+        # derive each table's schema from the stream's own Relation
+        # declarations, register it, and stage per-table envelope parquet
+        # the appliers tail — the full producer path (capture → publish)
+        # without a live Postgres.  Resume state (the confirmed-LSN
+        # analog) lives under base_dir, so re-running the daemon on the
+        # same transcript ingests nothing new.
+        import os as _os
+
+        from creek_spark.sources.walsender import (
+            TranscriptTransport,
+            WalSenderSession,
+            ingest_transcript_tables,
+        )
+
+        sess = WalSenderSession(
+            TranscriptTransport(cfg.transcript),
+            _os.path.join(cfg.base_dir, "walsender"),
+        )
+        written = ingest_transcript_tables(
+            spark, sess, cfg.wal_dir, dyn.registry,
+            only=cfg.tables or None,
+        )
+        for qname, n in sorted(written.items()):
+            print(f"ingested {n} rows for {qname}", file=sys.stderr)
+        if not cfg.tables:
+            cfg.tables = sorted(written)
     subscribed = []
     for t in cfg.tables:
         # schema must already be registered (reflect_table / prior ADD) —

@@ -32,6 +32,9 @@ class Config:
     available_now: bool = False
     shuffle_partitions: int | None = None
     log_level: str = "info"
+    # recorded replication-session transcript to ingest before the run
+    # (walsender session → per-table staged envelope parquet)
+    transcript: str = ""
     # reference serves promhttp on :7779 (cmd/creekd.go:48); None = off,
     # 0 = ephemeral (tests)
     metrics_port: int | None = None
@@ -63,6 +66,7 @@ class Config:
                 else None
             ),
             log_level=env.get("CREEK_LOG_LEVEL", "info"),
+            transcript=env.get("CREEK_TRANSCRIPT", ""),
             metrics_port=(
                 int(env["CREEK_METRICS_PORT"])
                 if "CREEK_METRICS_PORT" in env
@@ -76,6 +80,7 @@ class Config:
             "--base-dir": "base_dir",
             "--trigger-seconds": "trigger_seconds",
             "--log-level": "log_level",
+            "--transcript": "transcript",
             "--shuffle-partitions": "shuffle_partitions",
             "--metrics-port": "metrics_port",
         }

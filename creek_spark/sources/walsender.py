@@ -544,3 +544,53 @@ class TranscriptServer:
             self.received.append(("copydone",))
         else:
             self.received.append((tag, payload))
+
+
+def ingest_transcript_tables(
+    spark,
+    session: WalSenderSession,
+    wal_dir: str,
+    registry=None,
+    *,
+    only: list[str] | None = None,
+) -> dict[str, int]:
+    """Daemon-grade ingestion: drain a session, group envelope rows per
+    qualified table, derive each table's ROW SCHEMA from the stream's own
+    Relation declarations (exactly how the reference builds its publish
+    schema from the RelationMessage), optionally register it, and stage
+    each table's rows as envelope parquet under ``wal_dir/<schema_table>``
+    — the per-table staging layout the daemon tails.  The session is
+    acked once after ALL writes land (crash before the ack re-delivers;
+    the applier's same-LSN merge no-ops duplicates).
+
+    Returns {qualified_table: rows_written}."""
+    from creek_spark.types.envelope import envelope_schema
+    from creek_spark.types.pgtypes import pg_relation_to_struct
+
+    per_table: dict[str, list[dict]] = {}
+    hi = 0
+    for lsn, row in session.stream():
+        qname = f"{row['source']['schema']}.{row['source']['table']}"
+        if only and qname not in only:
+            continue
+        per_table.setdefault(qname, []).append(row)
+        hi = max(hi, lsn)
+    rels = {
+        f"{r.namespace}.{r.name}": r for r in session.decoder.relations.values()
+    }
+    written: dict[str, int] = {}
+    for qname, rows in per_table.items():
+        rel = rels.get(qname)
+        if rel is None:
+            continue  # rows for a relation never declared: unreachable
+        row_schema = pg_relation_to_struct(rel)
+        if registry is not None and registry.last_for_source(qname) is None:
+            registry.put(row_schema, source=qname)
+        sub = os.path.join(wal_dir, qname.replace(".", "_"))
+        spark.createDataFrame(rows, envelope_schema(row_schema)).coalesce(
+            1
+        ).write.mode("append").parquet(sub)
+        written[qname] = len(rows)
+    if hi:
+        session.ack(hi)
+    return written

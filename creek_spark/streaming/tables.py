@@ -182,8 +182,16 @@ class DynamicTables:
 
     def _table_stream(self, qname: str) -> DataFrame:
         ns, tbl = qname.split(".", 1)
+        # Per-table staging subdir (wal_dir/<schema_table>) wins when it
+        # exists — the layout walsender.ingest_transcript_tables writes,
+        # and the multi-table-safe one: a shared flat dir mixes envelope
+        # schemas whose before/after structs differ per relation.  The
+        # flat dir remains for single-table deployments (≙ one NATS
+        # subject per table in the reference).
+        sub = os.path.join(self.wal_dir, qname.replace(".", "_"))
+        src = sub if os.path.isdir(sub) else self.wal_dir
         stream = read_envelope_stream(
-            self.spark, self.wal_dir, self._env_schema_for(qname)
+            self.spark, src, self._env_schema_for(qname)
         )
         # the per-table-subject filter; pushed into the file-source scan
         return stream.where(

@@ -137,3 +137,56 @@ def test_metrics_server_prometheus_endpoint():
             urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=10)
     finally:
         srv.stop()
+
+
+def test_daemon_transcript_ingestion_end_to_end(spark, tmp_path):
+    """--transcript: the daemon ingests a recorded replication session
+    (schema auto-derived from the stream's Relation declarations and
+    registered; per-table envelope parquet staged), then materializes
+    state — zero manual registry or staging steps.  Tables default to
+    the ones the transcript declares.  A second run on the same
+    transcript is a no-op (resume state under base_dir)."""
+    from creek_spark.__main__ import main
+    from creek_spark.sources.walsender import encode_xlogdata
+    from tests.test_pgoutput import OTHER, begin, commit, delete, insert, update
+
+    frames = [
+        encode_xlogdata(0x10, begin(lsn=0x40)),
+        encode_xlogdata(0x10, OTHER),
+        encode_xlogdata(0x14, insert(55, 1, "one")),
+        encode_xlogdata(0x18, insert(55, 2, "two")),
+        encode_xlogdata(0x1C, update(55, new=(1, "uno"))),
+        encode_xlogdata(0x20, delete(55, (2, None))),
+        encode_xlogdata(0x40, commit(lsn=0x40)),
+    ]
+    tpath = tmp_path / "session.hex"
+    tpath.write_text("\n".join(f.hex() for f in frames) + "\n")
+    wal = str(tmp_path / "wal")
+    base = str(tmp_path / "cdc")
+
+    rc = main(
+        ["--available-now", "--transcript", str(tpath)],
+        {"CREEK_WAL_DIR": wal, "CREEK_BASE_DIR": base},
+    )
+    assert rc == 0
+    got = {
+        r["id"]: r["data"]
+        for r in spark.read.parquet(base + "/state/public_other")
+        .select("id", "data")
+        .collect()
+    }
+    assert got == {1: "uno"}
+
+    # re-run: resume state makes the ingest a no-op, state unchanged
+    rc2 = main(
+        ["--available-now", "--transcript", str(tpath), "--tables", "public.other"],
+        {"CREEK_WAL_DIR": wal, "CREEK_BASE_DIR": base},
+    )
+    assert rc2 == 0
+    got2 = {
+        r["id"]: r["data"]
+        for r in spark.read.parquet(base + "/state/public_other")
+        .select("id", "data")
+        .collect()
+    }
+    assert got2 == {1: "uno"}
