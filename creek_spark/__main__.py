@@ -29,6 +29,37 @@ def main(argv: list[str] | None = None, env: dict | None = None) -> int:
         spark.sparkContext.setLogLevel(cfg.log_level.upper())
 
     dyn = DynamicTables(spark, cfg.wal_dir, cfg.base_dir, None)
+    if cfg.walsender:
+        # Live socket mode: connect to a walsender endpoint (a real
+        # primary's replication port, or the TranscriptServer replay
+        # harness), stream until the server ends the copy stream, and
+        # stage everything received — same resume/ack semantics as the
+        # transcript path, same v3 protocol bytes as the reference.
+        import os as _os
+
+        from creek_spark.sources.walsender import (
+            SocketTransport,
+            WalSenderSession,
+            ingest_transcript_tables,
+        )
+
+        host, _, port = cfg.walsender.rpartition(":")
+        sess = WalSenderSession(
+            SocketTransport(
+                host or "127.0.0.1",
+                int(port),
+                slot=cfg.slot,
+                publication=cfg.publication,
+            ),
+            _os.path.join(cfg.base_dir, "walsender"),
+        )
+        written = ingest_transcript_tables(
+            spark, sess, cfg.wal_dir, dyn.registry, only=cfg.tables or None
+        )
+        for qname, n in sorted(written.items()):
+            print(f"ingested {n} rows for {qname}", file=sys.stderr)
+        if not cfg.tables:
+            cfg.tables = sorted(written)
     if cfg.transcript:
         # Ingest the recorded replication session FIRST: decode pgoutput,
         # derive each table's schema from the stream's own Relation

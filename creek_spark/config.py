@@ -35,11 +35,18 @@ class Config:
     # recorded replication-session transcript to ingest before the run
     # (walsender session → per-table staged envelope parquet)
     transcript: str = ""
+    # live walsender endpoint "host:port" (v3-protocol socket client);
+    # mutually exclusive with transcript
+    walsender: str = ""
+    slot: str = "creek"
+    publication: str = "creek"
     # reference serves promhttp on :7779 (cmd/creekd.go:48); None = off,
     # 0 = ephemeral (tests)
     metrics_port: int | None = None
 
     def validate(self) -> None:
+        if self.transcript and self.walsender:
+            raise ValueError("--transcript and --walsender are mutually exclusive")
         if not self.wal_dir:
             raise ValueError("wal_dir is required (CREEK_WAL_DIR / --wal-dir)")
         if not self.base_dir:
@@ -67,6 +74,9 @@ class Config:
             ),
             log_level=env.get("CREEK_LOG_LEVEL", "info"),
             transcript=env.get("CREEK_TRANSCRIPT", ""),
+            walsender=env.get("CREEK_WALSENDER", ""),
+            slot=env.get("CREEK_SLOT", "creek"),
+            publication=env.get("CREEK_PUBLICATION", "creek"),
             metrics_port=(
                 int(env["CREEK_METRICS_PORT"])
                 if "CREEK_METRICS_PORT" in env
@@ -81,6 +91,9 @@ class Config:
             "--trigger-seconds": "trigger_seconds",
             "--log-level": "log_level",
             "--transcript": "transcript",
+            "--walsender": "walsender",
+            "--slot": "slot",
+            "--publication": "publication",
             "--shuffle-partitions": "shuffle_partitions",
             "--metrics-port": "metrics_port",
         }

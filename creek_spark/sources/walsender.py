@@ -165,12 +165,22 @@ class WalSenderSession:
 
     # -- the receive loop ---------------------------------------------
 
-    def stream(self):
+    def stream(self, *, stop_on_copydone: bool = False):
         """Yield ``(wal_start_lsn, envelope_row)`` pairs in WAL order,
         excluding rows at or below the acked LSN (re-delivered data
-        after a resume).  Runs the full session protocol on the way."""
+        after a resume).  Runs the full session protocol on the way.
+
+        ``stop_on_copydone`` is the batch-drain mode (transcript/daemon
+        ingestion): ack the server's CopyDone and return instead of
+        restarting replication — the consumer commits once afterwards.
+        The default continuous mode restarts (replication.go:183-200),
+        bounded by a PROGRESS guard: a restart cycle that delivers no LSN
+        above the high-water mark ends the stream, so a replay backend
+        re-serving old data can't loop a non-acking consumer forever
+        (duplicates and keepalives don't count as progress)."""
         self.transport.send_start(self.acked_lsn)
-        rows_since_copydone = 1  # first CopyDone always restarts
+        hwm = self.acked_lsn
+        progress_since_copydone = True  # first CopyDone may restart
         for line in self.transport.frames():
             # (the transport's generator survives reconnects: it reads
             # whatever socket/line source the transport currently holds)
@@ -180,16 +190,10 @@ class WalSenderSession:
                 self.transport.send_start(self.acked_lsn)
                 continue
             if line == "!copydone":
-                # server ended the copy stream: ack CopyDone, then restart
-                # replication (replication.go:183-200) — unless the
-                # previous cycle yielded no NEW rows, in which case the
-                # stream is drained (a replay server re-delivering only
-                # already-acked data would otherwise loop forever;
-                # keepalives alone don't count as progress)
                 self.transport.send_copydone()
-                if rows_since_copydone == 0:
+                if stop_on_copydone or not progress_since_copydone:
                     break
-                rows_since_copydone = 0
+                progress_since_copydone = False
                 self.transport.send_start(self.acked_lsn)
                 continue
             frame = bytes.fromhex(line)
@@ -209,8 +213,10 @@ class WalSenderSession:
                     self.current_lsn = wal_start
                 rows = self.decoder.feed(frame[25:], wal_start)
                 if wal_start > self.acked_lsn:
+                    if rows and wal_start > hwm:
+                        hwm = wal_start
+                        progress_since_copydone = True
                     for r in rows:
-                        rows_since_copydone += 1
                         yield wal_start, r
                 self._maybe_status(clock)
                 continue
@@ -259,7 +265,7 @@ def ingest_transcript(
         total += len(buf)
         buf = []
 
-    for lsn, row in session.stream():
+    for lsn, row in session.stream(stop_on_copydone=True):
         buf.append(row)
         hi = max(hi, lsn)
         if len(buf) >= batch_rows:
@@ -569,7 +575,7 @@ def ingest_transcript_tables(
 
     per_table: dict[str, list[dict]] = {}
     hi = 0
-    for lsn, row in session.stream():
+    for lsn, row in session.stream(stop_on_copydone=True):
         qname = f"{row['source']['schema']}.{row['source']['table']}"
         if only and qname not in only:
             continue

@@ -190,3 +190,51 @@ def test_daemon_transcript_ingestion_end_to_end(spark, tmp_path):
         .collect()
     }
     assert got2 == {1: "uno"}
+
+
+def test_daemon_live_walsender_socket_end_to_end(spark, tmp_path):
+    """--walsender host:port: the daemon connects as a real v3-protocol
+    client (here to the TranscriptServer replay backend over TCP),
+    streams the session, stages per-table envelopes, and materializes
+    state — the reference's creekd capture loop end to end."""
+    from creek_spark.__main__ import main
+    from creek_spark.sources.walsender import TranscriptServer, encode_xlogdata
+    from tests.test_pgoutput import OTHER, begin, commit, insert, update
+
+    frames = [
+        encode_xlogdata(0x10, begin(lsn=0x40)),
+        encode_xlogdata(0x10, OTHER),
+        encode_xlogdata(0x14, insert(55, 5, "five")),
+        encode_xlogdata(0x18, update(55, new=(5, "cinq"))),
+        encode_xlogdata(0x40, commit(lsn=0x40)),
+    ]
+    tpath = tmp_path / "session.hex"
+    tpath.write_text("\n".join(f.hex() for f in frames) + "\n")
+    srv = TranscriptServer(str(tpath))
+    try:
+        rc = main(
+            [
+                "--available-now",
+                "--walsender", f"127.0.0.1:{srv.port}",
+                "--slot", "s_daemon",
+            ],
+            {
+                "CREEK_WAL_DIR": str(tmp_path / "wal"),
+                "CREEK_BASE_DIR": str(tmp_path / "cdc"),
+            },
+        )
+        assert rc == 0
+        got = {
+            r["id"]: r["data"]
+            for r in spark.read.parquet(str(tmp_path / "cdc/state/public_other"))
+            .select("id", "data")
+            .collect()
+        }
+        assert got == {5: "cinq"}
+        # the daemon really spoke the protocol: startup + slot in the query
+        assert any(r[0] == "startup" for r in srv.received)
+        assert any(
+            r[0] == "query" and "SLOT s_daemon" in r[1] for r in srv.received
+        )
+    finally:
+        srv.close()
