@@ -324,13 +324,20 @@ class SocketTransport:
 
     def __init__(self, host: str, port: int, *, user: str = "creek",
                  database: str = "postgres", slot: str = "creek",
-                 publication: str = "creek"):
+                 publication: str = "creek", reconnect_attempts: int = 3,
+                 reconnect_backoff_s: float = 0.2):
         self.addr = (host, port)
         self.user, self.database = user, database
         self.slot, self.publication = slot, publication
         self.sock = None
         self.sent: list[tuple] = []  # observability parity with transcripts
         self.sent_raw: list[bytes] = []
+        # tryConnect parity (replication.go:583-599): on connection loss
+        # the client redials with backoff; the reference retries forever,
+        # a library bounds it and surfaces the failure
+        self.reconnect_attempts = reconnect_attempts
+        self.reconnect_backoff_s = reconnect_backoff_s
+        self._drops = 0
 
     # -- handshake ----------------------------------------------------
 
@@ -367,7 +374,19 @@ class SocketTransport:
             # 'S' ParameterStatus / 'K' BackendKeyData: informational
 
     def send_start(self, lsn: int) -> None:
-        self._connect()
+        import time as _time
+
+        last_err = None
+        for attempt in range(self.reconnect_attempts + 1):
+            try:
+                self._connect()
+                last_err = None
+                break
+            except (ConnectionError, OSError) as e:
+                last_err = e
+                _time.sleep(self.reconnect_backoff_s * (2**attempt))
+        if last_err is not None:
+            raise last_err
         q = (
             f"START_REPLICATION SLOT {self.slot} LOGICAL {lsn_str(lsn)} "
             f"(proto_version '1', publication_names '{self.publication}')"
@@ -386,13 +405,22 @@ class SocketTransport:
 
     def frames(self):
         """Yield CopyData payloads (hex, matching TranscriptTransport)
-        until the server ends the copy stream or the connection drops
-        (surfaced as the session's '!copydone'/'!disconnect')."""
+        until the server ends the copy stream or the connection stays
+        down past the reconnect budget.  A drop is surfaced to the
+        session as '!disconnect' — the session then re-STARTs from its
+        acked LSN (send_start redials with backoff), mirroring the
+        reference's conn-closed → tryConnect → StartReplication path
+        (replication.go:137-148)."""
         while True:
             try:
                 tag, payload = _read_msg(self.sock)
             except (ConnectionError, OSError):
-                return  # server gone: session close-path sends final status
+                self._drops += 1
+                if self._drops > self.reconnect_attempts:
+                    return  # budget exhausted: session sends final status
+                yield "!disconnect"
+                continue
+            self._drops = 0  # healthy read resets the budget
             if tag == "d":
                 yield payload.hex()
             elif tag == "c":
@@ -434,10 +462,16 @@ class TranscriptServer:
     LSN are skipped (confirmed_flush semantics).  Records every client
     message in ``received`` for assertions."""
 
-    def __init__(self, transcript_path: str, *, host: str = "127.0.0.1"):
+    def __init__(self, transcript_path: str, *, host: str = "127.0.0.1",
+                 drop_after: int | None = None):
         import socket as _socket
         import threading
 
+        # fault injection: abruptly close the FIRST connection after N
+        # CopyData frames (subsequent connections serve normally) — the
+        # chaos knob for the client's reconnect-with-resume path
+        self.drop_after = drop_after
+        self._first_conn_handled = False
         with open(transcript_path) as f:
             self.lines = [
                 ln.strip()
@@ -502,6 +536,10 @@ class TranscriptServer:
             hi, lo = lsn_txt.split("/")
             start_lsn = (int(hi, 16) << 32) | int(lo, 16)
         _send_msg(conn, "W", struct.pack(">BH", 0, 0))  # CopyBothResponse
+        drop_budget = (
+            self.drop_after if not self._first_conn_handled else None
+        )
+        self._first_conn_handled = True
         conn.settimeout(0.05)
         # confirmed_flush semantics are TRANSACTION-level: skip whole
         # transactions whose commit (the Begin message's final LSN) is at
@@ -520,6 +558,11 @@ class TranscriptServer:
                 if ptag != b"R" and tx_final <= start_lsn:
                     continue
             _send_msg(conn, "d", frame)
+            if drop_budget is not None:
+                drop_budget -= 1
+                if drop_budget <= 0:
+                    conn.close()  # abrupt mid-stream death, no CopyDone
+                    return
             self._drain_client(conn)
         _send_msg(conn, "c", b"")  # server ends the copy stream
         # read until client CopyDone (collecting status updates)

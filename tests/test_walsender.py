@@ -312,3 +312,28 @@ def test_socket_transport_kill_restart_resume(tmp_path):
         assert any(" LOGICAL 0/18" in q for q in resumed), resumed
     finally:
         srv.close()
+
+
+def test_socket_mid_stream_server_drop_reconnect_resume(tmp_path):
+    """Chaos: the server kills the FIRST connection mid-stream with no
+    CopyDone.  The client's reconnect budget redials (tryConnect parity),
+    re-STARTs from its acked LSN, and the resumed stream converges to
+    the interpreter with no duplicates for an acking consumer."""
+    from creek_spark.sources.walsender import SocketTransport, TranscriptServer
+
+    path = _transcript(tmp_path / "s.hex", _events())
+    srv = TranscriptServer(path, drop_after=4)  # dies inside tx1
+    try:
+        t = SocketTransport("127.0.0.1", srv.port)
+        sess = WalSenderSession(t, str(tmp_path / "state"))
+        out = []
+        for lsn, row in sess.stream():
+            out.append(row)
+            sess.ack(lsn)
+        assert _interpret_ops(out) == {1: "a2", 3: "c"}
+        # insert(1) arrived exactly once despite the tx1 re-delivery
+        assert len([r for r in out if r["op"] == "c" and r["after"]["id"] == 1]) == 1
+        # two connections: the dropped one and the successful resume
+        assert len([r for r in srv.received if r[0] == "startup"]) >= 2
+    finally:
+        srv.close()
