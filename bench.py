@@ -129,6 +129,12 @@ def main() -> None:
             timings[name] = round(best, 3)
     # total = sum of per-query minima (NOT wall time of the rep loop)
     total = round(sum(timings.values()), 3)
+    # cross-round comparability: the r1 headline set's subtotal, excluding
+    # the rows promoted in round 6 (BASELINE.md §2 records the rule)
+    r6_added = ("ts_anomaly_mad", "customer_rfm")
+    r1_subset = round(
+        sum(v for k, v in timings.items() if k not in r6_added), 3
+    )
 
     # Bench-only EXTRAS (excluded from the frozen headline total): the
     # IVFADC ANN path vs the exact top-k it approximates, with measured
@@ -248,6 +254,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
+        "r1_subset_total_sec": r1_subset,
         "wall_sec": wall,
         "layout": layout,
         "data_dir": raw_sf_dir,

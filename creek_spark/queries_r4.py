@@ -274,8 +274,25 @@ def window_distribution(spark, sf_dir):
         {"_cle": (F.col("_vc"), "sum")},
     ).select("event_type", "value", "_vc", "_cle")
     n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
-    j = base.drop("_seg").join(vcum, ["event_type", "value"]).join(
-        F.broadcast(n), "event_type"
+    # null-safe joins: a NULL value (or type) is an ordinary partition /
+    # ordering value in the native window form — plain equality would
+    # silently drop those rows (round-5 ADVICE; segmented_running itself
+    # became null-safe in round 6, so the whole path now tolerates NULLs)
+    vcum_r = vcum.select(
+        F.col("event_type").alias("_kt"),
+        F.col("value").alias("_kv"),
+        "_vc",
+        "_cle",
+    )
+    j = (
+        base.drop("_seg")
+        .join(
+            vcum_r,
+            F.col("event_type").eqNullSafe(F.col("_kt"))
+            & F.col("value").eqNullSafe(F.col("_kv")),
+        )
+        .drop("_kt", "_kv")
+        .join(F.broadcast(n), "event_type")
     )
     rn, nn = F.col("_rn"), F.col("_n")
     base_sz = F.floor(nn / 4).cast("bigint")

@@ -242,3 +242,47 @@ def test_operator_persists_are_registered_and_releasable(spark, sf_dir):
     assert not cachereg._CACHES
     for df in cached:
         assert not df.storageLevel.useMemory and not df.storageLevel.useDisk
+
+
+def test_window_distribution_null_values_match_native(spark, tmp_path):
+    """NULL values (and whole-NULL groups) must rank exactly as the
+    native ntile/cume_dist/percent_rank windows rank them (NULL first) —
+    the closed-form derivation joins base rows to the distinct-value
+    summary null-safely (round-5 ADVICE follow-up)."""
+    import os
+
+    from pyspark.sql import Window
+
+    import __spark_entry__ as em
+
+    rows = [
+        (1, "a", 1.0),
+        (2, "a", None),
+        (3, "a", 2.0),
+        (4, "b", None),
+        (5, "b", None),
+        (6, "a", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    fn = em._catalog()["window_distribution"].fn
+    got = {
+        r["event_id"]: (r["quartile"], round(r["cume_d"], 9), round(r["pct_rank"], 9))
+        for r in fn(spark, d).collect()
+    }
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    wv = Window.partitionBy("event_type").orderBy(F.col("value"))
+    native = df.select(
+        "event_id",
+        F.ntile(4).over(w).alias("q"),
+        F.cume_dist().over(wv).alias("cd"),
+        F.percent_rank().over(wv).alias("pr"),
+    )
+    want = {
+        r["event_id"]: (r["q"], round(r["cd"], 9), round(r["pr"], 9))
+        for r in native.collect()
+    }
+    assert len(got) == len(rows)  # no NULL row silently dropped
+    assert got == want
