@@ -196,19 +196,21 @@ def rank_pick(
         .withColumn("_bkt", bucket_col)
     )
     if persist:
-        # three consumers (count, bucket counts, target-bucket revisit)
-        # re-evaluate the input subtree otherwise — same trade-off as
+        # two consumers (bucket counts, target-bucket revisit) re-evaluate
+        # the input subtree otherwise — same trade-off as
         # segmented_running's persist knob; registered for caller-owned
         # release (cachereg.release_caches)
         from creek_spark.operators.cachereg import register_cache
 
         work = register_cache(work)
-    nk = work.groupBy(*gcols).agg(F.count(F.lit(1)).alias("_n"))
+    b1 = work.groupBy(*gcols, "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    # group sizes fold from the bucket summary — NOT a second corpus
+    # scan/exchange (Σ per-bucket counts ≡ the group count exactly)
+    nk = b1.groupBy(*gcols).agg(F.sum("_cnt").alias("_n"))
     ks = nk.select(
         *gcols,
         F.posexplode(F.array(*ranks_fn(F.col("_n")))).alias("_ki", "_k"),
     )
-    b1 = work.groupBy(*gcols, "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     # cumulative bucket counts via the segmented prefix sum (1024-bucket
     # super-segments), so even a pathological bucket cardinality never
     # sorts the whole summary in one task
