@@ -463,3 +463,32 @@ class Engine:
         from creek_spark.sources.creek_wire import ReferenceWireCodec
 
         return ReferenceWireCodec(relation)
+
+    def leakage_safe_split(self, docs, pairs, id_col, fractions, **kw):
+        """Cluster-aware train/val/test split: near-duplicate components
+        share one split (operators/pipeline.py)."""
+        from creek_spark.operators.pipeline import leakage_safe_split
+
+        return leakage_safe_split(docs, pairs, id_col, fractions, **kw)
+
+    def temperature_mix(self, df, stratum_col, id_col, *, budget, **kw):
+        """Temperature-(τ=0.5) mixture sampling with integer quotas and
+        md5-rank selection (operators/pipeline.py)."""
+        from creek_spark.operators.pipeline import temperature_mix_sample
+
+        return temperature_mix_sample(
+            df, stratum_col, id_col, budget=budget, **kw
+        )
+
+    def distribution_drift(self, df, group_col, value_col, **kw):
+        """Per-group total-variation drift vs the corpus distribution
+        (operators/quality.py)."""
+        from creek_spark.operators.quality import distribution_drift
+
+        return distribution_drift(df, group_col, value_col, **kw)
+
+    def embedding_dim_stats(self, df, vec_col="embedding"):
+        """Per-dimension embedding statistics (operators/profile.py)."""
+        from creek_spark.operators.profile import embedding_dim_stats
+
+        return embedding_dim_stats(df, vec_col)

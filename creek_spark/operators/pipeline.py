@@ -202,6 +202,101 @@ def split_assign(
     return df.withColumn("split", expr.otherwise(F.lit(biggest)))
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fractions: dict[str, int],
+    *,
+    salt: str = "split",
+) -> DataFrame:
+    """Cluster-aware dataset splitting: near-duplicate documents (the
+    connected components of the candidate-pair graph) are assigned to the
+    SAME split, so a train/test boundary can never separate two
+    near-copies — the leakage mode plain row-hash splitting
+    (``split_assign``) cannot prevent, and the reason eval suites look
+    inflated after a naive split of a deduplicated-but-clustered corpus.
+
+    Output: (``id_col``, cluster_rep, split) — one row per input
+    document; ``cluster_rep`` is the smallest id in the document's
+    duplicate cluster (the document's own id when it has no near-dups),
+    and ``split`` is the md5-threshold assignment of the REP, shared by
+    the whole cluster.
+
+    Scale shape: components come from the checkpointed min-label
+    propagation (dedup.connected_components — O(diameter) rounds, O(1)
+    plan growth per round); the final join is corpus ⋈ components on the
+    id — components is bounded by the number of *duplicated* docs, a
+    small fraction of the corpus, and the split itself is a stateless
+    per-row md5 predicate with no shuffle."""
+    from creek_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs).withColumnRenamed("doc", "_cc_doc")
+    out = (
+        docs.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("_cc_doc"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster_rep"),
+        )
+    )
+    return split_assign(out, "cluster_rep", fractions, salt=salt)
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    *,
+    budget: int,
+    weight_scale: int = 1_000_000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based mixture sampling (τ = 0.5): per-stratum quotas
+    proportional to sqrt(stratum size), the standard rebalancing move for
+    multilingual / multi-source pretraining mixes — large strata are
+    downweighted, small strata over-represented relative to proportional
+    sampling, without the duplication of full temperature upsampling.
+
+    Quotas are computed in INTEGER arithmetic so two engines agree
+    bit-for-bit: w_g = floor(sqrt(n_g) · weight_scale) (sqrt is IEEE
+    correctly-rounded in both engines), quota_g = (budget · w_g) DIV Σw.
+    Selection within a stratum is the md5-rank order (deterministic,
+    engine-independent).
+
+    Scale shape: the quota table is one tiny aggregate (|strata| rows,
+    broadcast); ranking uses segmented_running — rows window within
+    (stratum, md5-2-hex-prefix) segments with broadcast offsets — so no
+    low-cardinality-partition sort ever materializes."""
+    from creek_spark.operators.distributed import segmented_running
+
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    weights = counts.withColumn(
+        "_w",
+        F.floor(
+            F.sqrt(F.col("_n").cast("double")) * F.lit(float(weight_scale))
+        ).cast("long"),
+    )
+    total = weights.agg(F.sum("_w").alias("_tw"))
+    quotas = weights.crossJoin(F.broadcast(total)).select(
+        stratum_col,
+        F.expr(f"(CAST({budget} AS BIGINT) * _w) DIV _tw").alias("_quota"),
+    )
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = segmented_running(
+        df.withColumn("_skey", key),
+        [stratum_col],
+        F.substring(F.col("_skey"), 1, 2),
+        [F.col("_skey"), F.col(id_col)],
+        {"_srank": (F.lit(1), "rownum")},
+    )
+    return (
+        base.join(F.broadcast(quotas), stratum_col)
+        .where(F.col("_srank") <= F.col("_quota"))
+        .drop("_srank", "_quota", "_skey", "_seg")
+    )
+
+
 def contamination_overlap(
     corpus: DataFrame,
     bench: DataFrame,

@@ -155,3 +155,59 @@ def profile_oracle_sql(table: str, columns: list[tuple[str, str]]) -> str:
 FROM {table}"""
         )
     return "\nUNION ALL\n".join(branches)
+
+
+def embedding_dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension statistics of an embedding column: count, mean,
+    variance, min, max for every vector position — the sanity pass before
+    any ANN index build or semantic dedup (dead dimensions, scale
+    imbalance, and clipped values all show up here first).
+
+    Output: (dim BIGINT 1-based, n BIGINT, mean, variance, vmin, vmax —
+    all DOUBLE).
+
+    Determinism: values are quantized with an explicit FLOOR (v·1e9 and
+    v²·1e12 — floor has no rounding ties, unlike a double→decimal cast,
+    which engines tie-break differently) and summed exactly as
+    DECIMAL(38,0); mean/variance are then a fixed-order chain of IEEE
+    ops on identical exact sums (var = E[x²] − mean², two divisions and
+    one multiply).  Quantization bias is ≤ 1e-9 per value — irrelevant
+    for a profiling pass, and the price of bit-identical cross-engine
+    results.
+
+    Scale shape: ONE scan + posexplode feeding a hash aggregate keyed on
+    the dimension index — d distinct keys, so map-side partial
+    aggregation reduces the shuffle to d rows per task regardless of
+    corpus size.  No window, no join, no skew (dimensions are uniform by
+    construction)."""
+    x = df.select(F.posexplode(F.col(vec_col)).alias("_pos", "_v")).select(
+        (F.col("_pos") + 1).cast("bigint").alias("dim"),
+        F.col("_v").cast("double").alias("_v"),
+    )
+    agg = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("_v") * F.lit(1_000_000_000.0)).cast("decimal(38,0)")
+        ).alias("_s"),
+        F.sum(
+            F.floor(
+                F.col("_v") * F.col("_v") * F.lit(1_000_000_000_000.0)
+            ).cast("decimal(38,0)")
+        ).alias("_ss"),
+        F.min("_v").alias("vmin"),
+        F.max("_v").alias("vmax"),
+    )
+    mean = F.col("_s").cast("double") / (
+        F.lit(1_000_000_000.0) * F.col("n").cast("double")
+    )
+    meansq = F.col("_ss").cast("double") / (
+        F.lit(1_000_000_000_000.0) * F.col("n").cast("double")
+    )
+    return agg.select(
+        "dim",
+        F.col("n").cast("bigint").alias("n"),
+        mean.alias("mean"),
+        (meansq - mean * mean).alias("variance"),
+        "vmin",
+        "vmax",
+    )

@@ -10,7 +10,7 @@ aggregations with pushdown-friendly predicates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,3 +64,78 @@ def dq_audit(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def distribution_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    bin_width: int,
+    n_bins: int,
+) -> DataFrame:
+    """Distribution-drift report: total-variation distance between each
+    group's distribution of ``value_col`` (fixed-width integer bins,
+    top bin open) and the whole-corpus distribution — the per-source /
+    per-snapshot drift monitor a pipeline runs before mixing a new crawl
+    into the training corpus.
+
+    Output: (``group_col``, n_docs BIGINT, tvd DOUBLE) with
+    tvd = ½ Σ_b |c_gb/n_g − c_b/N| ∈ [0, 1].
+
+    Determinism: the bin sum is computed entirely in INTEGER arithmetic —
+    ½ Σ|c_gb·N − c_b·n_g| / (n_g·N) — so engines agree bit-for-bit; the
+    single final division is one IEEE op on identical operands.
+
+    Scale shape: ONE corpus scan feeds the (group, bin) count; per-group
+    totals, per-bin corpus counts, and the grand total attach to that
+    summary with unordered windows OVER THE SUMMARY itself
+    (|groups|·|bins| rows — metadata-sized, so even the global window is
+    a one-task no-op by construction).  Bins where a group has zero rows
+    are folded algebraically (their |0 − c_b·n_g| terms sum to
+    n_g·(N − Σ_observed c_b)) instead of materializing a grid — no
+    second corpus pass, no joins, no skew (bins bounded by
+    ``n_bins``)."""
+    bin_expr = F.least(
+        F.expr(f"CAST({value_col} AS BIGINT) DIV {bin_width}"),
+        F.lit(n_bins - 1).cast("bigint"),
+    ).alias("_bin")
+    binned = df.select(F.col(group_col), bin_expr)
+    gb = binned.groupBy(group_col, "_bin").agg(
+        F.count(F.lit(1)).alias("_c_gb")
+    )
+    w_g = Window.partitionBy(group_col)
+    w_b = Window.partitionBy("_bin")
+    w_all = Window.partitionBy()
+    cells = gb.select(
+        F.col(group_col),
+        "_c_gb",
+        F.sum("_c_gb").over(w_g).alias("_n_g"),
+        F.sum("_c_gb").over(w_b).alias("_c_b"),
+        F.sum("_c_gb").over(w_all).alias("_n"),
+    )
+    term = F.abs(
+        F.col("_c_gb") * F.col("_n") - F.col("_c_b") * F.col("_n_g")
+    )
+    return (
+        cells.groupBy(group_col, "_n_g", "_n")
+        .agg(
+            F.sum(term).alias("_sum_abs"),
+            F.sum("_c_b").alias("_sum_cb"),
+        )
+        .select(
+            F.col(group_col),
+            F.col("_n_g").cast("bigint").alias("n_docs"),
+            (
+                (
+                    F.col("_sum_abs")
+                    + F.col("_n_g") * (F.col("_n") - F.col("_sum_cb"))
+                ).cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("_n_g").cast("double")
+                    * F.col("_n").cast("double")
+                )
+            ).alias("tvd"),
+        )
+    )

@@ -1,0 +1,219 @@
+"""Query catalog, part 8: corpus-curation operators layered on the dedup
+and pipeline families — leakage-safe splitting, temperature mixing,
+distribution-drift monitoring, and embedding-dimension profiling.
+
+Determinism rules as in queries.py (decimal sandwich, integer quota
+arithmetic, IEEE-only scalar math, md5 orderings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from creek_spark.queries import _t, register
+from creek_spark.queries_northstar import (
+    BANDS,
+    N_HASHES,
+    SHINGLE_K,
+    _cluster_oracle,
+)
+from creek_spark.operators import dedup as dd
+
+
+# =====================================================================
+# leakage-safe splitting (clusters share a split)
+# =====================================================================
+
+SPLIT_FRACTIONS = {"train": 90, "val": 5, "test": 5}
+SPLIT_SALT = "split"
+
+
+def _split_case() -> str:
+    """The md5-threshold CASE mirroring pipeline.split_assign for
+    SPLIT_FRACTIONS: sorted names, cumulative /256 thresholds."""
+    acc, arms = 0, []
+    names = sorted(SPLIT_FRACTIONS)
+    for name in names[:-1]:
+        acc += SPLIT_FRACTIONS[name]
+        thr = format(int(acc * 256 / 100), "02x")
+        arms.append(f"WHEN _fb < '{thr}' THEN '{name}'")
+    return (
+        f"CASE "
+        + " ".join(arms)
+        + f" ELSE '{names[-1]}' END"
+    )
+
+
+def _leakage_split_oracle() -> str:
+    """Splice the recursive-closure component CTEs (same as
+    dedup_clusters' oracle) into a CTE, then LEFT JOIN every document and
+    split on the md5 of the component representative."""
+    cluster_sql = _cluster_oracle().strip()
+    with_part, final_select = cluster_sql.rsplit("SELECT s AS doc", 1)
+    with_part = with_part.rstrip()
+    if not with_part.endswith(","):
+        with_part += ","
+    case = _split_case()
+    return f"""
+    {with_part}
+    comp AS (SELECT s AS doc{final_select}),
+    rep AS (SELECT d.doc_id,
+                   COALESCE(c.cluster, d.doc_id) AS cluster_rep
+            FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+    fb AS (SELECT doc_id, cluster_rep,
+                  substring(md5('{SPLIT_SALT}' || CAST(cluster_rep AS VARCHAR)), 1, 2) AS _fb
+           FROM rep)
+    SELECT doc_id, cluster_rep, {case} AS split FROM fb
+    """
+
+
+@register("split_leakage_safe", _leakage_split_oracle(), "pipeline")
+def split_leakage_safe(spark, sf_dir):
+    """Cluster-aware train/val/test split: every near-duplicate cluster
+    (connected components over the MinHash-LSH candidate pairs, exactly
+    dedup_clusters' graph) lands in ONE split, keyed on the md5 of the
+    cluster representative — the split that makes held-out evaluation
+    honest on a corpus with near-dups.
+
+    The oracle recomputes the components with a recursive transitive
+    closure and applies the identical md5-threshold assignment — exact
+    match despite the Spark side being an iterative
+    (checkpoint-truncated) algorithm."""
+    from creek_spark.operators.pipeline import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_candidates(
+        docs, "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, shingle_k=SHINGLE_K,
+    )
+    return leakage_safe_split(docs, pairs, "doc_id", SPLIT_FRACTIONS,
+                              salt=SPLIT_SALT)
+
+
+# =====================================================================
+# temperature-based source mixing
+# =====================================================================
+
+MIX_BUDGET = 200
+MIX_SALT = "mix"
+MIX_SCALE = 1_000_000
+
+
+def _mix_temperature_oracle() -> str:
+    return f"""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang),
+    w AS (SELECT lang,
+                 CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * {float(MIX_SCALE)}) AS BIGINT) AS w
+          FROM c),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+    q AS (SELECT lang, (CAST({MIX_BUDGET} AS BIGINT) * w) // tw AS quota
+          FROM w, tot),
+    r AS (SELECT doc_id, lang, n_chars,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5('{MIX_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rk
+          FROM documents)
+    SELECT r.doc_id, r.lang, r.n_chars
+    FROM r JOIN q USING (lang) WHERE rk <= quota
+    """
+
+
+@register("mix_temperature", _mix_temperature_oracle(), "pipeline")
+def mix_temperature(spark, sf_dir):
+    """Temperature-(τ=0.5) mixture sampling over languages: per-language
+    quotas ∝ sqrt(count) — the multilingual rebalancing move — with
+    integer quota arithmetic and md5-rank selection so both engines pick
+    the exact same rows.  The oracle's per-language ROW_NUMBER window is
+    computed distributed via segmented_running (no low-cardinality
+    partition sort)."""
+    from creek_spark.operators.pipeline import temperature_mix_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mix_sample(
+        docs, "lang", "doc_id",
+        budget=MIX_BUDGET, weight_scale=MIX_SCALE, salt=MIX_SALT,
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+# =====================================================================
+# distribution drift (per-source TVD vs the corpus)
+# =====================================================================
+
+DRIFT_BIN_WIDTH = 100
+DRIFT_N_BINS = 6
+
+
+def _drift_oracle() -> str:
+    w, nb = DRIFT_BIN_WIDTH, DRIFT_N_BINS
+    return f"""
+    WITH b AS (SELECT source,
+                      LEAST(CAST(n_chars AS BIGINT) // {w}, {nb - 1}) AS bin
+               FROM documents),
+    gb AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c_gb
+           FROM b GROUP BY source, bin),
+    gt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g FROM b GROUP BY source),
+    cb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c_b FROM b GROUP BY bin),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+    grid AS (SELECT gt.source, gt.n_g, cb.bin, cb.c_b, n.n,
+                    COALESCE(gb.c_gb, 0) AS c_gb
+             FROM gt CROSS JOIN cb CROSS JOIN n
+             LEFT JOIN gb ON gb.source = gt.source AND gb.bin = cb.bin)
+    SELECT source, CAST(n_g AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(ABS(c_gb * n - c_b * n_g)) AS BIGINT) AS DOUBLE)
+               / (2.0 * CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE)) AS tvd
+    FROM grid GROUP BY source, n_g, n
+    """
+
+
+@register("quality_drift_tvd", _drift_oracle(), "quality")
+def quality_drift_tvd(spark, sf_dir):
+    """Per-source distribution drift: total-variation distance between
+    each source's document-length distribution (100-char bins, top bin
+    open) and the whole corpus — the pre-mix drift monitor.  Integer bin
+    sums, one final IEEE division; one corpus scan, everything after is
+    aggregate-sized and broadcast."""
+    from creek_spark.operators.quality import distribution_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return distribution_drift(
+        docs, "source", "n_chars",
+        bin_width=DRIFT_BIN_WIDTH, n_bins=DRIFT_N_BINS,
+    )
+
+
+# =====================================================================
+# embedding-dimension profiling
+# =====================================================================
+
+EMB_DIM_STATS_ORACLE = """
+WITH pos AS (SELECT unnest(generate_series(1, len(embedding))) AS dim,
+                    unnest([CAST(x AS DOUBLE) FOR x IN embedding]) AS v
+             FROM embeddings),
+a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(v * 1000000000.0) AS DECIMAL(38,0))) AS s,
+             SUM(CAST(FLOOR(v * v * 1000000000000.0) AS DECIMAL(38,0))) AS ss,
+             MIN(v) AS vmin, MAX(v) AS vmax
+      FROM pos GROUP BY dim)
+SELECT dim, n,
+       CAST(s AS DOUBLE) / (1000000000.0 * CAST(n AS DOUBLE)) AS mean,
+       CAST(ss AS DOUBLE) / (1000000000000.0 * CAST(n AS DOUBLE))
+           - (CAST(s AS DOUBLE) / (1000000000.0 * CAST(n AS DOUBLE)))
+             * (CAST(s AS DOUBLE) / (1000000000.0 * CAST(n AS DOUBLE))) AS variance,
+       vmin, vmax
+FROM a
+"""
+
+
+@register("embedding_dim_stats", EMB_DIM_STATS_ORACLE, "similarity")
+def embedding_dim_stats_q(spark, sf_dir):
+    """Per-dimension embedding statistics (count/mean/variance/min/max):
+    the index-build sanity pass.  posexplode → hash aggregate on the
+    dimension index (64 keys, map-side combine), decimal-sandwich sums,
+    fixed-order IEEE mean/variance."""
+    from creek_spark.operators.profile import embedding_dim_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb, "embedding")
