@@ -492,3 +492,10 @@ class Engine:
         from creek_spark.operators.profile import embedding_dim_stats
 
         return embedding_dim_stats(df, vec_col)
+
+    def streaming_drift_monitor(self, state_dir: str, **kw):
+        """Incrementally-maintained distribution-drift monitor, batch-
+        identical to quality_drift_tvd (streaming/detectors.py)."""
+        from creek_spark.streaming.detectors import StreamingDriftMonitor
+
+        return StreamingDriftMonitor(self.spark, state_dir, **kw)

@@ -104,6 +104,15 @@ def distribution_drift(
     gb = binned.groupBy(group_col, "_bin").agg(
         F.count(F.lit(1)).alias("_c_gb")
     )
+    return drift_from_cells(gb, group_col)
+
+
+def drift_from_cells(gb: DataFrame, group_col: str) -> DataFrame:
+    """The cells → TVD fold shared by the batch operator and the
+    streaming mirror: ``gb`` is the (group, _bin, _c_gb) count summary —
+    from one corpus scan in the batch path, from the additive rollup
+    state in the streaming path.  Because counts are exact integers and
+    the fold is the same plan, incremental == batch bit-for-bit."""
     w_g = Window.partitionBy(group_col)
     w_b = Window.partitionBy("_bin")
     w_all = Window.partitionBy()

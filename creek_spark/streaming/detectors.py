@@ -417,3 +417,73 @@ class StreamingCorpusReport:
             ).alias("mean_quality"),
             F.sum("n_low").cast("bigint").alias("n_low_quality"),
         )
+
+
+class StreamingDriftMonitor:
+    """Continuously-maintained distribution-drift monitor — the streaming
+    twin of the ``quality_drift_tvd`` catalog query (per-group
+    total-variation distance vs the whole-corpus distribution over
+    fixed-width value bins).
+
+    The state is the (group, bin) count summary itself — the minimal
+    sufficient statistic for TVD, perfectly additive — so ingest cost is
+    one partial-aggregated groupBy per micro-batch and state size is
+    |groups|·|bins| rows regardless of corpus size.  The report fold is
+    the literal ``drift_from_cells`` plan the batch operator uses
+    (integer bin sums, zero-cells folded algebraically, one final IEEE
+    division), so incremental == batch bit-for-bit — the sixth proof
+    (tests/test_streaming_rollup.py::test_streaming_drift_equals_batch).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        group_col: str = "source",
+        value_col: str = "n_chars",
+        bin_width: int = 100,
+        n_bins: int = 6,
+    ):
+        self.spark = spark
+        self.group_col = group_col
+        self.value_col = value_col
+        self.bin_width = bin_width
+        self.n_bins = n_bins
+        self.sink = AdditiveRollupSink(
+            spark, state_dir, [group_col, "_bin"], ["_c_gb"], group_col
+        )
+
+    def cells_tier(self, batch: DataFrame) -> DataFrame:
+        """micro-batch → additive (group, bin) count cells — the same
+        projection + groupBy the batch operator computes from its one
+        corpus scan."""
+        bin_expr = F.least(
+            F.expr(f"CAST({self.value_col} AS BIGINT) DIV {self.bin_width}"),
+            F.lit(self.n_bins - 1).cast("bigint"),
+        ).alias("_bin")
+        return (
+            batch.select(F.col(self.group_col), bin_expr)
+            .groupBy(self.group_col, "_bin")
+            .agg(F.count(F.lit(1)).alias("_c_gb"))
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self.sink.apply_batch(self.cells_tier(batch), batch_id)
+
+    def foreach_batch(self):
+        return self.sink.foreach_batch(self.cells_tier)
+
+    def report(self) -> DataFrame:
+        """The quality_drift_tvd frame over everything streamed so far —
+        bit-for-bit the batch operator's output (integer cells, shared
+        fold)."""
+        from creek_spark.operators.quality import drift_from_cells
+
+        cur = self.sink.current()
+        if cur is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        cells = cur.groupBy(self.group_col, "_bin").agg(
+            F.sum("_c_gb").cast("bigint").alias("_c_gb")
+        )
+        return drift_from_cells(cells, self.group_col)

@@ -270,3 +270,31 @@ def test_streaming_corpus_report_equals_batch(spark, sf_dir, tmp_path):
         docs.where(F.col("doc_id") >= splits[-1][0]), len(splits) - 1
     )
     assert key(det.report()) == want
+
+
+def test_streaming_drift_equals_batch(spark, sf_dir, tmp_path):
+    """Sixth incremental == batch proof: the (group, bin) drift state
+    maintained from document micro-batches reproduces the batch
+    quality_drift_tvd report bit-for-bit, and a replayed batch is a
+    no-op."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import StreamingDriftMonitor
+
+    docs = read_table(spark, sf_dir, "documents")
+    det = StreamingDriftMonitor(spark, str(tmp_path / "dstate"))
+    splits = [(0, 40), (40, 90), (90, 10**12)]
+    for i, (lo, hi) in enumerate(splits):
+        det.apply_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), i
+        )
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    batch = entrymod._catalog()["quality_drift_tvd"].fn(spark, sf_dir)
+    got, want = key(det.report()), key(batch)
+    assert len(got) > 0
+    assert got == want
+    # replay fence: re-applying the last batch must not double-count
+    det.apply_batch(
+        docs.where(F.col("doc_id") >= splits[-1][0]), len(splits) - 1
+    )
+    assert key(det.report()) == want
