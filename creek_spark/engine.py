@@ -499,3 +499,9 @@ class Engine:
         from creek_spark.streaming.detectors import StreamingDriftMonitor
 
         return StreamingDriftMonitor(self.spark, state_dir, **kw)
+
+    def ngram_novelty(self, df, text_col="text", id_col="doc_id", *, k=3):
+        """Per-document k-gram novelty score (operators/text.py)."""
+        from creek_spark.operators.text import ngram_novelty
+
+        return ngram_novelty(df, text_col, id_col, k=k)

@@ -6,7 +6,7 @@ run at full scan speed and are bit-identical to an ANSI-SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from creek_spark.functions.text import norm_text, tokens
@@ -534,4 +534,44 @@ def bm25_topk(
         .withColumnRenamed("_doc", id_col)
         .orderBy(F.col("score_i").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    k-word shingles that appear in NO other document — the
+    diversity/novelty score used to prefer documents that add new content
+    to a training mix (the complement of the boilerplate that passage
+    dedup removes).
+
+    Output: (doc, n_shingles BIGINT, n_unique BIGINT, novelty DOUBLE)
+    with novelty = n_unique / n_shingles; documents shorter than k tokens
+    have no shingles and are absent (identically in the SQL oracle).
+
+    Scale shape: ONE corpus scan → distinct (doc, shingle) rows; the
+    document frequency attaches with an unordered COUNT window
+    partitioned by shingle (high-cardinality key — bounded partitions,
+    no sort), and the per-doc fold is one hash aggregate.  No self-join,
+    no second pass over the text; a hot shingle costs its own occurrence
+    count, never occurrences²."""
+    from creek_spark.operators.dedup import shingle_rows
+
+    sh = shingle_rows(df, text_col, id_col, k)
+    w = Window.partitionBy("shingle")
+    dfreq = sh.select("doc", F.count(F.lit(1)).over(w).alias("_df"))
+    return dfreq.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unique"),
+    ).select(
+        "doc",
+        "n_shingles",
+        "n_unique",
+        (
+            F.col("n_unique").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
     )

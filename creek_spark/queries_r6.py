@@ -217,3 +217,37 @@ def embedding_dim_stats_q(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_dim_stats(emb, "embedding")
+
+
+# =====================================================================
+# n-gram novelty scoring
+# =====================================================================
+
+NOVELTY_K = 3
+
+
+def _novelty_oracle() -> str:
+    from creek_spark.queries_northstar import _sql_shingles
+
+    return f"""
+    WITH {_sql_shingles(NOVELTY_K)},
+    fr AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+           FROM sh GROUP BY shingle)
+    SELECT sh.doc, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh JOIN fr USING (shingle) GROUP BY sh.doc
+    """
+
+
+@register("text_ngram_novelty", _novelty_oracle(), "text")
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty (fraction of shingles unique to the
+    document corpus-wide) — the add-new-content preference signal.  One
+    scan, document frequency via an unordered shingle-partitioned window
+    (no self-join), one per-doc hash aggregate."""
+    from creek_spark.operators.text import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "text", "doc_id", k=NOVELTY_K)

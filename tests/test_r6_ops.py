@@ -224,3 +224,43 @@ def test_mix_temperature_no_order_only_window(spark):
     plan = explain_str(df)
     for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
         assert spec in ("lang", "_seg"), plan
+
+
+# ------------------------------------------------------------- novelty
+
+
+def test_ngram_novelty_brute_force(spark):
+    """Novelty equals the python set formulation on the real corpus."""
+    from creek_spark.operators.text import ngram_novelty
+    from creek_spark.functions.text import tokens
+
+    docs = read_table(spark, SF_DIR, "documents")
+    out = {r["doc"]: r for r in ngram_novelty(docs, "text", "doc_id").collect()}
+    toks = docs.select("doc_id", tokens("text").alias("t")).collect()
+    sh = {
+        r["doc_id"]: {
+            " ".join(r["t"][i : i + 3]) for i in range(len(r["t"]) - 2)
+        }
+        for r in toks
+    }
+    from collections import Counter
+
+    df_count = Counter(s for ss in sh.values() for s in ss)
+    for doc, ss in sh.items():
+        if not ss:
+            assert doc not in out
+            continue
+        uniq = sum(1 for s in ss if df_count[s] == 1)
+        r = out[doc]
+        assert r["n_shingles"] == len(ss)
+        assert r["n_unique"] == uniq
+        assert r["novelty"] == uniq / len(ss)
+
+
+def test_ngram_novelty_plan_no_self_join(spark):
+    """One corpus scan; document frequency rides a shingle-partitioned
+    window, not a shingle self-join."""
+    df = _catalog()["text_ngram_novelty"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("Scan parquet") == 2, plan  # tree + detail = 1 scan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
