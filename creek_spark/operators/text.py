@@ -6,10 +6,10 @@ run at full scan speed and are bit-identical to an ANSI-SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from creek_spark.functions.text import norm_text, tokens
+from creek_spark.functions.text import norm_text, shingles_from_tokens, tokens
 
 # tiny multilingual marker lists for the n-gram/stopword language heuristic
 LANG_MARKERS = {
@@ -550,28 +550,54 @@ def ngram_novelty(
     with novelty = n_unique / n_shingles; documents shorter than k tokens
     have no shingles and are absent (identically in the SQL oracle).
 
-    Scale shape: ONE corpus scan → distinct (doc, shingle) rows; the
-    document frequency attaches with an unordered COUNT window
-    partitioned by shingle (high-cardinality key — bounded partitions,
-    no sort), and the per-doc fold is one hash aggregate.  No self-join,
-    no second pass over the text; a hot shingle costs its own occurrence
-    count, never occurrences²."""
-    from creek_spark.operators.dedup import shingle_rows
+    Scale shape — every step is skew-free by construction:
 
-    sh = shingle_rows(df, text_col, id_col, k)
-    w = Window.partitionBy("shingle")
-    dfreq = sh.select("doc", F.count(F.lit(1)).over(w).alias("_df"))
-    return dfreq.groupBy("doc").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-        F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_unique"),
-    ).select(
-        "doc",
-        "n_shingles",
-        "n_unique",
-        (
-            F.col("n_unique").cast("double")
-            / F.col("n_shingles").cast("double")
-        ).alias("novelty"),
+    * per-doc distinct shingles come from an IN-ROW ``array_distinct``
+      (no dedup shuffle), so ``n_shingles`` is a pure map-side column;
+    * the shingle-frequency aggregate carries ``min(doc)`` beside the
+      count, so a corpus-unique shingle already KNOWS its owning
+      document — there is no join back to the shingle stream (the shape
+      that would hash every occurrence of a hot shingle to one task:
+      a shingle-partitioned window or a shingle-keyed join both do);
+      map-side partial aggregation collapses a hot shingle to one row
+      per task before the shuffle;
+    * the final join is (doc → doc) between two per-document frames —
+      uniform keys, broadcast-or-SMJ as AQE prefers.
+
+    Cost: two text scans (the doc-side one is shuffle-free); the only
+    corpus-scale shuffle is the partial-aggregated shingle count."""
+    # pre-filter on the RAW token count (shingles exist ⟺ ≥ k tokens):
+    # a filter on the derived shingle count would be pushed below the
+    # token-materializing projection and re-inline the tokenize regex
+    # once per element — the O(tokens²) trap shingles_from_tokens
+    # documents.  size(split(...)) is one linear pass in the scan filter.
+    toked = (
+        df.where(F.size(tokens(text_col)) >= k)
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("_toks"))
+    )
+    sh_arr = F.array_distinct(shingles_from_tokens(F.col("_toks"), k))
+    per_doc = toked.select(
+        "doc", F.size(sh_arr).cast("bigint").alias("n_shingles")
+    )
+    freq = (
+        toked.select("doc", F.explode(sh_arr).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"), F.min("doc").alias("_only_doc"))
+    )
+    uniq = (
+        freq.where(F.col("_df") == 1)
+        .groupBy(F.col("_only_doc").alias("doc"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+    )
+    return (
+        per_doc.join(uniq, "doc", "left")
+        .select(
+            "doc",
+            "n_shingles",
+            F.coalesce(F.col("n_unique"), F.lit(0)).cast("bigint").alias("n_unique"),
+            (
+                F.coalesce(F.col("n_unique"), F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
     )

@@ -257,13 +257,30 @@ def test_ngram_novelty_brute_force(spark):
         assert r["novelty"] == uniq / len(ss)
 
 
-def test_ngram_novelty_plan_no_self_join(spark):
-    """One corpus scan; document frequency rides a shingle-partitioned
-    window, not a shingle self-join."""
+def test_ngram_novelty_plan_skew_free(spark):
+    """No shingle-keyed window and no join back to the shingle stream —
+    the shapes that hash every occurrence of a hot shingle into one
+    task.  The shingle aggregate must be partial+final (map-side combine
+    collapses hot shingles per task); the only join is doc-keyed between
+    two per-document frames; ≤ 2 text scans (the doc-side one is
+    shuffle-free)."""
     df = _catalog()["text_ngram_novelty"].fn(spark, SF_DIR)
     plan = explain_str(df)
-    assert plan.count("Scan parquet") == 2, plan  # tree + detail = 1 scan
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert plan.count("Scan parquet") <= 4, plan  # tree + detail = ≤2 scans
+    assert "partial_count" in plan, plan
+    # every join keys on doc, never on shingle
+    import re
+
+    for keys in re.findall(r"hashpartitioning\((\w+)#", plan):
+        assert keys in ("doc", "_only_doc", "shingle"), plan
+    # the quadratic-tokenize trap: no element_at(split(...)) may appear
+    # inside a Filter condition (tokens must be materialized first)
+    for cond in re.findall(r"Condition : (.*)", plan):
+        assert "element_at(split" not in cond, cond
+    assert "Join" not in plan or "shingle" not in "".join(
+        re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[(\w+)", plan)
+    ), plan
 
 
 # -------------------------------------------------------- decomposition
