@@ -717,7 +717,12 @@ def test_no_unpartitioned_windows_anywhere(spark):
     global window fail here before any verdict does."""
     import re
 
-    ALLOWED_ORDER_ONLY = {"pareto_abc"}
+    # pareto_abc: ordered walk of the revenue-band summary;
+    # quality_drift_tvd: unordered grand-total window over the
+    # (group, bin) count aggregate — both inputs are post-aggregate
+    # frames bounded by construction (bands / |groups|·n_bins), never
+    # the corpus (each has its own single-scan plan gate).
+    ALLOWED_ORDER_ONLY = {"pareto_abc", "quality_drift_tvd"}
     offenders = {}
     for name, q in _catalog().items():
         df = q.fn(spark, SF_DIR)
