@@ -1,0 +1,208 @@
+"""Empirical scale probe — the measured companion to the plan gates.
+
+Plan gates prove an operator's SHAPE survives scale (no single-task
+windows, map-side combines, bounded joins); this tool measures the
+actual wall-clock scaling curve by running representative operators on
+k×-inflated copies of the driver data (k = 1, 4, 16) and recording the
+marginal growth ratio
+
+    r = (t16 − t4) / (t4 − t1)
+
+which cancels the fixed per-job overhead: r ≈ 4 for a linear operator
+(work ∝ rows), r ≈ 16 for a quadratic one.  Operators probed are the
+ones whose inflation is semantically clean (keys remapped so
+cardinalities scale with the data; value distributions untouched):
+
+  * q1_pricing_summary        — scan-agg (lineitem ×k)
+  * latest-per-key shape      — latest event per user (events ×k with
+                                the user set FIXED → partitions deepen)
+  * ts_anomaly_mad shape      — two discrete_percentile passes
+                                (events ×k, same ~5 groups)
+  * window_running_lag shape  — per-customer ordered window
+                                (orders ×k, custkeys remapped → k× groups)
+  * dedup_exact shape         — corpus-wide hash agg on md5(text)
+                                (documents ×k, texts salted → distinct)
+  * similarity_topk shape     — fixed 20-query broadcast × corpus ×k
+
+Near-dup detection (LSH/jaccard) is deliberately NOT probed: inflating
+a corpus by replication makes every document a near-duplicate, so the
+pair space genuinely grows quadratically — a property of the inflated
+DATA, not the operator.
+
+Writes SCALE_PROBE.json at the repo root:
+
+    {"sf_dir": ..., "cpus": ..., "ops": {name: {"t1": s, "t4": s,
+     "t16": s, "top_ratio": r, "marginal_ratio": m}},
+     "max_top_ratio": ..., "gate_pass": true}
+
+Usage:  python tools/scale_probe.py [sf_dir]   # default /root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+KS = (1, 4, 16)
+
+
+def inflate(df: DataFrame, k: int, id_cols: dict[str, str]) -> DataFrame:
+    """k replicas per row; each ``id_cols`` column c with mode:
+    'remap'  → id·k + replica  (k× distinct values, collision-free)
+    'salt'   → concat(value, '·', replica)  (string ids / texts)
+    Everything else is carried unchanged, so value distributions,
+    group counts (for non-remapped keys), and selectivities hold."""
+    if k == 1:
+        return df
+    out = df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    for c, mode in id_cols.items():
+        if mode == "remap":
+            out = out.withColumn(c, F.col(c) * k + F.col("_r"))
+        elif mode == "salt":
+            out = out.withColumn(
+                c, F.concat(F.col(c), F.lit(" x"), F.col("_r").cast("string"))
+            )
+    return out.drop("_r")
+
+
+def _run(df: DataFrame) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def probes(spark, sf_dir: str):
+    from creek_spark.operators.distributed import discrete_percentile
+    from creek_spark.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    ev = read_table(spark, sf_dir, "events")
+    o = read_table(spark, sf_dir, "orders")
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def q1(k):
+        d = inflate(li, k, {"l_orderkey": "remap"})
+        return (
+            d.where(F.col("l_shipdate") <= F.lit("2024-12-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("sq"),
+                F.sum(F.col("l_extendedprice").cast("decimal(20,2)")).alias("sp"),
+                F.avg("l_discount").alias("ad"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def latest_state(k):
+        # latest event per user: rows grow k x while the key set stays
+        # fixed, so per-key partitions DEEPEN — the harder direction for
+        # a windowed latest-state (the cdc path's per-pk shape scales the
+        # other way, keys x k, which the running-window probe covers)
+        d = inflate(ev, k, {"event_id": "remap"})
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            d.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def mad(k):
+        d = inflate(ev, k, {"event_id": "remap"})
+        med = discrete_percentile(
+            d, ["event_type"], F.col("value"),
+            F.floor(F.col("value") * 16).cast("bigint"),
+        ).select("event_type", F.col("_pick_v").alias("med"))
+        dev = d.join(F.broadcast(med), "event_type").select(
+            "event_id", "event_type",
+            F.abs(F.col("value") - F.col("med")).alias("abs_dev"),
+        )
+        return discrete_percentile(
+            dev, ["event_type"], F.col("abs_dev"),
+            F.floor(F.col("abs_dev") * 16).cast("bigint"),
+        )
+
+    def running(k):
+        d = inflate(o, k, {"o_orderkey": "remap", "o_custkey": "remap"})
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return d.select(
+            "o_custkey",
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)")).over(w).alias("run"),
+            F.lag("o_totalprice").over(w).alias("prev"),
+        )
+
+    def dedup(k):
+        d = inflate(docs, k, {"doc_id": "remap", "text": "salt"})
+        return d.groupBy(F.md5("text").alias("h")).agg(
+            F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n")
+        )
+
+    def topk(k):
+        d = inflate(emb, k, {"vec_id": "remap"})
+        from creek_spark.operators.similarity import cosine_topk
+
+        q = emb.where(F.col("vec_id") < 20)
+        return cosine_topk(d, q, k=5)
+
+    return {
+        "q1_scan_agg": q1,
+        "latest_per_key_shape": latest_state,
+        "ts_anomaly_mad_shape": mad,
+        "window_running_shape": running,
+        "dedup_exact_shape": dedup,
+        "similarity_topk_shape": topk,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from creek_spark.session import get_spark
+
+    spark = get_spark()
+    ops = {}
+    for name, fn in probes(spark, sf_dir).items():
+        ts = {}
+        for k in KS:
+            _run(fn(k))  # warm: compile + page cache
+            ts[k] = round(_run(fn(k)), 3)
+            spark.catalog.clearCache()
+        denom = ts[4] - ts[1]
+        r = (ts[16] - ts[4]) / denom if denom > 0.05 else None
+        ops[name] = {
+            "t1": ts[1], "t4": ts[4], "t16": ts[16],
+            "top_ratio": round(ts[16] / ts[4], 2),
+            "marginal_ratio": round(r, 2) if r is not None else None,
+        }
+        print(name, ops[name], flush=True)
+    ratios = [o["top_ratio"] for o in ops.values()]
+    out = {
+        "sf_dir": sf_dir,
+        "cpus": os.cpu_count(),
+        "ks": list(KS),
+        "ops": ops,
+        "max_top_ratio": max(ratios),
+        "gate": "linear-ish: every top_ratio <= 6 (4 = perfectly linear, 16 = quadratic)",
+        "gate_pass": all(r <= 6 for r in ratios),
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALE_PROBE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "ops"}))
+    return 0 if out["gate_pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
