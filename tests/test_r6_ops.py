@@ -306,3 +306,29 @@ def test_seasonal_decompose_single_scan_summary_windows(spark):
     assert plan.count("Scan parquet") == 2, plan  # tree + detail = 1 scan
     for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
         assert spec == "event_type", plan
+
+
+# ------------------------------------------------------------ scale probe
+
+
+def test_scale_probe_shapes_execute(spark):
+    """tools/scale_probe.py bitrot guard: every probe builds and runs at
+    sf0.001 with a k=2 inflation, and inflation preserves row multiples
+    and remap-key distinctness."""
+    import importlib.util as iu
+    import os
+
+    spec = iu.spec_from_file_location(
+        "scale_probe",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "scale_probe.py"),
+    )
+    mod = iu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    docs = read_table(spark, SF_DIR, "documents")
+    inflated = mod.inflate(docs, 3, {"doc_id": "remap", "text": "salt"})
+    assert inflated.count() == 3 * docs.count()
+    assert inflated.select("doc_id").distinct().count() == 3 * docs.count()
+
+    for name, fn in mod.probes(spark, SF_DIR).items():
+        assert fn(2).limit(5).count() >= 0, name
