@@ -512,3 +512,10 @@ class Engine:
         from creek_spark.queries_r6 import ts_seasonal_decompose
 
         return ts_seasonal_decompose(self.spark, sf_dir or self.data_dir)
+
+    def cohort_ltv(self, sf_dir: str | None = None):
+        """Revenue-cohort lifetime-value triangle
+        (queries_r6.orders_cohort_ltv)."""
+        from creek_spark.queries_r6 import orders_cohort_ltv
+
+        return orders_cohort_ltv(self.spark, sf_dir or self.data_dir)

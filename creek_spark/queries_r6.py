@@ -353,3 +353,97 @@ def ts_seasonal_decompose(spark, sf_dir):
         "seasonal",
         (F.col("detr") - F.col("seasonal")).alias("residual"),
     )
+
+
+# =====================================================================
+# revenue cohort LTV
+# =====================================================================
+
+COHORT_LTV_ORACLE = """
+WITH r AS (SELECT o_custkey AS c, date_trunc('month', o_orderdate) AS mon,
+                  SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+           FROM orders GROUP BY 1, 2),
+f AS (SELECT c, MIN(mon) AS cohort FROM r GROUP BY c),
+sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+       FROM f GROUP BY cohort),
+cell AS (SELECT f.cohort,
+                CAST(date_diff('month', f.cohort, r.mon) AS INT) AS age_months,
+                CAST(COUNT(*) AS BIGINT) AS n_active,
+                CAST(SUM(r.rev) AS DECIMAL(18,2)) AS revd
+         FROM r JOIN f USING (c)
+         GROUP BY f.cohort, age_months),
+cum AS (SELECT cohort, age_months, n_active, revd,
+               CAST(SUM(revd) OVER (PARTITION BY cohort ORDER BY age_months
+                    ROWS UNBOUNDED PRECEDING) AS DECIMAL(20,2)) AS cumd
+        FROM cell)
+SELECT cum.cohort AS cohort_month, age_months, n_active,
+       CAST(revd AS DOUBLE) AS revenue,
+       CAST(cumd AS DOUBLE) AS cum_revenue,
+       sz.cohort_size,
+       CAST(cumd AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE)
+           AS ltv_per_customer
+FROM cum JOIN sz USING (cohort)
+"""
+
+
+@register("orders_cohort_ltv", COHORT_LTV_ORACLE, "aggregation")
+def orders_cohort_ltv(spark, sf_dir):
+    """Revenue-cohort lifetime value: customers grouped by
+    first-purchase month, revenue laid out by months-since-first, with
+    the running cumulative per cohort and LTV per customer — the
+    subscription/e-commerce finance staple (the revenue twin of
+    events_retention's user-count triangle).
+
+    Determinism: all revenue stays decimal through the per-cell sum AND
+    the cumulative window; each double is one cast (plus one division
+    for the per-customer LTV) of exact operands.
+
+    Scale shape: orders collapse to the (customer, month) revenue grid
+    first (one hash agg); firsts/sizes fold FROM that grid; the
+    customer-keyed join reuses the grid's partitioning prefix; the
+    cumulative window walks the (cohort, age) summary — bounded by
+    months², never corpus-sized."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.groupBy(
+        F.col("o_custkey").alias("c"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"))
+    f = r.groupBy("c").agg(F.min("mon").alias("cohort"))
+    sz = f.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    cell = (
+        r.join(f, "c")
+        .groupBy(
+            "cohort",
+            F.months_between(F.col("mon"), F.col("cohort"))
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum("rev").cast("decimal(18,2)").alias("revd"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cell.withColumn(
+        "cumd", F.sum("revd").over(w).cast("decimal(20,2)")
+    )
+    return cum.join(F.broadcast(sz), "cohort").select(
+        F.col("cohort").alias("cohort_month"),
+        "age_months",
+        "n_active",
+        F.col("revd").cast("double").alias("revenue"),
+        F.col("cumd").cast("double").alias("cum_revenue"),
+        "cohort_size",
+        (
+            F.col("cumd").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("ltv_per_customer"),
+    )

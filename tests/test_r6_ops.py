@@ -332,3 +332,41 @@ def test_scale_probe_shapes_execute(spark):
 
     for name, fn in mod.probes(spark, SF_DIR).items():
         assert fn(2).limit(5).count() >= 0, name
+
+
+# ------------------------------------------------------------ cohort LTV
+
+
+def test_cohort_ltv_triangle_invariants(spark):
+    """Age-0 activity equals cohort size (every customer is active in
+    their first month by construction), activity never exceeds cohort
+    size, and cumulative revenue is non-decreasing per cohort."""
+    df = _catalog()["orders_cohort_ltv"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r["n_active"] <= r["cohort_size"]
+        if r["age_months"] == 0:
+            assert r["n_active"] == r["cohort_size"]
+        by_cohort.setdefault(r["cohort_month"], []).append(
+            (r["age_months"], r["cum_revenue"], r["revenue"])
+        )
+    for cells in by_cohort.values():
+        cells.sort()
+        cum = 0.0
+        for _, c, v in cells:
+            assert c >= cum - 1e-9
+            cum = c
+            assert v > 0
+
+
+def test_cohort_ltv_summary_windows_only(spark):
+    """One orders-derived grid; the cumulative window partitions by
+    cohort over the (cohort, age) summary, never the corpus."""
+    import re
+
+    df = _catalog()["orders_cohort_ltv"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
+        assert spec == "cohort", plan
