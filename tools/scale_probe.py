@@ -22,6 +22,9 @@ cardinalities scale with the data; value distributions untouched):
                                 (orders ×k, custkeys remapped → k× groups)
   * dedup_exact shape         — corpus-wide hash agg on md5(text)
                                 (documents ×k, texts salted → distinct)
+  * as-of join shape          — purchases ← latest signup per user
+                                (events ×k, user set fixed → streams
+                                deepen; union + last-non-null window)
   * similarity_topk shape     — fixed 20-query broadcast × corpus ×k
 
 Near-dup detection (LSH/jaccard) is deliberately NOT probed: inflating
@@ -150,6 +153,23 @@ def probes(spark, sf_dir: str):
             F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n")
         )
 
+    def asof(k):
+        # both sides inflate k x; the probe side keeps its user set so
+        # per-user event streams deepen — the union-window asof's load
+        d = inflate(ev, k, {"event_id": "remap"})
+        from creek_spark.operators.asof import asof_join
+
+        purch = d.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        sign = d.where(F.col("event_type") == "signup").select(
+            "user_id", "ts", "value"
+        ).groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+        return asof_join(
+            purch, sign, on=["user_id"], left_time="ts", right_time="ts",
+            value_cols=["value"],
+        )
+
     def topk(k):
         d = inflate(emb, k, {"vec_id": "remap"})
         from creek_spark.operators.similarity import cosine_topk
@@ -163,6 +183,7 @@ def probes(spark, sf_dir: str):
         "ts_anomaly_mad_shape": mad,
         "window_running_shape": running,
         "dedup_exact_shape": dedup,
+        "join_asof_shape": asof,
         "similarity_topk_shape": topk,
     }
 
