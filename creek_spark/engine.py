@@ -519,3 +519,11 @@ class Engine:
         from creek_spark.queries_r6 import orders_cohort_ltv
 
         return orders_cohort_ltv(self.spark, sf_dir or self.data_dir)
+
+    def streaming_dim_stats(self, state_dir: str, **kw):
+        """Incrementally-maintained per-dimension embedding statistics,
+        batch-identical to embedding_dim_stats (streaming/detectors.py;
+        first tier on the sink's kind-aware min/max merge)."""
+        from creek_spark.streaming.detectors import StreamingDimStats
+
+        return StreamingDimStats(self.spark, state_dir, **kw)

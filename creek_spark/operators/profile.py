@@ -180,11 +180,20 @@ def embedding_dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
     aggregation reduces the shuffle to d rows per task regardless of
     corpus size.  No window, no join, no skew (dimensions are uniform by
     construction)."""
+    return dim_stats_from_cells(dim_stats_cells(df, vec_col))
+
+
+def dim_stats_cells(df: DataFrame, vec_col: str) -> DataFrame:
+    """The per-dimension sufficient-statistic cells (dim, n, _s, _ss,
+    vmin, vmax): counts and FLOOR-quantized integer sums are additive,
+    min/max merge by extremum — so cells from disjoint batches combine
+    losslessly, which is what the streaming mirror
+    (streaming/detectors.py::StreamingDimStats) maintains."""
     x = df.select(F.posexplode(F.col(vec_col)).alias("_pos", "_v")).select(
         (F.col("_pos") + 1).cast("bigint").alias("dim"),
         F.col("_v").cast("double").alias("_v"),
     )
-    agg = x.groupBy("dim").agg(
+    return x.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.floor(F.col("_v") * F.lit(1_000_000_000.0)).cast("decimal(38,0)")
@@ -197,6 +206,12 @@ def embedding_dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
         F.min("_v").alias("vmin"),
         F.max("_v").alias("vmax"),
     )
+
+
+def dim_stats_from_cells(agg: DataFrame) -> DataFrame:
+    """cells → (dim, n, mean, variance, vmin, vmax): the fixed-order
+    IEEE projection shared by the batch operator and the streaming
+    mirror, so incremental == batch bit-for-bit."""
     mean = F.col("_s").cast("double") / (
         F.lit(1_000_000_000.0) * F.col("n").cast("double")
     )

@@ -487,3 +487,67 @@ class StreamingDriftMonitor:
             F.sum("_c_gb").cast("bigint").alias("_c_gb")
         )
         return drift_from_cells(cells, self.group_col)
+
+
+class StreamingDimStats:
+    """Continuously-maintained per-dimension embedding statistics — the
+    streaming twin of the ``embedding_dim_stats`` catalog query.
+
+    The state is the dimension's sufficient-statistic cell (n, Σfloor(v·1e9),
+    Σfloor(v²·1e12), min, max): counts and quantized sums merge by
+    addition, extrema by min/max — the first tier to use the rollup
+    sink's kind-aware merge.  The report folds the merged cells through
+    the same ``dim_stats_from_cells`` projection as the batch operator,
+    so incremental == batch bit-for-bit — the seventh proof
+    (tests/test_streaming_rollup.py::test_streaming_dim_stats_equals_batch).
+
+    Bound: the sink holds quantized sums as BIGINT, exact up to ~9×10⁹
+    unit-scale vectors per dimension; the batch operator itself stays in
+    decimal(38,0).  State size is d rows regardless of corpus size;
+    ingest is one posexplode + map-side-combined hash agg per batch."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, *,
+                 vec_col: str = "embedding"):
+        self.spark = spark
+        self.vec_col = vec_col
+        self.sink = AdditiveRollupSink(
+            spark, state_dir, ["_pt", "dim"],
+            {"n": "sum", "_s": "sum", "_ss": "sum",
+             "vmin": "min", "vmax": "max"},
+            "_pt",
+        )
+
+    def cells_tier(self, batch: DataFrame) -> DataFrame:
+        from creek_spark.operators.profile import dim_stats_cells
+
+        return dim_stats_cells(batch, self.vec_col).select(
+            F.lit("d").alias("_pt"), "dim", "n",
+            F.col("_s").cast("bigint").alias("_s"),
+            F.col("_ss").cast("bigint").alias("_ss"),
+            "vmin", "vmax",
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self.sink.apply_batch(self.cells_tier(batch), batch_id)
+
+    def foreach_batch(self):
+        return self.sink.foreach_batch(self.cells_tier)
+
+    def report(self) -> DataFrame:
+        """The embedding_dim_stats frame over everything streamed so far
+        — bit-for-bit the batch operator's output."""
+        from creek_spark.operators.profile import dim_stats_from_cells
+
+        cur = self.sink.current()
+        if cur is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        cells = cur.groupBy("dim").agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum(F.col("_s").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias("_s"),
+            F.sum(F.col("_ss").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias("_ss"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        return dim_stats_from_cells(cells)

@@ -60,23 +60,45 @@ class AdditiveRollupSink:
         spark: SparkSession,
         state_dir: str,
         key_cols: list[str],
-        add_cols: list[str],
+        add_cols: list[str] | dict[str, str],
         partition_col: str,
     ):
         """``key_cols`` identify a rollup row (must include
         ``partition_col``, a STRING column that buckets state on disk);
-        ``add_cols`` are the additive measures (summed on merge).
-        Batches passed to ``apply_batch`` must already have this shape —
-        pair with e.g. ``operators.sketches.histogram_sketch`` plus a
-        string partition projection."""
+        ``add_cols`` are the mergeable measures — a list means every
+        column is an integer SUM (the original additive contract), a
+        dict maps column → merge kind:
+
+          'sum' — bigint addition (counts, quantized sums)
+          'min' / 'max' — running extremum, input type preserved
+
+        min/max cells stay losslessly mergeable (min of mins is the
+        global min), which is what makes stats tiers like per-dimension
+        vmin/vmax maintainable in the same fenced sink.  Batches passed
+        to ``apply_batch`` must already have this shape — pair with e.g.
+        ``operators.sketches.histogram_sketch`` plus a string partition
+        projection."""
         if partition_col not in key_cols:
             raise ValueError("partition_col must be one of key_cols")
         self.spark = spark
         self.state_dir = state_dir
+        self.kinds = (
+            {c: "sum" for c in add_cols}
+            if not isinstance(add_cols, dict)
+            else dict(add_cols)
+        )
+        bad = {k for k in self.kinds.values() if k not in ("sum", "min", "max")}
+        if bad:
+            raise ValueError(f"unknown merge kinds: {sorted(bad)}")
         self.key_cols = key_cols
-        self.add_cols = add_cols
+        self.add_cols = list(self.kinds)
         self.partition_col = partition_col
         os.makedirs(state_dir, exist_ok=True)
+
+    def _merge_exprs(self):
+        fns = {"sum": lambda c: F.sum(c).cast("bigint"),
+               "min": F.min, "max": F.max}
+        return [fns[kind](c).alias(c) for c, kind in self.kinds.items()]
 
     # -- manifest ------------------------------------------------------
     # {"version": N, "parts": {pval: "v000000N"}, "last_batch_id": i}
@@ -126,9 +148,7 @@ class AdditiveRollupSink:
         old = self._read_manifest()
         if old is not None and batch_id <= old["last_batch_id"]:
             return
-        tier = tier.groupBy(*self.key_cols).agg(
-            *[F.sum(c).cast("bigint").alias(c) for c in self.add_cols]
-        )
+        tier = tier.groupBy(*self.key_cols).agg(*self._merge_exprs())
         touched = {
             str(v)
             for v in bounded_partition_values(
@@ -153,9 +173,7 @@ class AdditiveRollupSink:
                     self.partition_col, F.col(self.partition_col).cast("string")
                 )
                 merged = merged.unionByName(prev.select(*merged.columns))
-            merged = merged.groupBy(*self.key_cols).agg(
-                *[F.sum(c).cast("bigint").alias(c) for c in self.add_cols]
-            )
+            merged = merged.groupBy(*self.key_cols).agg(*self._merge_exprs())
         ver_n = (old["version"] + 1) if old else 1
         new_ver = f"v{ver_n:07d}"
         merged.write.partitionBy(self.partition_col).mode("overwrite").parquet(

@@ -298,3 +298,28 @@ def test_streaming_drift_equals_batch(spark, sf_dir, tmp_path):
         docs.where(F.col("doc_id") >= splits[-1][0]), len(splits) - 1
     )
     assert key(det.report()) == want
+
+
+def test_streaming_dim_stats_equals_batch(spark, sf_dir, tmp_path):
+    """Seventh incremental == batch proof — and the first exercising the
+    sink's kind-aware merge (min/max cells beside sums): per-dimension
+    stats maintained from embedding micro-batches equal the batch
+    embedding_dim_stats bit-for-bit; a replayed batch is a no-op."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import StreamingDimStats
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    det = StreamingDimStats(spark, str(tmp_path / "dimstate"))
+    splits = [(0, 150), (150, 400), (400, 10**12)]
+    for i, (lo, hi) in enumerate(splits):
+        det.apply_batch(
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), i
+        )
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    batch = entrymod._catalog()["embedding_dim_stats"].fn(spark, sf_dir)
+    got, want = key(det.report()), key(batch)
+    assert len(got) > 0
+    assert got == want
+    det.apply_batch(emb.where(F.col("vec_id") >= splits[-1][0]), len(splits) - 1)
+    assert key(det.report()) == want
