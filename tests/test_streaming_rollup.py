@@ -323,3 +323,63 @@ def test_streaming_dim_stats_equals_batch(spark, sf_dir, tmp_path):
     assert got == want
     det.apply_batch(emb.where(F.col("vec_id") >= splits[-1][0]), len(splits) - 1)
     assert key(det.report()) == want
+
+
+def test_kind_aware_merge_hypothesis(spark, tmp_path):
+    """Generative check of the sink's kind-aware merge: any partitioning
+    of random cell rows into ordered batches merges to exactly the
+    single-shot aggregation (sum/min/max per key), independent of how
+    the rows were split."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from creek_spark.streaming.rollup import AdditiveRollupSink
+
+    row = st.tuples(
+        st.sampled_from(["a", "b"]),            # partition/key
+        st.integers(0, 3),                       # sub-key
+        st.integers(-50, 50),                    # summed measure
+        st.floats(-10, 10, allow_nan=False, width=32),  # min/max measure
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=st.lists(row, min_size=1, max_size=24), cut=st.integers(0, 24))
+    def run(rows, cut):
+        cut = min(cut, len(rows))
+        state = str(tmp_path / f"hyp{abs(hash((tuple(rows), cut))) % 10**9}")
+        sink = AdditiveRollupSink(
+            spark, state, ["p", "k"],
+            {"s": "sum", "lo": "min", "hi": "max"}, "p",
+        )
+        schema = "p string, k int, s long, lo double, hi double"
+        batches = [rows[:cut], rows[cut:]]
+        i = 0
+        for b in batches:
+            if not b:
+                continue
+            sink.apply_batch(
+                spark.createDataFrame(
+                    [(p, k, s, v, v) for p, k, s, v in b], schema
+                ),
+                i,
+            )
+            i += 1
+        got = {
+            (r["p"], r["k"]): (r["s"], r["lo"], r["hi"])
+            for r in sink.current().collect()
+        }
+        want = {}
+        for p, k, s, v in rows:
+            old = want.get((p, k))
+            want[(p, k)] = (
+                (s, v, v)
+                if old is None
+                else (old[0] + s, min(old[1], v), max(old[2], v))
+            )
+        assert got == want
+
+    run()
