@@ -527,3 +527,10 @@ class Engine:
         from creek_spark.streaming.detectors import StreamingDimStats
 
         return StreamingDimStats(self.spark, state_dir, **kw)
+
+    def xyz_variability(self, sf_dir: str | None = None):
+        """XYZ demand-variability classification per part
+        (queries_r6.parts_xyz_variability)."""
+        from creek_spark.queries_r6 import parts_xyz_variability
+
+        return parts_xyz_variability(self.spark, sf_dir or self.data_dir)

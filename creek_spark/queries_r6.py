@@ -447,3 +447,80 @@ def orders_cohort_ltv(spark, sf_dir):
             / F.col("cohort_size").cast("double")
         ).alias("ltv_per_customer"),
     )
+
+
+# =====================================================================
+# XYZ demand-variability classification
+# =====================================================================
+
+XYZ_ORACLE = """
+WITH m AS (SELECT l_partkey AS partkey,
+                  date_trunc('month', l_shipdate) AS mon,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS q
+           FROM lineitem GROUP BY 1, 2),
+s AS (SELECT partkey, CAST(COUNT(*) AS BIGINT) AS n_months,
+             SUM(CAST(q AS DECIMAL(20,2))) AS sq,
+             SUM(CAST(q * q AS DECIMAL(38,4))) AS sqq
+      FROM m GROUP BY partkey),
+c AS (SELECT partkey, n_months,
+             CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE) AS mean_qty,
+             SQRT(GREATEST(
+                 CAST(sqq AS DOUBLE) / CAST(n_months AS DOUBLE)
+                 - (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE))
+                   * (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE)),
+                 0.0)) AS std_qty
+      FROM s)
+SELECT partkey, n_months, mean_qty,
+       std_qty / mean_qty AS cv,
+       CASE WHEN std_qty / mean_qty < 0.5 THEN 'X'
+            WHEN std_qty / mean_qty < 1.0 THEN 'Y'
+            ELSE 'Z' END AS xyz_class
+FROM c
+"""
+
+
+@register("parts_xyz_variability", XYZ_ORACLE, "aggregation")
+def parts_xyz_variability(spark, sf_dir):
+    """XYZ demand-variability classification per part: monthly demand
+    series → coefficient of variation → X (steady, CV < 0.5) /
+    Y (fluctuating, CV < 1.0) / Z (erratic) — pareto_abc's companion
+    axis in the standard ABC-XYZ inventory matrix.
+
+    Determinism: monthly quantities and their squares stay decimal
+    through both aggregations; mean/std/cv are a fixed-order chain of
+    IEEE ops (sqrt is correctly-rounded in both engines) on exact sums.
+
+    Scale shape: two skew-free hash aggregations — (part, month) then
+    part — with map-side combines; no window, no join, CV and class are
+    pure projections."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("mon"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("q")
+    )
+    s = m.groupBy("partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum(F.col("q").cast("decimal(20,2)")).alias("sq"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,4)")).alias("sqq"),
+    )
+    mean = F.col("sq").cast("double") / F.col("n_months").cast("double")
+    var = (
+        F.col("sqq").cast("double") / F.col("n_months").cast("double")
+        - mean * mean
+    )
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    cv = std / mean
+    return s.select(
+        "partkey",
+        "n_months",
+        mean.alias("mean_qty"),
+        cv.alias("cv"),
+        F.when(cv < 0.5, F.lit("X"))
+        .when(cv < 1.0, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+    )

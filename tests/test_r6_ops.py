@@ -370,3 +370,35 @@ def test_cohort_ltv_summary_windows_only(spark):
     plan = explain_str(df)
     for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
         assert spec == "cohort", plan
+
+
+# -------------------------------------------------------------- XYZ
+
+
+def test_xyz_matches_numpy(spark):
+    """CV per part equals the numpy population formulation; classes
+    respect the thresholds."""
+    df = _catalog()["parts_xyz_variability"].fn(spark, SF_DIR)
+    out = {r["partkey"]: r for r in df.collect()}
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("mon"),
+        F.col("l_quantity").cast("double").alias("q"),
+    ).toPandas()
+    g = li.groupby(["l_partkey", "mon"])["q"].sum()
+    for pk, series in g.groupby(level=0):
+        v = series.to_numpy()
+        cv = v.std() / v.mean()
+        r = out[pk]
+        assert r["n_months"] == len(v)
+        assert abs(r["cv"] - cv) < 1e-9
+        want = "X" if r["cv"] < 0.5 else ("Y" if r["cv"] < 1.0 else "Z")
+        assert r["xyz_class"] == want
+
+
+def test_xyz_single_scan_no_window(spark):
+    df = _catalog()["parts_xyz_variability"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("Scan parquet") == 2, plan  # tree + detail = 1 scan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_" in plan, plan
