@@ -25,6 +25,7 @@ def _catalog():
     import creek_spark.queries_graph  # noqa: F401 — registers part 6
     import creek_spark.queries_r4  # noqa: F401 — registers part 7
     import creek_spark.queries_r6  # noqa: F401 — registers part 8
+    import creek_spark.queries_r6b  # noqa: F401 — registers part 9
 
     return q.QUERIES
 

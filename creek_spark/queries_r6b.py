@@ -1,0 +1,481 @@
+"""Query catalog, part 9: sequence/cohort analytics — per-key OLS trend
+fitting, gaps-and-islands activity streaks, multi-touch attribution,
+order-cadence profiling, and an A/B mean test on exact moments.
+
+Determinism rules as in queries.py: every float is produced by a
+fixed-order IEEE chain over EXACT integer/decimal aggregates (no libm
+transcendentals; sqrt is correctly rounded in both engines), rankings
+carry unique tiebreaks, and integer division is `div`/`//` on both
+sides (DuckDB `CAST(x/y AS BIGINT)` rounds — never used).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from creek_spark.queries import _t, register
+
+
+# =====================================================================
+# per-key OLS trend (exact normal equations)
+# =====================================================================
+
+TREND_EPOCH = "2024-01-01 00:00:00"
+
+LINEAR_TREND_ORACLE = f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(date_diff('day', TIMESTAMP '{TREND_EPOCH}',
+                        date_trunc('day', ts)) AS BIGINT) AS x,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM d GROUP BY event_type),
+c AS (
+  SELECT event_type, n, sx, sy,
+         CAST(n AS DECIMAL(13,0)) * CAST(sxy AS DECIMAL(19,0))
+           - CAST(sx AS DECIMAL(13,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
+         CAST(n AS DECIMAL(13,0)) * CAST(sxx AS DECIMAL(13,0))
+           - CAST(sx AS DECIMAL(13,0)) * CAST(sx AS DECIMAL(13,0)) AS den,
+         CAST(n AS DECIMAL(13,0)) * CAST(syy AS DECIMAL(19,0))
+           - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS dy
+  FROM s)
+SELECT event_type, n AS n_days,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS slope_per_day,
+       CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+         - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0)
+           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept,
+       (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+         / (CAST(den AS DOUBLE) * CAST(dy AS DOUBLE)) AS r2
+FROM c WHERE den <> 0 AND dy <> 0
+"""
+
+
+@register("ts_linear_trend", LINEAR_TREND_ORACLE, "timeseries")
+def ts_linear_trend(spark, sf_dir):
+    """Per-event-type least-squares trend of daily revenue: slope ($/day),
+    intercept and R² from the closed-form normal equations — the
+    is-this-metric-growing primitive behind every monitoring dashboard.
+
+    Determinism: the five moment sums (Σx, Σy, Σxy, Σx², Σy²) are exact
+    integers over day indexes and revenue cents; slope/intercept/R² are a
+    fixed-order IEEE chain mirrored textually in the oracle.  Operands
+    stay ≤ decimal(13)·decimal(19) so the cross products fit DuckDB's 38-
+    digit multiply on the int128 path.
+
+    Scale shape: two skew-free hash aggregations — (type, day) then type
+    — with map-side combines; no window, no join.  The daily grid is
+    calendar-bounded, the final frame is |event types| rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(
+            (F.col("value").cast("decimal(14,2)") * F.lit(100)).cast("bigint")
+        ).alias("y")
+    ).select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit(TREND_EPOCH).cast("timestamp"))
+        .cast("bigint")
+        .alias("x"),
+        "y",
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n13 = F.col("n").cast("decimal(13,0)")
+    sx13 = F.col("sx").cast("decimal(13,0)")
+    sy19 = F.col("sy").cast("decimal(19,0)")
+    num = n13 * F.col("sxy").cast("decimal(19,0)") - sx13 * sy19
+    den = n13 * F.col("sxx").cast("decimal(13,0)") - sx13 * sx13
+    dy = n13 * F.col("syy").cast("decimal(19,0)") - sy19 * sy19
+    c = s.select(
+        "event_type", "n", "sx", "sy",
+        num.alias("num"), den.alias("den"), dy.alias("dy"),
+    ).where((F.col("den") != 0) & (F.col("dy") != 0))
+    numd = F.col("num").cast("double")
+    dend = F.col("den").cast("double")
+    slope = numd / dend / F.lit(100.0)
+    return c.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        slope.alias("slope_per_day"),
+        (
+            F.col("sy").cast("double") / F.lit(100.0) / F.col("n").cast("double")
+            - slope * (F.col("sx").cast("double") / F.col("n").cast("double"))
+        ).alias("intercept"),
+        (
+            (numd * numd) / (dend * F.col("dy").cast("double"))
+        ).alias("r2"),
+    )
+
+
+# =====================================================================
+# gaps-and-islands activity streaks
+# =====================================================================
+
+STREAKS_ORACLE = f"""
+WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+           FROM events),
+i AS (SELECT user_id, day,
+             CAST(date_diff('day', TIMESTAMP '{TREND_EPOCH}', day) AS BIGINT)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d)
+SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+       CAST(COUNT(*) AS BIGINT) AS streak_days
+FROM i GROUP BY user_id, grp
+"""
+
+
+@register("events_active_streaks", STREAKS_ORACLE, "events")
+def events_active_streaks(spark, sf_dir):
+    """Consecutive-active-day streaks per user (the classic
+    gaps-and-islands): distinct active days, island id = day-index minus
+    per-user row number (constant within a run of consecutive days), one
+    row per streak with start/end/length — the engagement-streak metric.
+
+    Determinism: day indexes and row numbers are integers; the island id
+    is exact; no floats anywhere.
+
+    Scale shape: one distinct-aggregate on (user, day), then a
+    user-partitioned window (high-cardinality key, each partition is
+    calendar-bounded), then a hash agg on (user, island) that reuses the
+    user hash partitioning — one corpus shuffle plus one bounded one."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    i = d.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit(TREND_EPOCH).cast("timestamp"))
+            .cast("bigint")
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    return i.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+    ).drop("grp")
+
+
+# =====================================================================
+# multi-touch attribution
+# =====================================================================
+
+ATTRIB_CHANNELS = ("click", "view", "signup")
+ATTRIB_WINDOW_DAYS = 7
+ATTRIB_SCALE = 1_000_000
+
+ATTRIBUTION_ORACLE = f"""
+WITH conv AS (SELECT event_id AS conv_id, user_id, ts AS conv_ts
+              FROM events WHERE event_type = 'purchase'),
+t AS (SELECT e.event_id AS touch_id, e.ts, e.event_type AS channel,
+             c.conv_id
+      FROM events e JOIN conv c ON e.user_id = c.user_id
+       AND e.ts < c.conv_ts
+       AND e.ts >= c.conv_ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAY
+      WHERE e.event_type IN ('click', 'view', 'signup')),
+r AS (SELECT channel,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY ts, touch_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_touches
+      FROM t)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS touches,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+       CAST(SUM(CASE WHEN rk = n_touches THEN 1 ELSE 0 END) AS BIGINT)
+           AS last_touch,
+       CAST(CAST(SUM({ATTRIB_SCALE} // n_touches) AS BIGINT) AS DOUBLE)
+           / {float(ATTRIB_SCALE)} AS linear_credit
+FROM r GROUP BY channel
+"""
+
+
+@register("events_attribution", ATTRIBUTION_ORACLE, "events")
+def events_attribution(spark, sf_dir):
+    """Multi-touch conversion attribution: every purchase is credited to
+    the click/view/signup touches of the same user in the preceding
+    7 days — first-touch and last-touch counts plus fractional linear
+    credit (1/n per touch) per channel, the marketing-mix staple.
+
+    Determinism: linear credit is INTEGER micro-credit (10⁶ div
+    n_touches) summed exactly and divided once; first/last flags come
+    from a (ts, touch_id)-tiebroken rank.
+
+    Scale shape: the touch-conversion join is an equi-join on user_id
+    with residual range predicates — fan-in per conversion is bounded by
+    the 7-day window; both windows are keyed on the high-cardinality
+    conversion id; the final agg is |channels| rows.  One user-keyed
+    shuffle, one conv-keyed shuffle, nothing corpus²."""
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.where(F.col("event_type").isin(*ATTRIB_CHANNELS)).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        "ts",
+        F.col("event_type").alias("channel"),
+    )
+    t = touch.join(
+        conv,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("ts") < F.col("conv_ts"))
+        & (
+            F.col("ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_DAYS} DAYS")
+        ),
+    )
+    wr = Window.partitionBy("conv_id").orderBy("ts", "touch_id")
+    wc = Window.partitionBy("conv_id")
+    r = t.select(
+        "channel",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("n_touches"),
+    )
+    return r.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("touches"),
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("first_touch"),
+        F.sum(F.when(F.col("rk") == F.col("n_touches"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("last_touch"),
+        (
+            F.sum(F.expr(f"{ATTRIB_SCALE} div n_touches"))
+            .cast("bigint")
+            .cast("double")
+            / F.lit(float(ATTRIB_SCALE))
+        ).alias("linear_credit"),
+    )
+
+
+# =====================================================================
+# order cadence (inter-arrival gaps, exact median)
+# =====================================================================
+
+INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT o_custkey AS c, o_orderkey AS k,
+         CAST(date_diff('day',
+              LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS gap
+  FROM orders),
+r AS (SELECT c, gap, k,
+             ROW_NUMBER() OVER (PARTITION BY c ORDER BY gap, k) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY c) AS BIGINT) AS n
+      FROM g WHERE gap IS NOT NULL)
+SELECT c AS custkey,
+       CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(CAST(SUM(gap) AS BIGINT) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+           AS mean_gap_days,
+       MAX(CASE WHEN rk = (n + 1) // 2 THEN gap END) AS median_gap_days
+FROM r GROUP BY c
+"""
+
+
+@register("orders_interarrival", INTERARRIVAL_ORACLE, "timeseries")
+def orders_interarrival(spark, sf_dir):
+    """Per-customer order cadence: inter-arrival gaps between consecutive
+    orders, with the exact mean and the exact lower median — the
+    reorder-cycle feature behind churn prediction and replenishment
+    forecasting.
+
+    Determinism: gaps are integer day differences over an
+    (orderdate, orderkey)-tiebroken order; the median is the element at
+    rank (n+1) div 2 of the (gap, orderkey)-tiebroken ranking — pure
+    integer selection, no percentile interpolation; the mean is one IEEE
+    division of exact integers.
+
+    Scale shape: both windows and the final aggregate are keyed on
+    custkey (high-cardinality, partitions bounded by orders-per-
+    customer); Catalyst plans ONE hash exchange and re-sorts within it —
+    no corpus-wide ordered work."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("d"),
+    )
+    # alias BEFORE the first window so every window and the final agg
+    # key on the same attribute `c` — Catalyst then reuses one exchange
+    wlag = Window.partitionBy("c").orderBy("d", "k")
+    g = o.select(
+        "c",
+        "k",
+        F.datediff(F.col("d"), F.lag("d").over(wlag))
+        .cast("bigint")
+        .alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    wrk = Window.partitionBy("c").orderBy("gap", "k")
+    wn = Window.partitionBy("c")
+    r = g.select(
+        "c",
+        "gap",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    return r.groupBy("c").agg(
+        F.max("n").cast("bigint").alias("_n"),
+        F.sum("gap").cast("bigint").alias("_s"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("gap"))
+        ).alias("median_gap_days"),
+    ).select(
+        F.col("c").alias("custkey"),
+        F.col("_n").alias("n_gaps"),
+        (F.col("_s").cast("double") / F.col("_n").cast("double")).alias(
+            "mean_gap_days"
+        ),
+        "median_gap_days",
+    )
+
+
+# =====================================================================
+# A/B mean test on exact moments
+# =====================================================================
+
+AB_SALT = "ab"
+
+AB_TEST_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+a AS (
+  SELECT CASE WHEN substring(md5('{AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 1)
+                   < '8' THEN 'A' ELSE 'B' END AS arm,
+         cents FROM u),
+s AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN arm = 'A' THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+    CAST(SUM(CASE WHEN arm = 'B' THEN cents ELSE 0 END) AS BIGINT) AS s_b,
+    CAST(SUM(CASE WHEN arm = 'A' THEN cents * cents ELSE 0 END) AS BIGINT)
+        AS ss_a,
+    CAST(SUM(CASE WHEN arm = 'B' THEN cents * cents ELSE 0 END) AS BIGINT)
+        AS ss_b
+  FROM a)
+SELECT n_a, n_b,
+       CAST(s_a AS DOUBLE) / 100.0 / CAST(n_a AS DOUBLE) AS mean_a,
+       CAST(s_b AS DOUBLE) / 100.0 / CAST(n_b AS DOUBLE) AS mean_b,
+       CAST(s_a AS DOUBLE) / 100.0 / CAST(n_a AS DOUBLE)
+         - CAST(s_b AS DOUBLE) / 100.0 / CAST(n_b AS DOUBLE) AS mean_diff,
+       (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / SQRT(
+           ((CAST(ss_a AS DOUBLE)
+               - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                 / CAST(n_a AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+           + ((CAST(ss_b AS DOUBLE)
+                 - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                   / CAST(n_b AS DOUBLE))
+               / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)
+         ) AS welch_z
+FROM s
+"""
+
+
+@register("events_ab_test", AB_TEST_ORACLE, "events")
+def events_ab_test(spark, sf_dir):
+    """Two-arm A/B readout on per-user purchase revenue: users are
+    hash-assigned (md5 first hex digit, 50/50) to arms, and the Welch
+    z-statistic is computed from exact per-arm moments — the experiment
+    readout every growth team runs, with the assignment itself
+    deterministic so both engines test identical cohorts.
+
+    Determinism: per-user revenue is exact integer cents; Σ and Σ² per
+    arm are exact; means/variances/z are one fixed-order IEEE chain
+    (sqrt is correctly rounded) mirrored textually in the oracle.
+
+    Scale shape: one hash agg on user_id (map-side combined), then a
+    single-row global aggregate of six integer columns — the second
+    "shuffle" moves bytes, not data.  No window, no join."""
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(14,2)") * F.lit(100)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    a = u.select(arm.alias("arm"), "cents")
+    is_a = F.col("arm") == "A"
+    is_b = F.col("arm") == "B"
+    s = a.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s_a"),
+        F.sum(F.when(is_b, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s_b"),
+        F.sum(F.when(is_a, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("ss_a"),
+        F.sum(F.when(is_b, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("ss_b"),
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    sad = F.col("s_a").cast("double")
+    sbd = F.col("s_b").cast("double")
+    mean_a = sad / F.lit(100.0) / nad
+    mean_b = sbd / F.lit(100.0) / nbd
+    var_a = (F.col("ss_a").cast("double") - sad * sad / nad) / (
+        nad - F.lit(1.0)
+    )
+    var_b = (F.col("ss_b").cast("double") - sbd * sbd / nbd) / (
+        nbd - F.lit(1.0)
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        (mean_a - mean_b).alias("mean_diff"),
+        (
+            (sad / nad - sbd / nbd)
+            / F.sqrt(var_a / nad + var_b / nbd)
+        ).alias("welch_z"),
+    )

@@ -1,0 +1,247 @@
+"""Part-9 catalog operators: OLS trend, activity streaks, multi-touch
+attribution, order cadence, A/B mean test.
+
+Per house convention each gets (a) a semantic property test against an
+independent numpy/pandas formulation, (b) invariants, and (c) a
+physical-plan scale gate.  Oracle parity is covered catalog-wide by
+test_oracle_parity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from creek_spark.plans import explain_str
+from creek_spark.sources import read_table
+from tests.conftest import SF_DIR
+
+
+def _catalog():
+    import __spark_entry__ as entrymod
+
+    return entrymod._catalog()
+
+
+# ------------------------------------------------------------ OLS trend
+
+
+def test_linear_trend_matches_numpy(spark):
+    """slope/intercept/r2 equal numpy's closed-form OLS on the daily
+    series (to float tolerance; the catalog values are exact-integer
+    arithmetic so the match is tight)."""
+    df = _catalog()["ts_linear_trend"].fn(spark, SF_DIR)
+    out = {r["event_type"]: r for r in df.collect()}
+    ev = (
+        read_table(spark, SF_DIR, "events")
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .toPandas()
+    )
+    daily = ev.groupby(["event_type", "day"])["v"].sum()
+    for et, series in daily.groupby(level=0):
+        days = series.index.get_level_values("day")
+        x = (days - np.datetime64("2024-01-01")).days.to_numpy(dtype=float)
+        y = np.round(series.to_numpy() * 100) / 100.0  # cents-exact
+        n = len(x)
+        sl, ic = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        row = out[et]
+        assert row["n_days"] == n
+        assert abs(row["slope_per_day"] - sl) < 1e-6 * max(1.0, abs(sl))
+        assert abs(row["intercept"] - ic) < 1e-6 * max(1.0, abs(ic))
+        assert abs(row["r2"] - r * r) < 1e-9
+
+
+def test_linear_trend_single_pass_no_window(spark):
+    df = _catalog()["ts_linear_trend"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("Scan parquet") == 2, plan  # tree + detail = 1 scan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_" in plan, plan  # map-side combine
+
+
+# -------------------------------------------------------------- streaks
+
+
+def test_streaks_partition_distinct_days(spark):
+    """Streaks tile each user's active-day set exactly: lengths sum to
+    the distinct-day count, spans are consistent, and consecutive
+    streaks are separated by at least one missing day."""
+    df = _catalog()["events_active_streaks"].fn(spark, SF_DIR).collect()
+    ev = read_table(spark, SF_DIR, "events")
+    n_days = ev.select("user_id", F.date_trunc("day", "ts")).distinct().count()
+    assert sum(r["streak_days"] for r in df) == n_days
+    by_user: dict[int, list] = {}
+    for r in df:
+        span = (r["streak_end"] - r["streak_start"]).days + 1
+        assert span == r["streak_days"], r
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["streak_start"])
+        for a, b in zip(rows, rows[1:]):
+            gap = (b["streak_start"] - a["streak_end"]).days
+            assert gap >= 2, (a, b)  # gap==1 would mean mergeable streaks
+
+
+def test_streaks_windows_user_keyed(spark):
+    df = _catalog()["events_active_streaks"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
+        assert spec == "user_id", plan
+
+
+# ---------------------------------------------------------- attribution
+
+
+def test_attribution_credit_conservation(spark):
+    """Every attributed conversion hands out exactly one first touch,
+    one last touch, and (up to integer-division dust) one unit of linear
+    credit."""
+    df = {r["channel"]: r for r in
+          _catalog()["events_attribution"].fn(spark, SF_DIR).collect()}
+    ev = read_table(spark, SF_DIR, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    touch = ev.where(F.col("event_type").isin("click", "view", "signup"))
+    attributed = (
+        touch.join(
+            conv,
+            (touch.user_id == F.col("cu"))
+            & (touch.ts < F.col("cts"))
+            & (touch.ts >= F.col("cts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .select("conv_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["first_touch"] for r in df.values()) == attributed
+    assert sum(r["last_touch"] for r in df.values()) == attributed
+    total_credit = sum(r["linear_credit"] for r in df.values())
+    # each conversion contributes n·(1e6 div n)/1e6 ∈ (1 − n/1e6, 1]
+    assert attributed - 0.05 < total_credit <= attributed + 1e-9
+
+
+def test_attribution_brute_force(spark):
+    """Channel totals equal a pandas reimplementation."""
+    df = {r["channel"]: r for r in
+          _catalog()["events_attribution"].fn(spark, SF_DIR).collect()}
+    ev = read_table(spark, SF_DIR, "events").toPandas()
+    purch = ev[ev.event_type == "purchase"]
+    touches = ev[ev.event_type.isin(["click", "view", "signup"])]
+    agg = {c: [0, 0, 0, 0] for c in ("click", "view", "signup")}
+    for _, cv in purch.iterrows():
+        cand = touches[
+            (touches.user_id == cv.user_id)
+            & (touches.ts < cv.ts)
+            & (touches.ts >= cv.ts - np.timedelta64(7, "D"))
+        ].sort_values(["ts", "event_id"])
+        n = len(cand)
+        if n == 0:
+            continue
+        for pos, (_, t) in enumerate(cand.iterrows()):
+            a = agg[t.event_type]
+            a[0] += 1
+            a[1] += 1 if pos == 0 else 0
+            a[2] += 1 if pos == n - 1 else 0
+            a[3] += 1_000_000 // n
+    for c, (touches_n, first, last, credit) in agg.items():
+        r = df[c]
+        assert r["touches"] == touches_n
+        assert r["first_touch"] == first
+        assert r["last_touch"] == last
+        assert abs(r["linear_credit"] - credit / 1e6) < 1e-12
+
+
+def test_attribution_windows_conversion_keyed(spark):
+    df = _catalog()["events_attribution"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
+        assert spec == "conv_id", plan
+    # the touch-conversion join must be an equi-join on user, not a
+    # nested-loop over the cross product
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# -------------------------------------------------------- interarrival
+
+
+def test_interarrival_brute_force(spark):
+    df = {r["custkey"]: r for r in
+          _catalog()["orders_interarrival"].fn(spark, SF_DIR).collect()}
+    o = read_table(spark, SF_DIR, "orders").toPandas()
+    seen = 0
+    for ck, g in o.groupby("o_custkey"):
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        d = g.o_orderdate.to_numpy()
+        if len(d) < 2:
+            assert ck not in df
+            continue
+        gaps = np.diff(d).astype("timedelta64[D]").astype(int)
+        seen += 1
+        r = df[ck]
+        assert r["n_gaps"] == len(gaps)
+        assert abs(r["mean_gap_days"] - gaps.mean()) < 1e-9
+        lower_median = np.sort(gaps)[(len(gaps) + 1) // 2 - 1]
+        assert r["median_gap_days"] == lower_median
+    assert seen == len(df)
+
+
+def test_interarrival_single_custkey_exchange(spark):
+    """Both windows and the final agg share the custkey partitioning —
+    exactly one hash exchange of orders-sized data."""
+    df = _catalog()["orders_interarrival"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("Scan parquet") == 2, plan
+    n_hash = len(re.findall(r"Arguments: hashpartitioning\(", plan))
+    assert n_hash == 1, plan
+    assert re.search(r"Arguments: hashpartitioning\(c#", plan), plan
+
+
+# -------------------------------------------------------------- A/B test
+
+
+def test_ab_test_matches_numpy(spark):
+    row = _catalog()["events_ab_test"].fn(spark, SF_DIR).collect()[0]
+    ev = read_table(spark, SF_DIR, "events").toPandas()
+    p = ev[ev.event_type == "purchase"]
+    cents = (
+        (p.value.map(lambda v: round(v * 100))).groupby(p.user_id).sum()
+    )
+    arms = np.array(
+        [
+            "A"
+            if hashlib.md5(f"ab{uid}".encode()).hexdigest()[0] < "8"
+            else "B"
+            for uid in cents.index
+        ]
+    )
+    a = cents.to_numpy()[arms == "A"]
+    b = cents.to_numpy()[arms == "B"]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["mean_a"] - a.mean() / 100) < 1e-9
+    assert abs(row["mean_b"] - b.mean() / 100) < 1e-9
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    z = (a.mean() - b.mean()) / np.sqrt(va / len(a) + vb / len(b))
+    assert abs(row["welch_z"] - z) < 1e-9
+
+
+def test_ab_test_deterministic_rerun(spark):
+    """Two evaluations produce bit-identical floats (exact sums feed a
+    fixed-order IEEE chain — nothing depends on partitioning or task
+    order)."""
+    cat = _catalog()
+    r1 = cat["events_ab_test"].fn(spark, SF_DIR).collect()[0]
+    r2 = cat["events_ab_test"].fn(spark, SF_DIR).collect()[0]
+    assert r1 == r2
+    assert r1["n_a"] + r1["n_b"] > 0
