@@ -551,3 +551,104 @@ class StreamingDimStats:
             F.max("vmax").alias("vmax"),
         )
         return dim_stats_from_cells(cells)
+
+
+class StreamingCms:
+    """Continuously-maintained count-min frequency sketch — the streaming
+    twin of the ``sketch_cms_counts`` catalog query (token-frequency
+    estimates with exact-count companions for a fixed probe list).
+
+    Two additive tiers ride the same fenced sink machinery: the CMS cell
+    grid (row, bucket) → count — ≤ depth·width rows however large the
+    stream, merged by addition exactly as ``cms_merge`` does — and the
+    probe terms' exact counts (|probes| rows).  The report probes the
+    merged grid with the literal ``cms_estimate`` plan the batch
+    operator uses, so incremental == batch bit-for-bit — the eighth
+    proof (tests/test_streaming_rollup.py::test_streaming_cms_equals_batch).
+
+    Ingest cost per micro-batch: one tokenize + two map-side-combined
+    hash aggs, each collapsing to sketch-sized output before the
+    exchange.  State size is ≤ depth·width + |probes| rows regardless of
+    corpus size — the defining property of a mergeable sketch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        probes: list[str],
+        text_col: str = "text",
+        depth: int = 4,
+        width: int = 64,
+    ):
+        self.spark = spark
+        self.probes = list(probes)
+        self.text_col = text_col
+        self.depth = depth
+        self.width = width
+        self.cells = AdditiveRollupSink(
+            spark, state_dir + "/cells", ["row", "bucket"], ["cnt"], "row"
+        )
+        self.exact = AdditiveRollupSink(
+            spark, state_dir + "/exact", ["term"], ["cnt"], "term"
+        )
+
+    def _tokens(self, batch: DataFrame) -> DataFrame:
+        from creek_spark.functions.text import tokens as _tokens
+
+        return batch.select(F.explode(_tokens(self.text_col)).alias("tok"))
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from creek_spark.operators.sketches import cms_build
+
+        toks = self._tokens(batch)
+        self.cells.apply_batch(
+            cms_build(toks, "tok", depth=self.depth, width=self.width),
+            batch_id,
+        )
+        self.exact.apply_batch(
+            toks.where(F.col("tok").isin(self.probes))
+            .groupBy(F.col("tok").alias("term"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")),
+            batch_id,
+        )
+
+    def foreach_batch(self):
+        def _apply(batch: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch, batch_id)
+
+        return _apply
+
+    def report(self) -> DataFrame:
+        """The sketch_cms_counts frame over everything streamed so far —
+        bit-for-bit the batch operator's output (integer cells, shared
+        estimate plan, est ≥ exact guaranteed)."""
+        from creek_spark.operators.sketches import cms_estimate
+
+        cur = self.cells.current()
+        if cur is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        sketch = cur.groupBy("row", "bucket").agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        )
+        probes_df = self.spark.createDataFrame(
+            [(t,) for t in self.probes], ["term"]
+        )
+        est = cms_estimate(
+            sketch, probes_df, "term", depth=self.depth, width=self.width
+        )
+        ex = self.exact.current()
+        exact = (
+            ex.groupBy("term").agg(F.sum("cnt").cast("bigint").alias("exact_count"))
+            if ex is not None
+            else probes_df.select(
+                "term", F.lit(None).cast("bigint").alias("exact_count")
+            ).where(F.lit(False))
+        )
+        return est.join(exact, "term", "left").select(
+            "term",
+            "est_count",
+            F.coalesce(F.col("exact_count"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_count"),
+        )

@@ -383,3 +383,44 @@ def test_kind_aware_merge_hypothesis(spark, tmp_path):
         assert got == want
 
     run()
+
+
+def test_streaming_cms_equals_batch(spark, sf_dir, tmp_path):
+    """Eighth incremental == batch proof: the count-min cell grid and
+    probe exact-counts maintained from document micro-batches reproduce
+    the batch sketch_cms_counts report bit-for-bit; a replayed batch is
+    a no-op; state stays sketch-sized."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.queries_northstar import (
+        CMS_DEPTH,
+        CMS_PROBES,
+        CMS_WIDTH,
+    )
+    from creek_spark.streaming.detectors import StreamingCms
+
+    docs = read_table(spark, sf_dir, "documents")
+    det = StreamingCms(
+        spark,
+        str(tmp_path / "cmsstate"),
+        probes=CMS_PROBES,
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+    )
+    splits = [(0, 40), (40, 90), (90, 10**12)]
+    for i, (lo, hi) in enumerate(splits):
+        det.apply_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), i
+        )
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    batch = entrymod._catalog()["sketch_cms_counts"].fn(spark, sf_dir)
+    got, want = key(det.report()), key(batch)
+    assert len(got) == len(CMS_PROBES)
+    assert got == want
+    # replay fence: re-applying the last batch must not double-count
+    det.apply_batch(
+        docs.where(F.col("doc_id") >= splits[-1][0]), len(splits) - 1
+    )
+    assert key(det.report()) == want
+    # the state itself is sketch-sized
+    assert det.cells.current().count() <= CMS_DEPTH * CMS_WIDTH
