@@ -479,3 +479,273 @@ def events_ab_test(spark, sf_dir):
             / F.sqrt(var_a / nad + var_b / nbd)
         ).alias("welch_z"),
     )
+
+
+# =====================================================================
+# supplier ship-latency scorecard
+# =====================================================================
+
+LATE_THRESHOLD_DAYS = 30
+
+SHIP_LATENCY_ORACLE = f"""
+WITH j AS (
+  SELECT l_suppkey AS sk,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lat,
+         l_orderkey AS k1, l_linenumber AS k2
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+r AS (
+  SELECT sk, lat,
+         ROW_NUMBER() OVER (PARTITION BY sk ORDER BY lat, k1, k2) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY sk) AS BIGINT) AS n
+  FROM j)
+SELECT sk AS suppkey,
+       CAST(MAX(n) AS BIGINT) AS n_shipments,
+       CAST(CAST(SUM(lat) AS BIGINT) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+           AS mean_latency_days,
+       MAX(CASE WHEN rk = CAST(CEIL(0.9 * CAST(n AS DOUBLE)) AS BIGINT)
+                THEN lat END) AS p90_latency_days,
+       CAST(CAST(SUM(CASE WHEN lat > {LATE_THRESHOLD_DAYS} THEN 1 ELSE 0 END)
+                 AS BIGINT) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS late_rate
+FROM r GROUP BY sk
+"""
+
+
+@register("supplier_ship_latency", SHIP_LATENCY_ORACLE, "aggregation")
+def supplier_ship_latency(spark, sf_dir):
+    """Supplier fulfilment scorecard: ship latency (days from order to
+    ship) per supplier — exact mean, exact discrete p90, and the
+    late-shipment rate past a 30-day SLA — the vendor-reliability report
+    behind procurement reviews.
+
+    Determinism: latencies are integer day differences; the p90 is the
+    element at rank ceil(0.9·n) of a (lat, orderkey, linenumber)-
+    tiebroken ranking (both engines evaluate the identical IEEE 0.9·n
+    product); mean and rate are single divisions of exact integers.
+
+    Scale shape: the lineitem-orders equi-join broadcasts orders while
+    Catalyst's size estimate allows (size-gated hint — falls back to
+    SMJ + the session's runtime Bloom filter at scale); after the join
+    everything is keyed on suppkey, whose partition size is
+    lineitems-per-supplier — CONSTANT in scale factor — so the rank
+    window and the final agg share one bounded-partition exchange."""
+    from creek_spark.plans import broadcast_if_small
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(
+        broadcast_if_small(o), li.l_orderkey == o.o_orderkey
+    ).select(
+        F.col("l_suppkey").alias("sk"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("lat"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    )
+    wrk = Window.partitionBy("sk").orderBy("lat", "k1", "k2")
+    wn = Window.partitionBy("sk")
+    r = j.select(
+        "sk",
+        "lat",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    return r.groupBy("sk").agg(
+        F.max("n").cast("bigint").alias("_n"),
+        F.sum("lat").cast("bigint").alias("_s"),
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.ceil(F.lit(0.9) * F.col("n").cast("double")).cast(
+                    "bigint"
+                ),
+                F.col("lat"),
+            )
+        ).alias("p90_latency_days"),
+        F.sum(
+            F.when(F.col("lat") > LATE_THRESHOLD_DAYS, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("_late"),
+    ).select(
+        F.col("sk").alias("suppkey"),
+        F.col("_n").alias("n_shipments"),
+        (F.col("_s").cast("double") / F.col("_n").cast("double")).alias(
+            "mean_latency_days"
+        ),
+        "p90_latency_days",
+        (F.col("_late").cast("double") / F.col("_n").cast("double")).alias(
+            "late_rate"
+        ),
+    )
+
+
+# =====================================================================
+# readability scoring (ARI)
+# =====================================================================
+
+READABILITY_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(length(replace(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' ', '')) AS BIGINT) AS c,
+         CAST(len(string_split_regex(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             '\\s+')) AS BIGINT) AS w,
+         GREATEST(CAST(length(text)
+             - length(replace(replace(replace(text, '.', ''), '!', ''),
+                              '?', '')) AS BIGINT), 1) AS s
+  FROM documents)
+SELECT doc_id, lang, c AS n_chars_alnum, w AS n_words, s AS n_sentences,
+       4.71 * (CAST(c AS DOUBLE) / CAST(w AS DOUBLE))
+         + 0.5 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) - 21.43 AS ari,
+       CASE WHEN 4.71 * (CAST(c AS DOUBLE) / CAST(w AS DOUBLE))
+                 + 0.5 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) - 21.43 < 6.0
+            THEN 'easy'
+            WHEN 4.71 * (CAST(c AS DOUBLE) / CAST(w AS DOUBLE))
+                 + 0.5 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) - 21.43 < 10.0
+            THEN 'medium'
+            WHEN 4.71 * (CAST(c AS DOUBLE) / CAST(w AS DOUBLE))
+                 + 0.5 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) - 21.43 < 14.0
+            THEN 'hard'
+            ELSE 'very_hard' END AS ari_class
+FROM base
+"""
+
+
+@register("text_readability", READABILITY_ORACLE, "text")
+def text_readability(spark, sf_dir):
+    """Automated Readability Index per document: alnum-char / word /
+    sentence counts → ARI = 4.71·(c/w) + 0.5·(w/s) − 21.43 with grade
+    classes — the classic formula-based quality band a curation pipeline
+    uses where a model-based scorer is too expensive (ARI uses only
+    counts, so it is exactly reproducible cross-engine — no syllable
+    estimation).
+
+    Determinism: all three counts are integers (chars of the normalized
+    text minus spaces; token-array length; sentence terminators counted
+    by chained literal replace, floored at 1); the ARI chain is
+    fixed-order IEEE on exact operands, and the class CASE compares the
+    identical double on both sides.
+
+    Scale shape: one scan, one JVM-only projection, no shuffle at all —
+    the classifier every row-wise curation stage wants."""
+    from creek_spark.functions.text import norm_text, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = norm_text("text")
+    c = F.length(F.replace(norm, F.lit(" "), F.lit(""))).cast("bigint")
+    w = F.size(tokens("text")).cast("bigint")
+    s = F.greatest(
+        (
+            F.length("text")
+            - F.length(
+                F.replace(
+                    F.replace(
+                        F.replace(F.col("text"), F.lit("."), F.lit("")),
+                        F.lit("!"),
+                        F.lit(""),
+                    ),
+                    F.lit("?"),
+                    F.lit(""),
+                )
+            )
+        ).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    base = docs.select(
+        "doc_id", "lang", c.alias("c"), w.alias("w"), s.alias("s")
+    )
+    ari = (
+        F.lit(4.71) * (F.col("c").cast("double") / F.col("w").cast("double"))
+        + F.lit(0.5) * (F.col("s_w"))
+        - F.lit(21.43)
+    )
+    base = base.withColumn(
+        "s_w", F.col("w").cast("double") / F.col("s").cast("double")
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        F.col("c").alias("n_chars_alnum"),
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        ari.alias("ari"),
+        F.when(ari < 6.0, F.lit("easy"))
+        .when(ari < 10.0, F.lit("medium"))
+        .when(ari < 14.0, F.lit("hard"))
+        .otherwise(F.lit("very_hard"))
+        .alias("ari_class"),
+    )
+
+
+# =====================================================================
+# frequent triples (Apriori level-3)
+# =====================================================================
+
+TRIPLE_MINSUP = 2
+
+BASKET_TRIPLES_ORACLE = f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+               FROM lineitem),
+tr AS (SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+              CAST(COUNT(*) AS BIGINT) AS support
+       FROM items a
+       JOIN items b ON a.o = b.o AND a.p < b.p
+       JOIN items c ON a.o = c.o AND b.p < c.p
+       GROUP BY a.p, b.p, c.p
+       HAVING COUNT(*) >= {TRIPLE_MINSUP})
+SELECT p1, p2, p3, support FROM tr
+"""
+
+
+@register("basket_triples", BASKET_TRIPLES_ORACLE, "aggregation")
+def basket_triples(spark, sf_dir):
+    """Frequent part triples across orders (the Apriori level-3 step on
+    top of basket_part_pairs): all {{p1<p2<p3}} itemsets co-ordered in ≥2
+    orders.
+
+    The Spark side runs the APRIORI-SHAPED plan: first the frequent-pair
+    level, then items are semi-join PRUNED to parts that appear in some
+    frequent pair before the triple self-join.  By support monotonicity
+    (any support-k triple's sub-pairs all have support ≥ k) the prune is
+    LOSSLESS — the naive oracle enumeration returns the identical set.
+
+    Scale shape: per-order fan-out is |basket| choose 3 with baskets
+    bounded (TPC-H ≤ 7 items); the prune multiplies in the real win at
+    100 TB — candidate parts collapse to the frequent-pair support set,
+    so the three-way join runs over a corpus filtered by two broadcast
+    semi-joins ⊙, all keyed on the order key."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= TRIPLE_MINSUP)
+    )
+    freq_parts = (
+        pairs.select(F.col("p1").alias("p"))
+        .unionByName(pairs.select(F.col("p2").alias("p")))
+        .distinct()
+    )
+    pruned = items.join(F.broadcast(freq_parts), "p", "semi")
+    x = pruned.alias("x")
+    y = pruned.alias("y")
+    z = pruned.alias("z")
+    return (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .join(z, (F.col("x.o") == F.col("z.o")) & (F.col("y.p") < F.col("z.p")))
+        .groupBy(
+            F.col("x.p").alias("p1"),
+            F.col("y.p").alias("p2"),
+            F.col("z.p").alias("p3"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= TRIPLE_MINSUP)
+    )

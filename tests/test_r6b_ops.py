@@ -245,3 +245,108 @@ def test_ab_test_deterministic_rerun(spark):
     r2 = cat["events_ab_test"].fn(spark, SF_DIR).collect()[0]
     assert r1 == r2
     assert r1["n_a"] + r1["n_b"] > 0
+
+
+# ------------------------------------------------------- ship latency
+
+
+def test_ship_latency_brute_force(spark):
+    df = {r["suppkey"]: r for r in
+          _catalog()["supplier_ship_latency"].fn(spark, SF_DIR).collect()}
+    li = read_table(spark, SF_DIR, "lineitem").toPandas()
+    o = read_table(spark, SF_DIR, "orders").toPandas()
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    import pandas as pd
+
+    ship = pd.to_datetime(j.l_shipdate).dt.normalize()
+    od = pd.to_datetime(j.o_orderdate).dt.normalize()
+    j["lat"] = (ship - od).dt.days
+    import math
+
+    for sk, g in j.groupby("l_suppkey"):
+        g = g.sort_values(["lat", "l_orderkey", "l_linenumber"])
+        lats = g.lat.to_numpy()
+        n = len(lats)
+        r = df[sk]
+        assert r["n_shipments"] == n
+        assert abs(r["mean_latency_days"] - lats.mean()) < 1e-9
+        assert r["p90_latency_days"] == lats[math.ceil(0.9 * n) - 1]
+        assert abs(r["late_rate"] - (lats > 30).mean()) < 1e-12
+
+
+def test_ship_latency_supplier_keyed_windows(spark):
+    df = _catalog()["supplier_ship_latency"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
+        assert spec == "sk", plan
+    # orders side broadcast at this scale (size-gated hint)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+# -------------------------------------------------------- readability
+
+
+def test_readability_brute_force(spark):
+    rows = _catalog()["text_readability"].fn(spark, SF_DIR).collect()
+    docs = {r["doc_id"]: r["text"] for r in
+            read_table(spark, SF_DIR, "documents").collect()}
+    import re as _re
+
+    for r in rows:
+        t = docs[r["doc_id"]]
+        norm = _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        c = len(norm.replace(" ", ""))
+        w = len(norm.split(" ")) if norm else 1  # split('') edge
+        s = max(sum(t.count(x) for x in ".!?"), 1)
+        assert r["n_chars_alnum"] == c, (r, c)
+        assert r["n_words"] == w, (r, w)
+        assert r["n_sentences"] == s, (r, s)
+        ari = 4.71 * (c / w) + 0.5 * (w / s) - 21.43
+        assert abs(r["ari"] - ari) < 1e-9
+        want = (
+            "easy" if r["ari"] < 6.0
+            else "medium" if r["ari"] < 10.0
+            else "hard" if r["ari"] < 14.0
+            else "very_hard"
+        )
+        assert r["ari_class"] == want
+
+
+def test_readability_shuffle_free(spark):
+    """A row-wise classifier must plan as scan → project, zero exchanges
+    of any kind."""
+    df = _catalog()["text_readability"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Arguments: hashpartitioning" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
+
+
+# ------------------------------------------------------------- triples
+
+
+def test_basket_triples_brute_force(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    got = {
+        (r["p1"], r["p2"], r["p3"]): r["support"]
+        for r in _catalog()["basket_triples"].fn(spark, SF_DIR).collect()
+    }
+    li = read_table(spark, SF_DIR, "lineitem").toPandas()
+    support = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(set(g.l_partkey))
+        for tri in combinations(parts, 3):
+            support[tri] += 1
+    want = {t: c for t, c in support.items() if c >= 2}
+    assert got == want
+    assert len(got) > 0  # non-vacuous at sf0.001 (94 triples)
+
+
+def test_basket_triples_prune_is_broadcast(spark):
+    """The Apriori part-prune must ride broadcast semi-joins, never a
+    shuffled semi."""
+    df = _catalog()["basket_triples"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftSemi, BuildRight" in plan or "BroadcastHashJoin" in plan, plan
