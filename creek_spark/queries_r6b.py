@@ -60,29 +60,24 @@ FROM c WHERE den <> 0 AND dy <> 0
 """
 
 
-@register("ts_linear_trend", LINEAR_TREND_ORACLE, "timeseries")
-def ts_linear_trend(spark, sf_dir):
-    """Per-event-type least-squares trend of daily revenue: slope ($/day),
-    intercept and R² from the closed-form normal equations — the
-    is-this-metric-growing primitive behind every monitoring dashboard.
-
-    Determinism: the five moment sums (Σx, Σy, Σxy, Σx², Σy²) are exact
-    integers over day indexes and revenue cents; slope/intercept/R² are a
-    fixed-order IEEE chain mirrored textually in the oracle.  Operands
-    stay ≤ decimal(13)·decimal(19) so the cross products fit DuckDB's 38-
-    digit multiply on the int128 path.
-
-    Scale shape: two skew-free hash aggregations — (type, day) then type
-    — with map-side combines; no window, no join.  The daily grid is
-    calendar-bounded, the final frame is |event types| rows."""
-    ev = _t(spark, sf_dir, "events")
-    d = ev.groupBy(
+def trend_daily_cells(ev) -> "DataFrame":
+    """Micro-batch/corpus → additive (event_type, day, y-cents) cells —
+    the sufficient statistic the streaming mirror maintains (cents sum
+    by addition per cell)."""
+    return ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(
         F.sum(
             (F.col("value").cast("decimal(14,2)") * F.lit(100)).cast("bigint")
         ).alias("y")
-    ).select(
+    )
+
+
+def trend_from_cells(cells) -> "DataFrame":
+    """(event_type, day, y) cells → the OLS trend frame.  Shared by the
+    batch catalog query and StreamingTrend so incremental == batch is
+    equality of literally the same fold plan."""
+    d = cells.select(
         "event_type",
         F.datediff(F.col("day"), F.lit(TREND_EPOCH).cast("timestamp"))
         .cast("bigint")
@@ -122,6 +117,27 @@ def ts_linear_trend(spark, sf_dir):
             (numd * numd) / (dend * F.col("dy").cast("double"))
         ).alias("r2"),
     )
+
+
+@register("ts_linear_trend", LINEAR_TREND_ORACLE, "timeseries")
+def ts_linear_trend(spark, sf_dir):
+    """Per-event-type least-squares trend of daily revenue: slope ($/day),
+    intercept and R² from the closed-form normal equations — the
+    is-this-metric-growing primitive behind every monitoring dashboard.
+
+    Determinism: the five moment sums (Σx, Σy, Σxy, Σx², Σy²) are exact
+    integers over day indexes and revenue cents; slope/intercept/R² are a
+    fixed-order IEEE chain mirrored textually in the oracle.  Operands
+    stay ≤ decimal(13)·decimal(19) so the cross products fit DuckDB's 38-
+    digit multiply on the int128 path.
+
+    Scale shape: two skew-free hash aggregations — (type, day) then type
+    — with map-side combines; no window, no join.  The daily grid is
+    calendar-bounded, the final frame is |event types| rows.  The daily
+    cells are ADDITIVE, so the same cells/fold pair powers the
+    StreamingTrend mirror (ninth incremental == batch proof)."""
+    ev = _t(spark, sf_dir, "events")
+    return trend_from_cells(trend_daily_cells(ev))
 
 
 # =====================================================================

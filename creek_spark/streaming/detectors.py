@@ -652,3 +652,52 @@ class StreamingCms:
             .cast("bigint")
             .alias("exact_count"),
         )
+
+
+class StreamingTrend:
+    """Continuously-maintained least-squares trend — the streaming twin
+    of the ``ts_linear_trend`` catalog query (per-key OLS
+    slope/intercept/R² of the daily revenue series).
+
+    The state is the (event_type, day) daily-cents grid: revenue cents
+    merge by ADDITION per cell, so the sufficient statistic for the
+    whole regression is calendar-bounded however large the stream.  The
+    report runs the literal ``trend_from_cells`` fold the batch query
+    uses (exact integer moments, decimal cross products, fixed-order
+    IEEE solve), so incremental == batch bit-for-bit — the ninth proof
+    (tests/test_streaming_rollup.py::test_streaming_trend_equals_batch).
+
+    Ingest cost per micro-batch: one map-side-combined hash agg to the
+    touched (type, day) cells; a trickle of fresh events rewrites only
+    the touched event_type partitions."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.sink = AdditiveRollupSink(
+            spark, state_dir, ["event_type", "day"], ["y"], "event_type"
+        )
+
+    @staticmethod
+    def cells_tier(batch: DataFrame) -> DataFrame:
+        from creek_spark.queries_r6b import trend_daily_cells
+
+        return trend_daily_cells(batch)
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self.sink.apply_batch(self.cells_tier(batch), batch_id)
+
+    def foreach_batch(self):
+        return self.sink.foreach_batch(self.cells_tier)
+
+    def report(self) -> DataFrame:
+        """The ts_linear_trend frame over everything streamed so far —
+        bit-for-bit the batch operator's output."""
+        from creek_spark.queries_r6b import trend_from_cells
+
+        cur = self.sink.current()
+        if cur is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        cells = cur.groupBy("event_type", "day").agg(
+            F.sum("y").cast("bigint").alias("y")
+        )
+        return trend_from_cells(cells)

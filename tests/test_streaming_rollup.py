@@ -424,3 +424,31 @@ def test_streaming_cms_equals_batch(spark, sf_dir, tmp_path):
     assert key(det.report()) == want
     # the state itself is sketch-sized
     assert det.cells.current().count() <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_streaming_trend_equals_batch(spark, sf_dir, tmp_path):
+    """Ninth incremental == batch proof: the (type, day) daily-cents
+    grid maintained from event micro-batches reproduces the batch
+    ts_linear_trend OLS report bit-for-bit; a replayed batch is a
+    no-op."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import StreamingTrend
+
+    ev = read_table(spark, sf_dir, "events")
+    det = StreamingTrend(spark, str(tmp_path / "trendstate"))
+    splits = [(0, 3000), (3000, 7000), (7000, 10**12)]
+    for i, (lo, hi) in enumerate(splits):
+        det.apply_batch(
+            ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi)), i
+        )
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    batch = entrymod._catalog()["ts_linear_trend"].fn(spark, sf_dir)
+    got, want = key(det.report()), key(batch)
+    assert len(got) > 0
+    assert got == want
+    # replay fence
+    det.apply_batch(
+        ev.where(F.col("event_id") >= splits[-1][0]), len(splits) - 1
+    )
+    assert key(det.report()) == want
