@@ -4,11 +4,17 @@ The Spark-side plumbing (schema, partition-friendly batch shape, Arrow
 transfer via mapInPandas) is real and tested.  IMAGE header decode
 (PNG IHDR / JPEG SOF / GIF LSD / BMP DIB → width, height, bit depth,
 channels) is REAL and pure-stdlib — see ``parse_image_header`` /
-``decode_image_headers``.  Only pixel-level transforms (resize) and
-audio/video payload decode are stubbed, because no codec library ships in
-this environment: those either raise NotImplementedError (strict mode),
-produce a deterministic fake payload (plumbing-test mode), or accept an
-injected batch codec (PIL/librosa/ffmpeg in real deployments).
+``decode_image_headers`` — and for PNG the engine carries a REAL
+pixel-level codec too (``decode_png_pixels`` / ``png_from_array``:
+chunk walk, IDAT inflate, full None/Sub/Up/Average/Paeth unfiltering),
+so PNG resize (``resize_images``) and pixel statistics
+(``pixel_stats``, oracle-verified in the catalog) run on actual pixels
+with no injected library.  Non-PNG pixel transforms and audio/video
+payload decode remain injection points, because no codec library ships
+in this environment: those either raise NotImplementedError (strict
+mode), produce a deterministic fake payload (plumbing-test mode), or
+accept an injected batch codec (PIL/librosa/ffmpeg in real
+deployments).
 
 Design for 100 TB: binary payloads ride in parquet with the metadata
 columns beside them; decode/feature-extract runs as `mapInPandas` so each
@@ -329,11 +335,19 @@ def resize_images(
         if batch_resizer is not None:
             return batch_resizer(content, width, height)
         if not fake:
-            raise NotImplementedError(
-                "image resize requires a codec library not present in this "
-                "environment; run with fake_resize=True to exercise the "
-                "plumbing"
-            )
+            # REAL path for PNG payloads: pure-stdlib pixel decode →
+            # nearest-neighbor resize → re-encode.  Other formats still
+            # need an injected codec.
+            try:
+                return png_from_array(
+                    nn_resize(decode_png_pixels(content), width, height)
+                )
+            except ValueError:
+                raise NotImplementedError(
+                    "non-PNG resize requires a codec library not present "
+                    "in this environment; inject batch_resizer or run "
+                    "with fake_resize=True to exercise the plumbing"
+                )
         # deterministic fake: cap payload at width*height bytes
         return bytes(content[: width * height])
 
@@ -522,3 +536,202 @@ def mp4_bytes(*, timescale: int = 1000, duration: int = 2500) -> bytes:
     moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
     return ftyp + moov
+
+
+# ---------------------------------------------------------------------
+# REAL pixel-level PNG codec (pure stdlib zlib + numpy) — upgrades the
+# image path from header-only decode to actual pixel access, removing
+# the codec-injection requirement for PNG payloads entirely.
+# ---------------------------------------------------------------------
+
+
+def decode_png_pixels(payload: bytes):
+    """Decode a non-interlaced 8-bit PNG (gray / RGB / gray+alpha /
+    RGBA) to a (height, width, channels) uint8 numpy array — REAL
+    decode: chunk walk, IDAT inflate, and full scanline unfiltering
+    (None/Sub/Up/Average/Paeth per the PNG spec §9), no image library.
+
+    Raises ValueError for non-PNG payloads and unsupported variants
+    (palette, 16-bit, interlaced) — callers fall back to the injection
+    point for those."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG variant (depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    if ch == 0:  # palette — needs PLTE handling, out of scope
+        raise ValueError("palette PNG not supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        line = raw[y * (stride + 1): (y + 1) * (stride + 1)]
+        ft, row = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        if ft == 0:
+            recon = row
+        elif ft == 1:  # Sub — per-lane cumulative sum (vectorized)
+            recon = row.copy()
+            for lane in range(ch):
+                recon[lane::ch] = np.cumsum(row[lane::ch]) % 256
+        elif ft == 2:  # Up
+            recon = (row + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth — sequential in x
+            recon = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = recon[x - ch] if x >= ch else 0
+                b = prev[x]
+                if ft == 3:
+                    recon[x] = (row[x] + ((a + b) >> 1)) % 256
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    recon[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return out.reshape(h, w, ch)
+
+
+def png_from_array(arr) -> bytes:
+    """Encode a (h, w) or (h, w, channels) uint8 array as a spec-valid
+    PNG (filter 0 scanlines, one zlib IDAT) — the encoder half of the
+    pure-stdlib pixel codec; round-trips exactly through
+    ``decode_png_pixels``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_bytes_gradient(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic RGB test image: pixel (x, y) channel c has value
+    (x + 2·y + seed + c) mod 256 — closed-form, so SQL oracles can
+    predict every pixel statistic of the encoded payload."""
+    import numpy as np
+
+    xx = np.arange(width, dtype=np.int64)[None, :, None]
+    yy = np.arange(height, dtype=np.int64)[:, None, None]
+    cc = np.arange(3, dtype=np.int64)[None, None, :]
+    return png_from_array((xx + 2 * yy + seed + cc) % 256)
+
+
+def nn_resize(arr, width: int, height: int):
+    """Nearest-neighbor resize by floor index mapping — pure numpy
+    fancy-indexing, deterministic."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    h, w = a.shape[:2]
+    iy = (np.arange(height, dtype=np.int64) * h) // height
+    ix = (np.arange(width, dtype=np.int64) * w) // width
+    return a[iy][:, ix]
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_values", T.LongType(), True),
+        T.StructField("sum_px", T.LongType(), True),
+        T.StructField("min_px", T.IntegerType(), True),
+        T.StructField("max_px", T.IntegerType(), True),
+    ]
+)
+
+
+def pixel_stats(media: DataFrame, *, strict: bool = False) -> DataFrame:
+    """Per-image pixel statistics from REAL decoded pixels
+    (count / exact integer sum / min / max over all channel values) —
+    the brightness/degenerate-image screen a multimodal curation
+    pipeline runs first.  PNG decodes via the pure-stdlib codec; other
+    formats yield nulls (or raise under ``strict``) until a codec is
+    injected.
+
+    Scale shape: mapInPandas (Arrow batches), decode work ∝ media
+    bytes, output one metadata row per image — the blob never leaves
+    the task."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    a = decode_png_pixels(content)
+                    rows.append(
+                        (
+                            mid,
+                            a.shape[1],
+                            a.shape[0],
+                            a.shape[2],
+                            int(a.size),
+                            int(a.sum(dtype=np.int64)),
+                            int(a.min()),
+                            int(a.max()),
+                        )
+                    )
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append((mid, None, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in PIXEL_STATS_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=PIXEL_STATS_SCHEMA
+    )

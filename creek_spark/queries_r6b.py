@@ -765,3 +765,79 @@ def basket_triples(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .where(F.col("support") >= TRIPLE_MINSUP)
     )
+
+
+# =====================================================================
+# real PNG pixel statistics (pure-stdlib pixel codec, oracle-verified)
+# =====================================================================
+
+PIXEL_STATS_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         CAST(doc_id % 12 + 4 AS BIGINT) AS w,
+         CAST(doc_id % 8 + 3 AS BIGINT) AS h,
+         CAST(doc_id % 256 AS BIGINT) AS seed
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h,
+         (x + 2 * y + seed + c) % 256 AS v
+  FROM g,
+       unnest(generate_series(0, w - 1)) AS tx(x),
+       unnest(generate_series(0, h - 1)) AS ty(y),
+       unnest(generate_series(0, 2)) AS tc(c))
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(v) AS BIGINT) AS sum_px,
+       CAST(MIN(v) AS INTEGER) AS min_px,
+       CAST(MAX(v) AS INTEGER) AS max_px,
+       CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS mean_px
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+@register("multimodal_pixel_stats", PIXEL_STATS_ORACLE, "multimodal")
+def multimodal_pixel_stats(spark, sf_dir):
+    """Round-trip proof that PIXEL decode is REAL, not just headers:
+    synthesize a deterministic gradient PNG per document (pixel (x,y,c)
+    = (x + 2y + seed + c) mod 256, encoded through the pure-stdlib PNG
+    encoder), decode it back through the chunk-walk + IDAT-inflate +
+    unfilter codec inside ``pixel_stats`` (mapInPandas), and report
+    count / exact sum / min / max / mean per image.  The oracle predicts
+    every statistic from the closed-form pixel arithmetic — a hash
+    mismatch means the encoder, the decoder, or the stats fold mangled
+    actual pixel bytes.
+
+    Scale shape: one mapInPandas stage (Arrow-batched, work ∝ media
+    bytes, one metadata row out per image) — the same five-Python-stage
+    budget as the other multimodal paths; the mean is one IEEE division
+    of exact integers in the JVM."""
+    from creek_spark.operators.multimodal import (
+        pixel_stats,
+        png_bytes_gradient,
+    )
+
+    def synth(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            content = [
+                png_bytes_gradient(
+                    int(i) % 12 + 4, int(i) % 8 + 3, seed=int(i) % 256
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(synth, schema="media_id bigint, content binary")
+    stats = pixel_stats(media, strict=True)
+    return stats.select(
+        "*",
+        (
+            F.col("sum_px").cast("double") / F.col("n_values").cast("double")
+        ).alias("mean_px"),
+    )

@@ -26,6 +26,12 @@ cardinalities scale with the data; value distributions untouched):
                                 (events ×k, user set fixed → streams
                                 deepen; union + last-non-null window)
   * similarity_topk shape     — fixed 20-query broadcast × corpus ×k
+  * attribution shape         — user-keyed touch→conversion join with
+                                a 7-day fan-in bound + conv-keyed
+                                windows (events ×k, users remapped)
+  * basket_triples shape      — Apriori level-3 with broadcast
+                                part-prune (lineitem ×k, orders remapped
+                                → baskets multiply, sizes constant)
 
 Near-dup detection (LSH/jaccard) is deliberately NOT probed: inflating
 a corpus by replication makes every document a near-duplicate, so the
@@ -170,6 +176,76 @@ def probes(spark, sf_dir: str):
             value_cols=["value"],
         )
 
+    def attribution(k):
+        # users remapped -> k x users with per-user activity CONSTANT, so
+        # conversions and their bounded 7-day fan-in both scale linearly
+        # (keeping the user set fixed would deepen every stream and make
+        # the conversion x touch product genuinely quadratic — a data
+        # property, like the excluded near-dup shapes)
+        from pyspark.sql import Window
+
+        d = inflate(ev, k, {"event_id": "remap", "user_id": "remap"})
+        conv = d.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("conv_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("conv_ts"),
+        )
+        touch = d.where(
+            F.col("event_type").isin("click", "view", "signup")
+        ).select(F.col("event_id").alias("touch_id"), "user_id", "ts",
+                 F.col("event_type").alias("channel"))
+        t = touch.join(
+            conv,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("ts") < F.col("conv_ts"))
+            & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        wr = Window.partitionBy("conv_id").orderBy("ts", "touch_id")
+        wc = Window.partitionBy("conv_id")
+        r = t.select(
+            "channel",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("n_touches"),
+        )
+        return r.groupBy("channel").agg(
+            F.count(F.lit(1)).alias("touches"),
+            F.sum(F.expr("1000000 div n_touches")).alias("credit_micro"),
+        )
+
+    def triples(k):
+        # baskets x k with per-basket size constant AND the part catalog
+        # remapped x k (as it grows with scale factor in TPC-H):
+        # replicating baskets over a FIXED part set would multiply every
+        # pair's support by k, make the support filter vacuous, and
+        # genuinely quadratize the data (measured: top_ratio 11.2) —
+        # the same replicated-data artifact the near-dup shapes document
+        d = inflate(li, k, {"l_orderkey": "remap", "l_partkey": "remap"})
+        items = d.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+        a, b = items.alias("a"), items.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+        )
+        fp = (
+            pairs.select(F.col("p1").alias("p"))
+            .unionByName(pairs.select(F.col("p2").alias("p")))
+            .distinct()
+        )
+        pruned = items.join(F.broadcast(fp), "p", "semi")
+        x, y, z = pruned.alias("x"), pruned.alias("y"), pruned.alias("z")
+        return (
+            x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+            .join(z, (F.col("x.o") == F.col("z.o")) & (F.col("y.p") < F.col("z.p")))
+            .groupBy(F.col("x.p").alias("p1"), F.col("y.p").alias("p2"),
+                     F.col("z.p").alias("p3"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= 2)
+        )
+
     def topk(k):
         d = inflate(emb, k, {"vec_id": "remap"})
         from creek_spark.operators.similarity import cosine_topk
@@ -185,6 +261,8 @@ def probes(spark, sf_dir: str):
         "dedup_exact_shape": dedup,
         "join_asof_shape": asof,
         "similarity_topk_shape": topk,
+        "attribution_shape": attribution,
+        "basket_triples_shape": triples,
     }
 
 
