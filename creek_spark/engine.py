@@ -534,3 +534,31 @@ class Engine:
         from creek_spark.queries_r6 import parts_xyz_variability
 
         return parts_xyz_variability(self.spark, sf_dir or self.data_dir)
+
+    def streaming_cms(self, state_dir: str, *, probes, **kw):
+        """Incrementally-maintained count-min frequency sketch with probe
+        exact-counts, batch-identical (streaming/detectors.py)."""
+        from creek_spark.streaming.detectors import StreamingCms
+
+        return StreamingCms(self.spark, state_dir, probes=probes, **kw)
+
+    def streaming_trend(self, state_dir: str):
+        """Incrementally-maintained per-key OLS trend over additive
+        daily cells, batch-identical (streaming/detectors.py)."""
+        from creek_spark.streaming.detectors import StreamingTrend
+
+        return StreamingTrend(self.spark, state_dir)
+
+    def pixel_stats(self, media, *, strict: bool = False) -> DataFrame:
+        """Per-image pixel statistics through the REAL pure-stdlib PNG
+        codec (operators/multimodal.py)."""
+        from creek_spark.operators.multimodal import pixel_stats
+
+        return pixel_stats(media, strict=strict)
+
+    def resize_media(self, media, *, width: int = 224, height: int = 224, **kw) -> DataFrame:
+        """Image resize: REAL decode→NN→re-encode for PNG, injected codec
+        or plumbing-fake for the rest (operators/multimodal.py)."""
+        from creek_spark.operators.multimodal import resize_images
+
+        return resize_images(media, width=width, height=height, **kw)
