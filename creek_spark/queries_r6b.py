@@ -841,3 +841,215 @@ def multimodal_pixel_stats(spark, sf_dir):
             F.col("sum_px").cast("double") / F.col("n_values").cast("double")
         ).alias("mean_px"),
     )
+
+
+# =====================================================================
+# cross-source duplication matrix
+# =====================================================================
+
+
+def _cross_source_oracle() -> str:
+    from creek_spark.queries_northstar import _minhash_oracle
+
+    return f"""
+    WITH p AS ({_minhash_oracle()}),
+    j AS (SELECT LEAST(da.source, db.source) AS source_a,
+                 GREATEST(da.source, db.source) AS source_b
+          FROM p
+          JOIN documents da ON da.doc_id = p.doc_a
+          JOIN documents db ON db.doc_id = p.doc_b)
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY source_a, source_b
+    """
+
+
+@register("dedup_cross_source", _cross_source_oracle(), "dedup")
+def dedup_cross_source(spark, sf_dir):
+    """Cross-source duplication matrix: MinHash-LSH near-dup candidate
+    pairs rolled up by (source, source) — the contamination map that
+    tells a curation team WHICH feeds overlap (same-source mirror rows
+    on the diagonal, cross-source pairs off it), driving crawl dedup
+    priorities.
+
+    Determinism: the pair set is exactly dedup_minhash_lsh's (same
+    md5-derived signatures both engines); the matrix is pure integer
+    counting over canonically-ordered (LEAST/GREATEST) source pairs.
+
+    Scale shape: pairs are banded-bucket-bounded (never all-pairs); the
+    two source lookups are equi-joins on doc id against a projected
+    (id, source) frame; the final matrix is |sources|² — metadata-sized."""
+    from creek_spark.queries_northstar import BANDS, N_HASHES, SHINGLE_K
+    from creek_spark.operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_candidates(
+        docs, "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, shingle_k=SHINGLE_K,
+    )
+    src = docs.select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least(F.col("_sa"), F.col("_sb")).alias("source_a"),
+            F.greatest(F.col("_sa"), F.col("_sb")).alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+# =====================================================================
+# customer segment migration matrix
+# =====================================================================
+
+MIGRATION_SPLIT = "1998-05-01 00:00:00"
+
+
+def _seg_case(n: str) -> str:
+    return (
+        f"CASE WHEN COALESCE({n}, 0) = 0 THEN 'none' "
+        f"WHEN {n} <= 2 THEN 'low' "
+        f"WHEN {n} <= 5 THEN 'mid' ELSE 'high' END"
+    )
+
+
+MIGRATION_ORACLE = f"""
+WITH h AS (
+  SELECT o_custkey AS c,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{MIGRATION_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{MIGRATION_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM orders GROUP BY o_custkey),
+seg AS (
+  SELECT {_seg_case('h.n1')} AS seg_before,
+         {_seg_case('h.n2')} AS seg_after
+  FROM customer cu LEFT JOIN h ON h.c = cu.c_custkey)
+SELECT seg_before, seg_after, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM seg GROUP BY seg_before, seg_after
+"""
+
+
+@register("customer_migration_matrix", MIGRATION_ORACLE, "aggregation")
+def customer_migration_matrix(spark, sf_dir):
+    """Customer activity-segment migration: order-count class (none /
+    low ≤2 / mid ≤5 / high) in the era before vs after the catalog
+    midpoint, crossed into a migration matrix over the full customer
+    dimension — churn/upsell flow at a glance (the fixed-threshold
+    cousin of customer_rfm, deliberately quantile-free so the segment
+    definition is stable across reruns and engines).
+
+    Determinism: pure integer counting and fixed thresholds; no floats.
+
+    Scale shape: ONE orders scan folds both eras with conditional
+    counts (map-side combined, custkey-keyed); the customer left join
+    is custkey-equi (broadcast while the size gate allows); the matrix
+    agg is 16 rows."""
+    from creek_spark.plans import broadcast_if_small
+
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    split = F.lit(MIGRATION_SPLIT).cast("timestamp")
+    h = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.when(F.col("o_orderdate") < split, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("o_orderdate") >= split, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+
+    def seg(n):
+        c = F.coalesce(F.col(n), F.lit(0))
+        return (
+            F.when(c == 0, F.lit("none"))
+            .when(c <= 2, F.lit("low"))
+            .when(c <= 5, F.lit("mid"))
+            .otherwise(F.lit("high"))
+        )
+
+    joined = cu.join(broadcast_if_small(h), cu.c_custkey == h.c, "left")
+    return joined.select(
+        seg("n1").alias("seg_before"), seg("n2").alias("seg_after")
+    ).groupBy("seg_before", "seg_after").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+# =====================================================================
+# character-diversity (Gini) scoring
+# =====================================================================
+
+CHAR_GINI_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                 ' ', '') AS s
+  FROM documents),
+ch AS (
+  SELECT doc_id, substr(s, CAST(i AS INTEGER), 1) AS c
+  FROM base, unnest(generate_series(1, length(s))) AS t(i)
+  WHERE length(s) > 0),
+cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+       FROM ch GROUP BY doc_id, c),
+agg AS (SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(n * n) AS BIGINT) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM cc GROUP BY doc_id)
+SELECT doc_id, nt AS n_chars, n_distinct AS n_distinct_chars,
+       CAST(nt * nt - s2 AS DOUBLE) / CAST(nt * nt AS DOUBLE) AS char_gini
+FROM agg
+"""
+
+
+@register("text_char_gini", CHAR_GINI_ORACLE, "text")
+def text_char_gini(spark, sf_dir):
+    """Character-diversity score per document: Gini impurity
+    1 − Σp(c)² over the normalized alphanumeric character distribution
+    — the log-free cousin of character entropy (entropy needs libm `ln`,
+    which differs across engines; Gini is pure rational arithmetic), a
+    cheap degenerate-text screen (near 0 ⇒ one repeated character).
+
+    Determinism: counts are exact integers and the score is ONE IEEE
+    division of exact operands: (N² − Σc²) / N².
+
+    Scale shape: position-explode inflates to one row per character
+    (the same budget as shingling), then two hash aggregations —
+    (doc, char) with map-side combine, then doc; no window, no join,
+    alphabet ≤ 36 bounds the per-doc state."""
+    from creek_spark.functions.text import norm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.replace(norm_text("text"), F.lit(" "), F.lit("")).alias("s"),
+    ).where(F.length("s") > 0)
+    ch = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("s"))).alias("i"),
+        "s",
+    ).select("doc_id", F.expr("substr(s, i, 1)").alias("c"))
+    cc = ch.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    agg = cc.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("nt").alias("n_chars"),
+        F.col("n_distinct").alias("n_distinct_chars"),
+        (
+            (F.col("nt") * F.col("nt") - F.col("s2")).cast("double")
+            / (F.col("nt") * F.col("nt")).cast("double")
+        ).alias("char_gini"),
+    )

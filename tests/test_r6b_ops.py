@@ -350,3 +350,96 @@ def test_basket_triples_prune_is_broadcast(spark):
     df = _catalog()["basket_triples"].fn(spark, SF_DIR)
     plan = explain_str(df)
     assert "LeftSemi, BuildRight" in plan or "BroadcastHashJoin" in plan, plan
+
+
+# ------------------------------------------------------- cross-source
+
+
+def test_cross_source_counts_match_pairs(spark):
+    """Matrix cells sum to the candidate-pair count; each cell equals a
+    direct recount from the pair list; sources are canonically ordered."""
+    from creek_spark.operators import dedup as dd
+    from creek_spark.queries_northstar import BANDS, N_HASHES, SHINGLE_K
+
+    cells = _catalog()["dedup_cross_source"].fn(spark, SF_DIR).collect()
+    docs = read_table(spark, SF_DIR, "documents")
+    pairs = dd.minhash_lsh_candidates(
+        docs, "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, shingle_k=SHINGLE_K,
+    ).collect()
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    from collections import Counter
+
+    want = Counter()
+    for p in pairs:
+        a, b = src[p["doc_a"]], src[p["doc_b"]]
+        want[(min(a, b), max(a, b))] += 1
+    got = {(r["source_a"], r["source_b"]): r["n_pairs"] for r in cells}
+    assert got == dict(want)
+    for (a, b) in got:
+        assert a <= b
+
+
+# ---------------------------------------------------- migration matrix
+
+
+def test_migration_matrix_partitions_customers(spark):
+    """Cells sum to |customer|; segments respect the thresholds on a
+    pandas recount."""
+    rows = _catalog()["customer_migration_matrix"].fn(spark, SF_DIR).collect()
+    cu = read_table(spark, SF_DIR, "customer")
+    o = read_table(spark, SF_DIR, "orders").toPandas()
+    assert sum(r["n_customers"] for r in rows) == cu.count()
+    import pandas as pd
+
+    split = pd.Timestamp("1998-05-01")
+    od = pd.to_datetime(o.o_orderdate)
+    n1 = o[od < split].groupby("o_custkey").size()
+    n2 = o[od >= split].groupby("o_custkey").size()
+
+    def seg(n):
+        return "none" if n == 0 else ("low" if n <= 2 else ("mid" if n <= 5 else "high"))
+
+    from collections import Counter
+
+    want = Counter()
+    for ck in [r["c_custkey"] for r in cu.select("c_custkey").collect()]:
+        want[(seg(int(n1.get(ck, 0))), seg(int(n2.get(ck, 0))))] += 1
+    got = {(r["seg_before"], r["seg_after"]): r["n_customers"] for r in rows}
+    assert got == dict(want)
+
+
+# ----------------------------------------------------------- char gini
+
+
+def test_char_gini_brute_force(spark):
+    import re as _re
+    from collections import Counter
+
+    rows = {r["doc_id"]: r for r in
+            _catalog()["text_char_gini"].fn(spark, SF_DIR).collect()}
+    docs = read_table(spark, SF_DIR, "documents").collect()
+    n_nonempty = 0
+    for d in docs:
+        s = _re.sub(r"[^a-z0-9]+", " ", d["text"].lower()).strip().replace(" ", "")
+        if not s:
+            assert d["doc_id"] not in rows
+            continue
+        n_nonempty += 1
+        c = Counter(s)
+        r = rows[d["doc_id"]]
+        assert r["n_chars"] == len(s)
+        assert r["n_distinct_chars"] == len(c)
+        s2 = sum(v * v for v in c.values())
+        gini = (len(s) ** 2 - s2) / len(s) ** 2
+        assert abs(r["char_gini"] - gini) < 1e-12
+        assert 0.0 <= r["char_gini"] < 1.0
+    assert n_nonempty == len(rows)
+
+
+def test_char_gini_two_hash_aggs_no_window(spark):
+    df = _catalog()["text_char_gini"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
