@@ -1053,3 +1053,155 @@ def text_char_gini(spark, sf_dir):
             / (F.col("nt") * F.col("nt")).cast("double")
         ).alias("char_gini"),
     )
+
+
+# =====================================================================
+# DAU / WAU stickiness
+# =====================================================================
+
+STICKINESS_ORACLE = """
+WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+           FROM events),
+days AS (SELECT DISTINCT day FROM a),
+w AS (SELECT d.day, a.user_id
+      FROM days d JOIN a ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day),
+wau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM w GROUP BY day),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM a GROUP BY day)
+SELECT dau.day, dau, wau,
+       CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
+@register("events_dau_wau", STICKINESS_ORACLE, "events")
+def events_dau_wau(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    headline metric.  The oracle states WAU as a range join; the Spark
+    side uses the SCALE shape: each (user, day) activity row EXPLODES
+    into the ≤7 future report days it can serve (a fixed 7× map-side
+    fan-out), then one distinct aggregate per report day — no range
+    join, no re-scan per day.
+
+    Determinism: distinct counts are exact integers; stickiness is one
+    IEEE division.
+
+    Scale shape: distinct (user, day) first (events collapse before any
+    fan-out); the 7× explode is map-side; the WAU distinct-agg shuffles
+    (report_day, user) pairs once; the report-day semi join rides a
+    calendar-bounded broadcast ⊙."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    days = a.select("day").distinct()
+    contrib = a.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("rday"),
+    ).join(F.broadcast(days), F.col("rday") == F.col("day"), "semi")
+    wau = contrib.groupBy("rday").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    dau = a.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    return dau.join(wau, dau.day == wau.rday).select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+# =====================================================================
+# SPC p-chart on hourly error rates
+# =====================================================================
+
+PCHART_ORACLE = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tn,
+               CAST(SUM(n_errors) AS BIGINT) AS te
+        FROM h),
+c AS (SELECT h.*, CAST(te AS DOUBLE) / CAST(tn AS DOUBLE) AS pbar
+      FROM h CROSS JOIN tot)
+SELECT bucket, n_events, n_errors,
+       CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS p,
+       pbar,
+       pbar + 3.0 * SQRT(pbar * (1.0 - pbar) / CAST(n_events AS DOUBLE))
+           AS ucl,
+       GREATEST(
+           pbar - 3.0 * SQRT(pbar * (1.0 - pbar) / CAST(n_events AS DOUBLE)),
+           0.0) AS lcl,
+       (CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE)
+            > pbar + 3.0 * SQRT(pbar * (1.0 - pbar)
+                                / CAST(n_events AS DOUBLE)))
+       OR (CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE)
+            < GREATEST(pbar - 3.0 * SQRT(pbar * (1.0 - pbar)
+                                         / CAST(n_events AS DOUBLE)), 0.0))
+           AS out_of_control
+FROM c
+"""
+
+
+@register("ts_error_pchart", PCHART_ORACLE, "timeseries")
+def ts_error_pchart(spark, sf_dir):
+    """Statistical-process-control p-chart on the hourly error
+    proportion: binomial 3σ control limits around the grand mean rate,
+    with per-hour out-of-control flags — the ops-monitoring classic
+    (Shewhart chart), flagging hours whose error rate is statistically
+    incompatible with the baseline.
+
+    Determinism: hourly and grand totals are exact integers; p̄, limits
+    and flags are one fixed-order IEEE chain (sqrt correctly rounded)
+    mirrored textually; the boolean compares identical doubles.
+
+    Scale shape: one hash agg to the hourly grid (map-side combined);
+    the grand totals fold over the calendar-bounded SUMMARY via an
+    unpartitioned window (allow-listed beside quality_drift_tvd — its
+    input is the post-aggregate hourly frame, never the corpus; a
+    crossJoin-with-agg formulation would plan a SECOND corpus scan),
+    pure projections after — the corpus is touched once."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    wall = Window.partitionBy()
+    c = h.withColumn(
+        "pbar",
+        F.sum("n_errors").over(wall).cast("bigint").cast("double")
+        / F.sum("n_events").over(wall).cast("bigint").cast("double"),
+    )
+    p = F.col("n_errors").cast("double") / F.col("n_events").cast("double")
+    sig = F.sqrt(
+        F.col("pbar")
+        * (F.lit(1.0) - F.col("pbar"))
+        / F.col("n_events").cast("double")
+    )
+    ucl = F.col("pbar") + F.lit(3.0) * sig
+    lcl = F.greatest(F.col("pbar") - F.lit(3.0) * sig, F.lit(0.0))
+    return c.select(
+        "bucket",
+        "n_events",
+        "n_errors",
+        p.alias("p"),
+        "pbar",
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((p > ucl) | (p < lcl)).alias("out_of_control"),
+    )

@@ -722,7 +722,10 @@ def test_no_unpartitioned_windows_anywhere(spark):
     # (group, bin) count aggregate — both inputs are post-aggregate
     # frames bounded by construction (bands / |groups|·n_bins), never
     # the corpus (each has its own single-scan plan gate).
-    ALLOWED_ORDER_ONLY = {"pareto_abc", "quality_drift_tvd"}
+    # ts_error_pchart: unordered grand-total window over the hourly
+    # summary (same bounded-input argument; its own gate pins one scan).
+    ALLOWED_ORDER_ONLY = {"pareto_abc", "quality_drift_tvd",
+                          "ts_error_pchart"}
     offenders = {}
     for name, q in _catalog().items():
         df = q.fn(spark, SF_DIR)

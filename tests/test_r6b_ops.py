@@ -443,3 +443,75 @@ def test_char_gini_two_hash_aggs_no_window(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 2, plan
+
+
+# -------------------------------------------------------------- DAU/WAU
+
+
+def test_dau_wau_brute_force(spark):
+    import pandas as pd
+
+    rows = {r["day"]: r for r in
+            _catalog()["events_dau_wau"].fn(spark, SF_DIR).collect()}
+    ev = read_table(spark, SF_DIR, "events").toPandas()
+    ev["day"] = pd.to_datetime(ev.ts).dt.normalize()
+    act = ev[["user_id", "day"]].drop_duplicates()
+    days = sorted(act.day.unique())
+    assert len(rows) == len(days)
+    for d in days:
+        dau = act[act.day == d].user_id.nunique()
+        lo = d - pd.Timedelta(days=6)
+        wau = act[(act.day >= lo) & (act.day <= d)].user_id.nunique()
+        r = rows[pd.Timestamp(d).to_pydatetime()]
+        assert r["dau"] == dau and r["wau"] == wau
+        assert abs(r["stickiness"] - dau / wau) < 1e-12
+        assert r["dau"] <= r["wau"]
+
+
+def test_dau_wau_no_range_join(spark):
+    """The WAU side must be the explode shape: no range-predicate join
+    of activity against the day list (broadcast semi on equality only)."""
+    df = _catalog()["events_dau_wau"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "explode" in plan, plan
+
+
+# --------------------------------------------------------------- p-chart
+
+
+def test_pchart_brute_force(spark):
+    import math
+
+    import pandas as pd
+
+    rows = {r["bucket"]: r for r in
+            _catalog()["ts_error_pchart"].fn(spark, SF_DIR).collect()}
+    ev = read_table(spark, SF_DIR, "events").toPandas()
+    ev["bucket"] = pd.to_datetime(ev.ts).dt.floor("h")
+    g = ev.groupby("bucket")
+    tn = len(ev)
+    te = int((ev.event_type == "error").sum())
+    pbar = te / tn
+    flagged = 0
+    for b, grp in g:
+        n = len(grp)
+        e = int((grp.event_type == "error").sum())
+        r = rows[pd.Timestamp(b).to_pydatetime()]
+        assert r["n_events"] == n and r["n_errors"] == e
+        sig = math.sqrt(pbar * (1.0 - pbar) / n)
+        assert abs(r["ucl"] - (pbar + 3 * sig)) < 1e-12
+        assert abs(r["lcl"] - max(pbar - 3 * sig, 0.0)) < 1e-12
+        want = (e / n) > pbar + 3 * sig or (e / n) < max(pbar - 3 * sig, 0.0)
+        assert bool(r["out_of_control"]) == want
+        flagged += int(want)
+    assert len(rows) == len(g)
+
+
+def test_pchart_single_scan_summary_window(spark):
+    """One corpus scan; the grand-total fold is a window over the
+    hourly SUMMARY (a crossJoin-with-agg would plan a second scan)."""
+    df = _catalog()["ts_error_pchart"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("Scan parquet") == 2, plan  # one corpus scan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
