@@ -733,10 +733,17 @@ def basket_triples(spark, sf_dir):
     100 TB — candidate parts collapse to the frequent-pair support set,
     so the three-way join runs over a corpus filtered by two broadcast
     semi-joins ⊙, all keyed on the order key."""
+    from creek_spark.operators.cachereg import register_cache
+
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # the items frame feeds the pair level, the prune, and all three
+    # triple-join legs — persist it once (caller-owned release via
+    # cachereg) so the static plan stops cloning the lineitem scan
+    items = register_cache(
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+    )
     a = items.alias("a")
     b = items.alias("b")
     pairs = (
@@ -750,7 +757,9 @@ def basket_triples(spark, sf_dir):
         .unionByName(pairs.select(F.col("p2").alias("p")))
         .distinct()
     )
-    pruned = items.join(F.broadcast(freq_parts), "p", "semi")
+    pruned = register_cache(
+        items.join(F.broadcast(freq_parts), "p", "semi")
+    )
     x = pruned.alias("x")
     y = pruned.alias("y")
     z = pruned.alias("z")
