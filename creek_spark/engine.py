@@ -562,3 +562,59 @@ class Engine:
         from creek_spark.operators.multimodal import resize_images
 
         return resize_images(media, width=width, height=height, **kw)
+
+    def skyline(self, sf_dir: str | None = None):
+        """Per-brand Pareto frontier on (price ↓, size ↑)
+        (queries_r6c.parts_skyline)."""
+        from creek_spark.queries_r6c import parts_skyline
+
+        return parts_skyline(self.spark, sf_dir or self.data_dir)
+
+    def triangle_counts(self, sf_dir: str | None = None):
+        """Degree-oriented triangle participation on the co-purchase
+        graph (queries_r6c.graph_triangles)."""
+        from creek_spark.queries_r6c import graph_triangles
+
+        return graph_triangles(self.spark, sf_dir or self.data_dir)
+
+    def bloom_membership(self, sf_dir: str | None = None):
+        """Deterministic Bloom-filter build/probe summary with measured
+        false positives (queries_r6c.sketch_bloom_filter)."""
+        from creek_spark.queries_r6c import sketch_bloom_filter
+
+        return sketch_bloom_filter(self.spark, sf_dir or self.data_dir)
+
+    def time_weighted_avg(self, sf_dir: str | None = None):
+        """Per-type TWAP on exact µs holding spans
+        (queries_r6c.ts_time_weighted_avg)."""
+        from creek_spark.queries_r6c import ts_time_weighted_avg
+
+        return ts_time_weighted_avg(self.spark, sf_dir or self.data_dir)
+
+    def vocab_stats(self, sf_dir: str | None = None):
+        """Per-source vocabulary/hapax profile
+        (queries_r6c.text_vocab_hapax)."""
+        from creek_spark.queries_r6c import text_vocab_hapax
+
+        return text_vocab_hapax(self.spark, sf_dir or self.data_dir)
+
+    def benford_screen(self, sf_dir: str | None = None):
+        """Benford first-digit DQ screen on order totals
+        (queries_r6c.dq_benford)."""
+        from creek_spark.queries_r6c import dq_benford
+
+        return dq_benford(self.spark, sf_dir or self.data_dir)
+
+    def discount_response(self, sf_dir: str | None = None):
+        """Per-brand OLS of quantity on discount points
+        (queries_r6c.discount_qty_response)."""
+        from creek_spark.queries_r6c import discount_qty_response
+
+        return discount_qty_response(self.spark, sf_dir or self.data_dir)
+
+    def open_backlog(self, sf_dir: str | None = None):
+        """Daily open-order backlog timeline
+        (queries_r6c.orders_open_backlog)."""
+        from creek_spark.queries_r6c import orders_open_backlog
+
+        return orders_open_backlog(self.spark, sf_dir or self.data_dir)

@@ -1,0 +1,679 @@
+"""Query catalog, part 10: classic analytics the reference's users reach
+for next — Pareto-frontier (skyline) selection, degree-oriented triangle
+counting on the co-purchase graph, a deterministic Bloom-filter
+membership sketch, time-weighted averages (TWAP), vocabulary/hapax
+statistics, Benford first-digit DQ screening, per-group OLS response
+curves, and an open-order backlog timeline.
+
+Same determinism rules as queries.py: exact integer/decimal aggregates
+under every float, no libm transcendentals at runtime (Benford's
+expected frequencies are shared literal constants formatted into BOTH
+engines' plans), md5 for any sampling decision, and unique tiebreaks on
+every ranking.  Scale notes are on each query — no corpus-scale
+order-only or low-cardinality-partition windows (the one day-domain-
+bounded cumulative is allow-listed in tests/test_plans.py with the
+other summary walkers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from creek_spark.plans import broadcast_if_small
+from creek_spark.queries import _t, dec, register
+from creek_spark.queries_ext import SQL_NORM
+
+
+# =====================================================================
+# skyline / Pareto frontier
+# =====================================================================
+
+SKYLINE_ORACLE = """
+WITH p AS (SELECT p_brand, p_partkey, p_name, p_size,
+                  CAST(p_retailprice AS DECIMAL(12,2)) AS price FROM part)
+SELECT p_brand, p_partkey, p_name,
+       CAST(price AS DOUBLE) AS price, p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_brand = a.p_brand
+    AND b.price <= a.price AND b.p_size >= a.p_size
+    AND (b.price < a.price OR b.p_size > a.p_size))
+ORDER BY p_brand, price, p_partkey
+"""
+
+
+@register("parts_skyline", SKYLINE_ORACLE, "analytics")
+def parts_skyline(spark, sf_dir):
+    """Per-brand Pareto frontier (skyline): parts not dominated on
+    (price ↓, size ↑) — the multi-criteria shortlist operator.
+
+    Scale shape: the naive skyline is an O(n²) dominance self-join (the
+    oracle's NOT EXISTS).  Here the 2-D structure collapses it to two
+    scans: aggregate to (brand, price)-level max sizes, walk the price
+    levels once with a distributed running max (segmented_running — no
+    per-brand corpus sort; brand cardinality is fixed at 25 while parts
+    grow with sf), and a level survives iff every strictly-cheaper
+    level's max size is smaller.  Rows at a surviving level are in the
+    skyline iff they achieve the level max (equal-price smaller sizes
+    are dominated; exact duplicates never dominate each other, so both
+    stay — matching NOT EXISTS semantics exactly)."""
+    from creek_spark.operators.distributed import segmented_running
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_name", "p_size",
+        dec("p_retailprice", 12, 2).alias("price"),
+    )
+    lvl = p.groupBy("p_brand", "price").agg(F.max("p_size").alias("_lmax"))
+    r = segmented_running(
+        lvl,
+        ["p_brand"],
+        F.floor(F.col("price")).cast("bigint"),
+        [F.col("price")],
+        {"_rn": (F.lit(1), "rownum"), "_rmax": (F.col("_lmax"), "max")},
+    ).drop("_seg")
+    prev = r.select(
+        F.col("p_brand").alias("_kb"),
+        (F.col("_rn") + F.lit(1)).alias("_kr"),
+        F.col("_rmax").alias("_pmax"),
+    )
+    surv = (
+        r.join(
+            prev,
+            F.col("p_brand").eqNullSafe(F.col("_kb"))
+            & (F.col("_rn") == F.col("_kr")),
+            "left",
+        )
+        .where(F.col("_pmax").isNull() | (F.col("_pmax") < F.col("_lmax")))
+        .select("p_brand", "price", "_lmax")
+    )
+    return (
+        p.join(surv, ["p_brand", "price"])
+        .where(F.col("p_size") == F.col("_lmax"))
+        .select(
+            "p_brand", "p_partkey", "p_name",
+            F.col("price").cast("double").alias("price"),
+            "p_size",
+        )
+        .orderBy("p_brand", "price", "p_partkey")
+    )
+
+
+# =====================================================================
+# triangle counting (degree-oriented)
+# =====================================================================
+
+TRI_MINSUP = 2
+
+TRIANGLES_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (SELECT a.pk AS u, b.pk AS v FROM li a JOIN li b
+      ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk HAVING COUNT(*) >= {TRI_MINSUP}),
+deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        GROUP BY n),
+o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS ddst
+      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+t AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+      FROM o x JOIN o y ON x.src = y.src
+                       AND ((x.ddst, x.dst) < (y.ddst, y.dst))
+      JOIN o z ON z.src = x.dst AND z.dst = y.dst),
+corner AS (SELECT a AS n FROM t UNION ALL SELECT b FROM t
+           UNION ALL SELECT c FROM t)
+SELECT n AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corner GROUP BY n
+ORDER BY n_triangles DESC, p_partkey LIMIT 15
+"""
+
+
+@register("graph_triangles", TRIANGLES_ORACLE, "graph")
+def graph_triangles(spark, sf_dir):
+    """Triangle participation on the co-purchase graph (parts co-ordered
+    in ≥ TRI_MINSUP orders): the 15 parts in the most triangles — the
+    cohesion/community-density metric.
+
+    Scale shape: the classic distributed triangle algorithm.  Edges are
+    ORIENTED from the (degree, id)-smaller endpoint, so every node's
+    out-degree is O(√m) regardless of skew — the wedge self-join is
+    Σ out-deg², bounded m^{3/2} total, never degree² of a hub.  The
+    closing-edge probe is a hash join on the oriented pair (the {v,w}
+    edge, if present, is oriented v→w because the wedge enumerates its
+    endpoints in the same (degree, id) total order that oriented the
+    edges).  Each triangle is found exactly once; per-corner counts
+    come from a 3-way projection union, and top-15 is TakeOrdered under
+    a unique tiebreak."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("u"))
+    b = li.select("ok", F.col("pk").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= TRI_MINSUP)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    x = o.select(
+        F.col("src"), F.col("dst").alias("_bv"), F.col("ddst").alias("_bd")
+    )
+    y = o.select(
+        F.col("src"), F.col("dst").alias("_cv"), F.col("ddst").alias("_cd")
+    )
+    wedge = x.join(y, "src").where(
+        (F.col("_bd") < F.col("_cd"))
+        | ((F.col("_bd") == F.col("_cd")) & (F.col("_bv") < F.col("_cv")))
+    )
+    closing = o.select(F.col("src").alias("_bv"), F.col("dst").alias("_cv"))
+    tri = wedge.join(closing, ["_bv", "_cv"]).select(
+        F.col("src").alias("a"), F.col("_bv").alias("b"), F.col("_cv").alias("c")
+    )
+    corner = (
+        tri.select(F.col("a").alias("n"))
+        .unionByName(tri.select(F.col("b").alias("n")))
+        .unionByName(tri.select(F.col("c").alias("n")))
+    )
+    return (
+        corner.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .select(F.col("n").alias("p_partkey"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "p_partkey")
+        .limit(15)
+    )
+
+
+# =====================================================================
+# Bloom-filter membership sketch
+# =====================================================================
+
+BLOOM_M = 8192
+BLOOM_K = 3
+
+_BLOOM_POS_SQL = (
+    "CAST('0x' || substr(md5({name} || '#' || CAST(i AS VARCHAR)), 1, 8)"
+    f" AS BIGINT) % {BLOOM_M}"
+)
+
+BLOOM_ORACLE = f"""
+WITH k AS (SELECT unnest([1, 2, 3]) AS i),
+cust AS (SELECT c_name AS name FROM customer),
+bits AS (SELECT DISTINCT {_BLOOM_POS_SQL.format(name="name")} AS pos
+         FROM cust CROSS JOIN k),
+probes AS (SELECT s_name AS name, 'supplier' AS grp FROM supplier
+           UNION ALL
+           SELECT name, 'customer_sample' AS grp FROM cust
+           WHERE substr(md5(name), 1, 1) = '0'),
+pp AS (SELECT grp, name, {_BLOOM_POS_SQL.format(name="name")} AS pos
+       FROM probes CROSS JOIN k),
+ph AS (SELECT grp, pp.name, CAST(COUNT(b.pos) AS BIGINT) AS nhit
+       FROM pp LEFT JOIN bits b ON pp.pos = b.pos GROUP BY grp, pp.name),
+m AS (SELECT grp, ph.name, nhit,
+             CASE WHEN c2.name IS NOT NULL THEN 1 ELSE 0 END AS member
+      FROM ph LEFT JOIN (SELECT DISTINCT name FROM cust) c2
+      ON ph.name = c2.name)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN nhit = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hits,
+       CAST(SUM(member) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN nhit = {BLOOM_K} AND member = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM m GROUP BY grp ORDER BY grp
+"""
+
+
+def _bloom_pos(name_col):
+    """k-th Bloom bit position of a name: first 8 hex chars of
+    md5(name '#' k) mod BLOOM_M — deterministic and identical in DuckDB
+    (``CAST('0x'||hex AS BIGINT)`` ≡ ``F.conv(hex, 16, 10)``)."""
+    h = F.md5(F.concat(name_col, F.lit("#"), F.col("i").cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % BLOOM_M)
+
+
+@register("sketch_bloom_filter", BLOOM_ORACLE, "sketch")
+def sketch_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership sketch (m=8192 bits, k=3 md5-derived
+    hashes): build the filter over customer names, probe it with all
+    supplier names (true negatives → measured false-positive count) and
+    an md5-chosen 1/16 customer sample (true positives — Bloom filters
+    have no false negatives, asserted in tests).
+
+    Scale shape: the bit array is a ≤m-row distinct aggregate —
+    broadcastable at any corpus size — and probes join it on the bit
+    position; per-probe verdicts are a count-of-matched-positions == k
+    aggregate.  Everything is exact integers."""
+    ks = F.explode(F.array([F.lit(i) for i in range(1, BLOOM_K + 1)])).alias("i")
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    sup = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    bits = (
+        cust.select("name", ks)
+        .select(_bloom_pos(F.col("name")).alias("pos"))
+        .distinct()
+    )
+    probes = sup.withColumn("grp", F.lit("supplier")).unionByName(
+        cust.where(F.substring(F.md5("name"), 1, 1) == "0").withColumn(
+            "grp", F.lit("customer_sample")
+        )
+    )
+    pp = probes.select("grp", "name", ks).select(
+        "grp", "name", _bloom_pos(F.col("name")).alias("pos")
+    )
+    ph = (
+        pp.join(bits.withColumn("_hit", F.lit(1)), "pos", "left")
+        .groupBy("grp", "name")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("nhit"))
+    )
+    members = cust.distinct().withColumn("_m", F.lit(1))
+    m = ph.join(members, "name", "left").select(
+        "grp", "nhit", F.coalesce(F.col("_m"), F.lit(0)).alias("member")
+    )
+    is_hit = (F.col("nhit") == BLOOM_K).cast("int")
+    return (
+        m.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum(is_hit).cast("bigint").alias("n_bloom_hits"),
+            F.sum("member").cast("bigint").alias("n_members"),
+            F.sum(is_hit * (1 - F.col("member")))
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .orderBy("grp")
+    )
+
+
+# =====================================================================
+# time-weighted average (TWAP)
+# =====================================================================
+
+TWAP_ORACLE = """
+WITH x AS (
+  SELECT event_type, event_id, ts, date_trunc('hour', ts) AS hr,
+         CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM events),
+d AS (
+  SELECT event_type, cents,
+         CAST(epoch_us(COALESCE(
+                lead(ts) OVER (PARTITION BY event_type, hr
+                               ORDER BY ts, event_id),
+                hr + INTERVAL 1 HOUR)) AS BIGINT)
+           - CAST(epoch_us(ts) AS BIGINT) AS dt_us
+  FROM x),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(dt_us) AS BIGINT) AS sdt,
+         SUM(CAST(cents AS DECIMAL(19,0)) * CAST(dt_us AS DECIMAL(19,0)))
+           AS snum
+  FROM d GROUP BY event_type)
+SELECT event_type, n_events,
+       CAST(sdt AS DOUBLE) / 3600000000.0 AS hours_observed,
+       CAST(snum AS DOUBLE) / CAST(sdt AS DOUBLE) / 100.0 AS twap
+FROM s ORDER BY event_type
+"""
+
+
+@register("ts_time_weighted_avg", TWAP_ORACLE, "timeseries")
+def ts_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value (TWAP) per event type: each
+    observation holds until the next one in its hour (the last holds to
+    the hour boundary), weights are exact epoch-µs spans, and the
+    weighted mean is one double division of exact decimal sums.
+
+    Scale shape: the only window is lead() partitioned by
+    (event_type, hour) — partition count grows with the time domain and
+    each partition holds one type-hour of events, so no corpus-scale
+    sorted partition exists; the rest is a single hash aggregate."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        (dec("value", 14, 2) * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        "cents",
+        (
+            F.unix_micros(
+                F.coalesce(
+                    F.lead("ts").over(w),
+                    F.col("hr") + F.expr("INTERVAL 1 HOUR"),
+                )
+            )
+            - F.unix_micros(F.col("ts"))
+        ).alias("dt_us"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("dt_us").cast("bigint").alias("sdt"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)")
+            * F.col("dt_us").cast("decimal(19,0)")
+        ).alias("snum"),
+    )
+    return s.select(
+        "event_type",
+        "n_events",
+        (F.col("sdt").cast("double") / F.lit(3600000000.0)).alias(
+            "hours_observed"
+        ),
+        (
+            F.col("snum").cast("double") / F.col("sdt").cast("double") / F.lit(100.0)
+        ).alias("twap"),
+    ).orderBy("event_type")
+
+
+# =====================================================================
+# vocabulary / hapax statistics
+# =====================================================================
+
+VOCAB_ORACLE = f"""
+WITH t AS (
+  SELECT source, w
+  FROM (SELECT source,
+               unnest(string_split_regex({SQL_NORM.format(c="text")}, '\\s+'))
+                 AS w
+        FROM documents)
+  WHERE w <> ''),
+tf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+       FROM t GROUP BY source, w)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+FROM tf GROUP BY source ORDER BY source
+"""
+
+
+@register("text_vocab_hapax", VOCAB_ORACLE, "text")
+def text_vocab_hapax(spark, sf_dir):
+    """Per-source vocabulary profile: token count, type (distinct-token)
+    count, hapax legomena (frequency-1 types), type-token ratio and the
+    hapax share — the Heaps/Zipf-style vocabulary-growth signals used to
+    spot synthetic or templated corpora.
+
+    Scale shape: tokenize once, one (source, token) hash aggregate
+    (token-keyed, skew bounded by natural word frequencies), one
+    per-source fold; ratios are single divisions of exact counts."""
+    from creek_spark.functions.text import tokens
+
+    t = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    tf = t.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            hapax.alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            (F.col("n_types").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("type_token_ratio"),
+            (F.col("n_hapax").cast("double") / F.col("n_types").cast("double"))
+            .alias("hapax_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# =====================================================================
+# Benford first-digit DQ screen
+# =====================================================================
+
+# log10(1 + 1/d) — shared literal constants (no runtime log on either
+# engine; both plans carry the exact same doubles).
+BENFORD_EXPECTED = {
+    "1": 0.3010299956639812,
+    "2": 0.17609125905568124,
+    "3": 0.12493873660829993,
+    "4": 0.09691001300805642,
+    "5": 0.07918124604762482,
+    "6": 0.06694678963061322,
+    "7": 0.05799194697768673,
+    "8": 0.05115252244738129,
+    "9": 0.04575749056067514,
+}
+
+# e-notation: DuckDB parses a bare decimal literal as DECIMAL (rounded
+# to its width) — an exponent forces a DOUBLE parse, bit-equal to
+# Python's repr round-trip and Spark's F.lit.
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN '{d}' THEN {v!r}e0" for d, v in BENFORD_EXPECTED.items()
+) + " END"
+
+BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT substr(CAST(CAST(FLOOR(CAST(o_totalprice AS DECIMAL(14,2)))
+                          AS BIGINT) AS VARCHAR), 1, 1) AS first_digit
+  FROM orders WHERE o_totalprice >= 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM d),
+g AS (SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY first_digit)
+SELECT first_digit, n,
+       CAST(n AS DOUBLE) / total AS obs_share,
+       {_BENFORD_CASE} AS exp_share,
+       CAST(n AS DOUBLE) / total - {_BENFORD_CASE} AS dev_share
+FROM g CROSS JOIN n ORDER BY first_digit
+"""
+
+
+@register("dq_benford", BENFORD_ORACLE, "quality")
+def dq_benford(spark, sf_dir):
+    """Benford's-law first-digit screen on order totals: observed vs
+    expected leading-digit shares and their deviation — the classic
+    fabricated-data tripwire for financial columns.
+
+    Scale shape: one scan, one 9-group aggregate, total broadcast back;
+    expected shares are literals (log10 precomputed, identical constants
+    in both engines), deviations one double subtraction per digit —
+    never a cross-row float sum."""
+    d = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(dec("o_totalprice", 14, 2)).cast("bigint").cast("string"),
+                1,
+                1,
+            ).alias("first_digit")
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    exp = F.create_map(
+        *[x for kv in BENFORD_EXPECTED.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )[F.col("first_digit")]
+    return (
+        d.groupBy("first_digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "first_digit",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("obs_share"),
+            exp.alias("exp_share"),
+            (F.col("n").cast("double") / F.col("total") - exp).alias("dev_share"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+# =====================================================================
+# per-brand OLS response (quantity on discount)
+# =====================================================================
+
+DISCOUNT_RESPONSE_ORACLE = """
+WITH d AS (
+  SELECT p.p_brand,
+         CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+s AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM d GROUP BY p_brand),
+c AS (
+  SELECT p_brand, n,
+         CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+           - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
+         CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+           - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS den,
+         CAST(n AS DECIMAL(19,0)) * CAST(syy AS DECIMAL(19,0))
+           - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS dy
+  FROM s)
+SELECT p_brand, n AS n_lines,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope_qty_per_pt,
+       (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+         / (CAST(den AS DOUBLE) * CAST(dy AS DOUBLE)) AS r2
+FROM c WHERE den <> 0 AND dy <> 0
+ORDER BY p_brand
+"""
+
+
+@register("discount_qty_response", DISCOUNT_RESPONSE_ORACLE, "analytics")
+def discount_qty_response(spark, sf_dir):
+    """Per-brand OLS of line quantity on discount points (does
+    discounting move volume?): slope and r² from exact integer normal
+    equations — the demand-response readout of a pricing experiment.
+
+    Scale shape: one fact scan, the part(brand) side joins through
+    plans.broadcast_if_small, a 25-group aggregate carries the six
+    sufficient statistics; slope/r² are fixed-order IEEE ratios of exact
+    decimal cross-products (same primitive as ts_linear_trend)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (dec("l_discount", 4, 2) * 100).cast("bigint").alias("x"),
+        dec("l_quantity", 12, 2).cast("bigint").alias("y"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d = li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
+    s = d.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+
+    def d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    c = s.select(
+        "p_brand",
+        "n",
+        (d19("n") * d19("sxy") - d19("sx") * d19("sy")).alias("num"),
+        (d19("n") * d19("sxx") - d19("sx") * d19("sx")).alias("den"),
+        (d19("n") * d19("syy") - d19("sy") * d19("sy")).alias("dy"),
+    )
+    return (
+        c.where((F.col("den") != 0) & (F.col("dy") != 0))
+        .select(
+            "p_brand",
+            F.col("n").alias("n_lines"),
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "slope_qty_per_pt"
+            ),
+            (
+                (F.col("num").cast("double") * F.col("num").cast("double"))
+                / (F.col("den").cast("double") * F.col("dy").cast("double"))
+            ).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# =====================================================================
+# open-order backlog timeline
+# =====================================================================
+
+BACKLOG_ORACLE = """
+WITH cl AS (SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS close
+            FROM lineitem GROUP BY l_orderkey),
+j AS (SELECT CAST(o_orderdate AS DATE) AS od, close
+      FROM orders JOIN cl ON cl.l_orderkey = o_orderkey),
+d AS (SELECT od AS day, 1 AS delta FROM j
+      UNION ALL
+      SELECT close + 1 AS day, -1 AS delta FROM j),
+s AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS d FROM d GROUP BY day)
+SELECT day,
+       CAST(SUM(d) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS open_orders
+FROM s ORDER BY day
+"""
+
+
+@register("orders_open_backlog", BACKLOG_ORACLE, "timeseries")
+def orders_open_backlog(spark, sf_dir):
+    """Daily open-order backlog: each order is open from its order date
+    through its last ship date (inclusive); the timeline is the
+    cumulative sum of ±1 deltas — the WIP/lead-time health curve.
+
+    Scale shape: two hash aggregates (per-order close, per-day delta)
+    collapse the fact tables to the ±1 delta summary, whose cardinality
+    is bounded by the calendar domain (the 1995–2001 date span — fixed,
+    sf-independent), so the single ordered cumulative walks ≤ ~2.4k rows
+    regardless of scale.  Allow-listed with the other summary walkers in
+    tests/test_plans.py."""
+    cl = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close"))
+    )
+    j = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.to_date("o_orderdate").alias("od"))
+        .join(cl, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    d = j.select(F.col("od").alias("day"), F.lit(1).alias("delta")).unionByName(
+        j.select(F.date_add("close", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    s = d.groupBy("day").agg(F.sum("delta").cast("bigint").alias("d"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        s.withColumn("open_orders", F.sum("d").over(w).cast("bigint"))
+        .select("day", "open_orders")
+        .orderBy("day")
+    )

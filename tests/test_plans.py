@@ -724,8 +724,11 @@ def test_no_unpartitioned_windows_anywhere(spark):
     # the corpus (each has its own single-scan plan gate).
     # ts_error_pchart: unordered grand-total window over the hourly
     # summary (same bounded-input argument; its own gate pins one scan).
+    # orders_open_backlog: ordered cumulative over the per-day ±1 delta
+    # summary, bounded by the fixed 1995–2001 calendar domain (its own
+    # gate asserts the window input is the post-aggregate frame).
     ALLOWED_ORDER_ONLY = {"pareto_abc", "quality_drift_tvd",
-                          "ts_error_pchart"}
+                          "ts_error_pchart", "orders_open_backlog"}
     offenders = {}
     for name, q in _catalog().items():
         df = q.fn(spark, SF_DIR)

@@ -1,0 +1,284 @@
+"""Part-10 operators: skyline, triangle counting, Bloom sketch, TWAP,
+vocabulary stats, Benford screen, per-brand OLS response, backlog.
+
+Each gets a semantic property test against an independent brute-force
+formulation plus a physical-plan scale gate where the shape is the
+point.  Oracle parity is covered catalog-wide by test_oracle_parity.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from creek_spark.plans import explain_str
+from creek_spark.sources import read_table
+from tests.conftest import SF_DIR
+
+
+def _catalog():
+    import __spark_entry__ as entrymod
+
+    return entrymod._catalog()
+
+
+# ------------------------------------------------------------- skyline
+
+
+def test_skyline_matches_bruteforce(spark):
+    """The segmented level-walk must equal the O(n²) dominance
+    definition exactly, ties and duplicates included."""
+    pts = [
+        (r["p_brand"], r["p_partkey"], float(r["p_retailprice"]), r["p_size"])
+        for r in read_table(spark, SF_DIR, "part")
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    expect = set()
+    by_brand = {}
+    for b, k, pr, sz in pts:
+        by_brand.setdefault(b, []).append((k, pr, sz))
+    for b, rows in by_brand.items():
+        for k, pr, sz in rows:
+            dominated = any(
+                (pr2 <= pr and sz2 >= sz and (pr2 < pr or sz2 > sz))
+                for _, pr2, sz2 in rows
+            )
+            if not dominated:
+                expect.add((b, k))
+    got = {
+        (r["p_brand"], r["p_partkey"])
+        for r in _catalog()["parts_skyline"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_skyline_frontier_is_monotone(spark):
+    """Within a brand, walking the frontier by rising price must yield
+    strictly rising sizes (the defining staircase shape)."""
+    rows = _catalog()["parts_skyline"].fn(spark, SF_DIR).collect()
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r["p_brand"], []).append((r["price"], r["p_size"]))
+    for b, pts in by_brand.items():
+        pts.sort()
+        sizes = [s for _, s in pts]
+        # duplicates (same price+size) are legal; across distinct
+        # prices sizes must strictly rise
+        for (p1, s1), (p2, s2) in zip(pts, pts[1:]):
+            if p1 != p2:
+                assert s2 > s1, (b, (p1, s1), (p2, s2))
+
+
+# ----------------------------------------------------------- triangles
+
+
+def test_triangles_match_bruteforce(spark):
+    """Degree-oriented enumeration must count exactly the set-brute-force
+    triangles, per corner."""
+    from creek_spark.queries_r6c import TRI_MINSUP
+
+    li = (
+        read_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    from collections import Counter
+
+    pair_counts = Counter()
+    for parts in baskets.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            pair_counts[(a, b)] += 1
+    edges = {p for p, c in pair_counts.items() if c >= TRI_MINSUP}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per_corner = Counter()
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c ensured by edge normalization + c>b
+                per_corner[a] += 1
+                per_corner[b] += 1
+                per_corner[c] += 1
+    expect = sorted(
+        per_corner.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:15]
+    got = [
+        (r["p_partkey"], r["n_triangles"])
+        for r in _catalog()["graph_triangles"].fn(spark, SF_DIR).collect()
+    ]
+    assert got == [(k, v) for k, v in expect]
+
+
+# --------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_and_summary_consistent(spark):
+    """Bloom property: every true member probe must hit (no false
+    negatives); false positives only possible in the non-member group."""
+    rows = {
+        r["grp"]: r
+        for r in _catalog()["sketch_bloom_filter"].fn(spark, SF_DIR).collect()
+    }
+    cs = rows["customer_sample"]
+    assert cs["n_members"] == cs["n_probes"]
+    assert cs["n_bloom_hits"] == cs["n_probes"]  # no false negatives
+    assert cs["n_false_pos"] == 0
+    sup = rows["supplier"]
+    assert sup["n_members"] == 0
+    assert sup["n_false_pos"] == sup["n_bloom_hits"]
+    assert 0 <= sup["n_false_pos"] <= sup["n_probes"]
+
+
+# ---------------------------------------------------------------- TWAP
+
+
+def test_twap_between_min_and_max_and_weights_cover_hours(spark):
+    """A time-weighted mean must sit inside the value envelope, and the
+    µs weights must tile each observed (type, hour) exactly: Σdt over a
+    type == (#distinct hours with events) × 3600s."""
+    ev = read_table(spark, SF_DIR, "events")
+    env = (
+        ev.groupBy("event_type")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.countDistinct(F.date_trunc("hour", F.col("ts"))).alias("nh"),
+        )
+        .collect()
+    )
+    env = {r["event_type"]: r for r in env}
+    out = _catalog()["ts_time_weighted_avg"].fn(spark, SF_DIR).collect()
+    assert len(out) == len(env)
+    for r in out:
+        e = env[r["event_type"]]
+        assert e["lo"] - 1e-9 <= r["twap"] <= e["hi"] + 1e-9
+        # every event's holding span ends at the next event or its hour
+        # boundary, so total observed time is NOT a full tiling of the
+        # hour — it is ≤ nh hours — but the FIRST event of an hour
+        # starts mid-hour, so observed time is strictly less
+        assert 0 < r["hours_observed"] <= e["nh"]
+
+
+def test_twap_plan_single_scan_partitioned_window(spark):
+    df = _catalog()["ts_time_weighted_avg"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("Scan parquet") == 2, plan  # tree + detail = 1 scan
+    import re
+
+    # the lead window must be keyed on (event_type, hr), never order-only
+    assert re.search(r"windowspecdefinition\(event_type#\d+, hr#", plan), plan
+
+
+# --------------------------------------------------------------- vocab
+
+
+def test_vocab_hapax_invariants_and_bruteforce_one_source(spark):
+    import re as _re
+
+    out = {
+        r["source"]: r
+        for r in _catalog()["text_vocab_hapax"].fn(spark, SF_DIR).collect()
+    }
+    for r in out.values():
+        # the synthetic corpus has a ~31-word vocabulary → hapax may be 0
+        assert 0 <= r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
+        assert abs(r["type_token_ratio"] - r["n_types"] / r["n_tokens"]) < 1e-15
+    # brute-force one source end-to-end
+    docs = (
+        read_table(spark, SF_DIR, "documents")
+        .where(F.col("source") == "src0")
+        .select("text")
+        .collect()
+    )
+    from collections import Counter
+
+    cnt = Counter()
+    for d in docs:
+        norm = _re.sub(r"[^a-z0-9]+", " ", d["text"].lower()).strip()
+        for w in norm.split():
+            cnt[w] += 1
+    r = out["src0"]
+    assert r["n_tokens"] == sum(cnt.values())
+    assert r["n_types"] == len(cnt)
+    assert r["n_hapax"] == sum(1 for v in cnt.values() if v == 1)
+
+
+# ------------------------------------------------------------- benford
+
+
+def test_benford_shares_partition_unity(spark):
+    rows = _catalog()["dq_benford"].fn(spark, SF_DIR).collect()
+    assert {r["first_digit"] for r in rows} <= set("123456789")
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["exp_share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r["dev_share"] - (r["obs_share"] - r["exp_share"])) < 1e-15
+
+
+# ------------------------------------------------------ OLS response
+
+
+def test_discount_response_matches_numpy(spark):
+    li = (
+        read_table(spark, SF_DIR, "lineitem")
+        .join(
+            read_table(spark, SF_DIR, "part").select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_brand", "l_discount", "l_quantity")
+        .collect()
+    )
+    by_brand = {}
+    for r in li:
+        by_brand.setdefault(r["p_brand"], []).append(
+            (round(r["l_discount"] * 100), r["l_quantity"])
+        )
+    out = _catalog()["discount_qty_response"].fn(spark, SF_DIR).collect()
+    for r in out:
+        xy = np.array(by_brand[r["p_brand"]], dtype=float)
+        slope = np.polyfit(xy[:, 0], xy[:, 1], 1)[0]
+        assert abs(r["slope_qty_per_pt"] - slope) < 1e-6, r
+        assert -1e-12 <= r["r2"] <= 1 + 1e-12
+
+
+# ------------------------------------------------------------- backlog
+
+
+def test_backlog_closes_to_zero_and_bounded(spark):
+    """Every joined order opens once and closes once → the cumulative
+    must end at exactly 0 and never exceed the order count or dip
+    below 0."""
+    rows = _catalog()["orders_open_backlog"].fn(spark, SF_DIR).collect()
+    n_orders = (
+        read_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    days = [r["day"] for r in rows]
+    assert days == sorted(days)
+    vals = [r["open_orders"] for r in rows]
+    assert vals[-1] == 0
+    assert 0 <= max(vals) <= n_orders
+    assert min(vals) >= 0
+
+
+def test_backlog_window_input_is_post_aggregate(spark):
+    """The allow-listed order-only cumulative must consume the per-day
+    delta AGGREGATE (bounded by the calendar domain), never a fact
+    table: the plan's window sits above a hash aggregate."""
+    df = _catalog()["orders_open_backlog"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    w = plan.find("Window")
+    agg = plan.find("Aggregate", w)
+    assert w != -1 and agg != -1 and agg > w, plan
