@@ -248,3 +248,57 @@ def cms_estimate(
         .groupBy(probe_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------- Bloom
+
+BLOOM_M = 8192
+BLOOM_K = 3
+
+
+def _bloom_pos(name_col: Column, i: Column, m: int) -> Column:
+    """k-th Bloom bit position: first 8 hex chars of md5(name '#' k)
+    mod m — deterministic and identical in DuckDB SQL
+    (``CAST('0x'||hex AS BIGINT)`` ≡ ``F.conv(hex, 16, 10)``)."""
+    h = F.md5(F.concat(name_col, F.lit("#"), i.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % m
+
+
+def _ks(k: int):
+    return F.explode(F.array([F.lit(i) for i in range(1, k + 1)])).alias("i")
+
+
+def bloom_bits(
+    df: DataFrame, col: str, *, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """The filter itself: the distinct set bit positions (≤ m rows
+    however large the input — broadcastable at any corpus size, and a
+    mergeable sketch: bits of a union = union of bits, so micro-batch
+    bit sets maintain the stream's filter exactly)."""
+    return (
+        df.select(F.col(col).alias("_n"), _ks(k))
+        .select(_bloom_pos(F.col("_n"), F.col("i"), m).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    col: str,
+    *,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Per-probe matched-position count: all k bits set ⇔ nhit == k —
+    the membership verdict (no false negatives by construction).  Joins
+    on the bit position; the bits side is ≤ m rows."""
+    pp = probes.select("*", _ks(k)).select(
+        *[F.col(c) for c in probes.columns],
+        _bloom_pos(F.col(col), F.col("i"), m).alias("pos"),
+    )
+    return (
+        pp.join(bits.withColumn("_hit", F.lit(1)), "pos", "left")
+        .groupBy(*[F.col(c) for c in probes.columns])
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("nhit"))
+    )

@@ -210,8 +210,7 @@ def graph_triangles(spark, sf_dir):
 # Bloom-filter membership sketch
 # =====================================================================
 
-BLOOM_M = 8192
-BLOOM_K = 3
+from creek_spark.operators.sketches import BLOOM_K, BLOOM_M  # noqa: E402
 
 _BLOOM_POS_SQL = (
     "CAST('0x' || substr(md5({name} || '#' || CAST(i AS VARCHAR)), 1, 8)"
@@ -246,47 +245,19 @@ FROM m GROUP BY grp ORDER BY grp
 """
 
 
-def _bloom_pos(name_col):
-    """k-th Bloom bit position of a name: first 8 hex chars of
-    md5(name '#' k) mod BLOOM_M — deterministic and identical in DuckDB
-    (``CAST('0x'||hex AS BIGINT)`` ≡ ``F.conv(hex, 16, 10)``)."""
-    h = F.md5(F.concat(name_col, F.lit("#"), F.col("i").cast("string")))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % BLOOM_M)
+def bloom_summary(bits, cust, sup):
+    """bits + the probe frames → the membership/false-positive summary.
+    Shared fold: the batch query applies it to ``bloom_bits(cust)``, the
+    StreamingBloom mirror to its merged micro-batch bit state — so
+    incremental == batch is equality of literally the same plan."""
+    from creek_spark.operators.sketches import bloom_probe
 
-
-@register("sketch_bloom_filter", BLOOM_ORACLE, "sketch")
-def sketch_bloom_filter(spark, sf_dir):
-    """Bloom-filter membership sketch (m=8192 bits, k=3 md5-derived
-    hashes): build the filter over customer names, probe it with all
-    supplier names (true negatives → measured false-positive count) and
-    an md5-chosen 1/16 customer sample (true positives — Bloom filters
-    have no false negatives, asserted in tests).
-
-    Scale shape: the bit array is a ≤m-row distinct aggregate —
-    broadcastable at any corpus size — and probes join it on the bit
-    position; per-probe verdicts are a count-of-matched-positions == k
-    aggregate.  Everything is exact integers."""
-    ks = F.explode(F.array([F.lit(i) for i in range(1, BLOOM_K + 1)])).alias("i")
-    cust = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
-    sup = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
-    bits = (
-        cust.select("name", ks)
-        .select(_bloom_pos(F.col("name")).alias("pos"))
-        .distinct()
-    )
     probes = sup.withColumn("grp", F.lit("supplier")).unionByName(
         cust.where(F.substring(F.md5("name"), 1, 1) == "0").withColumn(
             "grp", F.lit("customer_sample")
         )
     )
-    pp = probes.select("grp", "name", ks).select(
-        "grp", "name", _bloom_pos(F.col("name")).alias("pos")
-    )
-    ph = (
-        pp.join(bits.withColumn("_hit", F.lit(1)), "pos", "left")
-        .groupBy("grp", "name")
-        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("nhit"))
-    )
+    ph = bloom_probe(bits, probes, "name", m=BLOOM_M, k=BLOOM_K)
     members = cust.distinct().withColumn("_m", F.lit(1))
     m = ph.join(members, "name", "left").select(
         "grp", "nhit", F.coalesce(F.col("_m"), F.lit(0)).alias("member")
@@ -303,6 +274,29 @@ def sketch_bloom_filter(spark, sf_dir):
             .alias("n_false_pos"),
         )
         .orderBy("grp")
+    )
+
+
+@register("sketch_bloom_filter", BLOOM_ORACLE, "sketch")
+def sketch_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership sketch (m=8192 bits, k=3 md5-derived
+    hashes): build the filter over customer names, probe it with all
+    supplier names (true negatives → measured false-positive count) and
+    an md5-chosen 1/16 customer sample (true positives — Bloom filters
+    have no false negatives, asserted in tests).
+
+    Scale shape: the bit array is a ≤m-row distinct aggregate —
+    broadcastable at any corpus size — and probes join it on the bit
+    position; per-probe verdicts are a count-of-matched-positions == k
+    aggregate.  Everything is exact integers.  Bit sets are mergeable
+    (bits of a union = union of bits), which is what makes the
+    StreamingBloom twin maintainable on the fenced rollup sink."""
+    from creek_spark.operators.sketches import bloom_bits
+
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    sup = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    return bloom_summary(
+        bloom_bits(cust, "name", m=BLOOM_M, k=BLOOM_K), cust, sup
     )
 
 

@@ -701,3 +701,76 @@ class StreamingTrend:
             F.sum("y").cast("bigint").alias("y")
         )
         return trend_from_cells(cells)
+
+
+class StreamingBloom:
+    """Continuously-maintained Bloom membership filter — the streaming
+    twin of the ``sketch_bloom_filter`` catalog query.
+
+    The state tier is the set bit positions themselves: ≤ m rows however
+    large the stream, merged idempotently (presence = max) on the fenced
+    rollup sink — bits of a union are the union of bits, so micro-batch
+    bit sets maintain the stream's filter exactly and a replayed batch
+    is a no-op.  ``report`` folds the merged bits through the batch
+    query's own ``bloom_summary``, so incremental == batch bit-for-bit
+    (tests/test_streaming_rollup.py::test_streaming_bloom_equals_batch).
+
+    Ingest cost per micro-batch: one k-way position projection + a
+    ≤ m-row distinct; state stays ≤ m rows regardless of corpus size —
+    the defining property of the sketch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        name_col: str = "name",
+        m: int | None = None,
+        k: int | None = None,
+    ):
+        from creek_spark.operators.sketches import BLOOM_K, BLOOM_M
+
+        self.spark = spark
+        self.name_col = name_col
+        self.m = BLOOM_M if m is None else m
+        self.k = BLOOM_K if k is None else k
+        self.bits_sink = AdditiveRollupSink(
+            spark,
+            state_dir + "/bits",
+            ["part", "pos"],
+            {"cnt": "max"},
+            "part",
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from creek_spark.operators.sketches import bloom_bits
+
+        bits = bloom_bits(batch, self.name_col, m=self.m, k=self.k)
+        self.bits_sink.apply_batch(
+            bits.select(
+                (F.col("pos") % 16).cast("string").alias("part"),
+                "pos",
+                F.lit(1).cast("bigint").alias("cnt"),
+            ),
+            batch_id,
+        )
+
+    def foreach_batch(self):
+        def _apply(batch: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch, batch_id)
+
+        return _apply
+
+    def bits(self) -> DataFrame:
+        cur = self.bits_sink.current()
+        if cur is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        return cur.select("pos").distinct()
+
+    def report(self, cust: DataFrame, sup: DataFrame) -> DataFrame:
+        """The sketch_bloom_filter frame with the filter built from
+        everything streamed so far — bit-for-bit the batch operator's
+        output when the stream has covered the same corpus."""
+        from creek_spark.queries_r6c import bloom_summary
+
+        return bloom_summary(self.bits(), cust, sup)

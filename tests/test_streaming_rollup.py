@@ -452,3 +452,39 @@ def test_streaming_trend_equals_batch(spark, sf_dir, tmp_path):
         ev.where(F.col("event_id") >= splits[-1][0]), len(splits) - 1
     )
     assert key(det.report()) == want
+
+
+def test_streaming_bloom_equals_batch(spark, sf_dir, tmp_path):
+    """Tenth incremental == batch proof: Bloom bit positions maintained
+    from customer micro-batches reproduce the batch sketch_bloom_filter
+    report bit-for-bit; a replayed batch is a no-op; state stays ≤ m
+    rows (the sketch property)."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.operators.sketches import BLOOM_M
+    from creek_spark.streaming.detectors import StreamingBloom
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name")
+    )
+    sup = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name")
+    )
+    det = StreamingBloom(spark, str(tmp_path / "bloomstate"))
+    splits = ["0123", "4567", "89abcdef"]
+    for i, chars in enumerate(splits):
+        det.apply_batch(
+            cust.where(F.substring(F.md5("name"), 2, 1).isin(list(chars))), i
+        )
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    batch = entrymod._catalog()["sketch_bloom_filter"].fn(spark, sf_dir)
+    want = key(batch)
+    assert key(det.report(cust, sup)) == want
+    # replay fence: re-applying the last batch must not change the bits
+    det.apply_batch(
+        cust.where(F.substring(F.md5("name"), 2, 1).isin(list(splits[-1]))),
+        len(splits) - 1,
+    )
+    assert key(det.report(cust, sup)) == want
+    # the state itself is sketch-sized
+    assert det.bits_sink.current().count() <= BLOOM_M
