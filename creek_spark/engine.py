@@ -618,3 +618,39 @@ class Engine:
         from creek_spark.queries_r6c import orders_open_backlog
 
         return orders_open_backlog(self.spark, sf_dir or self.data_dir)
+
+    def autocorrelation(self, sf_dir: str | None = None):
+        """Lag-1/lag-24 hourly-series ACF per event type
+        (queries_r6c.ts_autocorrelation)."""
+        from creek_spark.queries_r6c import ts_autocorrelation
+
+        return ts_autocorrelation(self.spark, sf_dir or self.data_dir)
+
+    def common_neighbors(self, sf_dir: str | None = None):
+        """Common-neighbor/Jaccard link prediction on the co-purchase
+        graph (queries_r6c.graph_common_neighbors)."""
+        from creek_spark.queries_r6c import graph_common_neighbors
+
+        return graph_common_neighbors(self.spark, sf_dir or self.data_dir)
+
+    def conversion_latency(self, sf_dir: str | None = None):
+        """First-view → first-purchase conversion rate and exact
+        discrete latency percentiles
+        (queries_r6c.events_conversion_latency)."""
+        from creek_spark.queries_r6c import events_conversion_latency
+
+        return events_conversion_latency(self.spark, sf_dir or self.data_dir)
+
+    def pca_top_component(self, df, id_col="vec_id", vec_col="embedding", **kw):
+        """Top principal direction by integer-quantized power iteration
+        (operators/clustering.py)."""
+        from creek_spark.operators.clustering import pca_power_top_component
+
+        return pca_power_top_component(df, id_col, vec_col, **kw)
+
+    def streaming_bloom(self, state_dir: str, **kw):
+        """Incrementally-maintained Bloom membership filter,
+        batch-identical to sketch_bloom_filter (streaming/detectors.py)."""
+        from creek_spark.streaming.detectors import StreamingBloom
+
+        return StreamingBloom(self.spark, state_dir, **kw)

@@ -254,3 +254,89 @@ def semantic_dedup(
             "max_sim",
         )
     )
+
+
+def pca_power_top_component(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Top principal direction (uncentered PCA / leading right singular
+    vector of X) by power iteration on integer-quantized vectors — the
+    iterative linear-algebra sibling of the exact k-means: every step is
+    integer arithmetic, so the whole loop is oracle-exact.
+
+      x   = floor(emb · scale)                  (BIGINT components)
+      v₀  = 1⃗
+      d   = x · vₜ per row;  w_j = Σ_rows x_j·d  (one tiny per-dim agg)
+      vₜ₊₁ = w div max(max|w| div scale, 1)      (re-quantized to ±scale;
+                                                 div truncates toward 0
+                                                 in BOTH engines)
+
+    Returns (pos 1-based, q = quantized component, loading = q/‖q‖₂ as
+    double).  Scale shape: per iteration one map-side dot product (JVM
+    zip_with/aggregate HOFs over the packed array) + a posexplode
+    aggregate that partial-aggs to ≤ dim rows per task before the
+    exchange; the current vector rides along as a one-row crossJoin
+    (broadcast) — zero corpus shuffle, no driver round-trip, fixed
+    iteration count so lineage is bounded.  Magnitude bound: |w| ≤
+    N·(scale·|x|ₘₐₓ)²·dim keeps BIGINT sums exact to N ≈ 10⁸ rows at
+    scale=1000; raise to decimal sums before raising either knob."""
+    qv = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale).cast("bigint"),
+        ).alias("v"),
+    )
+    vec = None  # one-row frame (vq: array<bigint>), None ⇒ v₀ = ones
+    for _ in range(iters):
+        if vec is None:
+            d = F.aggregate(
+                F.col("v"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            )
+            rows = qv.select(d.alias("d"), F.posexplode("v").alias("p0", "x"))
+        else:
+            d = F.aggregate(
+                F.zip_with(F.col("v"), F.col("vq"), lambda x, q: x * q),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            rows = qv.crossJoin(F.broadcast(vec)).select(
+                d.alias("d"), F.posexplode("v").alias("p0", "x")
+            )
+        w = rows.groupBy("p0").agg(
+            F.sum(F.col("x") * F.col("d")).cast("bigint").alias("w")
+        )
+        mw = w.agg(F.max(F.abs(F.col("w"))).alias("mw"))
+        nxt = (
+            w.crossJoin(F.broadcast(mw))
+            .select(
+                "p0",
+                F.expr(f"w div greatest(mw div {scale}, 1)").alias("q"),
+            )
+        )
+        vec = nxt.groupBy().agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p0", "q"))),
+                lambda s: s["q"],
+            ).alias("vq")
+        )
+    nq = F.aggregate(
+        F.col("vq"), F.lit(0).cast("bigint"), lambda acc, q: acc + q * q
+    )
+    return (
+        vec.select(nq.alias("nq"), F.posexplode("vq").alias("p0", "q"))
+        .select(
+            (F.col("p0") + 1).cast("int").alias("pos"),
+            "q",
+            (
+                F.col("q").cast("double")
+                / F.sqrt(F.col("nq").cast("double"))
+            ).alias("loading"),
+        )
+        .orderBy("pos")
+    )

@@ -671,3 +671,388 @@ def orders_open_backlog(spark, sf_dir):
         .select("day", "open_orders")
         .orderBy("day")
     )
+
+
+# =====================================================================
+# hourly autocorrelation
+# =====================================================================
+
+ACF_LAGS = (1, 24)
+
+AUTOCORR_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hu,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+lags AS (SELECT unnest([{", ".join(str(k) for k in ACF_LAGS)}]) AS lag_hours),
+p AS (
+  SELECT a.event_type, lags.lag_hours, a.c AS x, b.c AS y
+  FROM h a CROSS JOIN lags
+  JOIN h b ON b.event_type = a.event_type
+          AND b.hu = a.hu + lag_hours * 3600000000),
+s AS (
+  SELECT event_type, lag_hours,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM p GROUP BY event_type, lag_hours),
+c AS (
+  SELECT event_type, lag_hours, n,
+         CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+           - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
+         CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+           - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS dx,
+         CAST(n AS DECIMAL(19,0)) * CAST(syy AS DECIMAL(19,0))
+           - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS dy
+  FROM s)
+SELECT event_type, lag_hours, n AS n_pairs,
+       CAST(num AS DOUBLE)
+         / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))) AS acf
+FROM c WHERE dx <> 0 AND dy <> 0
+ORDER BY event_type, lag_hours
+"""
+
+
+@register("ts_autocorrelation", AUTOCORR_ORACLE, "timeseries")
+def ts_autocorrelation(spark, sf_dir):
+    """Lag-1 and lag-24 autocorrelation of the hourly event-count series
+    per type — the seasonality/persistence detector (lag-24 ≫ lag-1 ⇒
+    daily cycle).  Pairwise-complete: pairs align on exact epoch-µs hour
+    offsets, so calendar gaps drop out instead of zero-filling.
+
+    Scale shape: the corpus collapses to the (type, hour) count summary
+    first; the lag alignment is an equi self-join of that summary on
+    (type, hu+lag) — no window at all — and Pearson comes from exact
+    integer moment sums (same normal-equation primitive as
+    ts_linear_trend)."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hu"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lags = F.explode(
+        F.array([F.lit(k) for k in ACF_LAGS])
+    ).alias("lag_hours")
+    a = h.select("event_type", "hu", F.col("c").alias("x")).select(
+        "*", lags
+    )
+    b = h.select(
+        F.col("event_type").alias("_bt"),
+        F.col("hu").alias("_bhu"),
+        F.col("c").alias("y"),
+    )
+    p = a.join(
+        b,
+        (F.col("_bt") == F.col("event_type"))
+        & (
+            F.col("_bhu")
+            == F.col("hu") + F.col("lag_hours") * F.lit(3600000000)
+        ),
+    )
+    s = p.groupBy("event_type", "lag_hours").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+
+    def d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    c = s.select(
+        "event_type",
+        "lag_hours",
+        "n",
+        (d19("n") * d19("sxy") - d19("sx") * d19("sy")).alias("num"),
+        (d19("n") * d19("sxx") - d19("sx") * d19("sx")).alias("dx"),
+        (d19("n") * d19("syy") - d19("sy") * d19("sy")).alias("dy"),
+    )
+    return (
+        c.where((F.col("dx") != 0) & (F.col("dy") != 0))
+        .select(
+            "event_type",
+            "lag_hours",
+            F.col("n").alias("n_pairs"),
+            (
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("dx").cast("double"))
+                    * F.sqrt(F.col("dy").cast("double"))
+                )
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag_hours")
+    )
+
+
+# =====================================================================
+# common-neighbor link prediction
+# =====================================================================
+
+CN_MAX_DEG = 256
+
+COMMON_NEIGHBORS_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (SELECT a.pk AS u, b.pk AS v FROM li a JOIN li b
+      ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk HAVING COUNT(*) >= {TRI_MINSUP}),
+deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        GROUP BY n),
+adj AS (SELECT u AS ctr, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+adjc AS (SELECT adj.ctr, adj.nb FROM adj JOIN deg ON deg.n = adj.ctr
+         WHERE deg.d <= {CN_MAX_DEG}),
+cn AS (SELECT x.nb AS part_a, y.nb AS part_b,
+              CAST(COUNT(*) AS BIGINT) AS common_neighbors
+       FROM adjc x JOIN adjc y ON x.ctr = y.ctr AND x.nb < y.nb
+       GROUP BY x.nb, y.nb),
+nonedge AS (SELECT cn.* FROM cn LEFT JOIN e
+            ON e.u = cn.part_a AND e.v = cn.part_b
+            WHERE e.u IS NULL)
+SELECT part_a, part_b, common_neighbors,
+       CAST(common_neighbors AS DOUBLE)
+         / CAST(da.d + db.d - common_neighbors AS DOUBLE) AS jaccard
+FROM nonedge
+JOIN deg da ON da.n = part_a
+JOIN deg db ON db.n = part_b
+ORDER BY common_neighbors DESC, part_a, part_b LIMIT 15
+"""
+
+
+@register("graph_common_neighbors", COMMON_NEIGHBORS_ORACLE, "graph")
+def graph_common_neighbors(spark, sf_dir):
+    """Link prediction on the ≥2-support co-purchase graph: the 15
+    NON-adjacent part pairs sharing the most common neighbors, with
+    neighborhood Jaccard — "frequently bought with the same things" ⇒
+    substitute/complement candidates.
+
+    Scale shape: wedge enumeration per center is Σ deg², bounded both by
+    the support threshold (only repeat co-purchases form edges) and an
+    explicit hub cap (centers with degree > {CN_MAX_DEG} are skipped —
+    a no-op at bench scale, the standard guard against a
+    ordered-with-everything part at 100 TB; same pattern as
+    orders_near_duplicates' hot-cell cap).  The anti-join against the
+    edge set and the degree joins are all equi-joins; Jaccard is one
+    double ratio of exact counts."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("u"))
+    b = li.select("ok", F.col("pk").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= TRI_MINSUP)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    adj = e.select(F.col("u").alias("ctr"), F.col("v").alias("nb")).unionByName(
+        e.select(F.col("v").alias("ctr"), F.col("u").alias("nb"))
+    )
+    adjc = adj.join(
+        deg.select(F.col("n").alias("ctr"), "d"), "ctr"
+    ).where(F.col("d") <= CN_MAX_DEG).select("ctr", "nb")
+    x = adjc.select("ctr", F.col("nb").alias("part_a"))
+    y = adjc.select("ctr", F.col("nb").alias("part_b"))
+    cn = (
+        x.join(y, "ctr")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
+    )
+    nonedge = cn.join(
+        e.select(F.col("u").alias("part_a"), F.col("v").alias("part_b")),
+        ["part_a", "part_b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("n").alias("part_a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("n").alias("part_b"), F.col("d").alias("_db"))
+    return (
+        nonedge.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("_da") + F.col("_db") - F.col("common_neighbors")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("common_neighbors"), "part_a", "part_b")
+        .limit(15)
+    )
+
+
+# =====================================================================
+# funnel conversion latency
+# =====================================================================
+
+CONVERSION_ORACLE = """
+WITH fv AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+fp AS (SELECT user_id, MIN(ts) AS p_ts FROM events
+       WHERE event_type = 'purchase' GROUP BY user_id),
+lat AS (
+  SELECT (CAST(epoch_us(p_ts) AS BIGINT)
+            - CAST(epoch_us(v_ts) AS BIGINT)) // 60000000 AS lat_min
+  FROM fv JOIN fp ON fp.user_id = fv.user_id
+  WHERE p_ts >= v_ts),
+ranked AS (
+  SELECT lat_min,
+         row_number() OVER (ORDER BY lat_min) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lat),
+pick AS (
+  SELECT MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                  THEN lat_min END) AS p50_minutes,
+         MAX(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                  THEN lat_min END) AS p90_minutes,
+         CAST(COUNT(*) AS BIGINT) AS n_converted
+  FROM ranked),
+u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers FROM fv)
+SELECT n_viewers, n_converted,
+       CAST(n_converted AS DOUBLE) / CAST(n_viewers AS DOUBLE)
+         AS conversion_rate,
+       p50_minutes, p90_minutes
+FROM pick CROSS JOIN u
+"""
+
+
+@register("events_conversion_latency", CONVERSION_ORACLE, "events")
+def events_conversion_latency(spark, sf_dir):
+    """First-view → first-purchase conversion latency: converted-user
+    count, conversion rate, and EXACT discrete p50/p90 latency minutes —
+    the funnel-speed readout next to events_funnel's step counts.
+
+    Scale shape: two user-keyed min aggregates and an equi join produce
+    one latency row per converted user; the global percentiles come from
+    ONE rank_pick call (two-level bucketed exact selection — the only
+    ordered walks are over the hour-bucket SUMMARY, never the latency
+    rows).  Latency is exact integer epoch-µs divided by 60 s with
+    truncating div on both engines."""
+    from creek_spark.operators.distributed import rank_pick
+
+    ev = _t(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = (
+        fv.join(fp, "user_id")
+        .where(F.col("p_ts") >= F.col("v_ts"))
+        .select(
+            F.expr(
+                "(unix_micros(p_ts) - unix_micros(v_ts)) div 60000000"
+            ).alias("lat_min")
+        )
+    )
+    ranks = lambda n: [  # noqa: E731
+        F.floor(F.lit(p) * (n - 1)).cast("bigint") + 1 for p in (0.5, 0.9)
+    ]
+    picked = rank_pick(
+        lat,
+        [],
+        F.col("lat_min"),
+        F.lit(0),
+        F.floor(F.col("lat_min") / 60).cast("bigint"),
+        ranks,
+    )
+    pick = picked.groupBy().agg(
+        F.max(F.when(F.col("_ki") == 0, F.col("_pick_v"))).alias(
+            "p50_minutes"
+        ),
+        F.max(F.when(F.col("_ki") == 1, F.col("_pick_v"))).alias(
+            "p90_minutes"
+        ),
+    )
+    nconv = lat.agg(F.count(F.lit(1)).cast("bigint").alias("n_converted"))
+    u = fv.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewers"))
+    return (
+        pick.crossJoin(F.broadcast(nconv))
+        .crossJoin(F.broadcast(u))
+        .select(
+            "n_viewers",
+            "n_converted",
+            (
+                F.col("n_converted").cast("double")
+                / F.col("n_viewers").cast("double")
+            ).alias("conversion_rate"),
+            "p50_minutes",
+            "p90_minutes",
+        )
+    )
+
+
+# =====================================================================
+# PCA power iteration
+# =====================================================================
+
+PCA_SCALE = 1000
+PCA_ITERS = 2
+
+PCA_ORACLE = f"""
+WITH ep AS (SELECT vec_id AS id,
+            unnest(generate_series(1, len(embedding))) AS pos,
+            unnest([CAST(FLOOR(CAST(x AS DOUBLE) * {PCA_SCALE}) AS BIGINT)
+                    FOR x IN embedding]) AS x
+            FROM embeddings),
+d0 AS (SELECT id, CAST(SUM(x) AS BIGINT) AS d FROM ep GROUP BY id),
+w1 AS (SELECT ep.pos, CAST(SUM(ep.x * d0.d) AS BIGINT) AS w
+       FROM ep JOIN d0 ON d0.id = ep.id GROUP BY ep.pos),
+m1 AS (SELECT MAX(ABS(w)) AS mw FROM w1),
+v1 AS (SELECT pos, w // GREATEST(mw // {PCA_SCALE}, 1) AS q
+       FROM w1 CROSS JOIN m1),
+d1 AS (SELECT ep.id, CAST(SUM(ep.x * v1.q) AS BIGINT) AS d
+       FROM ep JOIN v1 ON v1.pos = ep.pos GROUP BY ep.id),
+w2 AS (SELECT ep.pos, CAST(SUM(ep.x * d1.d) AS BIGINT) AS w
+       FROM ep JOIN d1 ON d1.id = ep.id GROUP BY ep.pos),
+m2 AS (SELECT MAX(ABS(w)) AS mw FROM w2),
+v2 AS (SELECT pos, w // GREATEST(mw // {PCA_SCALE}, 1) AS q
+       FROM w2 CROSS JOIN m2),
+n2 AS (SELECT CAST(SUM(q * q) AS BIGINT) AS nq FROM v2)
+SELECT CAST(pos AS INTEGER) AS pos, q,
+       CAST(q AS DOUBLE) / sqrt(CAST(nq AS DOUBLE)) AS loading
+FROM v2 CROSS JOIN n2 ORDER BY pos
+"""
+
+
+@register("embedding_pca_power", PCA_ORACLE, "similarity")
+def embedding_pca_power(spark, sf_dir):
+    """Top principal direction of the embedding corpus by two
+    integer-quantized power-iteration rounds (uncentered PCA) — the
+    iterative linear-algebra sibling of embedding_kmeans, oracle-exact
+    because every step is integer arithmetic with toward-zero division
+    on both engines.
+
+    Scale shape (operators/clustering.py:pca_power_top_component): per
+    round one map-side packed-array dot product + a posexplode aggregate
+    that partial-aggs to ≤ dim rows, with the current vector riding as a
+    one-row broadcast — zero corpus shuffle, no driver round-trip."""
+    from creek_spark.operators.clustering import pca_power_top_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_power_top_component(
+        emb, "vec_id", "embedding", iters=PCA_ITERS, scale=PCA_SCALE
+    )

@@ -727,8 +727,12 @@ def test_no_unpartitioned_windows_anywhere(spark):
     # orders_open_backlog: ordered cumulative over the per-day ±1 delta
     # summary, bounded by the fixed 1995–2001 calendar domain (its own
     # gate asserts the window input is the post-aggregate frame).
+    # events_conversion_latency: global rank_pick — its offsets walk is
+    # over the hour-BUCKET summary (≤ latency-domain/60 rows), never the
+    # per-user latency rows (same argument as pareto_abc's bands).
     ALLOWED_ORDER_ONLY = {"pareto_abc", "quality_drift_tvd",
-                          "ts_error_pchart", "orders_open_backlog"}
+                          "ts_error_pchart", "orders_open_backlog",
+                          "events_conversion_latency"}
     offenders = {}
     for name, q in _catalog().items():
         df = q.fn(spark, SF_DIR)

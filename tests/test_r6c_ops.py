@@ -282,3 +282,157 @@ def test_backlog_window_input_is_post_aggregate(spark):
     w = plan.find("Window")
     agg = plan.find("Aggregate", w)
     assert w != -1 and agg != -1 and agg > w, plan
+
+
+# ------------------------------------------------------- autocorrelation
+
+
+def test_autocorrelation_matches_numpy_and_bounds(spark):
+    ev = read_table(spark, SF_DIR, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    counts = {}
+    for r in ev.collect():
+        counts.setdefault(r["event_type"], {}).setdefault(r["hr"], 0)
+        counts[r["event_type"]][r["hr"]] += 1
+    out = _catalog()["ts_autocorrelation"].fn(spark, SF_DIR).collect()
+    import datetime
+
+    for r in out:
+        assert -1 - 1e-12 <= r["acf"] <= 1 + 1e-12
+        h = counts[r["event_type"]]
+        k = datetime.timedelta(hours=r["lag_hours"])
+        pairs = [(c, h[t + k]) for t, c in h.items() if t + k in h]
+        assert len(pairs) == r["n_pairs"]
+        xs = np.array([p[0] for p in pairs], dtype=float)
+        ys = np.array([p[1] for p in pairs], dtype=float)
+        ref = np.corrcoef(xs, ys)[0, 1]
+        assert abs(r["acf"] - ref) < 1e-9, (r, ref)
+
+
+# ---------------------------------------------------- common neighbors
+
+
+def test_common_neighbors_matches_bruteforce(spark):
+    from creek_spark.queries_r6c import CN_MAX_DEG, TRI_MINSUP
+
+    li = (
+        read_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    from collections import Counter
+
+    pc = Counter()
+    for parts in baskets.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            pc[(a, b)] += 1
+    edges = {p for p, c in pc.items() if c >= TRI_MINSUP}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    cn = Counter()
+    for ctr, nbs in adj.items():
+        if deg[ctr] > CN_MAX_DEG:
+            continue
+        for u, w in itertools.combinations(sorted(nbs), 2):
+            cn[(u, w)] += 1
+    scored = [
+        (c, u, w, c / (deg[u] + deg[w] - c))
+        for (u, w), c in cn.items()
+        if (u, w) not in edges
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = [(u, w, c, j) for c, u, w, j in scored[:15]]
+    got = [
+        (r["part_a"], r["part_b"], r["common_neighbors"], r["jaccard"])
+        for r in _catalog()["graph_common_neighbors"].fn(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
+# ------------------------------------------------- conversion latency
+
+
+def test_conversion_latency_matches_bruteforce(spark):
+    ev = read_table(spark, SF_DIR, "events").collect()
+    fv, fp = {}, {}
+    for r in ev:
+        if r["event_type"] == "view":
+            fv[r["user_id"]] = min(fv.get(r["user_id"], r["ts"]), r["ts"])
+        elif r["event_type"] == "purchase":
+            fp[r["user_id"]] = min(fp.get(r["user_id"], r["ts"]), r["ts"])
+    lats = sorted(
+        int((fp[u] - fv[u]).total_seconds() // 60)
+        for u in fv
+        if u in fp and fp[u] >= fv[u]
+    )
+    (r,) = _catalog()["events_conversion_latency"].fn(spark, SF_DIR).collect()
+    assert r["n_viewers"] == len(fv)
+    assert r["n_converted"] == len(lats)
+    n = len(lats)
+    assert r["p50_minutes"] == lats[int(np.floor(0.5 * (n - 1)))]
+    assert r["p90_minutes"] == lats[int(np.floor(0.9 * (n - 1)))]
+
+
+# ----------------------------------------------------------- PCA power
+
+
+def test_pca_power_differential_vs_numpy_integer_replay(spark):
+    """The exact algorithm replayed in numpy integer arithmetic must
+    reproduce the distributed result bit-for-bit."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    Xq = np.floor(X * 1000).astype(object)  # python ints — no int64 caps
+    v = np.array([1] * X.shape[1], dtype=object)
+    for _ in range(2):
+        d = Xq @ v
+        w = Xq.T @ d
+        mw = max(abs(int(x)) for x in w)
+        den = max(mw // 1000, 1)
+        # toward-zero division (Spark div / DuckDB //), NOT python floor
+        v = np.array(
+            [int(x) // den if int(x) >= 0 else -((-int(x)) // den) for x in w],
+            dtype=object,
+        )
+    nq = sum(int(q) * int(q) for q in v)
+    out = _catalog()["embedding_pca_power"].fn(spark, SF_DIR).collect()
+    assert [r["q"] for r in out] == [int(q) for q in v]
+    for r in out:
+        assert abs(r["loading"] - int(v[r["pos"] - 1]) / np.sqrt(nq)) < 1e-12
+
+
+def test_pca_power_finds_planted_direction(spark):
+    """On data WITH a dominant direction, two power rounds must align
+    with it (the synthetic driver embeddings are near-isotropic, so this
+    is the semantic check the flat corpus can't provide)."""
+    import pyspark.sql.types as T
+
+    from creek_spark.operators.clustering import pca_power_top_component
+
+    rng = np.random.RandomState(7)
+    direction = rng.randn(16)
+    direction /= np.linalg.norm(direction)
+    rows = []
+    for i in range(300):
+        x = 5.0 * rng.randn() * direction + 0.3 * rng.randn(16)
+        rows.append((i, [float(c) for c in x]))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = pca_power_top_component(df, "vec_id", "embedding", iters=3)
+    v = np.array([r["loading"] for r in out.collect()])
+    assert abs(float(v @ direction)) > 0.95
