@@ -284,13 +284,20 @@ def pca_power_top_component(
     (broadcast) — zero corpus shuffle, no driver round-trip, fixed
     iteration count so lineage is bounded.  Magnitude bound: |w| ≤
     N·(scale·|x|ₘₐₓ)²·dim keeps BIGINT sums exact to N ≈ 10⁸ rows at
-    scale=1000; raise to decimal sums before raising either knob."""
-    qv = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * scale).cast("bigint"),
-        ).alias("v"),
+    scale=1000; raise to decimal sums before raising either knob.
+
+    The quantized corpus is a registered cache (each iteration's d and w
+    passes read it; LRU eviction just falls back to the scan)."""
+    from creek_spark.operators.cachereg import register_cache
+
+    qv = register_cache(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * scale).cast("bigint"),
+            ).alias("v"),
+        )
     )
     vec = None  # one-row frame (vq: array<bigint>), None ⇒ v₀ = ones
     for _ in range(iters):

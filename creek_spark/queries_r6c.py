@@ -65,14 +65,19 @@ def parts_skyline(spark, sf_dir):
         "p_brand", "p_partkey", "p_name", "p_size",
         dec("p_retailprice", 12, 2).alias("price"),
     )
+    from creek_spark.operators.cachereg import register_cache
+
     lvl = p.groupBy("p_brand", "price").agg(F.max("p_size").alias("_lmax"))
-    r = segmented_running(
-        lvl,
-        ["p_brand"],
-        F.floor(F.col("price")).cast("bigint"),
-        [F.col("price")],
-        {"_rn": (F.lit(1), "rownum"), "_rmax": (F.col("_lmax"), "max")},
-    ).drop("_seg")
+    # cache: the ranked level frame feeds both the prev-level join sides
+    r = register_cache(
+        segmented_running(
+            lvl,
+            ["p_brand"],
+            F.floor(F.col("price")).cast("bigint"),
+            [F.col("price")],
+            {"_rn": (F.lit(1), "rownum"), "_rmax": (F.col("_lmax"), "max")},
+        ).drop("_seg")
+    )
     prev = r.select(
         F.col("p_brand").alias("_kb"),
         (F.col("_rn") + F.lit(1)).alias("_kr"),
@@ -145,7 +150,13 @@ def graph_triangles(spark, sf_dir):
     endpoints in the same (degree, id) total order that oriented the
     edges).  Each triangle is found exactly once; per-corner counts
     come from a 3-way projection union, and top-15 is TakeOrdered under
-    a unique tiebreak."""
+    a unique tiebreak.  The edge set and the oriented edges are each
+    consumed by several joins, so both are registered caches (cachereg —
+    callers/bench own the release): without them the static plan
+    re-expands the pair-generation subtree once per consumer (the
+    round-5 iterative-lineage lesson applied to a DAG)."""
+    from creek_spark.operators.cachereg import register_cache
+
     li = (
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
@@ -153,7 +164,7 @@ def graph_triangles(spark, sf_dir):
     )
     a = li.select("ok", F.col("pk").alias("u"))
     b = li.select("ok", F.col("pk").alias("v"))
-    e = (
+    e = register_cache(
         a.join(b, "ok")
         .where(F.col("u") < F.col("v"))
         .groupBy("u", "v")
@@ -173,10 +184,12 @@ def graph_triangles(spark, sf_dir):
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    o = ed.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    o = register_cache(
+        ed.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+        )
     )
     x = o.select(
         F.col("src"), F.col("dst").alias("_bv"), F.col("ddst").alias("_bd")
@@ -661,9 +674,19 @@ def orders_open_backlog(spark, sf_dir):
         .select("o_orderkey", F.to_date("o_orderdate").alias("od"))
         .join(cl, F.col("o_orderkey") == F.col("l_orderkey"))
     )
-    d = j.select(F.col("od").alias("day"), F.lit(1).alias("delta")).unionByName(
-        j.select(F.date_add("close", 1).alias("day"), F.lit(-1).alias("delta"))
-    )
+    # one scan: ±1 deltas from a single explode rather than a 2-leg
+    # union (a union of two projections re-evaluates the join per leg)
+    d = j.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("od").alias("day"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.date_add("close", 1).alias("day"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.day", "x.delta")
     s = d.groupBy("day").agg(F.sum("delta").cast("bigint").alias("d"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return (
@@ -837,7 +860,12 @@ def graph_common_neighbors(spark, sf_dir):
     ordered-with-everything part at 100 TB; same pattern as
     orders_near_duplicates' hot-cell cap).  The anti-join against the
     edge set and the degree joins are all equi-joins; Jaccard is one
-    double ratio of exact counts."""
+    double ratio of exact counts.  The edge set and the capped adjacency
+    are registered caches (cachereg) — each feeds multiple joins, and
+    without the cache the static plan re-expands the pair-generation
+    subtree per consumer."""
+    from creek_spark.operators.cachereg import register_cache
+
     li = (
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
@@ -845,7 +873,7 @@ def graph_common_neighbors(spark, sf_dir):
     )
     a = li.select("ok", F.col("pk").alias("u"))
     b = li.select("ok", F.col("pk").alias("v"))
-    e = (
+    e = register_cache(
         a.join(b, "ok")
         .where(F.col("u") < F.col("v"))
         .groupBy("u", "v")
@@ -862,9 +890,11 @@ def graph_common_neighbors(spark, sf_dir):
     adj = e.select(F.col("u").alias("ctr"), F.col("v").alias("nb")).unionByName(
         e.select(F.col("v").alias("ctr"), F.col("u").alias("nb"))
     )
-    adjc = adj.join(
-        deg.select(F.col("n").alias("ctr"), "d"), "ctr"
-    ).where(F.col("d") <= CN_MAX_DEG).select("ctr", "nb")
+    adjc = register_cache(
+        adj.join(deg.select(F.col("n").alias("ctr"), "d"), "ctr")
+        .where(F.col("d") <= CN_MAX_DEG)
+        .select("ctr", "nb")
+    )
     x = adjc.select("ctr", F.col("nb").alias("part_a"))
     y = adjc.select("ctr", F.col("nb").alias("part_b"))
     cn = (
@@ -959,7 +989,11 @@ def events_conversion_latency(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
     )
-    lat = (
+    from creek_spark.operators.cachereg import register_cache
+
+    # cache: the latency frame (two aggregates + a join) feeds both
+    # rank_pick levels AND the n_converted aggregate
+    lat = register_cache(
         fv.join(fp, "user_id")
         .where(F.col("p_ts") >= F.col("v_ts"))
         .select(

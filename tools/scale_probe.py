@@ -32,6 +32,13 @@ cardinalities scale with the data; value distributions untouched):
   * basket_triples shape      — Apriori level-3 with broadcast
                                 part-prune (lineitem ×k, orders remapped
                                 → baskets multiply, sizes constant)
+  * graph_triangles shape     — degree-oriented wedge join + closing-
+                                edge probe (lineitem ×k, parts remapped
+                                → support semantics hold)
+  * parts_skyline shape       — segmented price-level walk (part ×k,
+                                brands fixed → levels per brand deepen)
+  * pca_power shape           — two power rounds: map-side dots + ≤dim
+                                aggregates (embeddings ×k)
 
 Near-dup detection (LSH/jaccard) is deliberately NOT probed: inflating
 a corpus by replication makes every document a near-duplicate, so the
@@ -253,6 +260,95 @@ def probes(spark, sf_dir: str):
         q = emb.where(F.col("vec_id") < 20)
         return cosine_topk(d, q, k=5)
 
+    def triangles(k):
+        # same inflation rationale as triples: baskets AND parts both ×k
+        # so edge support semantics hold; the degree-oriented wedge join
+        # is the shape under test (Σ out-deg² bounded m^{3/2})
+        from creek_spark.queries_r6c import TRI_MINSUP
+
+        d = inflate(li, k, {"l_orderkey": "remap", "l_partkey": "remap"})
+        items = d.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+        a = items.select("ok", F.col("pk").alias("u"))
+        b = items.select("ok", F.col("pk").alias("v"))
+        e = (
+            a.join(b, "ok")
+            .where(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") >= TRI_MINSUP)
+            .select("u", "v")
+        )
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionByName(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+        ed = e.join(
+            deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+        ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        fwd = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        o_ = ed.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+        )
+        x = o_.select("src", F.col("dst").alias("_bv"), F.col("ddst").alias("_bd"))
+        y = o_.select("src", F.col("dst").alias("_cv"), F.col("ddst").alias("_cd"))
+        wedge = x.join(y, "src").where(
+            (F.col("_bd") < F.col("_cd"))
+            | ((F.col("_bd") == F.col("_cd")) & (F.col("_bv") < F.col("_cv")))
+        )
+        closing = o_.select(F.col("src").alias("_bv"), F.col("dst").alias("_cv"))
+        tri = wedge.join(closing, ["_bv", "_cv"])
+        return tri.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+    def skyline(k):
+        # parts ×k within the FIXED 25-brand set → price levels per brand
+        # deepen; the segmented level walk is the shape under test
+        from creek_spark.operators.distributed import segmented_running
+
+        p = read_table(spark, sf_dir, "part")
+        d = inflate(p, k, {"p_partkey": "remap"}).select(
+            "p_brand", "p_partkey", "p_size",
+            (F.col("p_retailprice").cast("decimal(12,2)")
+             + (F.col("p_partkey") % 97).cast("decimal(12,2)") / 100).alias("price"),
+        )
+        lvl = d.groupBy("p_brand", "price").agg(F.max("p_size").alias("_lmax"))
+        r = segmented_running(
+            lvl, ["p_brand"], F.floor(F.col("price")).cast("bigint"),
+            [F.col("price")],
+            {"_rn": (F.lit(1), "rownum"), "_rmax": (F.col("_lmax"), "max")},
+        ).drop("_seg")
+        prev = r.select(
+            F.col("p_brand").alias("_kb"),
+            (F.col("_rn") + F.lit(1)).alias("_kr"),
+            F.col("_rmax").alias("_pmax"),
+        )
+        surv = (
+            r.join(
+                prev,
+                F.col("p_brand").eqNullSafe(F.col("_kb"))
+                & (F.col("_rn") == F.col("_kr")),
+                "left",
+            )
+            .where(F.col("_pmax").isNull() | (F.col("_pmax") < F.col("_lmax")))
+            .select("p_brand", "price", "_lmax")
+        )
+        return d.join(surv, ["p_brand", "price"]).where(
+            F.col("p_size") == F.col("_lmax")
+        )
+
+    def pca(k):
+        d = inflate(emb, k, {"vec_id": "remap"})
+        from creek_spark.operators.clustering import pca_power_top_component
+
+        return pca_power_top_component(d, "vec_id", "embedding", iters=2)
+
     return {
         "q1_scan_agg": q1,
         "latest_per_key_shape": latest_state,
@@ -263,6 +359,9 @@ def probes(spark, sf_dir: str):
         "similarity_topk_shape": topk,
         "attribution_shape": attribution,
         "basket_triples_shape": triples,
+        "graph_triangles_shape": triangles,
+        "parts_skyline_shape": skyline,
+        "pca_power_shape": pca,
     }
 
 
