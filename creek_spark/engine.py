@@ -654,3 +654,25 @@ class Engine:
         from creek_spark.streaming.detectors import StreamingBloom
 
         return StreamingBloom(self.spark, state_dir, **kw)
+
+    def streaming_acf(self, state_dir: str):
+        """Incrementally-maintained hourly autocorrelation,
+        batch-identical to ts_autocorrelation (streaming/detectors.py)."""
+        from creek_spark.streaming.detectors import StreamingAcf
+
+        return StreamingAcf(self.spark, state_dir)
+
+    def streaming_backlog(self, state_dir: str):
+        """Incrementally-maintained open-order backlog (per-order
+        extremum-merged state — the incremental-MV mirror),
+        batch-identical to orders_open_backlog (streaming/detectors.py)."""
+        from creek_spark.streaming.detectors import StreamingBacklog
+
+        return StreamingBacklog(self.spark, state_dir)
+
+    def supplier_hhi(self, sf_dir: str | None = None):
+        """Per-nation supplier revenue concentration (HHI)
+        (queries_r6c.supplier_concentration_hhi)."""
+        from creek_spark.queries_r6c import supplier_concentration_hhi
+
+        return supplier_concentration_hhi(self.spark, sf_dir or self.data_dir)

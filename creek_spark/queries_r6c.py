@@ -652,6 +652,33 @@ FROM s ORDER BY day
 """
 
 
+def backlog_from_pairs(j):
+    """(od, close) per order → the backlog timeline.  Shared fold: the
+    batch query applies it to the joined fact tables, StreamingBacklog
+    to its max-merged per-order state — incremental == batch is
+    equality of literally the same fold plan."""
+    # one scan: ±1 deltas from a single explode rather than a 2-leg
+    # union (a union of two projections re-evaluates the join per leg)
+    d = j.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("od").alias("day"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.date_add("close", 1).alias("day"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.day", "x.delta")
+    s = d.groupBy("day").agg(F.sum("delta").cast("bigint").alias("d"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        s.withColumn("open_orders", F.sum("d").over(w).cast("bigint"))
+        .select("day", "open_orders")
+        .orderBy("day")
+    )
+
+
 @register("orders_open_backlog", BACKLOG_ORACLE, "timeseries")
 def orders_open_backlog(spark, sf_dir):
     """Daily open-order backlog: each order is open from its order date
@@ -674,26 +701,7 @@ def orders_open_backlog(spark, sf_dir):
         .select("o_orderkey", F.to_date("o_orderdate").alias("od"))
         .join(cl, F.col("o_orderkey") == F.col("l_orderkey"))
     )
-    # one scan: ±1 deltas from a single explode rather than a 2-leg
-    # union (a union of two projections re-evaluates the join per leg)
-    d = j.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("od").alias("day"), F.lit(1).alias("delta")),
-                F.struct(
-                    F.date_add("close", 1).alias("day"),
-                    F.lit(-1).alias("delta"),
-                ),
-            )
-        ).alias("x")
-    ).select("x.day", "x.delta")
-    s = d.groupBy("day").agg(F.sum("delta").cast("bigint").alias("d"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        s.withColumn("open_orders", F.sum("d").over(w).cast("bigint"))
-        .select("day", "open_orders")
-        .orderBy("day")
-    )
+    return backlog_from_pairs(j)
 
 
 # =====================================================================
@@ -750,11 +758,22 @@ def ts_autocorrelation(spark, sf_dir):
     (type, hu+lag) — no window at all — and Pearson comes from exact
     integer moment sums (same normal-equation primitive as
     ts_linear_trend)."""
-    ev = _t(spark, sf_dir, "events")
-    h = ev.groupBy(
+    return acf_from_cells(acf_cells(_t(spark, sf_dir, "events")))
+
+
+def acf_cells(ev):
+    """Micro-batch/corpus → additive (event_type, hour-µs, count) cells —
+    the sufficient statistic the StreamingAcf mirror maintains."""
+    return ev.groupBy(
         "event_type",
         F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hu"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+
+def acf_from_cells(h):
+    """(event_type, hu, c) cells → the lag-ACF frame.  Shared by the
+    batch catalog query and StreamingAcf so incremental == batch is
+    equality of literally the same fold plan."""
     lags = F.explode(
         F.array([F.lit(k) for k in ACF_LAGS])
     ).alias("lag_hours")
@@ -1090,3 +1109,81 @@ def embedding_pca_power(spark, sf_dir):
     return pca_power_top_component(
         emb, "vec_id", "embedding", iters=PCA_ITERS, scale=PCA_SCALE
     )
+
+
+# =====================================================================
+# supplier concentration (HHI)
+# =====================================================================
+
+HHI_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+              * 10000 AS BIGINT) AS r
+  FROM lineitem GROUP BY l_suppkey),
+sn AS (
+  SELECT n_name, rev.r
+  FROM rev
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey),
+agg AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(r) AS BIGINT) AS t,
+         SUM(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))) AS s2,
+         CAST(MAX(r) AS BIGINT) AS mx
+  FROM sn GROUP BY n_name)
+SELECT n_name, n_suppliers,
+       CAST(t AS DOUBLE) / 10000.0 AS total_revenue,
+       CAST(s2 AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS hhi,
+       CAST(mx AS DOUBLE) / CAST(t AS DOUBLE) AS top_share
+FROM agg ORDER BY n_name
+"""
+
+
+@register("supplier_concentration_hhi", HHI_ORACLE, "analytics")
+def supplier_concentration_hhi(spark, sf_dir):
+    """Supplier revenue concentration per nation: Herfindahl–Hirschman
+    index (Σ share²), the top supplier's share, and supplier counts —
+    the single-point-of-failure screen for a supply base.
+
+    Scale shape: one fact scan collapses to per-supplier exact decimal
+    revenue (quantized to 10⁻⁴ units, so shares are ratios of exact
+    integers); the supplier and nation dims join through
+    broadcast_if_small / broadcast; HHI is one double division of a
+    decimal(38) square sum — no window anywhere."""
+    from creek_spark.operators.cachereg import register_cache  # noqa: F401
+
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(4,2)")
+    rev_expr = dec("l_extendedprice") * (one - dec("l_discount", 4, 2))
+    rev = li.groupBy("l_suppkey").agg(
+        (F.sum(rev_expr) * 10000).cast("bigint").alias("r")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = (
+        rev.join(broadcast_if_small(sup), rev.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "r")
+    )
+    d19 = F.col("r").cast("decimal(19,0)")
+    agg = sn.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("r").cast("bigint").alias("t"),
+        F.sum(d19 * d19).alias("s2"),
+        F.max("r").cast("bigint").alias("mx"),
+    )
+    return agg.select(
+        "n_name",
+        "n_suppliers",
+        (F.col("t").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        (
+            F.col("s2").cast("double")
+            / (F.col("t").cast("double") * F.col("t").cast("double"))
+        ).alias("hhi"),
+        (F.col("mx").cast("double") / F.col("t").cast("double")).alias(
+            "top_share"
+        ),
+    ).orderBy("n_name")

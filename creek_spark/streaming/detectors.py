@@ -23,7 +23,7 @@ runs in decimal(38), so no overflow path exists end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from creek_spark.streaming.rollup import AdditiveRollupSink
@@ -774,3 +774,103 @@ class StreamingBloom:
         from creek_spark.queries_r6c import bloom_summary
 
         return bloom_summary(self.bits(), cust, sup)
+
+
+class StreamingAcf:
+    """Continuously-maintained hourly autocorrelation — the streaming
+    twin of the ``ts_autocorrelation`` catalog query.
+
+    State is the additive (event_type, hour-µs) count grid — ≤
+    |types|·|hours| rows however large the stream — on the fenced
+    rollup sink; ``report`` folds the merged cells through the batch
+    query's own ``acf_from_cells`` (lag self-join + exact moment sums),
+    so incremental == batch bit-for-bit
+    (tests/test_streaming_rollup.py::test_streaming_acf_equals_batch)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.cells = AdditiveRollupSink(
+            spark, state_dir + "/cells", ["event_type", "hu"], ["c"],
+            "event_type",
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from creek_spark.queries_r6c import acf_cells
+
+        self.cells.apply_batch(acf_cells(batch), batch_id)
+
+    def foreach_batch(self):
+        def _apply(batch: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch, batch_id)
+
+        return _apply
+
+    def report(self) -> DataFrame:
+        from creek_spark.queries_r6c import acf_from_cells
+
+        cur = self.cells.current()
+        if cur is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        merged = cur.groupBy("event_type", "hu").agg(
+            F.sum("c").cast("bigint").alias("c")
+        )
+        return acf_from_cells(merged)
+
+
+class StreamingBacklog:
+    """Continuously-maintained open-order backlog — the streaming twin
+    of the ``orders_open_backlog`` catalog query, and the mirror family's
+    incremental-materialized-view member: state is PER-ORDER (od, close),
+    not sketch-sized, exactly like cdc_incremental_mv.
+
+    Both tiers ride the fenced sink with extremum merges, so an order's
+    lineitems may arrive split across any number of micro-batches (close
+    = max of the maxes) and replays are no-ops.  ``report`` joins the
+    two states and folds through the batch query's own
+    ``backlog_from_pairs``
+    (tests/test_streaming_rollup.py::test_streaming_backlog_equals_batch)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.orders = AdditiveRollupSink(
+            spark, state_dir + "/orders", ["part", "o_orderkey"],
+            {"od": "min"}, "part",
+        )
+        self.lines = AdditiveRollupSink(
+            spark, state_dir + "/lines", ["part", "l_orderkey"],
+            {"close": "max"}, "part",
+        )
+
+    @staticmethod
+    def _part(col: str) -> Column:
+        return (F.col(col) % 16).cast("string").alias("part")
+
+    def apply_orders(self, batch: DataFrame, batch_id: int) -> None:
+        self.orders.apply_batch(
+            batch.select(
+                self._part("o_orderkey"),
+                "o_orderkey",
+                F.to_date("o_orderdate").alias("od"),
+            ),
+            batch_id,
+        )
+
+    def apply_lineitems(self, batch: DataFrame, batch_id: int) -> None:
+        self.lines.apply_batch(
+            batch.groupBy(
+                self._part("l_orderkey"), F.col("l_orderkey")
+            ).agg(F.max(F.to_date("l_shipdate")).alias("close")),
+            batch_id,
+        )
+
+    def report(self) -> DataFrame:
+        o = self.orders.current()
+        li = self.lines.current()
+        if o is None or li is None:
+            raise ValueError("need at least one orders AND lineitem batch")
+        from creek_spark.queries_r6c import backlog_from_pairs
+
+        od = o.groupBy("o_orderkey").agg(F.min("od").alias("od"))
+        cl = li.groupBy("l_orderkey").agg(F.max("close").alias("close"))
+        j = od.join(cl, F.col("o_orderkey") == F.col("l_orderkey"))
+        return backlog_from_pairs(j)

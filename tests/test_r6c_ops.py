@@ -436,3 +436,41 @@ def test_pca_power_finds_planted_direction(spark):
     out = pca_power_top_component(df, "vec_id", "embedding", iters=3)
     v = np.array([r["loading"] for r in out.collect()])
     assert abs(float(v @ direction)) > 0.95
+
+
+# ----------------------------------------------------------------- HHI
+
+
+def test_hhi_bounds_and_bruteforce_one_nation(spark):
+    """HHI ∈ [1/n, 1], top_share ∈ [1/n, 1], and an independent float
+    recomputation agrees to 1e-12 for one nation."""
+    out = _catalog()["supplier_concentration_hhi"].fn(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        n = r["n_suppliers"]
+        assert 1 / n - 1e-12 <= r["hhi"] <= 1 + 1e-12
+        assert 1 / n - 1e-12 <= r["top_share"] <= 1 + 1e-12
+        assert r["hhi"] <= r["top_share"] + 1e-12 or n == 1
+    nation = out[0]["n_name"]
+    rows = (
+        read_table(spark, SF_DIR, "lineitem")
+        .join(
+            read_table(spark, SF_DIR, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            read_table(spark, SF_DIR, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name") == nation)
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    per = {}
+    for x in rows:
+        per[x["l_suppkey"]] = per.get(x["l_suppkey"], 0.0) + x[
+            "l_extendedprice"
+        ] * (1 - x["l_discount"])
+    t = sum(per.values())
+    hhi = sum((v / t) ** 2 for v in per.values())
+    assert abs(out[0]["hhi"] - hhi) < 1e-9

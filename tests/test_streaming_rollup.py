@@ -488,3 +488,52 @@ def test_streaming_bloom_equals_batch(spark, sf_dir, tmp_path):
     assert key(det.report(cust, sup)) == want
     # the state itself is sketch-sized
     assert det.bits_sink.current().count() <= BLOOM_M
+
+
+def test_streaming_acf_equals_batch(spark, sf_dir, tmp_path):
+    """Eleventh incremental == batch proof: the (type, hour) count grid
+    maintained from event micro-batches reproduces ts_autocorrelation
+    bit-for-bit; a replayed batch is a no-op."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import StreamingAcf
+
+    ev = read_table(spark, sf_dir, "events")
+    det = StreamingAcf(spark, str(tmp_path / "acfstate"))
+    splits = [(0, 300), (300, 700), (700, 10**12)]
+    for i, (lo, hi) in enumerate(splits):
+        det.apply_batch(
+            ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi)), i
+        )
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    want = key(entrymod._catalog()["ts_autocorrelation"].fn(spark, sf_dir))
+    assert key(det.report()) == want
+    det.apply_batch(ev.where(F.col("event_id") >= 700), len(splits) - 1)
+    assert key(det.report()) == want
+
+
+def test_streaming_backlog_equals_batch(spark, sf_dir, tmp_path):
+    """Twelfth incremental == batch proof — the incremental-MV member:
+    per-order (od, close) state with extremum merges reproduces
+    orders_open_backlog even when an order's lineitems are SPLIT across
+    micro-batches (close = max of maxes); replays are no-ops."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import StreamingBacklog
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    det = StreamingBacklog(spark, str(tmp_path / "blstate"))
+    # orders split by key range; lineitems split by LINE NUMBER so most
+    # orders' lines straddle batches — the max-merge stress
+    det.apply_orders(o.where(F.col("o_orderkey") % 3 == 0), 0)
+    det.apply_orders(o.where(F.col("o_orderkey") % 3 != 0), 1)
+    det.apply_lineitems(li.where(F.col("l_linenumber") <= 2), 0)
+    det.apply_lineitems(li.where(F.col("l_linenumber") > 2), 1)
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    want = key(entrymod._catalog()["orders_open_backlog"].fn(spark, sf_dir))
+    assert key(det.report()) == want
+    # replay fence on both tiers
+    det.apply_orders(o.where(F.col("o_orderkey") % 3 != 0), 1)
+    det.apply_lineitems(li.where(F.col("l_linenumber") > 2), 1)
+    assert key(det.report()) == want
