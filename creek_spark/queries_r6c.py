@@ -1187,3 +1187,184 @@ def supplier_concentration_hhi(spark, sf_dir):
             "top_share"
         ),
     ).orderBy("n_name")
+
+
+# =====================================================================
+# ABC-XYZ inventory matrix
+# =====================================================================
+
+ABC_XYZ_ORACLE = """
+WITH pr AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT SUM(rev) AS total FROM pr),
+r AS (
+  SELECT pk, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, pk
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pr),
+abc AS (
+  SELECT pk, rev,
+         CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80 THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM r CROSS JOIN t),
+m AS (SELECT l_partkey AS pk, date_trunc('month', l_shipdate) AS mon,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS q
+      FROM lineitem GROUP BY 1, 2),
+s AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_months,
+             SUM(CAST(q AS DECIMAL(20,2))) AS sq,
+             SUM(CAST(q * q AS DECIMAL(38,4))) AS sqq
+      FROM m GROUP BY pk),
+xyz AS (
+  SELECT pk,
+         CASE WHEN SQRT(GREATEST(
+                    CAST(sqq AS DOUBLE) / CAST(n_months AS DOUBLE)
+                    - (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE))
+                      * (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE)), 0.0))
+                   / (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE)) < 0.5
+              THEN 'X'
+              WHEN SQRT(GREATEST(
+                    CAST(sqq AS DOUBLE) / CAST(n_months AS DOUBLE)
+                    - (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE))
+                      * (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE)), 0.0))
+                   / (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE)) < 1.0
+              THEN 'Y' ELSE 'Z' END AS xyz_class
+  FROM s),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_parts_total FROM pr)
+SELECT abc.abc, xyz.xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(abc.rev) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS DOUBLE) / n_parts_total AS part_share
+FROM abc JOIN xyz ON xyz.pk = abc.pk CROSS JOIN n
+GROUP BY abc.abc, xyz.xyz_class, n_parts_total
+ORDER BY abc, xyz_class
+"""
+
+
+@register("parts_abc_xyz_matrix", ABC_XYZ_ORACLE, "analytics")
+def parts_abc_xyz_matrix(spark, sf_dir):
+    """The ABC-XYZ inventory matrix: revenue importance (cumulative-share
+    A/B/C) × demand variability (CV-based X/Y/Z) per part, rolled to the
+    9-cell planning grid with per-cell part counts, revenue, and part
+    share — the composition of pareto_abc and parts_xyz_variability on
+    one partkey join.
+
+    Scale shape: both class axes are the proven distributed shapes (the
+    ABC prefix sum is segmented_running over revenue bands; XYZ is two
+    skew-free hash aggs); the axes join on partkey and collapse to 9
+    rows.  The per-part revenue frame feeds three consumers (ABC walk,
+    total, join), so it is a registered cache."""
+    from creek_spark.operators.cachereg import register_cache
+    from creek_spark.operators.distributed import segmented_running
+
+    li = _t(spark, sf_dir, "lineitem")
+    pr = register_cache(
+        li.groupBy(F.col("l_partkey").alias("pk")).agg(
+            F.sum(
+                dec("l_extendedprice", 14, 2)
+                * (F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2))
+            ).alias("rev")
+        )
+    )
+    t = pr.agg(F.sum("rev").alias("total"))
+    r = segmented_running(
+        pr,
+        [],
+        (-F.floor(F.col("rev") / 1000)).cast("bigint"),
+        [F.col("rev").desc(), F.col("pk")],
+        {"cum": (F.col("rev"), "sum")},
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    abc = r.crossJoin(F.broadcast(t)).select(
+        "pk",
+        "rev",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
+        .alias("abc"),
+    )
+    m = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("mon"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("q")
+    )
+    s = m.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum(F.col("q").cast("decimal(20,2)")).alias("sq"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,4)")).alias("sqq"),
+    )
+    mean = F.col("sq").cast("double") / F.col("n_months").cast("double")
+    var = (
+        F.col("sqq").cast("double") / F.col("n_months").cast("double")
+        - mean * mean
+    )
+    cv = F.sqrt(F.greatest(var, F.lit(0.0))) / mean
+    xyz = s.select(
+        "pk",
+        F.when(cv < 0.5, F.lit("X"))
+        .when(cv < 1.0, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+    )
+    n = pr.agg(F.count(F.lit(1)).cast("double").alias("n_parts_total"))
+    return (
+        abc.join(xyz, "pk")
+        .crossJoin(F.broadcast(n))
+        .groupBy("abc", "xyz_class", "n_parts_total")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .select(
+            "abc",
+            "xyz_class",
+            "n_parts",
+            "revenue",
+            (F.col("n_parts").cast("double") / F.col("n_parts_total"))
+            .alias("part_share"),
+        )
+        .orderBy("abc", "xyz_class")
+    )
+
+
+# =====================================================================
+# cumulative user growth
+# =====================================================================
+
+CUM_USERS_ORACLE = """
+WITH fu AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+            FROM events GROUP BY user_id),
+d AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM fu GROUP BY first_day)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM d ORDER BY day
+"""
+
+
+@register("events_cumulative_users", CUM_USERS_ORACLE, "events")
+def events_cumulative_users(spark, sf_dir):
+    """User-growth curve: new users per day (first-ever activity) and
+    the cumulative registered-user count — the top-line growth chart.
+
+    Scale shape: a user-keyed min aggregate collapses the corpus to one
+    row per user, a day aggregate to one row per active day; the single
+    ordered cumulative walks the day summary, bounded by the calendar
+    domain (allow-listed with the other summary walkers)."""
+    ev = _t(spark, sf_dir, "events")
+    fu = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("first_day"))
+    d = fu.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.withColumn("cum_users", F.sum("new_users").over(w).cast("bigint"))
+        .select("day", "new_users", "cum_users")
+        .orderBy("day")
+    )

@@ -730,9 +730,14 @@ def test_no_unpartitioned_windows_anywhere(spark):
     # events_conversion_latency: global rank_pick — its offsets walk is
     # over the hour-BUCKET summary (≤ latency-domain/60 rows), never the
     # per-user latency rows (same argument as pareto_abc's bands).
+    # parts_abc_xyz_matrix: same segmented band walk as pareto_abc;
+    # events_cumulative_users: ordered cumulative over the per-day
+    # new-user summary (calendar-bounded).
     ALLOWED_ORDER_ONLY = {"pareto_abc", "quality_drift_tvd",
                           "ts_error_pchart", "orders_open_backlog",
-                          "events_conversion_latency"}
+                          "events_conversion_latency",
+                          "parts_abc_xyz_matrix",
+                          "events_cumulative_users"}
     offenders = {}
     for name, q in _catalog().items():
         df = q.fn(spark, SF_DIR)

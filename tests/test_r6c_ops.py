@@ -474,3 +474,38 @@ def test_hhi_bounds_and_bruteforce_one_nation(spark):
     t = sum(per.values())
     hhi = sum((v / t) ** 2 for v in per.values())
     assert abs(out[0]["hhi"] - hhi) < 1e-9
+
+
+# --------------------------------------------------------- ABC-XYZ
+
+
+def test_abc_xyz_matrix_consistent_with_axis_queries(spark):
+    """The 9-cell matrix must be exactly the join of the two axis
+    queries' classifications."""
+    abc_rows = _catalog()["pareto_abc"].fn(spark, SF_DIR).collect()
+    n_parts_abc = sum(r["n_parts"] for r in abc_rows)
+    xyz_rows = _catalog()["parts_xyz_variability"].fn(spark, SF_DIR).collect()
+    xyz = {r["partkey"]: r["xyz_class"] for r in xyz_rows}
+    m = _catalog()["parts_abc_xyz_matrix"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_parts"] for r in m) == n_parts_abc == len(xyz)
+    assert abs(sum(r["part_share"] for r in m) - 1.0) < 1e-9
+    # revenue partition: matrix revenue sums to the ABC revenue total
+    assert abs(
+        sum(r["revenue"] for r in m) - sum(r["revenue"] for r in abc_rows)
+    ) < 1e-6
+    for r in m:
+        assert r["abc"] in "ABC" and r["xyz_class"] in "XYZ"
+
+
+# -------------------------------------------------- cumulative users
+
+
+def test_cumulative_users_growth_invariants(spark):
+    rows = _catalog()["events_cumulative_users"].fn(spark, SF_DIR).collect()
+    n_users = (
+        read_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["new_users"] for r in rows) == n_users
+    assert rows[-1]["cum_users"] == n_users
+    cums = [r["cum_users"] for r in rows]
+    assert cums == sorted(cums)
