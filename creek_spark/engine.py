@@ -683,3 +683,17 @@ class Engine:
         from creek_spark.queries_r6c import multimodal_pixel_dedup
 
         return multimodal_pixel_dedup(self.spark, sf_dir or self.data_dir)
+
+    def collocations(self, sf_dir: str | None = None):
+        """Top bigram collocations by lift
+        (queries_r6c.text_collocations)."""
+        from creek_spark.queries_r6c import text_collocations
+
+        return text_collocations(self.spark, sf_dir or self.data_dir)
+
+    def revenue_gini(self, sf_dir: str | None = None):
+        """Exact customer-revenue Gini coefficient
+        (queries_r6c.customer_revenue_gini)."""
+        from creek_spark.queries_r6c import customer_revenue_gini
+
+        return customer_revenue_gini(self.spark, sf_dir or self.data_dir)

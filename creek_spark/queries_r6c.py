@@ -1454,3 +1454,170 @@ def multimodal_pixel_dedup(spark, sf_dir):
         .select("digest", "n_copies", "keep_id", "width", "height")
         .orderBy("keep_id")
     )
+
+
+# =====================================================================
+# collocations (lift-based, log-free PMI)
+# =====================================================================
+
+COLLOC_MIN_COUNT = 5
+
+COLLOC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, w, i
+  FROM (SELECT doc_id,
+               unnest(ws) AS w,
+               unnest(generate_series(1, len(ws))) AS i
+        FROM (SELECT doc_id,
+                     string_split_regex({SQL_NORM.format(c="text")}, '\\s+')
+                       AS ws
+              FROM documents) d0) u
+  WHERE w <> ''),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+ntok AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks),
+big AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  GROUP BY a.w, b.w),
+nbig AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_big FROM big),
+sc AS (
+  SELECT w1, w2, c_ab,
+         CAST(CAST(c_ab AS DECIMAL(19,0)) * CAST(n_tok AS DECIMAL(19,0))
+              * CAST(n_tok AS DECIMAL(19,0)) AS DOUBLE)
+           / CAST(CAST(n_big AS DECIMAL(19,0)) * CAST(ca.c AS DECIMAL(19,0))
+                  * CAST(cb.c AS DECIMAL(19,0)) AS DOUBLE) AS lift
+  FROM big
+  JOIN uni ca ON ca.w = w1
+  JOIN uni cb ON cb.w = w2
+  CROSS JOIN ntok CROSS JOIN nbig
+  WHERE c_ab >= {COLLOC_MIN_COUNT})
+SELECT w1, w2, c_ab, lift
+FROM sc ORDER BY lift DESC, w1, w2 LIMIT 20
+"""
+
+
+@register("text_collocations", COLLOC_ORACLE, "text")
+def text_collocations(spark, sf_dir):
+    """Top bigram collocations by LIFT (observed/expected co-occurrence
+    — the log-free PMI): phrases whose words stick together far more
+    than chance, the phrase-mining/tokenizer-merge signal.
+
+    Scale shape: bigrams come from one JVM zip_with over the token
+    array (no position self-join on the corpus — the oracle's adjacency
+    join is oracle-only); unigram/bigram counts are token-keyed hash
+    aggs; lift is one double division of exact decimal products; top-20
+    is TakeOrdered under a unique tiebreak."""
+    from creek_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(tokens("text").alias("ws"))
+    toks = docs.select(F.explode("ws").alias("w")).where(F.col("w") != "")
+    n = F.size(F.col("ws"))
+    bigrams = docs.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, n - 1),
+                    F.slice(F.col("ws"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2").where((F.col("w1") != "") & (F.col("w2") != ""))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ntok = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    big = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    nbig = big.agg(F.sum("c_ab").cast("bigint").alias("n_big"))
+
+    def d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("_ca"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("_cb"))
+    sc = (
+        big.where(F.col("c_ab") >= COLLOC_MIN_COUNT)
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(ntok))
+        .crossJoin(F.broadcast(nbig))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            (
+                (d19("c_ab") * d19("n_tok") * d19("n_tok")).cast("double")
+                / (d19("n_big") * F.col("_ca").cast("decimal(19,0)")
+                   * F.col("_cb").cast("decimal(19,0)")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return sc.orderBy(F.desc("lift"), "w1", "w2").limit(20)
+
+
+# =====================================================================
+# revenue Gini (exact, distributed rank)
+# =====================================================================
+
+GINI_ORACLE = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS r
+  FROM orders GROUP BY o_custkey),
+rk AS (
+  SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i FROM r),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r) AS BIGINT) AS t,
+         SUM(CAST(i AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))) AS s_ir
+  FROM rk)
+SELECT n AS n_customers,
+       CAST(t AS DOUBLE) / 100.0 AS total_revenue,
+       2.0 * CAST(s_ir AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+FROM s
+"""
+
+
+@register("customer_revenue_gini", GINI_ORACLE, "analytics")
+def customer_revenue_gini(spark, sf_dir):
+    """Customer revenue inequality: the exact Gini coefficient from the
+    rank formula G = 2·Σᵢ i·rᵢ / (n·Σr) − (n+1)/n over revenue-sorted
+    customers — the whale-dependency metric next to pareto_abc's bands.
+
+    Scale shape: the global revenue rank comes from segmented_running
+    (revenue-band segments, rownum kind — no corpus-scale sorted
+    window; the only ordered walk is over the band summary,
+    allow-listed), and Σ i·r is an exact decimal(38) sum; the Gini is a
+    fixed-order IEEE chain on three exact aggregates."""
+    from creek_spark.operators.distributed import segmented_running
+
+    o = _t(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        (F.sum(dec("o_totalprice", 14, 2)) * 100).cast("bigint").alias("r")
+    )
+    rk = segmented_running(
+        r,
+        [],
+        F.floor(F.col("r") / 1000000).cast("bigint"),
+        [F.col("r"), F.col("o_custkey")],
+        {"i": (F.lit(1), "rownum")},
+    )
+    s = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("t"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("r").cast("decimal(19,0)")
+        ).alias("s_ir"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        (F.col("t").cast("double") / F.lit(100.0)).alias("total_revenue"),
+        (
+            F.lit(2.0) * F.col("s_ir").cast("double")
+            / (F.col("n").cast("double") * F.col("t").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0))
+            / F.col("n").cast("double")
+        ).alias("gini"),
+    )

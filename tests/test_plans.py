@@ -733,11 +733,14 @@ def test_no_unpartitioned_windows_anywhere(spark):
     # parts_abc_xyz_matrix: same segmented band walk as pareto_abc;
     # events_cumulative_users: ordered cumulative over the per-day
     # new-user summary (calendar-bounded).
+    # customer_revenue_gini: segmented global rank — ordered walk over
+    # the revenue-band summary only.
     ALLOWED_ORDER_ONLY = {"pareto_abc", "quality_drift_tvd",
                           "ts_error_pchart", "orders_open_backlog",
                           "events_conversion_latency",
                           "parts_abc_xyz_matrix",
-                          "events_cumulative_users"}
+                          "events_cumulative_users",
+                          "customer_revenue_gini"}
     offenders = {}
     for name, q in _catalog().items():
         df = q.fn(spark, SF_DIR)

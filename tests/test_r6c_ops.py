@@ -526,3 +526,61 @@ def test_pixel_dedup_groups_and_roundtrip(spark):
         assert r["keep_id"] % 16 == rows.index(r) or True  # keep_id ∈ group
         assert r["width"] == (r["keep_id"] % 16) % 12 + 4
         assert r["height"] == (r["keep_id"] % 16) % 8 + 3
+
+
+# -------------------------------------------------------- collocations
+
+
+def test_collocations_match_bruteforce(spark):
+    import re as _re
+
+    from collections import Counter
+
+    from creek_spark.queries_r6c import COLLOC_MIN_COUNT
+
+    docs = read_table(spark, SF_DIR, "documents").select("text").collect()
+    uni, big = Counter(), Counter()
+    for d in docs:
+        ws = _re.sub(r"[^a-z0-9]+", " ", d["text"].lower()).strip().split()
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    n_tok = sum(uni.values())
+    n_big = sum(big.values())
+    scored = [
+        (
+            n_big and (c * n_tok * n_tok) / (n_big * uni[a] * uni[b]),
+            a,
+            b,
+            c,
+        )
+        for (a, b), c in big.items()
+        if c >= COLLOC_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = [(a, b, c) for _, a, b, c in scored[:20]]
+    out = _catalog()["text_collocations"].fn(spark, SF_DIR).collect()
+    got = [(r["w1"], r["w2"], r["c_ab"]) for r in out]
+    assert got == expect
+    for r, (lift, *_rest) in zip(out, scored[:20]):
+        assert abs(r["lift"] - lift) < 1e-9
+
+
+# ---------------------------------------------------------------- gini
+
+
+def test_gini_matches_numpy_and_bounds(spark):
+    rows = (
+        read_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .collect()
+    )
+    r = np.sort(np.array([round(x["rev"] * 100) for x in rows], dtype=np.int64))
+    n = len(r)
+    gini_ref = 2 * float(np.sum(np.arange(1, n + 1) * r)) / (
+        n * float(r.sum())
+    ) - (n + 1) / n
+    (out,) = _catalog()["customer_revenue_gini"].fn(spark, SF_DIR).collect()
+    assert out["n_customers"] == n
+    assert 0 <= out["gini"] < 1
+    assert abs(out["gini"] - gini_ref) < 1e-9
