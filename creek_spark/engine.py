@@ -697,3 +697,16 @@ class Engine:
         from creek_spark.queries_r6c import customer_revenue_gini
 
         return customer_revenue_gini(self.spark, sf_dir or self.data_dir)
+
+    def streaming_gini(self, state_dir: str):
+        """Incrementally-maintained revenue Gini, batch-identical to
+        customer_revenue_gini (streaming/detectors.py)."""
+        from creek_spark.streaming.detectors import StreamingGini
+
+        return StreamingGini(self.spark, state_dir)
+
+    def mode_per_group(self, sf_dir: str | None = None):
+        """Exact modal aggregate (queries_r6c.agg_mode)."""
+        from creek_spark.queries_r6c import agg_mode
+
+        return agg_mode(self.spark, sf_dir or self.data_dir)

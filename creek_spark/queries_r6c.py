@@ -1591,12 +1591,20 @@ def customer_revenue_gini(spark, sf_dir):
     window; the only ordered walk is over the band summary,
     allow-listed), and Σ i·r is an exact decimal(38) sum; the Gini is a
     fixed-order IEEE chain on three exact aggregates."""
-    from creek_spark.operators.distributed import segmented_running
-
     o = _t(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(
         (F.sum(dec("o_totalprice", 14, 2)) * 100).cast("bigint").alias("r")
     )
+    return gini_from_revenue(r)
+
+
+def gini_from_revenue(r):
+    """(o_custkey, r-cents) → the one-row Gini frame.  Shared fold: the
+    batch query applies it to the orders aggregate, StreamingGini to its
+    additively-merged per-customer state — incremental == batch is
+    equality of literally the same fold plan."""
+    from creek_spark.operators.distributed import segmented_running
+
     rk = segmented_running(
         r,
         [],
@@ -1620,4 +1628,144 @@ def customer_revenue_gini(spark, sf_dir):
             - (F.col("n").cast("double") + F.lit(1.0))
             / F.col("n").cast("double")
         ).alias("gini"),
+    )
+
+
+# =====================================================================
+# as-of join: forward direction + tolerance
+# =====================================================================
+
+ASOF_TOL_ORACLE = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, MAX(value) AS value FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, c.ts,
+       CASE WHEN p.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 2 HOUR
+            THEN p.ts END AS ts_asof,
+       CASE WHEN p.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 2 HOUR
+            THEN p.value END AS value_asof
+FROM clicks c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+@register("join_asof_tolerance", ASOF_TOL_ORACLE, "join")
+def join_asof_tolerance(spark, sf_dir):
+    """FORWARD as-of join with a staleness bound: each click matched to
+    the next purchase by the same user within 2 hours (beyond the
+    tolerance the match columns come back null, exactly like no match) —
+    the conversion-window lookup as a join primitive, exercising the
+    operator's direction + tolerance dials the backward headline query
+    doesn't.
+
+    Scale shape: same union + first(ignoreNulls) window as the backward
+    form — one user-keyed shuffle, no UDF, no range join."""
+    from creek_spark.operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(
+        clicks, purch, on=["user_id"], left_time="ts", right_time="ts",
+        value_cols=["value"], direction="forward", tolerance="2 hours",
+    )
+
+
+# =====================================================================
+# modal aggregate
+# =====================================================================
+
+MODE_ORACLE = """
+WITH c AS (
+  SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name, c_mktsegment),
+t AS (SELECT n_name, CAST(SUM(n) AS BIGINT) AS n_total FROM c GROUP BY n_name),
+r AS (
+  SELECT n_name, c_mktsegment, n,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY n DESC, c_mktsegment) AS rk
+  FROM c)
+SELECT r.n_name, c_mktsegment AS mode_segment, n AS n_with_mode, n_total,
+       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS mode_share
+FROM r JOIN t ON t.n_name = r.n_name
+WHERE rk = 1 ORDER BY r.n_name
+"""
+
+
+@register("agg_mode", MODE_ORACLE, "aggregation")
+def agg_mode(spark, sf_dir):
+    """Modal aggregate: the most common market segment per nation with
+    its share — exact mode with a deterministic tiebreak (count desc,
+    segment asc), the categorical counterpart of percentile_disc.
+
+    Scale shape: the corpus collapses to the (nation, segment) count
+    summary first; the rank-1 pick windows over that ≤ |nations|·
+    |segments| summary (partitioned by nation), never the fact table."""
+    c = _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    counts = (
+        c.join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    t = counts.groupBy("n_name").agg(F.sum("n").cast("bigint").alias("n_total"))
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("n"), F.col("c_mktsegment")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .join(t, "n_name")
+        .select(
+            "n_name",
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("n").alias("n_with_mode"),
+            "n_total",
+            (F.col("n").cast("double") / F.col("n_total").cast("double"))
+            .alias("mode_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# =====================================================================
+# bitwise scalar family
+# =====================================================================
+
+BITWISE_ORACLE = """
+SELECT p_partkey,
+       CAST(p_partkey & 255 AS BIGINT) AS and255,
+       CAST(p_partkey | 4096 AS BIGINT) AS or4096,
+       CAST(xor(p_partkey, 1365) AS BIGINT) AS xor1365,
+       CAST(p_partkey << 3 AS BIGINT) AS shl3,
+       CAST(p_partkey >> 2 AS BIGINT) AS shr2,
+       CAST(bit_count(p_partkey) AS INTEGER) AS popcount,
+       CAST(~p_partkey AS BIGINT) AS bitnot
+FROM part
+"""
+
+
+@register("scalar_bitwise", BITWISE_ORACLE, "scalar")
+def scalar_bitwise(spark, sf_dir):
+    """Bitwise scalar family (AND/OR/XOR/shifts/popcount/NOT) — rounds
+    out the scalar-function surface; all whole-stage-codegen JVM
+    expressions, one scan."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("p_partkey & 255").cast("bigint").alias("and255"),
+        F.expr("p_partkey | 4096").cast("bigint").alias("or4096"),
+        F.expr("p_partkey ^ 1365").cast("bigint").alias("xor1365"),
+        F.expr("shiftleft(p_partkey, 3)").cast("bigint").alias("shl3"),
+        F.expr("shiftright(p_partkey, 2)").cast("bigint").alias("shr2"),
+        F.bit_count("p_partkey").cast("int").alias("popcount"),
+        F.expr("~p_partkey").cast("bigint").alias("bitnot"),
     )

@@ -874,3 +874,50 @@ class StreamingBacklog:
         cl = li.groupBy("l_orderkey").agg(F.max("close").alias("close"))
         j = od.join(cl, F.col("o_orderkey") == F.col("l_orderkey"))
         return backlog_from_pairs(j)
+
+
+class StreamingGini:
+    """Continuously-maintained customer-revenue Gini — the streaming twin
+    of the ``customer_revenue_gini`` catalog query, and the second
+    incremental-MV mirror: state is per-customer revenue cents, merged
+    by ADDITION, so order batches may split a customer's orders
+    arbitrarily and replays are no-ops.
+
+    ``report`` folds the merged per-customer sums through the batch
+    query's own ``gini_from_revenue`` (segmented global rank + exact
+    decimal Σi·r), so incremental == batch bit-for-bit
+    (tests/test_streaming_rollup.py::test_streaming_gini_equals_batch)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.cells = AdditiveRollupSink(
+            spark, state_dir + "/cells", ["part", "o_custkey"], ["r"], "part"
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        cells = batch.groupBy(
+            (F.col("o_custkey") % 16).cast("string").alias("part"),
+            F.col("o_custkey"),
+        ).agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")) * 100
+            ).cast("bigint").alias("r")
+        )
+        self.cells.apply_batch(cells, batch_id)
+
+    def foreach_batch(self):
+        def _apply(batch: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch, batch_id)
+
+        return _apply
+
+    def report(self) -> DataFrame:
+        from creek_spark.queries_r6c import gini_from_revenue
+
+        cur = self.cells.current()
+        if cur is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        r = cur.groupBy("o_custkey").agg(
+            F.sum("r").cast("bigint").alias("r")
+        )
+        return gini_from_revenue(r)

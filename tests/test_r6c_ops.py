@@ -584,3 +584,62 @@ def test_gini_matches_numpy_and_bounds(spark):
     assert out["n_customers"] == n
     assert 0 <= out["gini"] < 1
     assert abs(out["gini"] - gini_ref) < 1e-9
+
+
+# ------------------------------------------------------ asof tolerance
+
+
+def test_asof_tolerance_semantics(spark):
+    """Forward matches are the EARLIEST following purchase; tolerance
+    nulls out anything further than 2h; matched rows equal a brute-force
+    per-user scan."""
+    import datetime
+
+    ev = read_table(spark, SF_DIR, "events").collect()
+    purch = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            purch.setdefault(r["user_id"], []).append((r["ts"], r["value"]))
+    for v in purch.values():
+        v.sort()
+    tol = datetime.timedelta(hours=2)
+    out = _catalog()["join_asof_tolerance"].fn(spark, SF_DIR).collect()
+    n_matched = 0
+    for r in out:
+        cand = [
+            (t, v) for t, v in purch.get(r["user_id"], []) if t >= r["ts"]
+        ]
+        expect = cand[0] if cand and cand[0][0] - r["ts"] <= tol else None
+        if expect is None:
+            assert r["ts_asof"] is None and r["value_asof"] is None, r
+        else:
+            n_matched += 1
+            assert r["ts_asof"] == expect[0], r
+    assert n_matched > 0  # the tolerance window actually matches some
+
+
+# ------------------------------------------------------------- agg mode
+
+
+def test_agg_mode_matches_bruteforce(spark):
+    from collections import Counter
+
+    rows = (
+        read_table(spark, SF_DIR, "customer")
+        .join(
+            read_table(spark, SF_DIR, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "c_mktsegment")
+        .collect()
+    )
+    per = {}
+    for r in rows:
+        per.setdefault(r["n_name"], Counter())[r["c_mktsegment"]] += 1
+    out = _catalog()["agg_mode"].fn(spark, SF_DIR).collect()
+    assert len(out) == len(per)
+    for r in out:
+        c = per[r["n_name"]]
+        best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (r["mode_segment"], r["n_with_mode"]) == best
+        assert r["n_total"] == sum(c.values())

@@ -537,3 +537,24 @@ def test_streaming_backlog_equals_batch(spark, sf_dir, tmp_path):
     det.apply_orders(o.where(F.col("o_orderkey") % 3 != 0), 1)
     det.apply_lineitems(li.where(F.col("l_linenumber") > 2), 1)
     assert key(det.report()) == want
+
+
+def test_streaming_gini_equals_batch(spark, sf_dir, tmp_path):
+    """Thirteenth incremental == batch proof: per-customer revenue cents
+    merged additively reproduce customer_revenue_gini even when a
+    customer's orders split across micro-batches; replays are no-ops."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import StreamingGini
+
+    o = read_table(spark, sf_dir, "orders")
+    det = StreamingGini(spark, str(tmp_path / "ginistate"))
+    # split by ORDER key (not customer) → most customers straddle batches
+    det.apply_batch(o.where(F.col("o_orderkey") % 3 == 0), 0)
+    det.apply_batch(o.where(F.col("o_orderkey") % 3 == 1), 1)
+    det.apply_batch(o.where(F.col("o_orderkey") % 3 == 2), 2)
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    want = key(entrymod._catalog()["customer_revenue_gini"].fn(spark, sf_dir))
+    assert key(det.report()) == want
+    det.apply_batch(o.where(F.col("o_orderkey") % 3 == 2), 2)  # replay
+    assert key(det.report()) == want
