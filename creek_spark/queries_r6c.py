@@ -172,47 +172,10 @@ def graph_triangles(spark, sf_dir):
         .where(F.col("_c") >= TRI_MINSUP)
         .select("u", "v")
     )
-    deg = (
-        e.select(F.col("u").alias("n"))
-        .unionByName(e.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    )
-    ed = e.join(
-        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
-    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
-    fwd = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = register_cache(
-        ed.select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-        )
-    )
-    x = o.select(
-        F.col("src"), F.col("dst").alias("_bv"), F.col("ddst").alias("_bd")
-    )
-    y = o.select(
-        F.col("src"), F.col("dst").alias("_cv"), F.col("ddst").alias("_cd")
-    )
-    wedge = x.join(y, "src").where(
-        (F.col("_bd") < F.col("_cd"))
-        | ((F.col("_bd") == F.col("_cd")) & (F.col("_bv") < F.col("_cv")))
-    )
-    closing = o.select(F.col("src").alias("_bv"), F.col("dst").alias("_cv"))
-    tri = wedge.join(closing, ["_bv", "_cv"]).select(
-        F.col("src").alias("a"), F.col("_bv").alias("b"), F.col("_cv").alias("c")
-    )
-    corner = (
-        tri.select(F.col("a").alias("n"))
-        .unionByName(tri.select(F.col("b").alias("n")))
-        .unionByName(tri.select(F.col("c").alias("n")))
-    )
+    from creek_spark.operators.graph import triangle_corner_counts
+
     return (
-        corner.groupBy("n")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        triangle_corner_counts(e)
         .select(F.col("n").alias("p_partkey"), "n_triangles")
         .orderBy(F.desc("n_triangles"), "p_partkey")
         .limit(15)
@@ -900,49 +863,10 @@ def graph_common_neighbors(spark, sf_dir):
         .where(F.col("_c") >= TRI_MINSUP)
         .select("u", "v")
     )
-    deg = (
-        e.select(F.col("u").alias("n"))
-        .unionByName(e.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    )
-    adj = e.select(F.col("u").alias("ctr"), F.col("v").alias("nb")).unionByName(
-        e.select(F.col("v").alias("ctr"), F.col("u").alias("nb"))
-    )
-    adjc = register_cache(
-        adj.join(deg.select(F.col("n").alias("ctr"), "d"), "ctr")
-        .where(F.col("d") <= CN_MAX_DEG)
-        .select("ctr", "nb")
-    )
-    x = adjc.select("ctr", F.col("nb").alias("part_a"))
-    y = adjc.select("ctr", F.col("nb").alias("part_b"))
-    cn = (
-        x.join(y, "ctr")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
-    )
-    nonedge = cn.join(
-        e.select(F.col("u").alias("part_a"), F.col("v").alias("part_b")),
-        ["part_a", "part_b"],
-        "left_anti",
-    )
-    da = deg.select(F.col("n").alias("part_a"), F.col("d").alias("_da"))
-    db = deg.select(F.col("n").alias("part_b"), F.col("d").alias("_db"))
+    from creek_spark.operators.graph import common_neighbor_pairs
+
     return (
-        nonedge.join(da, "part_a")
-        .join(db, "part_b")
-        .select(
-            "part_a",
-            "part_b",
-            "common_neighbors",
-            (
-                F.col("common_neighbors").cast("double")
-                / (
-                    F.col("_da") + F.col("_db") - F.col("common_neighbors")
-                ).cast("double")
-            ).alias("jaccard"),
-        )
+        common_neighbor_pairs(e, max_deg=CN_MAX_DEG)
         .orderBy(F.desc("common_neighbors"), "part_a", "part_b")
         .limit(15)
     )
