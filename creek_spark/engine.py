@@ -710,3 +710,11 @@ class Engine:
         from creek_spark.queries_r6c import agg_mode
 
         return agg_mode(self.spark, sf_dir or self.data_dir)
+
+    def streaming_conversion(self, state_dir: str):
+        """Incrementally-maintained conversion-latency report,
+        batch-identical to events_conversion_latency
+        (streaming/detectors.py)."""
+        from creek_spark.streaming.detectors import StreamingConversion
+
+        return StreamingConversion(self.spark, state_dir)

@@ -919,8 +919,6 @@ def events_conversion_latency(spark, sf_dir):
     ordered walks are over the hour-bucket SUMMARY, never the latency
     rows).  Latency is exact integer epoch-µs divided by 60 s with
     truncating div on both engines."""
-    from creek_spark.operators.distributed import rank_pick
-
     ev = _t(spark, sf_dir, "events")
     fv = (
         ev.where(F.col("event_type") == "view")
@@ -932,7 +930,17 @@ def events_conversion_latency(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
     )
+    return conversion_from_firsts(fv, fp)
+
+
+def conversion_from_firsts(fv, fp):
+    """(user, first-view ts) × (user, first-purchase ts) → the one-row
+    conversion report.  Shared fold: the batch query applies it to the
+    per-user min aggregates, StreamingConversion to its min-merged
+    state tiers — incremental == batch is equality of literally the
+    same fold plan."""
     from creek_spark.operators.cachereg import register_cache
+    from creek_spark.operators.distributed import rank_pick
 
     # cache: the latency frame (two aggregates + a join) feeds both
     # rank_pick levels AND the n_converted aggregate

@@ -921,3 +921,60 @@ class StreamingGini:
             F.sum("r").cast("bigint").alias("r")
         )
         return gini_from_revenue(r)
+
+
+class StreamingConversion:
+    """Continuously-maintained conversion-latency report — the streaming
+    twin of the ``events_conversion_latency`` catalog query and the
+    third incremental-MV mirror: state is per-user FIRST view / first
+    purchase timestamps, merged by MINIMUM, so event batches may arrive
+    in any order (an earlier first-view in a later batch wins) and
+    replays are no-ops.
+
+    ``report`` folds the two min-merged tiers through the batch query's
+    own ``conversion_from_firsts`` (equi join + global rank_pick), so
+    incremental == batch bit-for-bit
+    (tests/test_streaming_rollup.py::test_streaming_conversion_equals_batch)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.views = AdditiveRollupSink(
+            spark, state_dir + "/views", ["part", "user_id"],
+            {"v_ts": "min"}, "part",
+        )
+        self.purchases = AdditiveRollupSink(
+            spark, state_dir + "/purchases", ["part", "user_id"],
+            {"p_ts": "min"}, "part",
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        part = (F.col("user_id") % 16).cast("string").alias("part")
+        self.views.apply_batch(
+            batch.where(F.col("event_type") == "view")
+            .groupBy(part, F.col("user_id"))
+            .agg(F.min("ts").alias("v_ts")),
+            batch_id,
+        )
+        self.purchases.apply_batch(
+            batch.where(F.col("event_type") == "purchase")
+            .groupBy(part, F.col("user_id"))
+            .agg(F.min("ts").alias("p_ts")),
+            batch_id,
+        )
+
+    def foreach_batch(self):
+        def _apply(batch: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch, batch_id)
+
+        return _apply
+
+    def report(self) -> DataFrame:
+        from creek_spark.queries_r6c import conversion_from_firsts
+
+        v = self.views.current()
+        p = self.purchases.current()
+        if v is None or p is None:
+            raise ValueError("need at least one view AND purchase batch")
+        fv = v.groupBy("user_id").agg(F.min("v_ts").alias("v_ts"))
+        fp = p.groupBy("user_id").agg(F.min("p_ts").alias("p_ts"))
+        return conversion_from_firsts(fv, fp)

@@ -558,3 +558,28 @@ def test_streaming_gini_equals_batch(spark, sf_dir, tmp_path):
     assert key(det.report()) == want
     det.apply_batch(o.where(F.col("o_orderkey") % 3 == 2), 2)  # replay
     assert key(det.report()) == want
+
+
+def test_streaming_conversion_equals_batch(spark, sf_dir, tmp_path):
+    """Fourteenth incremental == batch proof: per-user first-view /
+    first-purchase tiers merged by MINIMUM reproduce
+    events_conversion_latency even when batches arrive out of time
+    order (a later batch carrying an earlier first event wins);
+    replays are no-ops."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import StreamingConversion
+
+    ev = read_table(spark, sf_dir, "events")
+    det = StreamingConversion(spark, str(tmp_path / "convstate"))
+    # deliberately deliver NEWEST events first — min-merge must converge
+    det.apply_batch(ev.where(F.dayofmonth("ts") > 20), 0)
+    det.apply_batch(ev.where(F.dayofmonth("ts").between(11, 20)), 1)
+    det.apply_batch(ev.where(F.dayofmonth("ts") <= 10), 2)
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    want = key(
+        entrymod._catalog()["events_conversion_latency"].fn(spark, sf_dir)
+    )
+    assert key(det.report()) == want
+    det.apply_batch(ev.where(F.dayofmonth("ts") <= 10), 2)  # replay
+    assert key(det.report()) == want
