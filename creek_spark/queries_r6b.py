@@ -821,9 +821,10 @@ def multimodal_pixel_stats(spark, sf_dir):
     actual pixel bytes.
 
     Scale shape: one mapInPandas stage (Arrow-batched, work ∝ media
-    bytes, one metadata row out per image) — the same five-Python-stage
-    budget as the other multimodal paths; the mean is one IEEE division
-    of exact integers in the JVM."""
+    bytes, one metadata row out per image) — the multimodal paths are
+    the catalog's ONLY Python stages (PLAN_AUDIT counts them; every
+    relational/dedup/text query is plan-gated JVM-only); the mean is
+    one IEEE division of exact integers in the JVM."""
     from creek_spark.operators.multimodal import (
         pixel_stats,
         png_bytes_gradient,
