@@ -718,3 +718,10 @@ class Engine:
         from creek_spark.streaming.detectors import StreamingConversion
 
         return StreamingConversion(self.spark, state_dir)
+
+    def streaming_vocab(self, state_dir: str):
+        """Incrementally-maintained vocabulary/hapax profile,
+        batch-identical to text_vocab_hapax (streaming/detectors.py)."""
+        from creek_spark.streaming.detectors import StreamingVocab
+
+        return StreamingVocab(self.spark, state_dir)

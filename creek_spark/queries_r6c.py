@@ -394,14 +394,25 @@ def text_vocab_hapax(spark, sf_dir):
     Scale shape: tokenize once, one (source, token) hash aggregate
     (token-keyed, skew bounded by natural word frequencies), one
     per-source fold; ratios are single divisions of exact counts."""
+    return vocab_from_tf(vocab_tf_cells(_t(spark, sf_dir, "documents")))
+
+
+def vocab_tf_cells(docs):
+    """Micro-batch/corpus → additive (source, token, count) cells — the
+    sufficient statistic the StreamingVocab mirror maintains (Heaps-law
+    sublinear state: one row per distinct (source, token))."""
     from creek_spark.functions.text import tokens
 
-    t = (
-        _t(spark, sf_dir, "documents")
-        .select("source", F.explode(tokens("text")).alias("w"))
-        .where(F.col("w") != "")
+    t = docs.select("source", F.explode(tokens("text")).alias("w")).where(
+        F.col("w") != ""
     )
-    tf = t.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    return t.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+
+
+def vocab_from_tf(tf):
+    """(source, token, count) cells → the vocabulary profile.  Shared by
+    the batch catalog query and StreamingVocab so incremental == batch
+    is equality of literally the same fold plan."""
     hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
     return (
         tf.groupBy("source")

@@ -978,3 +978,42 @@ class StreamingConversion:
         fv = v.groupBy("user_id").agg(F.min("v_ts").alias("v_ts"))
         fp = p.groupBy("user_id").agg(F.min("p_ts").alias("p_ts"))
         return conversion_from_firsts(fv, fp)
+
+
+class StreamingVocab:
+    """Continuously-maintained vocabulary/hapax profile — the streaming
+    twin of the ``text_vocab_hapax`` catalog query.
+
+    State is the additive (source, token) count grid on the fenced sink
+    — Heaps-law sublinear in the stream (one row per distinct type),
+    merged by addition, so a type that is hapax in two different batches
+    correctly stops being hapax in the merged state.  ``report`` folds
+    the merged counts through the batch query's own ``vocab_from_tf``,
+    so incremental == batch bit-for-bit
+    (tests/test_streaming_rollup.py::test_streaming_vocab_equals_batch)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.cells = AdditiveRollupSink(
+            spark, state_dir + "/cells", ["source", "w"], ["c"], "source"
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from creek_spark.queries_r6c import vocab_tf_cells
+
+        self.cells.apply_batch(vocab_tf_cells(batch), batch_id)
+
+    def foreach_batch(self):
+        def _apply(batch: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch, batch_id)
+
+        return _apply
+
+    def report(self) -> DataFrame:
+        from creek_spark.queries_r6c import vocab_from_tf
+
+        cur = self.cells.current()
+        if cur is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        tf = cur.groupBy("source", "w").agg(F.sum("c").alias("c"))
+        return vocab_from_tf(tf)

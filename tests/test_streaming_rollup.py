@@ -583,3 +583,26 @@ def test_streaming_conversion_equals_batch(spark, sf_dir, tmp_path):
     assert key(det.report()) == want
     det.apply_batch(ev.where(F.dayofmonth("ts") <= 10), 2)  # replay
     assert key(det.report()) == want
+
+
+def test_streaming_vocab_equals_batch(spark, sf_dir, tmp_path):
+    """Fifteenth incremental == batch proof: additive (source, token)
+    counts reproduce text_vocab_hapax — including hapax counts, the
+    subtle one: a type hapax in TWO batches must stop being hapax in
+    the merged state; replays are no-ops."""
+    import __spark_entry__ as entrymod
+
+    from creek_spark.streaming.detectors import StreamingVocab
+
+    docs = read_table(spark, sf_dir, "documents")
+    det = StreamingVocab(spark, str(tmp_path / "vocabstate"))
+    splits = [(0, 150), (150, 320), (320, 10**12)]
+    for i, (lo, hi) in enumerate(splits):
+        det.apply_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), i
+        )
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    want = key(entrymod._catalog()["text_vocab_hapax"].fn(spark, sf_dir))
+    assert key(det.report()) == want
+    det.apply_batch(docs.where(F.col("doc_id") >= 320), len(splits) - 1)
+    assert key(det.report()) == want
