@@ -208,17 +208,23 @@ def main() -> None:
             approx.setdefault(r["q_id"], set()).add(r["n_id"])
         hits = sum(len(v & approx.get(q, set())) for q, v in exact.items())
         total_n = sum(len(v) for v in exact.values())
-        extras["similarity_ivfpq_recall_at5"] = round(hits / total_n, 3)
+        # rerank=0 determinism pin (the oracled catalog row's operating
+        # point) — NOT the shipped default; see ..._recall_at5 below
+        extras["similarity_ivfpq_recall_at5_norerank_pin"] = round(
+            hits / total_n, 3
+        )
         # the SHIPPED default operating point (ivfpq_topk defaults:
         # n_codes=64, nprobe=8/16, exact-cosine rerank-100): this is the
         # recall number the engine stands behind — gated ≥ 0.6 in
-        # tests/test_similarity.py on this same corpus
+        # tests/test_similarity.py on this same corpus.  The unqualified
+        # key reports THIS path so BENCH_r{N}.json reads unambiguously.
         from creek_spark.operators.similarity import ivfpq_topk
 
         dflt = {}
         for r in ivfpq_topk(emb, qs).collect():
             dflt.setdefault(r["q_id"], set()).add(r["n_id"])
         hits_d = sum(len(v & dflt.get(q, set())) for q, v in exact.items())
+        extras["similarity_ivfpq_recall_at5"] = round(hits_d / total_n, 3)
         extras["similarity_ivfpq_recall_at5_default"] = round(
             hits_d / total_n, 3
         )

@@ -44,15 +44,26 @@ def main(argv: list[str] | None = None, env: dict | None = None) -> int:
         )
 
         host, _, port = cfg.walsender.rpartition(":")
+        transport = SocketTransport(
+            host or "127.0.0.1",
+            int(port),
+            slot=cfg.slot,
+            publication=cfg.publication,
+        )
+        # Producer bootstrap (init.go:120-206 parity): create-or-reuse
+        # the publication (from --tables) and the replication slot; an
+        # existing slot's confirmed_flush_lsn seeds the resume point so
+        # a fresh daemon host continues where the slot left off.
+        boot_lsn = transport.ensure_bootstrap(cfg.tables or None)
         sess = WalSenderSession(
-            SocketTransport(
-                host or "127.0.0.1",
-                int(port),
-                slot=cfg.slot,
-                publication=cfg.publication,
-            ),
+            transport,
             _os.path.join(cfg.base_dir, "walsender"),
         )
+        # the slot seeds only a FRESH host: where local applied state
+        # exists it is the stricter commit point (the slot advances on
+        # receipt, local ack on durable apply)
+        if sess.acked_lsn == 0 and boot_lsn > 0:
+            sess.ack(boot_lsn)
         written = ingest_transcript_tables(
             spark, sess, cfg.wal_dir, dyn.registry, only=cfg.tables or None
         )

@@ -47,6 +47,12 @@ from creek_spark.sources.pgoutput import PgOutputDecoder, lsn_str
 _STATE_FILE = "walsender_lsn"
 
 
+def parse_lsn(text: str) -> int:
+    """'X/Y' pg_lsn text → 64-bit integer (inverse of lsn_str)."""
+    hi, lo = text.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
 class TranscriptTransport:
     """Replay a recorded replication session file; collect sent frames.
 
@@ -311,6 +317,37 @@ def _send_msg(sock, tag: str, payload: bytes) -> None:
     sock.sendall(tag.encode() + struct.pack(">i", len(payload) + 4) + payload)
 
 
+def _simple_query(sock, sql: str) -> list[list[bytes | None]]:
+    """Run one simple-protocol query ('Q') and collect its DataRows
+    (text-format cells; None for SQL NULL) until ReadyForQuery.  An
+    ErrorResponse raises after draining to 'Z' so the connection stays
+    usable — the recovery pgconn applies on a failed simple query."""
+    _send_msg(sock, "Q", sql.encode() + b"\x00")
+    rows: list[list[bytes | None]] = []
+    err: bytes | None = None
+    while True:
+        tag, payload = _read_msg(sock)
+        if tag == "D":
+            (ncols,) = struct.unpack_from(">h", payload)
+            off, row = 2, []
+            for _ in range(ncols):
+                (ln,) = struct.unpack_from(">i", payload, off)
+                off += 4
+                if ln < 0:
+                    row.append(None)
+                else:
+                    row.append(payload[off : off + ln])
+                    off += ln
+            rows.append(row)
+        elif tag == "E":
+            err = payload
+        elif tag == "Z":
+            if err is not None:
+                raise ConnectionError(f"query failed: {err!r} ({sql})")
+            return rows
+        # 'T' RowDescription / 'C' CommandComplete / 'N' notice: skip
+
+
 class SocketTransport:
     """Walsender client over a real TCP socket, presenting the same
     ``frames()``/``send_*`` surface as TranscriptTransport so
@@ -341,28 +378,25 @@ class SocketTransport:
 
     # -- handshake ----------------------------------------------------
 
-    def _connect(self) -> None:
+    def _dial(self, *, replication: bool):
+        """Open a fresh connection and run the startup handshake.
+        ``replication=True`` adds ``replication=database`` (the walsender
+        mode pgconn's RuntimeParams request, init.go:157-160); False is a
+        plain SQL connection — the bootstrap's pool-connection analog."""
         import socket as _socket
 
-        if self.sock is not None:
-            try:
-                self.sock.close()
-            except OSError:
-                pass
-        self.sock = _socket.create_connection(self.addr, timeout=30)
-        params = {
-            "user": self.user,
-            "database": self.database,
-            "replication": "database",
-        }
+        sock = _socket.create_connection(self.addr, timeout=30)
+        params = {"user": self.user, "database": self.database}
+        if replication:
+            params["replication"] = "database"
         body = struct.pack(">i", _PROTO_V3)
         for k, v in params.items():
             body += k.encode() + b"\x00" + v.encode() + b"\x00"
         body += b"\x00"
-        self.sock.sendall(struct.pack(">i", len(body) + 4) + body)
+        sock.sendall(struct.pack(">i", len(body) + 4) + body)
         # drain auth/parameter messages until ReadyForQuery
         while True:
-            tag, payload = _read_msg(self.sock)
+            tag, payload = _read_msg(sock)
             if tag == "R":
                 (code,) = struct.unpack_from(">i", payload)
                 if code != 0:
@@ -370,8 +404,90 @@ class SocketTransport:
             elif tag == "E":
                 raise ConnectionError(f"server error during startup: {payload!r}")
             elif tag == "Z":
-                return
+                return sock
             # 'S' ParameterStatus / 'K' BackendKeyData: informational
+
+    def _connect(self) -> None:
+        if self.sock is not None:
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+        self.sock = self._dial(replication=True)
+
+    # -- producer-side bootstrap (init.go:120-206 parity) -------------
+
+    def ensure_bootstrap(self, tables: list[str] | None = None) -> int:
+        """Create-or-reuse the publication and replication slot, exactly
+        the daemon-startup sequence of the reference's
+        ``ensurePublication`` + ``connectSlot`` (internal/dao/
+        init.go:120-145, 147-206):
+
+        1. On a regular connection, query ``pg_publication``; if the
+           publication is absent, ``CREATE PUBLICATION ... FOR TABLE
+           <tables> WITH (publish_via_partition_root = true)``.
+        2. Query the slot's ``confirmed_flush_lsn``; if the slot exists,
+           that LSN is the resume point.
+        3. Otherwise, on a replication connection: ``IDENTIFY_SYSTEM``
+           for the current WAL position, then ``CREATE_REPLICATION_SLOT
+           <slot> LOGICAL pgoutput`` (permanent, logical) — streaming
+           starts from the identify position.
+
+        Returns the start LSN.  The reference keeps the slot-creating
+        replication connection open and starts streaming on it; this
+        client reconnects in :meth:`send_start` — one extra handshake,
+        identical protocol state.  Queries inline literals where the
+        reference uses pgx bind parameters; the SQL text is otherwise
+        the same."""
+        sql = self._dial(replication=False)
+        try:
+            rows = _simple_query(
+                sql,
+                "SELECT count(pub) > 0 AS exists, count(pub_rel) "
+                "FROM pg_catalog.pg_publication pub "
+                "LEFT JOIN pg_catalog.pg_publication_rel pub_rel "
+                "ON pub.oid = pub_rel.prpubid "
+                f"WHERE pub.pubname = '{self.publication}'",
+            )
+            exists = bool(rows) and rows[0][0] == b"t"
+            if not exists:
+                _simple_query(
+                    sql,
+                    f"CREATE PUBLICATION {self.publication} FOR TABLE "
+                    f"{', '.join(tables or [])} "
+                    "WITH (publish_via_partition_root = true)",
+                )
+                self.sent.append(("create_publication", self.publication))
+            slot_rows = _simple_query(
+                sql,
+                "SELECT confirmed_flush_lsn FROM pg_get_replication_slots() "
+                f"WHERE slot_name = '{self.slot}'",
+            )
+        finally:
+            try:
+                _send_msg(sql, "X", b"")  # Terminate
+                sql.close()
+            except OSError:
+                pass
+        if slot_rows and slot_rows[0][0] is not None:
+            lsn = parse_lsn(slot_rows[0][0].decode())
+            self.sent.append(("slot_resume", self.slot, lsn))
+            return lsn
+        repl = self._dial(replication=True)
+        try:
+            ident = _simple_query(repl, "IDENTIFY_SYSTEM")
+            xlogpos = parse_lsn(ident[0][2].decode())
+            _simple_query(
+                repl, f"CREATE_REPLICATION_SLOT {self.slot} LOGICAL pgoutput"
+            )
+            self.sent.append(("create_slot", self.slot, xlogpos))
+        finally:
+            try:
+                _send_msg(repl, "X", b"")
+                repl.close()
+            except OSError:
+                pass
+        return xlogpos
 
     def send_start(self, lsn: int) -> None:
         import time as _time
@@ -463,7 +579,11 @@ class TranscriptServer:
     message in ``received`` for assertions."""
 
     def __init__(self, transcript_path: str, *, host: str = "127.0.0.1",
-                 drop_after: int | None = None):
+                 drop_after: int | None = None,
+                 publications: dict[str, list[str]] | None = None,
+                 slots: dict[str, int] | None = None,
+                 strict_bootstrap: bool = False,
+                 xlogpos: int = 0):
         import socket as _socket
         import threading
 
@@ -479,6 +599,19 @@ class TranscriptServer:
                 if ln.strip() and not ln.strip().startswith("#")
             ]
         self.received: list[tuple] = []
+        # backend catalog state for the bootstrap round-trips
+        # (pg_publication / replication slots): pre-seed to model an
+        # already-provisioned primary, leave empty for a fresh one.
+        # confirmed_flush_lsn advances from the client's standby status
+        # updates, exactly as a walsender advances the physical slot.
+        self.publications: dict[str, list[str]] = dict(publications or {})
+        self.slots: dict[str, int] = dict(slots or {})
+        # strict mode: START_REPLICATION on an unknown slot is an
+        # ErrorResponse (a real primary's `replication slot ... does not
+        # exist`), forcing clients through ensure_bootstrap first
+        self.strict_bootstrap = strict_bootstrap
+        self.xlogpos = xlogpos
+        self._active_slot: str | None = None
         self._srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
         self._srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
         self._srv.bind((host, 0))
@@ -513,6 +646,86 @@ class TranscriptServer:
                 except OSError:
                     pass
 
+    # -- simple-query result senders ----------------------------------
+
+    @staticmethod
+    def _send_rows(conn, names: list[str], rows: list[list[bytes | None]],
+                   tag: str = "SELECT") -> None:
+        """RowDescription + DataRows + CommandComplete (text format,
+        type oid 25) — the v3 simple-query result shape."""
+        desc = struct.pack(">h", len(names))
+        for n in names:
+            desc += n.encode() + b"\x00" + struct.pack(">ihihih", 0, 0, 25, -1, -1, 0)
+        _send_msg(conn, "T", desc)
+        for row in rows:
+            body = struct.pack(">h", len(row))
+            for cell in row:
+                if cell is None:
+                    body += struct.pack(">i", -1)
+                else:
+                    body += struct.pack(">i", len(cell)) + cell
+            _send_msg(conn, "D", body)
+        _send_msg(conn, "C", f"{tag} {len(rows)}".encode() + b"\x00")
+
+    def _dispatch_query(self, conn, query: str) -> bool:
+        """Answer one non-replication-stream simple query against the
+        catalog state; returns False when the query is START_REPLICATION
+        (caller streams) — the backend command set the bootstrap needs:
+        publication existence/create (init.go:120-145), slot lookup/
+        IDENTIFY_SYSTEM/CREATE_REPLICATION_SLOT (init.go:147-206)."""
+        q = query.strip()
+        up = q.upper()
+        if up.startswith("START_REPLICATION"):
+            return False
+        if up.startswith("IDENTIFY_SYSTEM"):
+            self._send_rows(
+                conn,
+                ["systemid", "timeline", "xlogpos", "dbname"],
+                [[b"7000000000000000001", b"1",
+                  lsn_str(self.xlogpos).encode(), b"postgres"]],
+                tag="IDENTIFY_SYSTEM",
+            )
+        elif up.startswith("CREATE_REPLICATION_SLOT"):
+            name = q.split()[1]
+            self.slots[name] = self.xlogpos
+            self._send_rows(
+                conn,
+                ["slot_name", "consistent_point", "snapshot_name", "output_plugin"],
+                [[name.encode(), lsn_str(self.xlogpos).encode(), None, b"pgoutput"]],
+                tag="CREATE_REPLICATION_SLOT",
+            )
+        elif "pg_publication" in q and up.startswith("SELECT"):
+            pub = q.rsplit("'", 2)[-2]
+            tables = self.publications.get(pub)
+            self._send_rows(
+                conn,
+                ["exists", "count"],
+                [[b"t" if tables is not None else b"f",
+                  str(len(tables or [])).encode()]],
+            )
+        elif up.startswith("CREATE PUBLICATION"):
+            name = q.split()[2]
+            tbl_txt = q.split(" FOR TABLE ", 1)[1].split(" WITH ")[0]
+            self.publications[name] = [t.strip() for t in tbl_txt.split(",") if t.strip()]
+            _send_msg(conn, "C", b"CREATE PUBLICATION\x00")
+        elif up.startswith("ALTER PUBLICATION"):
+            name = q.split()[2]
+            tbl = q.rsplit(" ", 1)[-1]
+            self.publications.setdefault(name, []).append(tbl)
+            _send_msg(conn, "C", b"ALTER PUBLICATION\x00")
+        elif "confirmed_flush_lsn" in q:
+            slot = q.rsplit("'", 2)[-2]
+            rows = (
+                [[lsn_str(self.slots[slot]).encode()]]
+                if slot in self.slots
+                else []
+            )
+            self._send_rows(conn, ["confirmed_flush_lsn"], rows)
+        else:
+            _send_msg(conn, "E", b"SERROR\x00C42601\x00Munrecognized query\x00\x00")
+        _send_msg(conn, "Z", b"I")
+        return True
+
     def _handle(self, conn) -> None:
         # startup packet (no type byte)
         (length,) = struct.unpack(">i", _read_exact(conn, 4))
@@ -524,17 +737,31 @@ class TranscriptServer:
         _send_msg(conn, "R", struct.pack(">i", 0))  # AuthenticationOk
         _send_msg(conn, "S", b"server_version\x0016.0\x00")
         _send_msg(conn, "Z", b"I")
-        # START_REPLICATION simple query
-        tag, payload = _read_msg(conn)
-        if tag != "Q":
-            raise ConnectionError(f"expected Query, got {tag}")
-        query = payload.rstrip(b"\x00").decode()
-        self.received.append(("query", query))
+        # simple-query loop: catalog/bootstrap commands answered inline;
+        # START_REPLICATION falls through to the CopyBoth stream
+        while True:
+            tag, payload = _read_msg(conn)
+            if tag == "X":
+                return  # client Terminate
+            if tag != "Q":
+                raise ConnectionError(f"expected Query, got {tag}")
+            query = payload.rstrip(b"\x00").decode()
+            self.received.append(("query", query))
+            if not self._dispatch_query(conn, query):
+                break
         start_lsn = 0
         if " LOGICAL " in query:
-            lsn_txt = query.split(" LOGICAL ")[1].split(" ")[0]
-            hi, lo = lsn_txt.split("/")
-            start_lsn = (int(hi, 16) << 32) | int(lo, 16)
+            start_lsn = parse_lsn(query.split(" LOGICAL ")[1].split(" ")[0])
+        slot_name = query.split()[2] if query.upper().startswith("START_REPLICATION SLOT") else None
+        if self.strict_bootstrap and slot_name not in self.slots:
+            _send_msg(
+                conn, "E",
+                b"SERROR\x00C42704\x00Mreplication slot \""
+                + (slot_name or "").encode() + b"\" does not exist\x00\x00",
+            )
+            _send_msg(conn, "Z", b"I")
+            return
+        self._active_slot = slot_name
         _send_msg(conn, "W", struct.pack(">BH", 0, 0))  # CopyBothResponse
         drop_budget = (
             self.drop_after if not self._first_conn_handled else None
@@ -589,6 +816,13 @@ class TranscriptServer:
         if tag == "d" and payload[:1] == b"r":
             w, f, a, clock, reply = struct.unpack_from(">QQQqB", payload, 1)
             self.received.append(("status", w, f, a, reply))
+            # a status update's flush position advances the slot's
+            # confirmed_flush_lsn, exactly as the walsender advances the
+            # physical slot — a later bootstrap resumes from here
+            if self._active_slot is not None:
+                self.slots[self._active_slot] = max(
+                    self.slots.get(self._active_slot, 0), f
+                )
         elif tag == "c":
             self.received.append(("copydone",))
         else:

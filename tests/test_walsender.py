@@ -337,3 +337,167 @@ def test_socket_mid_stream_server_drop_reconnect_resume(tmp_path):
         assert len([r for r in srv.received if r[0] == "startup"]) >= 2
     finally:
         srv.close()
+
+
+# -- producer-side bootstrap (init.go:120-206 parity) -------------------
+
+
+def test_bootstrap_creates_publication_and_slot_from_scratch(tmp_path):
+    """A fresh backend (no publication, no slot, strict mode): the
+    client must run the full ensurePublication + connectSlot sequence —
+    pg_publication existence query, CREATE PUBLICATION ... WITH
+    (publish_via_partition_root = true), confirmed_flush lookup,
+    IDENTIFY_SYSTEM, CREATE_REPLICATION_SLOT ... LOGICAL pgoutput —
+    before START_REPLICATION is accepted."""
+    from creek_spark.sources.walsender import SocketTransport, TranscriptServer
+
+    path = _transcript(tmp_path / "s.hex", _events())
+    srv = TranscriptServer(path, strict_bootstrap=True)
+    try:
+        t = SocketTransport("127.0.0.1", srv.port, slot="s1", publication="p1")
+        lsn = t.ensure_bootstrap(["public.users", "public.orders"])
+        assert lsn == 0  # new slot starts at the identify position
+        assert srv.publications == {"p1": ["public.users", "public.orders"]}
+        assert "s1" in srv.slots
+        queries = [r[1] for r in srv.received if r[0] == "query"]
+        assert any(
+            q.startswith("CREATE PUBLICATION p1 FOR TABLE public.users, public.orders")
+            and "publish_via_partition_root = true" in q
+            for q in queries
+        ), queries
+        assert any(q.upper().startswith("IDENTIFY_SYSTEM") for q in queries)
+        assert any(
+            q.startswith("CREATE_REPLICATION_SLOT s1 LOGICAL pgoutput")
+            for q in queries
+        ), queries
+        # and the stream now works end-to-end on the bootstrapped slot
+        sess = WalSenderSession(t, str(tmp_path / "state"))
+        out = []
+        for l, row in sess.stream():
+            out.append(row)
+            sess.ack(l)
+        assert _interpret_ops(out) == {1: "a2", 3: "c"}
+    finally:
+        srv.close()
+
+
+def test_strict_server_rejects_unbootstrapped_start(tmp_path):
+    """Without the bootstrap, a strict backend answers START_REPLICATION
+    with `replication slot does not exist` — proving the DDL is load-
+    bearing, not decorative."""
+    import pytest
+
+    from creek_spark.sources.walsender import SocketTransport, TranscriptServer
+
+    path = _transcript(tmp_path / "s.hex", _events())
+    srv = TranscriptServer(path, strict_bootstrap=True)
+    try:
+        t = SocketTransport("127.0.0.1", srv.port, slot="nosuch")
+        with pytest.raises(ConnectionError, match="rejected"):
+            t.send_start(0)
+    finally:
+        srv.close()
+
+
+def test_bootstrap_reuses_existing_publication_and_slot(tmp_path):
+    """An already-provisioned backend (publication present, slot at
+    0x30): ensure_bootstrap issues NO DDL and returns the slot's
+    confirmed_flush_lsn — the init.go `exists` fast path."""
+    from creek_spark.sources.walsender import SocketTransport, TranscriptServer
+
+    path = _transcript(tmp_path / "s.hex", _events())
+    srv = TranscriptServer(
+        path,
+        strict_bootstrap=True,
+        publications={"p1": ["public.users"]},
+        slots={"s1": 0x30},
+    )
+    try:
+        t = SocketTransport("127.0.0.1", srv.port, slot="s1", publication="p1")
+        lsn = t.ensure_bootstrap(["public.users"])
+        assert lsn == 0x30
+        queries = [r[1] for r in srv.received if r[0] == "query"]
+        assert not any("CREATE" in q.upper() for q in queries), queries
+        # a fresh host seeds from the slot: tx1 (commit 0x30) is skipped
+        sess = WalSenderSession(t, str(tmp_path / "state"))
+        sess.ack(lsn)
+        out = sess.stream_rows()
+        assert _interpret_ops(out) == {1: "a2", 3: "c"}
+        assert all(
+            not (r["op"] == "c" and r["after"]["id"] in (1, 2)) for r in out
+        )
+    finally:
+        srv.close()
+
+
+def test_restart_resumes_from_server_confirmed_flush(tmp_path):
+    """The VERDICT done-criterion: daemon run 1 bootstraps a fresh
+    backend and streams tx1 (status updates advance the slot's
+    confirmed_flush_lsn server-side); run 2 on a DIFFERENT host (fresh
+    local state) bootstraps, reads the advanced LSN back, and resumes
+    without re-applying tx1 — combined state equals the uninterrupted
+    interpreter."""
+    from creek_spark.sources.walsender import SocketTransport, TranscriptServer
+
+    path = _transcript(tmp_path / "s.hex", _events())
+    srv = TranscriptServer(path, strict_bootstrap=True)
+    try:
+        # run 1: bootstrap from scratch, die after tx1's commit
+        t1 = SocketTransport("127.0.0.1", srv.port, slot="s1", publication="p1")
+        assert t1.ensure_bootstrap(["public.users"]) == 0
+        s1 = WalSenderSession(t1, str(tmp_path / "host1"))
+        got1 = []
+        for lsn, row in s1.stream():
+            got1.append(row)
+            s1.ack(lsn)
+            if lsn == 0x4C:  # into tx2; tx1's commit status already sent
+                break
+        assert _interpret_ops(got1[:2]) == {1: "a", 2: "b"}
+        # the 6s-keepalive status carried flush=0x30 → slot advanced
+        assert srv.slots["s1"] >= 0x30
+
+        # run 2: fresh host, no local state — bootstrap resumes the slot
+        t2 = SocketTransport("127.0.0.1", srv.port, slot="s1", publication="p1")
+        lsn2 = t2.ensure_bootstrap(["public.users"])
+        assert lsn2 >= 0x30
+        queries = [r[1] for r in srv.received if r[0] == "query"]
+        assert sum("CREATE_REPLICATION_SLOT" in q for q in queries) == 1
+        s2 = WalSenderSession(t2, str(tmp_path / "host2"))
+        s2.ack(lsn2)
+        got2 = s2.stream_rows()
+        # tx1 not re-applied; combined state converges
+        assert all(
+            not (r["op"] == "c" and r["after"]["id"] in (1, 2)) for r in got2
+        )
+        assert _interpret_ops(got1 + got2) == {1: "a2", 3: "c"}
+    finally:
+        srv.close()
+
+
+def test_daemon_walsender_mode_bootstraps_strict_server(spark, tmp_path):
+    """__main__ --walsender against a strict fresh backend: the daemon
+    bootstraps publication+slot itself (no pre-provisioning), ingests,
+    and applies — the full creekd startup path over real TCP."""
+    from creek_spark.__main__ import main
+    from creek_spark.sources.walsender import TranscriptServer
+
+    path = _transcript(tmp_path / "s.hex", _events() + ["!copydone"])
+    srv = TranscriptServer(path, strict_bootstrap=True)
+    try:
+        rc = main(
+            [
+                "--wal-dir", str(tmp_path / "wal"),
+                "--base-dir", str(tmp_path / "base"),
+                "--walsender", f"127.0.0.1:{srv.port}",
+                "--slot", "s9",
+                "--publication", "p9",
+                "--tables", "public.other",
+                "--available-now",
+            ],
+            env={},
+        )
+        assert rc == 0
+        assert "p9" in srv.publications
+        assert "s9" in srv.slots
+    finally:
+        srv.close()
