@@ -150,6 +150,15 @@ class PgOutputDecoder:
         self.relations: dict[int, PGRelation] = {}
         self._xid: int | None = None
         self._commit_ts: _dt.datetime | None = None
+        # schema-generation tracking: each Relation message fingerprints
+        # its StructType (the reference registers a schema per
+        # RelationMessage, replication.go:318-363) so every envelope row
+        # carries the generation it was decoded under — a mid-stream
+        # ALTER TABLE yields rows with two fingerprints in one session
+        self._rel_fp: dict[int, str] = {}
+        # optional hook fired on every Relation message (the
+        # PersistSchemaFromRelation call site): on_relation(PGRelation)
+        self.on_relation = None
 
     # -- primitive readers --------------------------------------------
 
@@ -220,9 +229,9 @@ class PgOutputDecoder:
 
     # -- message decode ------------------------------------------------
 
-    def _envelope(self, rel: PGRelation, lsn: int) -> dict:
+    def _envelope(self, rel: PGRelation, lsn: int, relid: int | None = None) -> dict:
         return {
-            "fingerprint": "",
+            "fingerprint": self._rel_fp.get(relid, ""),
             "source": {
                 "name": self.source_name,
                 "tx_at": self._commit_ts,
@@ -272,7 +281,17 @@ class PgOutputDecoder:
                 cols.append(
                     PGColumn(cname, OID_NAMES.get(oid, "text"), typmod, flags)
                 )
-            self.relations[relid] = PGRelation(ns, name, cols, replident)
+            relation = PGRelation(ns, name, cols, replident)
+            self.relations[relid] = relation
+            # fingerprint this generation once; decoded rows carry it
+            from creek_spark.types.fingerprint import fingerprint_schema
+            from creek_spark.types.pgtypes import pg_relation_to_struct
+
+            self._rel_fp[relid] = fingerprint_schema(
+                pg_relation_to_struct(relation)
+            )
+            if self.on_relation is not None:
+                self.on_relation(relation)
             return []
         if tag == "I":
             (relid,) = struct.unpack_from(">I", buf, off)
@@ -283,7 +302,7 @@ class PgOutputDecoder:
                     f"Insert: expected new-tuple tag 'N', got {buf[off]:#x}"
                 )
             t, off = self._tuple(buf, off + 1)
-            env = self._envelope(rel, wal_start)
+            env = self._envelope(rel, wal_start, relid)
             env["op"] = "c"
             env["after"], toast = self._values(t, rel)
             env["unchanged_toast"] = toast or None
@@ -302,7 +321,7 @@ class PgOutputDecoder:
                     f"Update: expected new-tuple tag 'N', got {nxt!r}"
                 )
             new, off = self._tuple(buf, off + 1)
-            env = self._envelope(rel, wal_start)
+            env = self._envelope(rel, wal_start, relid)
             if old is not None:  # replication.go:425-427
                 env["op"] = "u_pk"
                 env["before"] = self._before_values(old, rel)
@@ -317,7 +336,7 @@ class PgOutputDecoder:
             off += 4
             rel = self._rel(relid)
             nxt = chr(buf[off])
-            env = self._envelope(rel, wal_start)
+            env = self._envelope(rel, wal_start, relid)
             env["op"] = "d"
             if nxt in ("K", "O"):  # replication.go:474-481
                 t, off = self._tuple(buf, off + 1)
@@ -330,7 +349,7 @@ class PgOutputDecoder:
             for _ in range(nrels):
                 (relid,) = struct.unpack_from(">I", buf, off)
                 off += 4
-                env = self._envelope(self._rel(relid), wal_start)
+                env = self._envelope(self._rel(relid), wal_start, relid)
                 env["op"] = "t"
                 out.append(env)
             return out

@@ -850,6 +850,15 @@ def ingest_transcript_tables(
     from creek_spark.types.envelope import envelope_schema
     from creek_spark.types.pgtypes import pg_relation_to_struct
 
+    if registry is not None:
+        # register EVERY schema generation as it is declared — the
+        # reference persists a schema per RelationMessage
+        # (replication.go:318-363 → PersistSchemaFromRelation), so a
+        # mid-stream ALTER TABLE leaves both fingerprints queryable
+        session.decoder.on_relation = lambda rel: registry.put(
+            pg_relation_to_struct(rel),
+            source=f"{rel.namespace}.{rel.name}",
+        )
     per_table: dict[str, list[dict]] = {}
     hi = 0
     for lsn, row in session.stream(stop_on_copydone=True):

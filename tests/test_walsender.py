@@ -501,3 +501,100 @@ def test_daemon_walsender_mode_bootstraps_strict_server(spark, tmp_path):
         assert "s9" in srv.slots
     finally:
         srv.close()
+
+
+def test_mid_stream_schema_evolution_e2e(spark, tmp_path):
+    """SURVEY §7's hard item: one walsender session in which the table
+    gains a column between transaction 1 and transaction 2 (a second
+    Relation message mid-stream, replication.go:318-363).  Both
+    generations must decode, carry DISTINCT fingerprints in the same
+    stream, register both schemas, stage, and apply through the
+    CdcApplier to the interpreter's final state."""
+    from pyspark.sql import functions as F
+
+    from creek_spark.sources.registry import SchemaRegistry
+    from creek_spark.sources.walsender import (
+        SocketTransport,
+        TranscriptServer,
+        ingest_transcript_tables,
+    )
+    from creek_spark.streaming import CdcApplier, read_envelope_stream
+    from creek_spark.types.envelope import envelope_schema
+    from creek_spark.types.pgtypes import pg_relation_to_struct
+    from tests.test_pgoutput import relation
+
+    v1 = relation(70, "public", "evolving", [(1, "id", 23, -1), (0, "a", 25, -1)])
+    v2 = relation(
+        70, "public", "evolving",
+        [(1, "id", 23, -1), (0, "a", 25, -1), (0, "b", 25, -1)],
+    )
+    frames = [
+        encode_xlogdata(0x10, begin(lsn=0x30), clock=0),
+        encode_xlogdata(0x10, v1, clock=0),
+        encode_xlogdata(0x14, insert(70, 1, "x"), clock=1 * US),
+        encode_xlogdata(0x18, insert(70, 2, "y"), clock=1 * US),
+        encode_xlogdata(0x30, commit(lsn=0x30), clock=2 * US),
+        # ALTER TABLE evolving ADD COLUMN b — new Relation generation
+        encode_xlogdata(0x40, begin(lsn=0x60), clock=3 * US),
+        encode_xlogdata(0x40, v2, clock=3 * US),
+        encode_xlogdata(0x44, insert(70, 3, "z", "Z"), clock=3 * US),
+        encode_xlogdata(0x48, insert(70, 4, "w", "W"), clock=4 * US),
+        encode_xlogdata(0x60, commit(lsn=0x60), clock=4 * US),
+    ]
+    path = _transcript(tmp_path / "evo.hex", frames)
+    srv = TranscriptServer(path, strict_bootstrap=True)
+    try:
+        t = SocketTransport("127.0.0.1", srv.port, slot="se", publication="pe")
+        t.ensure_bootstrap(["public.evolving"])
+        sess = WalSenderSession(t, str(tmp_path / "state"))
+        registry = SchemaRegistry(str(tmp_path / "registry"))
+        wal_dir = str(tmp_path / "wal")
+        written = ingest_transcript_tables(spark, sess, wal_dir, registry)
+        assert written == {"public.evolving": 4}
+
+        # both generations registered, latest is v2 (3 columns)
+        with open(registry._store_path()) as f:
+            gens = [
+                __import__("json").loads(ln)
+                for ln in f
+                if '"public.evolving"' in ln
+            ]
+        assert len(gens) == 2, gens
+        fp_latest, latest_schema = registry.last_for_source("public.evolving")
+        assert [f.name for f in latest_schema.fields] == ["id", "a", "b"]
+        assert gens[0]["fingerprint"] != gens[1]["fingerprint"]
+
+        # the staged stream carries BOTH fingerprints, row-accurate
+        row_schema = latest_schema
+        schema = envelope_schema(row_schema)
+        staged = spark.read.schema(schema).parquet(wal_dir + "/public_evolving")
+        fps = {
+            r["fingerprint"]: r["cnt"]
+            for r in staged.groupBy("fingerprint").agg(
+                F.count("*").alias("cnt")
+            ).collect()
+        }
+        assert fps == {gens[0]["fingerprint"]: 2, gens[1]["fingerprint"]: 2}
+
+        # apply through the CdcApplier: gen-1 rows surface with b=NULL,
+        # gen-2 rows with their value — the interpreter's final state
+        applier = CdcApplier(
+            spark, str(tmp_path / "tbl"), ["id"], schema, n_buckets=2
+        )
+        q = applier.start(
+            read_envelope_stream(spark, wal_dir + "/public_evolving", schema),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        got = {
+            r["id"]: (r["a"], r["b"])
+            for r in applier.current_state().collect()
+        }
+        assert got == {
+            1: ("x", None),
+            2: ("y", None),
+            3: ("z", "Z"),
+            4: ("w", "W"),
+        }
+    finally:
+        srv.close()
