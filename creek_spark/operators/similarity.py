@@ -585,6 +585,152 @@ def pq_encode(
     )
 
 
+def pq_encode_fast(
+    df: DataFrame,
+    codebook: DataFrame,
+    side_id: str,
+    side_vec: str,
+    *,
+    dim: int = 64,
+    m: int = 8,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """``pq_encode`` with the per-subspace argmin vectorized in numpy
+    float64 inside an Arrow-batched ``mapInPandas`` stage — the encode
+    path for index BUILDS, where the interpreted decimal HOF fold's
+    per-row constant (~10×) is the whole build bill at corpus scale.
+
+    Same output contract as ``pq_encode`` (side_id, side_vec, *keep,
+    codes, _nrm), same tie-break (argmin returns the first minimum →
+    smallest code), still ZERO shuffle: the codebook is collected once
+    (one tiny 1-row job) and ships to executors inside the UDF closure;
+    encoding is a single map-side Python stage; ``_nrm`` stays the
+    JVM-side exact decimal dot so persisted norms are bit-identical to
+    the exact path.  Codes agree with ``pq_encode`` whenever no two
+    codewords are within float64 rounding of equidistant — gated on the
+    bench corpus by test_similarity (persisted-search == inline-exact).
+    The decimal fold remains the oracle path for the `similarity_pq` /
+    `similarity_ivfpq` catalog rows, which prove cross-engine
+    determinism row-for-row in ANSI SQL."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    cb_rows = codebook.first()["_cb"]
+    C = np.asarray([list(r["cvec"]) for r in cb_rows], dtype=np.float64)
+    sub = dim // m
+    src = df.select(side_id, side_vec, *keep)
+    out_schema = T.StructType(
+        list(src.schema.fields)
+        + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.copy()
+                pdf["codes"] = []
+                yield pdf
+                continue
+            V = np.vstack(pdf[side_vec].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                Vj = V[:, j * sub : (j + 1) * sub]
+                Cj = C[:, j * sub : (j + 1) * sub]
+                # ||v-c||² expanded via BLAS: n×k from two rank-1 terms
+                # and one matmul — the float64 image of the exact metric
+                d = (
+                    (Vj * Vj).sum(axis=1)[:, None]
+                    - 2.0 * (Vj @ Cj.T)
+                    + (Cj * Cj).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf["codes"] = [r.tolist() for r in codes]
+            yield pdf
+
+    return src.mapInPandas(encode, schema=out_schema).select(
+        F.col(side_id),
+        F.col(side_vec),
+        *[F.col(c) for c in keep],
+        F.col("codes"),
+        _exact_dot(F.col(side_vec), F.col(side_vec)).alias("_nrm"),
+    )
+
+
+def assign_encode_fast(
+    df: DataFrame,
+    cents: DataFrame,
+    codebook: DataFrame,
+    side_id: str,
+    side_vec: str,
+    *,
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """Fused IVF assignment + PQ encode for index builds: ONE Arrow
+    stage computes each vector's nearest centroid (float64 cosine
+    argmax; numpy's first-max tie-break equals the exact fold's strict
+    ``>`` keep-incumbent, i.e. earliest md5-sorted position) and its m
+    subspace codes, against closure-shipped centroid/codeword matrices.
+    ``_nrm`` stays the JVM exact decimal dot.  Still zero shuffle — and
+    one Python stage instead of two interpreted decimal folds.  Parity
+    with the exact path is gated by test_similarity
+    (persisted-search == inline-exact, fast==exact codes)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    cent_rows = cents.first()["cents"]
+    CC = np.asarray([list(r["cvec"]) for r in cent_rows], dtype=np.float64)
+    cent_ids = [r["cid"] for r in cent_rows]
+    cnorm = np.sqrt((CC * CC).sum(axis=1))
+    cb_rows = codebook.first()["_cb"]
+    C = np.asarray([list(r["cvec"]) for r in cb_rows], dtype=np.float64)
+    sub = dim // m
+    src = df.select(side_id, side_vec)
+    cents_field = next(f for f in cents.schema.fields if f.name == "cents")
+    cid_type = cents_field.dataType.elementType["cid"].dataType
+    out_schema = T.StructType(
+        list(src.schema.fields)
+        + [
+            T.StructField("cell_id", cid_type),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def fused(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.copy()
+                pdf["cell_id"] = []
+                pdf["codes"] = []
+                yield pdf
+                continue
+            V = np.vstack(pdf[side_vec].to_numpy()).astype(np.float64)
+            vnorm = np.sqrt((V * V).sum(axis=1))
+            sims = (V @ CC.T) / (vnorm[:, None] * cnorm[None, :])
+            cell = sims.argmax(axis=1)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                Vj = V[:, j * sub : (j + 1) * sub]
+                Cj = C[:, j * sub : (j + 1) * sub]
+                d = (
+                    (Vj * Vj).sum(axis=1)[:, None]
+                    - 2.0 * (Vj @ Cj.T)
+                    + (Cj * Cj).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf["cell_id"] = [cent_ids[i] for i in cell]
+            pdf["codes"] = [r.tolist() for r in codes]
+            yield pdf
+
+    return src.mapInPandas(fused, schema=out_schema).withColumn(
+        "_nrm", _exact_dot(F.col(side_vec), F.col(side_vec))
+    )
+
+
 def _pq_query_lut(queries: DataFrame, codebook: DataFrame, dim: int, m: int) -> DataFrame:
     """(q_id, q_vec, _qnrm, _lut): per-query ADC lookup table — the
     m×n_codes exact decimal partial dot products against the codebook.
@@ -844,10 +990,12 @@ def ivfpq_index_build(
     cents = ivf_centroids(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
     cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, n_codes=n_codes)
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
-    cells = ivf_cell_assignment(c, cents, "n_id", "c_vec", exact=True).select(
-        "n_id", "c_vec", "cell_id"
-    )
-    enc = pq_encode(cells, cb, "n_id", "c_vec", dim=dim, m=m, keep=("cell_id",))
+    # builds take the fused vectorized assignment+encode (numpy argmax/
+    # argmin in one Arrow stage); the decimal-fold ivf_cell_assignment +
+    # pq_encode stay the oracled catalog path.
+    # test_ivfpq_persisted_search_equals_inline gates that the persisted
+    # index reproduces the exact path's results bit-for-bit.
+    enc = assign_encode_fast(c, cents, cb, "n_id", "c_vec", dim=dim, m=m)
     cols = ["n_id", "cell_id", "codes", "_nrm"] + (
         ["c_vec"] if store_vectors else []
     )

@@ -783,3 +783,26 @@ def test_no_unconditional_broadcast_on_growing_tables_in_source():
             ):
                 offenders.append(f"{fname}:{node.lineno} F.broadcast({node.args[0].id})")
     assert not offenders, offenders
+
+
+def test_assign_encode_fast_single_python_stage_zero_shuffle(spark):
+    """The fused index-build stage (assign_encode_fast): exactly one
+    Arrow Python stage over the corpus scan, no Exchange, no Window —
+    centroids and codewords ship in the UDF closure, so the encoded
+    corpus is a pure map-side projection that scales out linearly."""
+    from creek_spark.operators import similarity as sim
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = sim.ivf_centroids(emb)
+    cb = sim.pq_codebook(emb, n_codes=16)
+    enc = sim.assign_encode_fast(
+        emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("c_vec")),
+        cents,
+        cb,
+        "n_id",
+        "c_vec",
+    )
+    plan = explain_str(enc)
+    assert "+- Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("+- MapInPandas") == 1, plan

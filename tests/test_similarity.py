@@ -223,3 +223,25 @@ def test_ivfpq_default_recall_gate(spark):
     dflt = _topk_sets(sim.ivfpq_topk(emb, queries))  # all defaults
     r = _recall(dflt, exact)
     assert r >= 0.6, r
+
+
+def test_pq_encode_fast_matches_exact_codes(spark):
+    """The vectorized build encode must reproduce the decimal-fold
+    encode exactly on the bench corpus — codes AND norms — including
+    across a repartition (no partition-order dependence)."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cb = sim.pq_codebook(emb, n_codes=16)
+    c = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("c_vec")
+    )
+    exact = {
+        r["n_id"]: (r["codes"], r["_nrm"])
+        for r in sim.pq_encode(c, cb, "n_id", "c_vec").collect()
+    }
+    fast = {
+        r["n_id"]: (r["codes"], r["_nrm"])
+        for r in sim.pq_encode_fast(
+            c.repartition(7), cb, "n_id", "c_vec"
+        ).collect()
+    }
+    assert fast == exact
