@@ -3,7 +3,12 @@ shuffle inventory.  For every catalog query it records the scale-shape
 facts the plan gates assert piecemeal:
 
   * exchanges:   hashpartitioning key-lists (corpus shuffles; the first
-                 key tells you what the shuffle is bounded by)
+                 key tells you what the shuffle is bounded by).
+                 `n_exchanges` counts DISTINCT shuffle subtrees — cached
+                 builds (InMemoryRelation) are de-duplicated across
+                 reuse sites and identical self-join shuffles collapse
+                 (exchange reuse), so the number models shuffles that
+                 EXECUTE; `n_exchange_sites` keeps the raw textual count
   * windows:     windowspecdefinition partition prefixes — any entry
                  with an empty partition list is an ordered walk of a
                  summary (legitimate) or a scale bug (the gates decide;
@@ -27,6 +32,87 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def dedupe_imr(plan: str) -> str:
+    """Collapse InMemoryRelation re-expansions to ONE copy per distinct
+    cached plan.
+
+    `executedPlan().toString()` re-prints the cached relation's entire
+    build plan under every InMemoryTableScan that reuses it, so an
+    iterative query that scans its cache k times appears to have k× the
+    cache-build's exchanges/scans — pure double-counting (the build runs
+    once, the reuse sites read shuffle-free cached blocks).  Returns the
+    plan with IMR subtrees removed from the reuse sites and each
+    DISTINCT cached build plan (keyed on text with expr-ids stripped)
+    appended exactly once, so every downstream count reflects work that
+    actually executes."""
+    def indent(ln: str) -> int:
+        return len(re.match(r"^[\s:+|-]*", ln).group(0))
+
+    seen: dict[str, str] = {}
+
+    def process(lines: list[str]) -> list[str]:
+        # recursive: iterative queries cache per round, and round k's
+        # build plan re-prints round k-1's cached build — without
+        # recursion the appendix itself stays quadratic in rounds
+        out: list[str] = []
+        i = 0
+        while i < len(lines):
+            ln = lines[i]
+            if "InMemoryRelation" in ln:
+                d = indent(ln)
+                j = i + 1
+                sub = []
+                while j < len(lines) and indent(lines[j]) > d:
+                    sub.append(lines[j])
+                    j += 1
+                body = "\n".join([ln.strip()] + process(sub))
+                key = re.sub(r"#\d+|plan_id=\d+", "#", body)
+                seen.setdefault(key, body)
+                out.append(ln[:d] + "InMemoryRelation [deduped, see cached-build appendix]")
+                i = j
+            else:
+                out.append(ln)
+                i += 1
+        return out
+
+    main_lines = process(plan.splitlines())
+    return "\n".join(main_lines) + "".join(f"\n{b}" for b in seen.values())
+
+
+def count_unique_exchanges(plan: str) -> int:
+    """Number of DISTINCT shuffle subtrees — what actually executes.
+
+    A self-join query prints the shared side's scan→shuffle subtree once
+    per join site, but Spark's exchange reuse (ReusedExchangeExec) runs
+    one shuffle and serves every consumer from its output; the pre-AQE
+    plan string shows no ReusedExchange nodes, so raw `Exchange` counts
+    overstate by the reuse factor.  Two sites count once when their
+    subtrees are identical after stripping expr-ids/plan-ids/tree
+    prefixes."""
+
+    def indent(ln: str) -> int:
+        return len(re.match(r"^[\s:+|-]*", ln).group(0))
+
+    lines = plan.splitlines()
+    seen: set[str] = set()
+    for i, ln in enumerate(lines):
+        if "Exchange hashpartitioning" not in ln and "Exchange SinglePartition" not in ln:
+            continue
+        d = indent(ln)
+        sub = [ln]
+        j = i + 1
+        while j < len(lines) and indent(lines[j]) > d:
+            sub.append(lines[j])
+            j += 1
+        key = re.sub(
+            r"#\d+|plan_id=\d+",
+            "#",
+            "\n".join(re.sub(r"^[\s:+|-]*", "", s) for s in sub),
+        )
+        seen.add(key)
+    return len(seen)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as entrymod
@@ -39,7 +125,7 @@ def main() -> int:
         try:
             df = cat[name].fn(spark, sf_dir)
             jqe = df._jdf.queryExecution()
-            plan = jqe.executedPlan().toString()
+            plan = dedupe_imr(jqe.executedPlan().toString())
         except Exception as e:  # noqa: BLE001 — audit must cover the rest
             out[name] = {"err": f"{type(e).__name__}: {e}"[:300]}
             continue
@@ -65,7 +151,11 @@ def main() -> int:
             )
         out[name] = {
             "exchange_keys": [list(k) for k in ex_keys],
-            "n_exchanges": len(exchanges),
+            # distinct shuffle subtrees (exchange reuse collapsed) —
+            # the count that models executed shuffles; sites is the raw
+            # textual occurrence count for reference
+            "n_exchanges": count_unique_exchanges(plan),
+            "n_exchange_sites": len(exchanges),
             "window_partitions": sorted({list(w).__repr__() for w in windows}),
             "n_broadcast": plan.count("BroadcastExchange"),
             "python_stage": ("BatchEvalPython" in plan)
@@ -74,6 +164,10 @@ def main() -> int:
             or ("MapInPandas" in plan),
             "n_scans": plan.count("FileScan parquet") or plan.count("Scan parquet"),
             "n_imts": plan.count("InMemoryTableScan"),
+            # materialized inputs (localCheckpoint → Scan ExistingRDD):
+            # the upstream work ran in EARLIER jobs this plan can't show,
+            # so zero exchanges here means "audit-blind", not "free"
+            "n_rdd_scans": plan.count("Scan ExistingRDD"),
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLAN_AUDIT.json"), "w") as f:
