@@ -265,12 +265,13 @@ def ivf_centroids(
         .limit(n_cells)
         .withColumn("cnrm", _exact_dot(F.col("cvec"), F.col("cvec")))
     )
-    return F.broadcast(
-        cents.agg(
-            F.sort_array(
-                F.collect_list(F.struct("mkey", "cid", "cvec", "cnrm"))
-            ).alias("cents")
-        )
+    # NOT hinted here: consumers that JOIN wrap with F.broadcast at the
+    # join site; index builds also write/collect this frame, and a hint
+    # on a non-join consumer logs a HintErrorLogger warning
+    return cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct("mkey", "cid", "cvec", "cnrm"))
+        ).alias("cents")
     )
 
 
@@ -309,7 +310,7 @@ def ivf_cell_assignment(
     the incumbent.
 
     Output: (side_id, side_vec, cell_id[, _nrm when exact])."""
-    out = df.crossJoin(cents)  # broadcast NLJ of a single 1-row side
+    out = df.crossJoin(F.broadcast(cents))  # broadcast NLJ of a 1-row side
     if exact:
         out = out.withColumn("_nrm", _exact_dot(F.col(side_vec), F.col(side_vec)))
     scored = _cent_sims(side_vec, F.col("_nrm") if exact else None, exact)
@@ -373,7 +374,7 @@ def ivf_topk(
     # query probes: same broadcast-array trick — score all centroids per
     # row, sort the array, slice the top nprobe, explode.  No window: the
     # probe list is computed map-side even when Q is large.
-    qx = q.crossJoin(cents)
+    qx = q.crossJoin(F.broadcast(cents))
     if exact:
         qx = qx.withColumn("_qnrm", _exact_dot(F.col("q_vec"), F.col("q_vec")))
     scored_arr = F.transform(
@@ -518,11 +519,10 @@ def pq_codebook(
         .orderBy("mkey", "cid")
         .limit(n_codes)
     )
-    return F.broadcast(
-        cb.agg(
-            F.sort_array(F.collect_list(F.struct("mkey", "cid", "cvec"))).alias(
-                "_cb"
-            )
+    # unhinted for the same reason as ivf_centroids — see above
+    return cb.agg(
+        F.sort_array(F.collect_list(F.struct("mkey", "cid", "cvec"))).alias(
+            "_cb"
         )
     )
 
@@ -548,7 +548,7 @@ def pq_encode(
     m codes + one norm, the whole point of PQ.  ``keep`` passes extra
     input columns through (e.g. an IVF cell_id for IVFADC)."""
     sub = dim // m
-    out = df.crossJoin(codebook)
+    out = df.crossJoin(F.broadcast(codebook))
 
     def sub_slice(col, j):
         return F.slice(col, j * sub + 1, sub)
@@ -736,7 +736,7 @@ def _pq_query_lut(queries: DataFrame, codebook: DataFrame, dim: int, m: int) -> 
     m×n_codes exact decimal partial dot products against the codebook.
     Input must already project (q_id, q_vec)."""
     sub = dim // m
-    qx = queries.crossJoin(codebook)
+    qx = queries.crossJoin(F.broadcast(codebook))
 
     def _lut_fn(j):
         # closure factory (see pq_encode): a `j=j` default arg would be
@@ -909,7 +909,7 @@ def ivfpq_topk(
         dim,
         m,
     )
-    qx = qlut.crossJoin(cents)
+    qx = qlut.crossJoin(F.broadcast(cents))
     scored_arr = F.transform(
         _cent_sims("q_vec", F.col("_qnrm"), True),
         lambda x, i: F.struct(
@@ -1035,7 +1035,7 @@ def ivfpq_search(
         dim,
         m,
     )
-    qx = qlut.crossJoin(cents)
+    qx = qlut.crossJoin(F.broadcast(cents))
     scored_arr = F.transform(
         _cent_sims("q_vec", F.col("_qnrm"), True),
         lambda x, i: F.struct(
