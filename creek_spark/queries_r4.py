@@ -1377,43 +1377,39 @@ def customer_rfm(spark, sf_dir):
             )
         ).alias("_e")
     ).select("_e.dim", "_e.sv", "_e.custkey", "_e.bkt")
+    # no work-cache: both rank_pick legs re-derive the explode from the
+    # ALREADY-CACHED customer aggregate (3n tiny rows) — cheaper than a
+    # second cache's materialization barrier
     picked = rank_pick(
         u, ["dim"], F.col("sv"), F.col("custkey"), F.col("bkt"), ranks,
-        persist=True,  # the union re-reads the cached customer aggregate
     )
+    # one parsed expression per column instead of hundreds of chained
+    # py4j Column calls: this pivot + the scoring below were ~0.65 s of
+    # driver time per build (r7 verdict item 5 — plan-build cost grows
+    # with expression count, not data)
     cuts = picked.groupBy().agg(
         *[
-            F.max(
-                F.when((F.col("dim") == d) & (F.col("_ki") == i), F.col("_pick_v"))
-            ).alias(f"_b{d}v{i}")
+            F.expr(
+                f"max(CASE WHEN dim = '{d}' AND _ki = {i} THEN _pick_{s} END)"
+            ).alias(f"_b{d}{s}{i}")
             for d in dims
             for i in range(4)
-        ],
-        *[
-            F.max(
-                F.when((F.col("dim") == d) & (F.col("_ki") == i), F.col("_pick_t"))
-            ).alias(f"_b{d}t{i}")
-            for d in dims
-            for i in range(4)
-        ],
+            for s in ("v", "t")
+        ]
     )
     scored = c.crossJoin(F.broadcast(cuts))
-    def score(d, sv):
-        sv = sv.cast("double")
-        above = [
-            (sv > F.col(f"_b{d}v{i}"))
-            | ((sv == F.col(f"_b{d}v{i}")) & (F.col("custkey") > F.col(f"_b{d}t{i}")))
+    def score(d, sv_sql):
+        above = " + ".join(
+            f"CAST(({sv_sql} > _b{d}v{i}) OR (({sv_sql} = _b{d}v{i}) "
+            f"AND custkey > _b{d}t{i}) AS INT)"
             for i in range(4)
-        ]
-        s = F.lit(1)
-        for a in above:
-            s = s + a.cast("int")
-        return s.cast("int")
+        )
+        return F.expr(f"CAST(1 + {above} AS INT)")
     return scored.select(
         "custkey", "recency_days", "frequency", "monetary",
-        score("r", -F.col("recency_days")).alias("r_score"),
-        score("f", F.col("frequency")).alias("f_score"),
-        score("m", F.col("monetary")).alias("m_score"),
+        score("r", "CAST(-recency_days AS DOUBLE)").alias("r_score"),
+        score("f", "CAST(frequency AS DOUBLE)").alias("f_score"),
+        score("m", "CAST(monetary AS DOUBLE)").alias("m_score"),
     )
 
 

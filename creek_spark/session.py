@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # cached plans otherwise pin their pre-AQE partitioning: a small
+        # cached aggregate (e.g. customer_rfm's per-customer frame) keeps
+        # all `shuffle.partitions` partitions and every consumer stage
+        # schedules that many near-empty tasks — letting AQE re-plan the
+        # cached output coalesces them to data-sized partitions
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
