@@ -297,6 +297,7 @@ def ivf_cell_assignment(
     side_vec: str,
     *,
     exact: bool = False,
+    keep_cvec: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment with ZERO shuffle of the corpus.
 
@@ -309,20 +310,39 @@ def ivf_cell_assignment(
     array position, i.e. smallest md5(cid) — strict `>` in the fold keeps
     the incumbent.
 
-    Output: (side_id, side_vec, cell_id[, _nrm when exact])."""
+    ``keep_cvec`` also outputs the winning centroid's vector as
+    ``cell_vec`` — the residual-encoding input (x − c_cell) rides the
+    same fold instead of a centroid-lookup join.
+
+    Output: (side_id, side_vec, cell_id[, cell_vec][, _nrm when exact])."""
     out = df.crossJoin(F.broadcast(cents))  # broadcast NLJ of a 1-row side
     if exact:
         out = out.withColumn("_nrm", _exact_dot(F.col(side_vec), F.col(side_vec)))
     scored = _cent_sims(side_vec, F.col("_nrm") if exact else None, exact)
+    if keep_cvec:
+        scored = F.zip_with(
+            scored,
+            F.col("cents"),
+            lambda sc, c: F.struct(
+                sc["s"].alias("s"), sc["cid"].alias("cid"), c["cvec"].alias("cvec")
+            ),
+        )
+    acc_fields = [
+        F.lit(-2.0).alias("s"),  # below any cosine
+        F.when(F.lit(False), F.get(F.col("cents"), 0)["cid"]).alias("cid"),
+    ]
+    if keep_cvec:
+        acc_fields.append(
+            F.when(F.lit(False), F.get(F.col("cents"), 0)["cvec"]).alias("cvec")
+        )
     best = F.aggregate(
         scored,
-        F.struct(
-            F.lit(-2.0).alias("s"),  # below any cosine
-            F.when(F.lit(False), F.get(F.col("cents"), 0)["cid"]).alias("cid"),
-        ),
+        F.struct(*acc_fields),
         lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
     )
     cols = [side_id, side_vec, best["cid"].alias("cell_id")]
+    if keep_cvec:
+        cols.append(best["cvec"].alias("cell_vec"))
     if exact:
         cols.append(F.col("_nrm"))
     return out.select(*cols)
@@ -527,6 +547,162 @@ def pq_codebook(
     )
 
 
+def residual_col(vec_col, cent_col):
+    """x − c_cell as array<double> — the residual every IVFADC stage
+    quantizes.  Plain IEEE-754 double subtraction of the raw values, so
+    it is bit-identical in any engine (`a.v - b.v` in ANSI SQL)."""
+    return F.zip_with(
+        vec_col, cent_col, lambda x, c: x.cast("double") - c.cast("double")
+    )
+
+
+def pq_residual_codebook(
+    corpus: DataFrame,
+    cents: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_codes: int = 16,
+) -> DataFrame:
+    """``pq_codebook`` trained on IVF RESIDUALS (x − c_cell) — the
+    canonical IVFADC layout (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", §IV): residuals concentrate around the
+    origin with far smaller variance than raw vectors, so the same
+    m×n_codes budget quantizes them much more accurately and the raw
+    ADC ranking recovers most of the recall a raw-vector codebook loses.
+
+    Same deterministic md5 draw as ``pq_codebook``; each sampled vector
+    is assigned to its cell by the same broadcast fold as the corpus and
+    its codeword is the double-exact residual.  Output contract is
+    identical (one broadcastable `_cb` row) plus an ``is_residual``
+    marker column so a persisted index self-describes its encoding."""
+    cb = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("mkey", F.md5(F.col("cid").cast("string")))
+        .orderBy("mkey", "cid")
+        .limit(n_codes)
+    )
+    assigned = ivf_cell_assignment(cb, cents, "cid", "cvec", keep_cvec=True)
+    res = assigned.select(
+        F.col("cid"),
+        F.md5(F.col("cid").cast("string")).alias("mkey"),
+        residual_col(F.col("cvec"), F.col("cell_vec")).alias("cvec"),
+    )
+    return res.agg(
+        F.sort_array(F.collect_list(F.struct("mkey", "cid", "cvec"))).alias(
+            "_cb"
+        )
+    ).withColumn("is_residual", F.lit(True))
+
+
+def _md5_sample_np(corpus, id_col: str, vec_col: str, n: int):
+    """First ``n`` md5-ordered vectors as a float64 matrix — the
+    deterministic bounded training/holdout sample every quantizer
+    trainer draws from.  One ≤n-row collect regardless of corpus size,
+    so the driver-side work is O(sample), never O(corpus)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("mkey", F.md5(F.col("cid").cast("string")))
+        .orderBy("mkey", "cid")
+        .limit(n)
+        .collect()
+    )
+    return np.asarray([list(r["cvec"]) for r in rows], dtype=np.float64)
+
+
+def _cos_assign_np(V, C):
+    """Nearest centroid by cosine, float64, first-max tie-break — the
+    numpy image of the exact fold's strict-``>`` keep-incumbent."""
+    import numpy as np
+
+    vn = np.sqrt((V * V).sum(axis=1))
+    cn = np.sqrt((C * C).sum(axis=1))
+    vn[vn == 0.0] = 1.0
+    cn[cn == 0.0] = 1.0
+    return ((V @ C.T) / (vn[:, None] * cn[None, :])).argmax(axis=1)
+
+
+def kmeans_centroids_np(S, n_cells: int, iters: int = 10):
+    """Spherical Lloyd on the sample: assign by cosine, update by mean
+    (cosine is scale-invariant so unnormalized means are fine), md5
+    order seeds the init — fully deterministic, no RNG.  Empty cells
+    keep their previous center."""
+    import numpy as np
+
+    C = S[:n_cells].copy()
+    for _ in range(iters):
+        a = _cos_assign_np(S, C)
+        for t in range(len(C)):
+            mask = a == t
+            if mask.any():
+                C[t] = S[mask].mean(axis=0)
+    return C
+
+
+def kmeans_codebook_np(E, n_codes: int, m: int, iters: int = 10):
+    """Per-subspace L2 Lloyd — TRUE product-quantizer training: each of
+    the m subspaces trains its own n_codes codewords on the sample's
+    subvectors (md5-order init, deterministic).  Returned as full-dim
+    concatenations so the packed codebook keeps the one-vector-per-code
+    contract every encode/LUT path already slices."""
+    import numpy as np
+
+    d = E.shape[1]
+    sub = d // m
+    B = E[:n_codes].copy()
+    for j in range(m):
+        lo, hi = j * sub, (j + 1) * sub
+        Ej = E[:, lo:hi]
+        Bj = B[:, lo:hi]
+        for _ in range(iters):
+            dist = (
+                (Ej * Ej).sum(axis=1)[:, None]
+                - 2.0 * (Ej @ Bj.T)
+                + (Bj * Bj).sum(axis=1)[None, :]
+            )
+            a = dist.argmin(axis=1)
+            for t in range(len(Bj)):
+                mask = a == t
+                if mask.any():
+                    Bj[t] = Ej[mask].mean(axis=0)
+        B[:, lo:hi] = Bj
+    return B
+
+
+def pack_centroids(spark, C) -> DataFrame:
+    """Pack a trained centroid matrix into the standard 1-row broadcast
+    frame (`cents` array of (mkey, cid, cvec, cnrm) structs) — every
+    assignment/probe path downstream consumes it unchanged; cnrm stays
+    the JVM exact decimal dot so probe scoring keeps the decimal-exact
+    discipline."""
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(C)]
+    df = spark.createDataFrame(rows, "cid bigint, cvec array<double>")
+    df = df.withColumn("mkey", F.md5(F.col("cid").cast("string"))).withColumn(
+        "cnrm", _exact_dot(F.col("cvec"), F.col("cvec"))
+    )
+    return df.agg(
+        F.sort_array(
+            F.collect_list(F.struct("mkey", "cid", "cvec", "cnrm"))
+        ).alias("cents")
+    )
+
+
+def pack_codebook(spark, B, *, residual: bool) -> DataFrame:
+    """Pack a trained codeword matrix into the standard 1-row `_cb`
+    frame (+ the is_residual self-description marker)."""
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(B)]
+    df = spark.createDataFrame(rows, "cid bigint, cvec array<double>")
+    df = df.withColumn("mkey", F.md5(F.col("cid").cast("string")))
+    out = df.agg(
+        F.sort_array(F.collect_list(F.struct("mkey", "cid", "cvec"))).alias(
+            "_cb"
+        )
+    )
+    return out.withColumn("is_residual", F.lit(True)) if residual else out
+
+
 def pq_encode(
     df: DataFrame,
     codebook: DataFrame,
@@ -536,6 +712,7 @@ def pq_encode(
     dim: int = 64,
     m: int = 8,
     keep: tuple[str, ...] = (),
+    nrm_vec: str | None = None,
 ) -> DataFrame:
     """Encode each vector as ``m`` sub-quantizer codes with ZERO shuffle.
 
@@ -546,9 +723,12 @@ def pq_encode(
     Output: (side_id, side_vec, *keep, codes array<int>, _nrm decimal) —
     at real scale you persist (id, codes, _nrm): dim×4 bytes compress to
     m codes + one norm, the whole point of PQ.  ``keep`` passes extra
-    input columns through (e.g. an IVF cell_id for IVFADC)."""
+    input columns through (e.g. an IVF cell_id for IVFADC).  ``nrm_vec``
+    names the column ``_nrm`` is computed from when it differs from the
+    encoded one — residual encoding quantizes x − c_cell but the cosine
+    denominator needs ‖x‖, i.e. the RAW vector's norm."""
     sub = dim // m
-    out = df.crossJoin(F.broadcast(codebook))
+    out = df.crossJoin(F.broadcast(codebook.select("_cb")))
 
     def sub_slice(col, j):
         return F.slice(col, j * sub + 1, sub)
@@ -576,12 +756,13 @@ def pq_encode(
             lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
         )
         code_exprs.append(best["t"])
+    nv = F.col(nrm_vec if nrm_vec is not None else side_vec)
     return out.select(
         F.col(side_id),
         F.col(side_vec),
         *[F.col(c) for c in keep],
         F.array(*code_exprs).alias("codes"),
-        _exact_dot(F.col(side_vec), F.col(side_vec)).alias("_nrm"),
+        _exact_dot(nv, nv).alias("_nrm"),
     )
 
 
@@ -667,6 +848,7 @@ def assign_encode_fast(
     *,
     dim: int = 64,
     m: int = 8,
+    residual: bool = False,
 ) -> DataFrame:
     """Fused IVF assignment + PQ encode for index builds: ONE Arrow
     stage computes each vector's nearest centroid (float64 cosine
@@ -676,7 +858,11 @@ def assign_encode_fast(
     ``_nrm`` stays the JVM exact decimal dot.  Still zero shuffle — and
     one Python stage instead of two interpreted decimal folds.  Parity
     with the exact path is gated by test_similarity
-    (persisted-search == inline-exact, fast==exact codes)."""
+    (persisted-search == inline-exact, fast==exact codes).
+
+    ``residual=True``: subtract the assigned centroid before encoding
+    (codebook must then be a `pq_residual_codebook`) — one extra fancy-
+    indexed subtraction in the same Arrow stage, nothing else moves."""
     import numpy as np
 
     from pyspark.sql import types as T
@@ -711,9 +897,10 @@ def assign_encode_fast(
             vnorm = np.sqrt((V * V).sum(axis=1))
             sims = (V @ CC.T) / (vnorm[:, None] * cnorm[None, :])
             cell = sims.argmax(axis=1)
+            E = V - CC[cell] if residual else V
             codes = np.empty((len(pdf), m), dtype=np.int64)
             for j in range(m):
-                Vj = V[:, j * sub : (j + 1) * sub]
+                Vj = E[:, j * sub : (j + 1) * sub]
                 Cj = C[:, j * sub : (j + 1) * sub]
                 d = (
                     (Vj * Vj).sum(axis=1)[:, None]
@@ -734,9 +921,12 @@ def assign_encode_fast(
 def _pq_query_lut(queries: DataFrame, codebook: DataFrame, dim: int, m: int) -> DataFrame:
     """(q_id, q_vec, _qnrm, _lut): per-query ADC lookup table — the
     m×n_codes exact decimal partial dot products against the codebook.
-    Input must already project (q_id, q_vec)."""
+    Input must already project (q_id, q_vec).  Works unchanged for a
+    RESIDUAL codebook: the LUT is q·r̂ and the candidate estimate just
+    adds the q·c_cell term (see `_adc_sim_col(with_cdot=True)`) — the
+    table stays one-per-query, never per-(query, cell)."""
     sub = dim // m
-    qx = queries.crossJoin(F.broadcast(codebook))
+    qx = queries.crossJoin(F.broadcast(codebook.select("_cb")))
 
     def _lut_fn(j):
         # closure factory (see pq_encode): a `j=j` default arg would be
@@ -755,10 +945,16 @@ def _pq_query_lut(queries: DataFrame, codebook: DataFrame, dim: int, m: int) -> 
     )
 
 
-def _adc_sim_col(m: int):
+def _adc_sim_col(m: int, *, with_cdot: bool = False):
     """ADC cosine estimate from a row's `_lut`/`codes`/`_qnrm`/`_nrm`:
     m decimal lookup-adds, then one double division — the per-candidate
-    cost that replaces dim multiplies."""
+    cost that replaces dim multiplies.
+
+    ``with_cdot``: the residual-codebook form — codes quantize
+    r = x − c_cell, so q·x ≈ q·c_cell + q·r̂ and the fold seeds with the
+    probe row's exact `_cdot` (q·c_cell, computed once per probed cell
+    during probe selection, NOT per candidate).  Decimal addition is
+    exact, so the sum is order-free and reproduces in ANSI SQL."""
     terms = [
         F.element_at(
             F.element_at(F.col("_lut"), j + 1),
@@ -766,11 +962,57 @@ def _adc_sim_col(m: int):
         )
         for j in range(m)
     ]
-    adc = terms[0]
-    for t_ in terms[1:]:
+    adc = F.col("_cdot") if with_cdot else terms.pop(0)
+    for t_ in terms:
         adc = (adc + t_).cast("decimal(25,12)")
     return adc.cast("double") / (
         F.sqrt(F.col("_qnrm").cast("double")) * F.sqrt(F.col("_nrm").cast("double"))
+    )
+
+
+def _probe_frame(qlut: DataFrame, cents: DataFrame, nprobe: int, *, with_cdot: bool):
+    """Broadcastable probe list: (q_id, _qnrm, _lut, cell_id[, _cdot]) —
+    one row per (query, probed cell).  Probe selection is the map-side
+    sorted-array slice over the 1-row centroid broadcast (no window);
+    ``with_cdot`` also carries the exact decimal q·c_cell each probed
+    cell contributes to the residual ADC estimate — computed once per
+    probed cell here, never per candidate."""
+    qx = qlut.crossJoin(F.broadcast(cents.select("cents")))
+    sims = _cent_sims("q_vec", F.col("_qnrm"), True)
+    if with_cdot:
+        scored_arr = F.zip_with(
+            sims,
+            F.col("cents"),
+            lambda x, c: F.struct(
+                x["s"].alias("s"),
+                x["cid"].alias("cid"),
+                _exact_dot(F.col("q_vec"), c["cvec"]).alias("cdot"),
+            ),
+        )
+        scored_arr = F.transform(
+            scored_arr,
+            lambda x, i: F.struct(
+                x["s"].alias("s"),
+                (-i).alias("negi"),
+                x["cid"].alias("cid"),
+                x["cdot"].alias("cdot"),
+            ),
+        )
+    else:
+        scored_arr = F.transform(
+            sims,
+            lambda x, i: F.struct(
+                x["s"].alias("s"), (-i).alias("negi"), x["cid"].alias("cid")
+            ),
+        )
+    top_cells = F.slice(F.sort_array(scored_arr, asc=False), 1, nprobe)
+    cols = ["q_id", "_qnrm", "_lut", F.col("_probe.cid").alias("cell_id")] + (
+        [F.col("_probe.cdot").alias("_cdot")] if with_cdot else []
+    )
+    return F.broadcast(
+        qx.select(
+            "q_id", "_qnrm", "_lut", F.explode(top_cells).alias("_probe")
+        ).select(*cols)
     )
 
 
@@ -865,11 +1107,26 @@ def ivfpq_topk(
     nprobe: int = 8,
     k: int = 5,
     rerank: int = 100,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC: IVF cell pruning composed with PQ/ADC scoring — the
     canonical billion-scale ANN layout (coarse quantizer prunes the
     candidate set to nprobe/n_cells of the corpus, product codes make
     each surviving candidate cost m lookups).
+
+    ``residual=True`` is the layout Jégou et al. §IV actually describe:
+    codes quantize r = x − c_cell against a codebook trained on
+    residuals, and the candidate estimate is q·c_cell + q·r̂ — same
+    per-candidate cost (m lookup-adds; the q·c_cell term rides the
+    probe row).  With SAMPLED codebooks it wins exactly when cells
+    share local structure (residuals across cells draw from a common,
+    codable distribution — e.g. translated copies of one pattern set);
+    on unstructured vectors ‖x − c‖ ≈ √2·‖x‖ and it measurably LOSES
+    recall (bench corpus, rerank=0: 0.36 raw vs 0.26 residual), and
+    even on plain well-separated clusters raw sampled codewords already
+    sit inside the clusters so residual merely ties.  Hence the default
+    here is raw, and ``ivfpq_index_build(residual=None)`` auto-picks
+    per corpus with a measured holdout quantization-error probe.
 
     Defaults are the measured ≥0.6-recall operating point on the bench
     corpus (unstructured embeddings — the ANN worst case): 64-codeword
@@ -892,13 +1149,29 @@ def ivfpq_topk(
     corpus (id, cell_id, codes, _nrm) partitioned by cell_id: searches
     then scan only probed partitions — partition pruning on cells."""
     cents = ivf_centroids(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
-    cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, n_codes=n_codes)
-
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
-    cells = ivf_cell_assignment(c, cents, "n_id", "c_vec", exact=True).select(
-        "n_id", "c_vec", "cell_id"
-    )
-    enc = pq_encode(cells, cb, "n_id", "c_vec", dim=dim, m=m, keep=("cell_id",))
+    if residual:
+        cb = pq_residual_codebook(
+            corpus, cents, id_col=id_col, vec_col=vec_col, n_codes=n_codes
+        )
+        cells = ivf_cell_assignment(
+            c, cents, "n_id", "c_vec", exact=True, keep_cvec=True
+        ).select(
+            "n_id",
+            "c_vec",
+            "cell_id",
+            residual_col(F.col("c_vec"), F.col("cell_vec")).alias("_rvec"),
+        )
+        enc = pq_encode(
+            cells, cb, "n_id", "_rvec", dim=dim, m=m,
+            keep=("cell_id", "c_vec"), nrm_vec="c_vec",
+        )
+    else:
+        cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, n_codes=n_codes)
+        cells = ivf_cell_assignment(c, cents, "n_id", "c_vec", exact=True).select(
+            "n_id", "c_vec", "cell_id"
+        )
+        enc = pq_encode(cells, cb, "n_id", "c_vec", dim=dim, m=m, keep=("cell_id",))
 
     # query side: LUTs + probe list in one projection over two 1-row
     # broadcasts (codebook, centroids) — same map-side probe selection as
@@ -909,24 +1182,12 @@ def ivfpq_topk(
         dim,
         m,
     )
-    qx = qlut.crossJoin(F.broadcast(cents))
-    scored_arr = F.transform(
-        _cent_sims("q_vec", F.col("_qnrm"), True),
-        lambda x, i: F.struct(
-            x["s"].alias("s"), (-i).alias("negi"), x["cid"].alias("cid")
-        ),
-    )
-    top_cells = F.slice(F.sort_array(scored_arr, asc=False), 1, nprobe)
-    probes = F.broadcast(
-        qx.select(
-            "q_id", "_qnrm", "_lut", F.explode(top_cells).alias("_probe")
-        ).select("q_id", "_qnrm", "_lut", F.col("_probe.cid").alias("cell_id"))
-    )
+    probes = _probe_frame(qlut, cents, nprobe, with_cdot=residual)
 
     scored = (
         enc.join(probes, "cell_id")
         .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("adc_sim", _adc_sim_col(m))
+        .withColumn("adc_sim", _adc_sim_col(m, with_cdot=residual))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("n_id").asc())
     if not rerank:
@@ -963,6 +1224,63 @@ def ivfpq_topk(
     )
 
 
+def _probe_pick_residual(S, CC, cb_raw_m, cb_res_m, m, n_queries: int = 16, k: int = 5):
+    """Decide raw vs residual coding by SIMULATED RECALL in driver
+    numpy: the first ``n_queries`` md5-ordered sample rows query the
+    whole sample; each candidate codebook encodes the sample and
+    ADC-ranks it (residual adds the q·c_cell term exactly as the real
+    search does); the encoding whose top-k agrees better with the exact
+    cosine top-k wins, ties → raw.  This measures the end metric —
+    reconstruction error provably mispredicts it (see
+    ivfpq_index_build docstring)."""
+    import numpy as np
+
+    d = S.shape[1]
+    sub = d // m
+    cell = _cos_assign_np(S, CC)
+    R = S - CC[cell]
+    Q = S[:n_queries]
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    sn = np.sqrt((S * S).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    sn[sn == 0.0] = 1.0
+    denom = qn[:, None] * sn[None, :]
+    true_sim = (Q @ S.T) / denom
+    idx = np.arange(len(Q))
+    true_sim[idx, idx] = -2.0  # exclude self, like the real search
+    true_top = np.argsort(-true_sim, axis=1, kind="stable")[:, :k]
+
+    def _codes(E, cbm):
+        codes = np.empty((len(E), m), dtype=np.int64)
+        for j in range(m):
+            Ej = E[:, j * sub : (j + 1) * sub]
+            Cj = cbm[:, j * sub : (j + 1) * sub]
+            dist = (
+                (Ej * Ej).sum(axis=1)[:, None]
+                - 2.0 * (Ej @ Cj.T)
+                + (Cj * Cj).sum(axis=1)[None, :]
+            )
+            codes[:, j] = dist.argmin(axis=1)
+        return codes
+
+    def _recall(E, cbm, base_dot):
+        codes = _codes(E, cbm)
+        est = np.zeros((len(Q), len(S)))
+        for j in range(m):
+            lut = Q[:, j * sub : (j + 1) * sub] @ cbm[:, j * sub : (j + 1) * sub].T
+            est += lut[:, codes[:, j]]
+        est = (est + base_dot) / denom
+        est[idx, idx] = -2.0
+        top = np.argsort(-est, axis=1, kind="stable")[:, :k]
+        return sum(
+            len(set(t) & set(a)) for t, a in zip(true_top, top)
+        )
+
+    raw = _recall(S, cb_raw_m, 0.0)
+    res = _recall(R, cb_res_m, (Q @ CC.T)[:, cell])
+    return bool(res > raw)
+
+
 def ivfpq_index_build(
     corpus: DataFrame,
     path: str,
@@ -974,6 +1292,10 @@ def ivfpq_index_build(
     n_codes: int = 64,
     n_cells: int = 16,
     store_vectors: bool = True,
+    residual: bool | None = None,
+    train: str = "sample",
+    sample: int = 4096,
+    iters: int = 10,
 ) -> None:
     """Persist the IVFADC index the ivfpq_topk docstring prescribes for
     real scale: the encoded corpus (n_id, codes, _nrm) partitioned by
@@ -986,16 +1308,91 @@ def ivfpq_index_build(
     row so the default exact-cosine rerank can refine candidates from
     the index itself (the IVFFlat-style rerankable layout: index size ≈
     corpus vectors, still cell-partition-pruned).  Set False for the
-    pure-ADC footprint — searches then need ``vectors=`` for rerank."""
-    cents = ivf_centroids(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
-    cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, n_codes=n_codes)
+    pure-ADC footprint — searches then need ``vectors=`` for rerank.
+
+    ``train="kmeans"`` trains the coarse quantizer (spherical Lloyd)
+    and a true per-subspace product quantizer on a bounded md5 sample
+    (``sample`` rows, ``iters`` sweeps) with driver numpy —
+    deterministic (md5-order init, no RNG), O(sample) regardless of
+    corpus size, and the precondition for residual coding to pay off:
+    sampled "centroids" are arbitrary data points whose offset pollutes
+    every residual, while k-means means cancel it.  The default
+    ``train="sample"`` keeps the md5-draw quantizers of the oracled
+    catalog rows, so the persisted index stays bit-identical to inline
+    ``ivfpq_topk`` (gated in tests).
+
+    ``residual=None`` (default) auto-picks the encoding per corpus by
+    SIMULATED RECALL on the md5 sample: both candidate codebooks (raw
+    vs cell-residual) ADC-rank the sample against a handful of sample
+    queries in driver numpy and the encoding whose top-5 agrees better
+    with the exact cosine top-5 wins (ties → raw).  Reconstruction-
+    error probes are NOT a substitute — measured here: k-means raw
+    codes have lower reconstruction error than sampled codes on the
+    bench corpus yet 0.14 vs 0.24 rerank-0 recall, while k-means
+    residual codes reconstruct worse than raw yet rank better — so the
+    probe measures the end metric itself.  Deterministic (md5 order, no
+    RNG), O(sample²) numpy.  The stored codebook's ``is_residual``
+    column self-describes the choice, so ``ivfpq_search`` needs no
+    flag — old raw-codebook indexes (no such column) keep reading
+    correctly."""
+    import numpy as np
+
+    if train not in ("sample", "kmeans"):
+        raise ValueError(f"train must be 'sample' or 'kmeans', got {train!r}")
+    spark = corpus.sparkSession
+    S = CC = None
+    if train == "kmeans" or residual is None:
+        # the probe simulates recall on this draw — full `sample` size
+        # in BOTH modes, so tiny draws don't make the decision noisy
+        S = _md5_sample_np(corpus, id_col, vec_col, max(2 * n_codes, sample))
+    if train == "kmeans":
+        CC = kmeans_centroids_np(S, n_cells, iters)
+        cents = pack_centroids(spark, CC)
+    else:
+        cents = ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+        )
+        if S is not None:
+            CC = np.asarray(
+                [list(r["cvec"]) for r in cents.first()["cents"]],
+                dtype=np.float64,
+            )
+    cb_raw_m = cb_res_m = None
+    if S is not None:
+        R = S - CC[_cos_assign_np(S, CC)]
+        if train == "kmeans":
+            if residual is not False:
+                cb_res_m = kmeans_codebook_np(R, n_codes, m, iters)
+            if residual is not True:
+                cb_raw_m = kmeans_codebook_np(S, n_codes, m, iters)
+        else:
+            cb_res_m, cb_raw_m = R[:n_codes], S[:n_codes]
+
+    if residual is None:
+        residual = (
+            False
+            if len(S) <= n_codes
+            else _probe_pick_residual(S, CC, cb_raw_m, cb_res_m, m)
+        )
+    if train == "kmeans":
+        cb = pack_codebook(
+            spark, cb_res_m if residual else cb_raw_m, residual=residual
+        )
+    elif residual:
+        cb = pq_residual_codebook(
+            corpus, cents, id_col=id_col, vec_col=vec_col, n_codes=n_codes
+        )
+    else:
+        cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, n_codes=n_codes)
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
     # builds take the fused vectorized assignment+encode (numpy argmax/
     # argmin in one Arrow stage); the decimal-fold ivf_cell_assignment +
     # pq_encode stay the oracled catalog path.
     # test_ivfpq_persisted_search_equals_inline gates that the persisted
     # index reproduces the exact path's results bit-for-bit.
-    enc = assign_encode_fast(c, cents, cb, "n_id", "c_vec", dim=dim, m=m)
+    enc = assign_encode_fast(
+        c, cents, cb, "n_id", "c_vec", dim=dim, m=m, residual=residual
+    )
     cols = ["n_id", "cell_id", "codes", "_nrm"] + (
         ["c_vec"] if store_vectors else []
     )
@@ -1025,33 +1422,24 @@ def ivfpq_search(
     cell_id — the INDEX'S PARTITION COLUMN, so only nprobe/n_cells of
     the stored codes are ever scanned (partition pruning).  Results are
     bit-identical to the inline ivfpq_topk on the same corpus (decimal-
-    exact assignment/encoding round-trips through parquet losslessly)."""
+    exact assignment/encoding round-trips through parquet losslessly).
+    The stored codebook's ``is_residual`` column (written by residual
+    builds) selects the matching ADC estimate automatically."""
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebook")
     enc = spark.read.parquet(f"{path}/codes")
+    residual = "is_residual" in cb.columns and bool(cb.first()["is_residual"])
     qlut = _pq_query_lut(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
         cb,
         dim,
         m,
     )
-    qx = qlut.crossJoin(F.broadcast(cents))
-    scored_arr = F.transform(
-        _cent_sims("q_vec", F.col("_qnrm"), True),
-        lambda x, i: F.struct(
-            x["s"].alias("s"), (-i).alias("negi"), x["cid"].alias("cid")
-        ),
-    )
-    top_cells = F.slice(F.sort_array(scored_arr, asc=False), 1, nprobe)
-    probes = F.broadcast(
-        qx.select(
-            "q_id", "_qnrm", "_lut", F.explode(top_cells).alias("_probe")
-        ).select("q_id", "_qnrm", "_lut", F.col("_probe.cid").alias("cell_id"))
-    )
+    probes = _probe_frame(qlut, cents, nprobe, with_cdot=residual)
     scored = (
         enc.join(probes, "cell_id")
         .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("adc_sim", _adc_sim_col(m))
+        .withColumn("adc_sim", _adc_sim_col(m, with_cdot=residual))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("n_id").asc())
     if not rerank:

@@ -471,12 +471,48 @@ def _ivfpq_oracle(
     nprobe: int = ANN_NPROBE,
     k: int = 5,
     rerank: int = 0,
+    residual: bool = False,
 ) -> str:
     """IVFADC oracle: the IVF cell/probe CTEs (verbatim from
     `_ivf_oracle`, both already driver-proven) restrict the PQ ADC sum
-    (verbatim from `_pq_oracle`) to probed-cell candidate pairs."""
+    (verbatim from `_pq_oracle`) to probed-cell candidate pairs.
+
+    ``residual``: codebook values and corpus encode inputs become
+    x − c_cell (double-exact subtraction joining each id's `cells` row
+    back to the centroid's raw values), and the ADC dot adds the
+    q·c_cell term — already computed for every (id, centroid) pair in
+    the `cd` CTE — before the LUT sum.  Mirrors
+    operators/similarity.py pq_residual_codebook / _adc_sim_col
+    (with_cdot=True) term for term."""
     sub = dim // m
     tail = _ivfpq_tail_rerank(k, rerank) if rerank else _ivfpq_tail_plain(k)
+    if residual:
+        cbe = f"""cbe AS (SELECT cb.t, e.d, CAST(e.v - ce.v AS DOUBLE) AS v,
+               CAST((e.d - 1) // {sub} AS INTEGER) AS j
+        FROM cb JOIN cells cl ON cl.n_id = cb.cid
+        JOIN ep e ON e.vec_id = cb.cid
+        JOIN ep ce ON ce.vec_id = cl.cell_id AND ce.d = e.d)"""
+        cpe = f"""cpe AS (SELECT e.vec_id AS n_id, e.d, CAST(e.v - ce.v AS DOUBLE) AS v,
+               CAST((e.d - 1) // {sub} AS INTEGER) AS j
+        FROM ep e JOIN cells cl ON cl.n_id = e.vec_id
+        JOIN ep ce ON ce.vec_id = cl.cell_id AND ce.d = e.d)"""
+        adc = """adc AS (SELECT p.q_id, p.n_id,
+               CAST(qc.dot + SUM(l.pdot) AS DECIMAL(25,12)) AS dot
+        FROM pairs p
+        JOIN cells cl ON cl.n_id = p.n_id
+        JOIN cd qc ON qc.id = p.q_id AND qc.cent_id = cl.cell_id
+        JOIN codes c ON c.n_id = p.n_id
+        JOIN lut l ON l.q_id = p.q_id AND l.j = c.j AND l.t = c.code
+        GROUP BY p.q_id, p.n_id, qc.dot)"""
+    else:
+        cbe = f"""cbe AS (SELECT cb.t, ep.d, ep.v, CAST((ep.d - 1) // {sub} AS INTEGER) AS j
+        FROM cb JOIN ep ON ep.vec_id = cb.cid)"""
+        cpe = f"""cpe AS (SELECT vec_id AS n_id, d, v, CAST((d - 1) // {sub} AS INTEGER) AS j FROM ep)"""
+        adc = """adc AS (SELECT p.q_id, p.n_id, SUM(l.pdot) AS dot
+        FROM pairs p
+        JOIN codes c ON c.n_id = p.n_id
+        JOIN lut l ON l.q_id = p.q_id AND l.j = c.j AND l.t = c.code
+        GROUP BY p.q_id, p.n_id)"""
     return f"""
 WITH {_ANN_EP.lstrip()},
 cents AS (SELECT vec_id AS cent_id,
@@ -509,9 +545,8 @@ pairs AS (SELECT p.q_id, c.n_id
 cb AS (SELECT cid, CAST(row_number() OVER (ORDER BY mkey, cid) - 1 AS INTEGER) AS t FROM (
          SELECT vec_id AS cid, md5(CAST(vec_id AS VARCHAR)) AS mkey
          FROM embeddings ORDER BY mkey, cid LIMIT {n_codes}) s),
-cbe AS (SELECT cb.t, ep.d, ep.v, CAST((ep.d - 1) // {sub} AS INTEGER) AS j
-        FROM cb JOIN ep ON ep.vec_id = cb.cid),
-cpe AS (SELECT vec_id AS n_id, d, v, CAST((d - 1) // {sub} AS INTEGER) AS j FROM ep),
+{cbe},
+{cpe},
 dists AS (SELECT c.n_id, c.j, b.t,
                  SUM(CAST((c.v - b.v) * (c.v - b.v) AS DECIMAL(25,12))) AS dist
           FROM cpe c JOIN cbe b ON b.j = c.j AND b.d = c.d
@@ -525,11 +560,7 @@ qe AS (SELECT vec_id AS q_id, d, v, CAST((d - 1) // {sub} AS INTEGER) AS j
 lut AS (SELECT q.q_id, q.j, b.t, SUM(CAST(q.v * b.v AS DECIMAL(25,12))) AS pdot
         FROM qe q JOIN cbe b ON b.j = q.j AND b.d = q.d
         GROUP BY q.q_id, q.j, b.t),
-adc AS (SELECT p.q_id, p.n_id, SUM(l.pdot) AS dot
-        FROM pairs p
-        JOIN codes c ON c.n_id = p.n_id
-        JOIN lut l ON l.q_id = p.q_id AND l.j = c.j AND l.t = c.code
-        GROUP BY p.q_id, p.n_id),
+{adc},
 scored AS (SELECT a.q_id, a.n_id,
                   CAST(a.dot AS DOUBLE)
                     / (sqrt(CAST(qn.ns AS DOUBLE)) * sqrt(CAST(cn.ns AS DOUBLE))) AS adc_sim
@@ -620,6 +651,40 @@ def similarity_ivfpq_rerank(spark, sf_dir):
         nprobe=ANN_NPROBE,
         k=5,
         rerank=sim.DEFAULT_RERANK,
+    )
+
+
+@register(
+    "similarity_ivfadc_residual", _ivfpq_oracle(residual=True), "similarity"
+)
+def similarity_ivfadc_residual(spark, sf_dir):
+    """IVFADC with RESIDUAL product codes (Jégou et al. §IV): codes
+    quantize r = x − c_cell against a residual-trained codebook and the
+    ADC estimate is q·c_cell + q·r̂ — the q·c term rides the probe row
+    (one exact dot per probed cell, never per candidate) and the LUT
+    stays one-per-query.  Decimal-exact end to end — cell assignment,
+    the double-exact residual subtraction, codes, LUTs, the seeded ADC
+    sum — so the DuckDB oracle reproduces every row bit for bit.
+
+    Shipped honestly as a NON-default: residual coding wins when the
+    corpus clusters (residual variance < raw variance — real embedding
+    corpora); on this synthetic unstructured corpus ‖x − c‖ ≈ √2·‖x‖
+    and raw codes rank better, so `ivfpq_index_build(residual=None)`
+    auto-picks raw here.  This row pins the residual path's full
+    cross-engine determinism at the same 8×64-code operating point."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.ivfpq_topk(
+        emb,
+        queries,
+        dim=ANN_DIM,
+        m=ANN_PQ_M,
+        n_codes=ANN_PQ_CODES,
+        n_cells=ANN_CELLS,
+        nprobe=ANN_NPROBE,
+        k=5,
+        rerank=0,
+        residual=True,
     )
 
 
