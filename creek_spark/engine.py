@@ -48,6 +48,16 @@ class Engine:
     def list_snapshots(self, base_dir: str, table: str):
         return sources.list_snapshots(base_dir, table)
 
+    def snapshot_exporter(self, host: str, port: int, **kw):
+        """Coordinator for a CONSISTENT PARALLEL JDBC snapshot
+        (pg_export_snapshot + per-partition SET TRANSACTION SNAPSHOT —
+        sources/snapshot_export.py): a context manager whose
+        ``jdbc_options(...)`` feed a partitioned spark.read.jdbc where
+        every partition sees the same MVCC point-in-time."""
+        from creek_spark.sources.snapshot_export import SnapshotExporter
+
+        return SnapshotExporter(host, port, **kw)
+
     def bootstrap(self, snapshot_df, header, wal, key_cols=None) -> DataFrame:
         return sources.bootstrap(snapshot_df, header, wal, key_cols)
 

@@ -348,6 +348,37 @@ def _simple_query(sock, sql: str) -> list[list[bytes | None]]:
         # 'T' RowDescription / 'C' CommandComplete / 'N' notice: skip
 
 
+def dial_pg(addr, user: str, database: str, *, replication: bool = False):
+    """Open a TCP connection and run the v3 startup handshake; returns
+    the ready socket.  ``replication=True`` adds ``replication=database``
+    (walsender mode, init.go:157-160); False is a plain SQL session —
+    used by the bootstrap catalog queries and the parallel-snapshot
+    coordinator (sources/snapshot_export.py)."""
+    import socket as _socket
+
+    sock = _socket.create_connection(addr, timeout=30)
+    params = {"user": user, "database": database}
+    if replication:
+        params["replication"] = "database"
+    body = struct.pack(">i", _PROTO_V3)
+    for k, v in params.items():
+        body += k.encode() + b"\x00" + v.encode() + b"\x00"
+    body += b"\x00"
+    sock.sendall(struct.pack(">i", len(body) + 4) + body)
+    # drain auth/parameter messages until ReadyForQuery
+    while True:
+        tag, payload = _read_msg(sock)
+        if tag == "R":
+            (code,) = struct.unpack_from(">i", payload)
+            if code != 0:
+                raise ConnectionError(f"unsupported auth method {code}")
+        elif tag == "E":
+            raise ConnectionError(f"server error during startup: {payload!r}")
+        elif tag == "Z":
+            return sock
+        # 'S' ParameterStatus / 'K' BackendKeyData: informational
+
+
 class SocketTransport:
     """Walsender client over a real TCP socket, presenting the same
     ``frames()``/``send_*`` surface as TranscriptTransport so
@@ -379,33 +410,11 @@ class SocketTransport:
     # -- handshake ----------------------------------------------------
 
     def _dial(self, *, replication: bool):
-        """Open a fresh connection and run the startup handshake.
-        ``replication=True`` adds ``replication=database`` (the walsender
-        mode pgconn's RuntimeParams request, init.go:157-160); False is a
-        plain SQL connection — the bootstrap's pool-connection analog."""
-        import socket as _socket
-
-        sock = _socket.create_connection(self.addr, timeout=30)
-        params = {"user": self.user, "database": self.database}
-        if replication:
-            params["replication"] = "database"
-        body = struct.pack(">i", _PROTO_V3)
-        for k, v in params.items():
-            body += k.encode() + b"\x00" + v.encode() + b"\x00"
-        body += b"\x00"
-        sock.sendall(struct.pack(">i", len(body) + 4) + body)
-        # drain auth/parameter messages until ReadyForQuery
-        while True:
-            tag, payload = _read_msg(sock)
-            if tag == "R":
-                (code,) = struct.unpack_from(">i", payload)
-                if code != 0:
-                    raise ConnectionError(f"unsupported auth method {code}")
-            elif tag == "E":
-                raise ConnectionError(f"server error during startup: {payload!r}")
-            elif tag == "Z":
-                return sock
-            # 'S' ParameterStatus / 'K' BackendKeyData: informational
+        """Open a fresh connection and run the startup handshake —
+        module-level :func:`dial_pg` with this transport's identity."""
+        return dial_pg(
+            self.addr, self.user, self.database, replication=replication
+        )
 
     def _connect(self) -> None:
         if self.sock is not None:
@@ -612,6 +621,14 @@ class TranscriptServer:
         self.strict_bootstrap = strict_bootstrap
         self.xlogpos = xlogpos
         self._active_slot: str | None = None
+        # exported-snapshot state (pg_export_snapshot / SET TRANSACTION
+        # SNAPSHOT semantics for the parallel-snapshot coordinator): a
+        # snapshot id is adoptable only while its exporting transaction
+        # is open — COMMIT/ROLLBACK on the exporting connection kills it.
+        self.snapshots: dict[str, bool] = {}  # id → alive
+        self.adoptions: list[str] = []
+        self._conn_exports: dict[int, str] = {}
+        self._export_seq = 0
         self._srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
         self._srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
         self._srv.bind((host, 0))
@@ -631,11 +648,9 @@ class TranscriptServer:
     # -- backend conversation -----------------------------------------
 
     def _serve(self) -> None:
-        while not self._stop:
-            try:
-                conn, _ = self._srv.accept()
-            except OSError:
-                return
+        import threading
+
+        def one(conn):
             try:
                 self._handle(conn)
             except (ConnectionError, OSError):
@@ -645,6 +660,16 @@ class TranscriptServer:
                     conn.close()
                 except OSError:
                     pass
+
+        # thread-per-connection: the parallel-snapshot coordinator keeps
+        # its pinning connection open while worker connections adopt the
+        # exported snapshot — a sequential accept loop would deadlock
+        while not self._stop:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=one, args=(conn,), daemon=True).start()
 
     # -- simple-query result senders ----------------------------------
 
@@ -677,7 +702,48 @@ class TranscriptServer:
         up = q.upper()
         if up.startswith("START_REPLICATION"):
             return False
-        if up.startswith("IDENTIFY_SYSTEM"):
+        if up.startswith("BEGIN") and "SET TRANSACTION SNAPSHOT" in up:
+            # the adoption batch a JDBC partition's sessionInitStatement
+            # sends: BEGIN ...; SET TRANSACTION SNAPSHOT '<id>' — one
+            # simple-query message, two statements, ONE ReadyForQuery
+            snap_id = q.rsplit("'", 2)[-2]
+            _send_msg(conn, "C", b"BEGIN\x00")
+            if self.snapshots.get(snap_id):
+                self.adoptions.append(snap_id)
+                _send_msg(conn, "C", b"SET\x00")
+            else:
+                _send_msg(
+                    conn,
+                    "E",
+                    b"SERROR\x00C22023\x00Msnapshot \""
+                    + snap_id.encode()
+                    + b"\" does not exist\x00\x00",
+                )
+            _send_msg(conn, "Z", b"I")
+            return True
+        if up.startswith("BEGIN"):
+            _send_msg(conn, "C", b"BEGIN\x00")
+        elif "pg_export_snapshot" in q:
+            self._export_seq += 1
+            snap_id = f"00000003-{self._export_seq:08d}-1"
+            self.snapshots[snap_id] = True
+            self._conn_exports[id(conn)] = snap_id
+            self._send_rows(
+                conn,
+                ["pg_export_snapshot", "pg_current_wal_lsn", "txid_current", "now"],
+                [[
+                    snap_id.encode(),
+                    lsn_str(self.xlogpos).encode(),
+                    str(1000 + self._export_seq).encode(),
+                    b"2026-01-01T00:00:00+00:00",
+                ]],
+            )
+        elif up.startswith(("COMMIT", "ROLLBACK")):
+            exported = self._conn_exports.pop(id(conn), None)
+            if exported is not None:
+                self.snapshots[exported] = False  # no longer adoptable
+            _send_msg(conn, "C", up.split()[0].encode() + b"\x00")
+        elif up.startswith("IDENTIFY_SYSTEM"):
             self._send_rows(
                 conn,
                 ["systemid", "timeline", "xlogpos", "dbname"],

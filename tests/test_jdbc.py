@@ -47,3 +47,112 @@ def test_incomplete_partition_triple_raises():
         jdbc_options(URL, "t", partition_column="id", lower_bound=1)
     with pytest.raises(ValueError):
         jdbc_options(URL, "t", partition_column="id", upper_bound=9)
+
+
+# ------------------------------------------------- parallel snapshots
+
+
+def test_snapshot_exporter_pins_and_shares_visibility(tmp_path):
+    """The coordinator opens a REPEATABLE READ READ ONLY transaction,
+    exports the snapshot and captures the reference header triple
+    (lsn/txid/now, snapshots.go:48-55); worker connections adopt the
+    exported id (the sessionInitStatement batch) while the coordinator
+    transaction lives — and adoption fails the moment it commits,
+    exactly pg's exported-snapshot lifetime rule."""
+    import pytest
+
+    from creek_spark.sources.snapshot_export import (
+        SnapshotExporter,
+        adopt_statement,
+    )
+    from creek_spark.sources.walsender import (
+        TranscriptServer,
+        _send_msg,
+        _simple_query,
+        dial_pg,
+    )
+
+    path = tmp_path / "empty.hex"
+    path.write_text("# no frames\n")
+    srv = TranscriptServer(str(path), xlogpos=0x1_0000_0000)
+    try:
+        with SnapshotExporter("127.0.0.1", srv.port) as snap:
+            assert snap.snapshot_id == "00000003-00000001-1"
+            assert snap.lsn == "1/0" and snap.lsn_num() == 0x1_0000_0000
+            assert snap.tx_id == 1001
+            assert snap.header_kwargs()["lsn"] == "1/0"
+            # three "JDBC partitions" adopt the same visibility
+            stmt = adopt_statement(snap.snapshot_id)
+            for _ in range(3):
+                w = dial_pg(("127.0.0.1", srv.port), "creek", "postgres")
+                _simple_query(w, stmt)
+                _send_msg(w, "X", b"")
+                w.close()
+            assert srv.adoptions == [snap.snapshot_id] * 3
+        # coordinator committed → the snapshot is dead; adoption errors
+        w = dial_pg(("127.0.0.1", srv.port), "creek", "postgres")
+        with pytest.raises(ConnectionError, match="does not exist"):
+            _simple_query(w, stmt)
+        _send_msg(w, "X", b"")
+        w.close()
+    finally:
+        srv.close()
+
+
+def test_snapshot_exporter_jdbc_options(tmp_path):
+    """jdbc_options carries the adoption as sessionInitStatement on top
+    of the partitioned-read triple, and refuses a silently-serial read
+    (missing triple) just like sources.jdbc_options."""
+    import pytest
+
+    from creek_spark.sources.snapshot_export import SnapshotExporter
+    from creek_spark.sources.walsender import TranscriptServer
+
+    path = tmp_path / "empty.hex"
+    path.write_text("# no frames\n")
+    srv = TranscriptServer(str(path))
+    try:
+        with SnapshotExporter("127.0.0.1", srv.port) as snap:
+            opts = snap.jdbc_options(
+                "jdbc:postgresql://db:5432/creek",
+                "public.big",
+                partition_column="id",
+                lower_bound=0,
+                upper_bound=1000,
+                num_partitions=8,
+            )
+            assert opts["numPartitions"] == "8"
+            assert opts["sessionInitStatement"] == (
+                "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ READ "
+                f"ONLY; SET TRANSACTION SNAPSHOT '{snap.snapshot_id}'"
+            )
+            with pytest.raises(ValueError):
+                snap.jdbc_options(
+                    "jdbc:postgresql://db:5432/creek",
+                    "public.big",
+                    partition_column="id",
+                    lower_bound=0,
+                )
+    finally:
+        srv.close()
+
+
+def test_snapshot_exporter_rollback_on_error(tmp_path):
+    """An exception inside the context rolls the pinning transaction
+    back (not commit) and still kills the exported snapshot."""
+    import pytest
+
+    from creek_spark.sources.snapshot_export import SnapshotExporter
+    from creek_spark.sources.walsender import TranscriptServer
+
+    path = tmp_path / "empty.hex"
+    path.write_text("# no frames\n")
+    srv = TranscriptServer(str(path))
+    try:
+        with pytest.raises(RuntimeError):
+            with SnapshotExporter("127.0.0.1", srv.port) as snap:
+                sid = snap.snapshot_id
+                raise RuntimeError("boom")
+        assert srv.snapshots[sid] is False
+    finally:
+        srv.close()
