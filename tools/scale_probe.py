@@ -375,7 +375,11 @@ def main() -> int:
         ts = {}
         for k in KS:
             _run(fn(k))  # warm: compile + page cache
-            ts[k] = round(_run(fn(k)), 3)
+            # min of 2: single measurements of the explode-amplified
+            # shapes swing 2-3x run to run (GC/memory pressure) — one
+            # unlucky t16 over one lucky t4 false-fails the gate
+            # (observed: basket ratio 6.77 on singles, 2.9-3.6 on reps)
+            ts[k] = round(min(_run(fn(k)), _run(fn(k))), 3)
             spark.catalog.clearCache()
         denom = ts[4] - ts[1]
         r = (ts[16] - ts[4]) / denom if denom > 0.05 else None
