@@ -419,6 +419,14 @@ class Engine:
 
         return StreamingForecastBacktest(self.spark, state_dir)
 
+    def ann_index_append(self, corpus, path: str, **kw) -> None:
+        """Append a batch to a persisted IVFADC index under its frozen
+        quantizers — cost ∝ batch, bit-exact associative (see
+        operators/similarity.py ivfpq_index_append)."""
+        from creek_spark.operators.similarity import ivfpq_index_append
+
+        ivfpq_index_append(corpus, path, **kw)
+
     def ann_index_build(self, corpus, path: str, **kw) -> None:
         """Persist the cell-partitioned IVFADC index
         (operators/similarity.py)."""

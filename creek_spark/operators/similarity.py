@@ -1403,6 +1403,43 @@ def ivfpq_index_build(
     cb.write.mode("overwrite").parquet(f"{path}/codebook")
 
 
+def ivfpq_index_append(corpus: DataFrame, path: str, *,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int = 64, m: int = 8) -> None:
+    """Append a batch to a persisted IVFADC index WITHOUT rebuilding —
+    the production freshness path: quantizers (centroids + codebook) are
+    read back from the index and FROZEN, the new vectors run the same
+    fused Arrow assign+encode as the original build, and the code rows
+    land in append mode under their cell partitions (dynamic partition
+    append — only the touched cells gain files).
+
+    Because the quantizers are frozen, appends are bit-exact associative:
+    build(A) + append(B) ≡ encode(A ∪ B) under A's quantizers, proven in
+    test_similarity (searches of both layouts compare equal, any batch
+    split).  Recall drifts only as the DATA distribution drifts away
+    from the frozen quantizers — re-train by rebuilding, exactly like
+    every production IVF deployment (Faiss add vs train).
+
+    Cost ∝ the batch: one map-side encode of the new rows + appended
+    parquet; the existing index is never read or rewritten (the
+    quantizer frames are two 1-row reads)."""
+    spark = corpus.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebook")
+    residual = "is_residual" in cb.columns and bool(cb.first()["is_residual"])
+    store_vectors = "c_vec" in spark.read.parquet(f"{path}/codes").columns
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
+    enc = assign_encode_fast(
+        c, cents, cb, "n_id", "c_vec", dim=dim, m=m, residual=residual
+    )
+    cols = ["n_id", "cell_id", "codes", "_nrm"] + (
+        ["c_vec"] if store_vectors else []
+    )
+    enc.select(*cols).write.mode("append").partitionBy("cell_id").parquet(
+        f"{path}/codes"
+    )
+
+
 def ivfpq_search(
     spark,
     path: str,

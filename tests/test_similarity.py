@@ -316,3 +316,58 @@ def test_ivfadc_kmeans_residual_beats_sampled_default(spark, tmp_path):
     )
     assert r_trained >= r_sampled, (r_trained, r_sampled)
     assert r_trained >= 0.6
+
+
+def test_ivfpq_index_append_equals_one_shot(spark, tmp_path):
+    """Appending batches to a persisted index under its FROZEN
+    quantizers must be bit-exact associative: with quantizers fixed by
+    the build corpus A, any split of the remaining rows into append
+    batches yields the same stored codes — so searching (A, +B, +C)
+    equals searching (A, +(B ∪ C)) row for row, and the code store ends
+    with exactly one row per corpus id."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    a = emb.where(F.col("vec_id") % 3 == 0)
+    b = emb.where(F.col("vec_id") % 3 == 1)
+    c = emb.where(F.col("vec_id") % 3 == 2)
+
+    # layout 1: build on A, then append B and C in two batches
+    p1 = str(tmp_path / "i1")
+    sim.ivfpq_index_build(a, p1)
+    sim.ivfpq_index_append(b, p1)
+    sim.ivfpq_index_append(c, p1)
+    # layout 2: same quantizer basis (built on A), one combined append
+    p2 = str(tmp_path / "i2")
+    sim.ivfpq_index_build(a, p2)
+    sim.ivfpq_index_append(b.unionByName(c), p2)
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    s1 = key(sim.ivfpq_search(spark, p1, queries))
+    s2 = key(sim.ivfpq_search(spark, p2, queries))
+    assert s1 == s2
+    # and the appended rows are really there: every corpus id occurs in
+    # the code store exactly once
+    codes = spark.read.parquet(f"{p1}/codes")
+    assert codes.count() == emb.count()
+    assert codes.select("n_id").distinct().count() == emb.count()
+
+
+def test_ivfpq_index_append_respects_stored_flags(spark, tmp_path):
+    """Appends must follow the index's own self-description: residual
+    codes when the stored codebook says is_residual, and no stored
+    vectors when the build used store_vectors=False."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    p = str(tmp_path / "res_idx")
+    sim.ivfpq_index_build(a, p, train="kmeans", residual=True,
+                          store_vectors=False)
+    sim.ivfpq_index_append(b, p)
+    codes = spark.read.parquet(f"{p}/codes")
+    assert "c_vec" not in codes.columns
+    assert codes.count() == emb.count()
+    # searchable end-to-end (rerank needs the external vector store
+    # because the index stores no vectors)
+    out = sim.ivfpq_search(spark, p, queries, vectors=emb)
+    assert out.count() > 0
