@@ -1296,6 +1296,7 @@ def ivfpq_index_build(
     train: str = "sample",
     sample: int = 4096,
     iters: int = 10,
+    codes_dir: str | None = None,
 ) -> None:
     """Persist the IVFADC index the ivfpq_topk docstring prescribes for
     real scale: the encoded corpus (n_id, codes, _nrm) partitioned by
@@ -1397,7 +1398,7 @@ def ivfpq_index_build(
         ["c_vec"] if store_vectors else []
     )
     enc.select(*cols).write.mode("overwrite").partitionBy("cell_id").parquet(
-        f"{path}/codes"
+        codes_dir or f"{path}/codes"
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cb.write.mode("overwrite").parquet(f"{path}/codebook")
@@ -1405,7 +1406,9 @@ def ivfpq_index_build(
 
 def ivfpq_index_append(corpus: DataFrame, path: str, *,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       dim: int = 64, m: int = 8) -> None:
+                       dim: int = 64, m: int = 8,
+                       codes_dir: str | None = None,
+                       mode: str = "append") -> None:
     """Append a batch to a persisted IVFADC index WITHOUT rebuilding —
     the production freshness path: quantizers (centroids + codebook) are
     read back from the index and FROZEN, the new vectors run the same
@@ -1435,8 +1438,12 @@ def ivfpq_index_append(corpus: DataFrame, path: str, *,
     cols = ["n_id", "cell_id", "codes", "_nrm"] + (
         ["c_vec"] if store_vectors else []
     )
-    enc.select(*cols).write.mode("append").partitionBy("cell_id").parquet(
-        f"{path}/codes"
+    # codes_dir + mode="overwrite" is the streaming-fenced form: each
+    # micro-batch owns a `codes/batch=<id>` directory and a replayed
+    # trigger overwrites its OWN dir (idempotent), never the others —
+    # see streaming/ann.py
+    enc.select(*cols).write.mode(mode).partitionBy("cell_id").parquet(
+        codes_dir or f"{path}/codes"
     )
 
 

@@ -122,3 +122,41 @@ def test_detector_restart_resumes_from_state(spark, sf_dir, tmp_path):
     batch = entrymod._catalog()["ts_anomaly_zscore"].fn(spark, sf_dir)
     want = sorted(map(tuple, batch.select("event_id", "z").collect()))
     assert got == want
+
+
+def test_streaming_ann_index_incremental_equals_batch(spark, tmp_path):
+    """The continuously-maintained ANN index (bootstrap + fenced
+    micro-batch appends under frozen quantizers) must search identically
+    to the one-shot index built from the same seed and fed the same rows
+    in one append — and a replayed trigger must be a no-op (its fenced
+    batch dir is overwritten, not duplicated)."""
+    from pyspark.sql import functions as F
+
+    from creek_spark.operators import similarity as sim
+    from creek_spark.sources import read_table
+    from creek_spark.streaming.ann import StreamingAnnIndex
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    seed = emb.where(F.col("vec_id") % 3 == 0)
+    b0 = emb.where(F.col("vec_id") % 3 == 1)
+    b1 = emb.where(F.col("vec_id") % 3 == 2)
+
+    idx = StreamingAnnIndex(spark, str(tmp_path / "stream_idx"))
+    idx.bootstrap(seed)
+    idx.apply_batch(b0, 0)
+    idx.apply_batch(b1, 1)
+    idx.apply_batch(b0, 0)  # replayed trigger — must be a no-op
+
+    p_ref = str(tmp_path / "batch_idx")
+    sim.ivfpq_index_build(seed, p_ref)
+    sim.ivfpq_index_append(b0.unionByName(b1), p_ref)
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(idx.search(queries)) == key(
+        sim.ivfpq_search(spark, p_ref, queries)
+    )
+    codes = spark.read.parquet(str(tmp_path / "stream_idx" / "codes"))
+    assert codes.count() == emb.count()  # replay did not duplicate
+    assert codes.select("n_id").distinct().count() == emb.count()
