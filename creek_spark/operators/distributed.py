@@ -36,6 +36,32 @@ from pyspark.sql import functions as F
 SEG = "_seg"
 
 
+def const_partition(anchor: Column | str) -> Column:
+    """A constant-0 window partition key for windows over BOUNDED
+    summaries (per-segment offsets, calendar-day cumulatives, grand
+    totals over a binned histogram).
+
+    Semantically these windows span ALL summary rows — the naive spelling
+    is an empty ``partitionBy()``, which is correct and cheap here (the
+    input is a bounded aggregate, never the corpus) but logs WindowExec's
+    "No Partition Defined" warning, making real single-partition scale
+    bugs indistinguishable from by-design summary walks in the logs.
+    This key keeps the warning class meaningful: a clean run logs ZERO
+    such warnings (gated in tests/test_window_warnings.py), so any
+    occurrence is a genuine unbounded global window.
+
+    The expression must survive Catalyst to reach WindowExec's partition
+    spec: plain ``F.lit(0)`` is foldable and gets optimized out of the
+    spec, and any ``x * 0`` with a non-nullable ``x`` constant-folds too
+    (measured on Spark 4.1).  ``xxhash64(anchor) - xxhash64(anchor)`` is
+    non-foldable (references a column), type-agnostic, NEVER NULL
+    (xxhash64 hashes NULL to its seed), and identically 0 — every row
+    lands in the one partition the empty spec produced, bit-identical
+    results."""
+    c = F.col(anchor) if isinstance(anchor, str) else anchor
+    return F.xxhash64(c) - F.xxhash64(c)
+
+
 def segmented_running(
     df: DataFrame,
     part_cols: Sequence[str],
@@ -96,9 +122,11 @@ def segmented_running(
         else:
             raise ValueError(f"unknown running kind {kind!r}")
     summary = out.groupBy(*pk, F.col(SEG)).agg(*aggs)
-    # offsets = aggregate of every PRIOR segment, over the tiny summary
+    # offsets = aggregate of every PRIOR segment, over the tiny summary;
+    # with no part groups the spec still gets a (constant) key so the
+    # by-design summary walk doesn't log the global-window warning
     ws = (
-        Window.partitionBy(*pk)
+        Window.partitionBy(*(pk or [const_partition(SEG)]))
         .orderBy(F.col(SEG))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -190,9 +218,14 @@ def rank_pick(
     """
     G = "_g"
     gcols = [*part_cols, G]
+    # _g is the constant-1 group helper that lets the empty-part_cols
+    # (global-rank) case share every keyed path below; built non-foldable
+    # (const_partition) so Catalyst cannot inline it out of the summary
+    # window specs and turn the bounded bucket walks into "No Partition
+    # Defined" log noise (see const_partition)
     work = df.select(
         "*",
-        F.lit(1).alias(G),
+        (const_partition(sort_col) + F.lit(1)).alias(G),
         sort_col.alias("_sv"),
         tie_col.alias("_tv"),
         bucket_col.alias("_bkt"),

@@ -113,9 +113,13 @@ def drift_from_cells(gb: DataFrame, group_col: str) -> DataFrame:
     from one corpus scan in the batch path, from the additive rollup
     state in the streaming path.  Because counts are exact integers and
     the fold is the same plan, incremental == batch bit-for-bit."""
+    from creek_spark.operators.distributed import const_partition
+
     w_g = Window.partitionBy(group_col)
     w_b = Window.partitionBy("_bin")
-    w_all = Window.partitionBy()
+    # grand total over the bounded cell summary — constant key keeps the
+    # WindowExec no-partition warning reserved for real scale bugs
+    w_all = Window.partitionBy(const_partition("_bin"))
     cells = gb.select(
         F.col(group_col),
         "_c_gb",

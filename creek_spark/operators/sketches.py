@@ -148,12 +148,18 @@ def histogram_quantiles(
     )
     from pyspark.sql import Window
 
+    from creek_spark.operators.distributed import const_partition
+
+    # ungrouped rollups walk the bounded bin summary with a constant
+    # partition key (see const_partition: keeps the WindowExec warning
+    # class meaning "real unbounded global window")
+    wpart = group_cols or [const_partition("bin")]
     wcum = (
-        Window.partitionBy(*group_cols)
+        Window.partitionBy(*wpart)
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wtot = Window.partitionBy(*group_cols)
+    wtot = Window.partitionBy(*wpart)
     cum = merged.select(
         *group_cols,
         "bin",

@@ -1191,7 +1191,9 @@ def ts_error_pchart(spark, sf_dir):
         .cast("bigint")
         .alias("n_errors"),
     )
-    wall = Window.partitionBy()
+    from creek_spark.operators.distributed import const_partition
+
+    wall = Window.partitionBy(const_partition("bucket"))
     c = h.withColumn(
         "pbar",
         F.sum("n_errors").over(wall).cast("bigint").cast("double")

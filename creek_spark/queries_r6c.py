@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from creek_spark.operators.distributed import const_partition
 from creek_spark.plans import broadcast_if_small
 from creek_spark.queries import _t, dec, register
 from creek_spark.queries_ext import SQL_NORM
@@ -645,7 +646,9 @@ def backlog_from_pairs(j):
         ).alias("x")
     ).select("x.day", "x.delta")
     s = d.groupBy("day").agg(F.sum("delta").cast("bigint").alias("d"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(const_partition("day")).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     return (
         s.withColumn("open_orders", F.sum("d").over(w).cast("bigint"))
         .select("day", "open_orders")
@@ -1305,7 +1308,9 @@ def events_cumulative_users(spark, sf_dir):
     d = fu.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("new_users")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(const_partition("day")).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     return (
         d.withColumn("cum_users", F.sum("new_users").over(w).cast("bigint"))
         .select("day", "new_users", "cum_users")

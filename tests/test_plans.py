@@ -710,37 +710,18 @@ def test_growth_rates_windows_presorted_aggregate(spark):
 
 
 def test_no_unpartitioned_windows_anywhere(spark):
-    """Catalog-wide scale gate (round-5): an order-only window moves
-    every row to ONE task, so no query may plan one — except the
-    allow-listed summary walkers whose window input is provably tiny
-    (pareto_abc's revenue-band summary).  New queries that regress to a
-    global window fail here before any verdict does."""
+    """Catalog-wide scale gate (round-5, hardened round-9): an order-only
+    window moves every row to ONE task, so no query may plan one — with
+    NO exceptions anymore.  The by-design bounded summary walkers
+    (pareto_abc's revenue bands, the calendar-day cumulatives, the
+    grand-total histogram folds) that round 5 allow-listed now carry an
+    explicit constant partition key (operators.distributed.const_partition)
+    precisely so this gate — and WindowExec's "No Partition Defined" log
+    warning — mean "real unbounded global window" with zero noise.  New
+    queries that regress to a global window fail here before any verdict
+    does."""
     import re
 
-    # pareto_abc: ordered walk of the revenue-band summary;
-    # quality_drift_tvd: unordered grand-total window over the
-    # (group, bin) count aggregate — both inputs are post-aggregate
-    # frames bounded by construction (bands / |groups|·n_bins), never
-    # the corpus (each has its own single-scan plan gate).
-    # ts_error_pchart: unordered grand-total window over the hourly
-    # summary (same bounded-input argument; its own gate pins one scan).
-    # orders_open_backlog: ordered cumulative over the per-day ±1 delta
-    # summary, bounded by the fixed 1995–2001 calendar domain (its own
-    # gate asserts the window input is the post-aggregate frame).
-    # events_conversion_latency: global rank_pick — its offsets walk is
-    # over the hour-BUCKET summary (≤ latency-domain/60 rows), never the
-    # per-user latency rows (same argument as pareto_abc's bands).
-    # parts_abc_xyz_matrix: same segmented band walk as pareto_abc;
-    # events_cumulative_users: ordered cumulative over the per-day
-    # new-user summary (calendar-bounded).
-    # customer_revenue_gini: segmented global rank — ordered walk over
-    # the revenue-band summary only.
-    ALLOWED_ORDER_ONLY = {"pareto_abc", "quality_drift_tvd",
-                          "ts_error_pchart", "orders_open_backlog",
-                          "events_conversion_latency",
-                          "parts_abc_xyz_matrix",
-                          "events_cumulative_users",
-                          "customer_revenue_gini"}
     offenders = {}
     for name, q in _catalog().items():
         df = q.fn(spark, SF_DIR)
@@ -748,7 +729,7 @@ def test_no_unpartitioned_windows_anywhere(spark):
         for sp in re.finditer(r"windowspecdefinition\((.{0,160})", plan):
             head = sp.group(1).split(" ASC")[0].split(" DESC")[0]
             parts = [c for c in head.split(",")[:-1] if "#" in c]
-            if not parts and name not in ALLOWED_ORDER_ONLY:
+            if not parts:
                 offenders.setdefault(name, []).append(sp.group(1)[:80])
     assert not offenders, offenders
 
