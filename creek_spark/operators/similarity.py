@@ -871,6 +871,9 @@ def assign_encode_fast(
     CC = np.asarray([list(r["cvec"]) for r in cent_rows], dtype=np.float64)
     cent_ids = [r["cid"] for r in cent_rows]
     cnorm = np.sqrt((CC * CC).sum(axis=1))
+    # zero-norm guard (same as _cos_assign_np): a degenerate all-zero
+    # centroid must not NaN-poison every row's similarity column
+    cnorm[cnorm == 0.0] = 1.0
     cb_rows = codebook.first()["_cb"]
     C = np.asarray([list(r["cvec"]) for r in cb_rows], dtype=np.float64)
     sub = dim // m
@@ -895,6 +898,17 @@ def assign_encode_fast(
                 continue
             V = np.vstack(pdf[side_vec].to_numpy()).astype(np.float64)
             vnorm = np.sqrt((V * V).sum(axis=1))
+            # zero-norm guard, mirroring _cos_assign_np: a zero vector's
+            # similarities become exactly 0 and argmax assigns the first
+            # centroid deterministically (cosine is undefined for it, so
+            # any cell is equally "right"); without the guard the NaN row
+            # would still argmax to 0 on this numpy version but that is
+            # unspecified behavior, and it diverges from the driver
+            # helper's guarded path.  NOTE: the exact decimal fold keeps
+            # its -2.0 incumbent for a zero vector → NULL cell; fast==
+            # exact parity is therefore gated on zero-free corpora (all
+            # real embedding corpora — a zero embedding is upstream junk)
+            vnorm[vnorm == 0.0] = 1.0
             sims = (V @ CC.T) / (vnorm[:, None] * cnorm[None, :])
             cell = sims.argmax(axis=1)
             E = V - CC[cell] if residual else V
@@ -1297,6 +1311,7 @@ def ivfpq_index_build(
     sample: int = 4096,
     iters: int = 10,
     codes_dir: str | None = None,
+    encode: str = "fast",
 ) -> None:
     """Persist the IVFADC index the ivfpq_topk docstring prescribes for
     real scale: the encoded corpus (n_id, codes, _nrm) partitioned by
@@ -1335,11 +1350,22 @@ def ivfpq_index_build(
     RNG), O(sample²) numpy.  The stored codebook's ``is_residual``
     column self-describes the choice, so ``ivfpq_search`` needs no
     flag — old raw-codebook indexes (no such column) keep reading
-    correctly."""
+    correctly.
+
+    ``encode`` picks the encoding stage: ``"fast"`` (default) is the
+    fused float64 numpy assign+encode in one Arrow stage; ``"exact"``
+    runs the decimal-fold `ivf_cell_assignment` + `pq_encode` path — the
+    arithmetic the generated ANSI-SQL oracles reproduce.  The two agree
+    whenever no codeword/centroid pair sits within float64 rounding of
+    equidistant from a vector (gated on the bench corpus); pass
+    ``encode="exact"`` when bit-parity with the inline `ivfpq_topk` MUST
+    hold regardless of such near-ties, at ~3-4× the build cost."""
     import numpy as np
 
     if train not in ("sample", "kmeans"):
         raise ValueError(f"train must be 'sample' or 'kmeans', got {train!r}")
+    if encode not in ("fast", "exact"):
+        raise ValueError(f"encode must be 'fast' or 'exact', got {encode!r}")
     spark = corpus.sparkSession
     S = CC = None
     if train == "kmeans" or residual is None:
@@ -1386,14 +1412,37 @@ def ivfpq_index_build(
     else:
         cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, n_codes=n_codes)
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
-    # builds take the fused vectorized assignment+encode (numpy argmax/
-    # argmin in one Arrow stage); the decimal-fold ivf_cell_assignment +
-    # pq_encode stay the oracled catalog path.
+    # default builds take the fused vectorized assignment+encode (numpy
+    # argmax/argmin in one Arrow stage); the decimal-fold
+    # ivf_cell_assignment + pq_encode remain available as encode="exact"
+    # (the oracled catalog arithmetic, immune to float64 near-ties).
     # test_ivfpq_persisted_search_equals_inline gates that the persisted
     # index reproduces the exact path's results bit-for-bit.
-    enc = assign_encode_fast(
-        c, cents, cb, "n_id", "c_vec", dim=dim, m=m, residual=residual
-    )
+    if encode == "exact":
+        if residual:
+            cells = ivf_cell_assignment(
+                c, cents, "n_id", "c_vec", exact=True, keep_cvec=True
+            ).select(
+                "n_id",
+                "c_vec",
+                "cell_id",
+                residual_col(F.col("c_vec"), F.col("cell_vec")).alias("_rvec"),
+            )
+            enc = pq_encode(
+                cells, cb, "n_id", "_rvec", dim=dim, m=m,
+                keep=("cell_id", "c_vec"), nrm_vec="c_vec",
+            )
+        else:
+            cells = ivf_cell_assignment(
+                c, cents, "n_id", "c_vec", exact=True
+            ).select("n_id", "c_vec", "cell_id")
+            enc = pq_encode(
+                cells, cb, "n_id", "c_vec", dim=dim, m=m, keep=("cell_id",)
+            )
+    else:
+        enc = assign_encode_fast(
+            c, cents, cb, "n_id", "c_vec", dim=dim, m=m, residual=residual
+        )
     cols = ["n_id", "cell_id", "codes", "_nrm"] + (
         ["c_vec"] if store_vectors else []
     )
@@ -1464,9 +1513,15 @@ def ivfpq_search(
     """Search a persisted IVFADC index: probe selection and ADC LUTs are
     map-side over the two 1-row broadcasts; the candidate join keys on
     cell_id — the INDEX'S PARTITION COLUMN, so only nprobe/n_cells of
-    the stored codes are ever scanned (partition pruning).  Results are
-    bit-identical to the inline ivfpq_topk on the same corpus (decimal-
-    exact assignment/encoding round-trips through parquet losslessly).
+    the stored codes are ever scanned (partition pruning).  Results
+    match the inline ivfpq_topk on the same corpus: decimal-exact LUT/
+    ADC arithmetic round-trips through parquet losslessly, and the
+    stored codes agree with the inline fold's whenever no codeword or
+    centroid pair sits within float64 rounding of equidistant from a
+    vector — the default build encodes through the float64
+    `assign_encode_fast` stage, so on a corpus where such near-ties
+    exist the identity is not guaranteed (gated bit-exact on the bench
+    corpus; build with ``encode="exact"`` when it must hold regardless).
     The stored codebook's ``is_residual`` column (written by residual
     builds) selects the matching ADC estimate automatically."""
     cents = spark.read.parquet(f"{path}/centroids")

@@ -53,6 +53,48 @@ def parse_lsn(text: str) -> int:
     return (int(hi, 16) << 32) | int(lo, 16)
 
 
+def pg_quote_ident(name: str) -> str:
+    """Quote a (possibly schema-qualified) identifier for interpolation
+    into DDL: each dot-separated part is double-quoted with internal
+    quotes doubled — so ``Ns.My"Table`` → ``"Ns"."My""Table"``.  The
+    reference interpolates these unquoted (init.go:135 fmt.Sprintf),
+    which breaks on mixed-case or reserved names; operator config is
+    trusted, but the three lines that make it safe are free."""
+    return ".".join('"' + p.replace('"', '""') + '"' for p in name.split("."))
+
+
+def pg_quote_literal(value: str) -> str:
+    """Quote a string literal (single quotes doubled) for the catalog
+    lookups that a real driver would bind as parameters."""
+    return "'" + value.replace("'", "''") + "'"
+
+
+def _unquote_ident(name: str) -> str:
+    """Inverse of pg_quote_ident for the test backend's catalog state:
+    strip the double quotes from each dotted part (undoubling inner
+    quotes) so the server records the same normalized names a real
+    pg_publication catalog would."""
+    parts = []
+    for p in name.split("."):
+        if len(p) >= 2 and p[0] == '"' and p[-1] == '"':
+            p = p[1:-1].replace('""', '"')
+        parts.append(p)
+    return ".".join(parts)
+
+
+def check_slot_name(name: str) -> str:
+    """Replication slot names are restricted by Postgres itself to
+    lower-case letters, digits and underscores (slot.c
+    ReplicationSlotValidateName) and the replication-command grammar
+    takes them unquoted — validate rather than quote."""
+    if not name or not all(c.islower() or c.isdigit() or c == "_" for c in name):
+        raise ValueError(
+            f"invalid replication slot name {name!r}: Postgres allows "
+            "only lower-case letters, digits and underscores"
+        )
+    return name
+
+
 class TranscriptTransport:
     """Replay a recorded replication session file; collect sent frames.
 
@@ -445,9 +487,11 @@ class SocketTransport:
         Returns the start LSN.  The reference keeps the slot-creating
         replication connection open and starts streaming on it; this
         client reconnects in :meth:`send_start` — one extra handshake,
-        identical protocol state.  Queries inline literals where the
-        reference uses pgx bind parameters; the SQL text is otherwise
-        the same."""
+        identical protocol state.  Queries inline QUOTED literals /
+        identifiers where the reference uses pgx bind parameters and raw
+        fmt.Sprintf interpolation (init.go:124-135); the SQL text is
+        otherwise the same."""
+        check_slot_name(self.slot)
         sql = self._dial(replication=False)
         try:
             rows = _simple_query(
@@ -456,21 +500,30 @@ class SocketTransport:
                 "FROM pg_catalog.pg_publication pub "
                 "LEFT JOIN pg_catalog.pg_publication_rel pub_rel "
                 "ON pub.oid = pub_rel.prpubid "
-                f"WHERE pub.pubname = '{self.publication}'",
+                f"WHERE pub.pubname = {pg_quote_literal(self.publication)}",
             )
             exists = bool(rows) and rows[0][0] == b"t"
             if not exists:
+                if not tables:
+                    # without this, the f-string emits `FOR TABLE  WITH`
+                    # — a syntax error a real primary rejects but a
+                    # lenient test backend would mask
+                    raise ValueError(
+                        f"publication {self.publication!r} does not exist "
+                        "and no tables were given to create it with"
+                    )
                 _simple_query(
                     sql,
-                    f"CREATE PUBLICATION {self.publication} FOR TABLE "
-                    f"{', '.join(tables or [])} "
+                    f"CREATE PUBLICATION {pg_quote_ident(self.publication)} "
+                    "FOR TABLE "
+                    f"{', '.join(pg_quote_ident(t) for t in tables)} "
                     "WITH (publish_via_partition_root = true)",
                 )
                 self.sent.append(("create_publication", self.publication))
             slot_rows = _simple_query(
                 sql,
                 "SELECT confirmed_flush_lsn FROM pg_get_replication_slots() "
-                f"WHERE slot_name = '{self.slot}'",
+                f"WHERE slot_name = {pg_quote_literal(self.slot)}",
             )
         finally:
             try:
@@ -513,8 +566,10 @@ class SocketTransport:
         if last_err is not None:
             raise last_err
         q = (
-            f"START_REPLICATION SLOT {self.slot} LOGICAL {lsn_str(lsn)} "
-            f"(proto_version '1', publication_names '{self.publication}')"
+            f"START_REPLICATION SLOT {check_slot_name(self.slot)} "
+            f"LOGICAL {lsn_str(lsn)} "
+            "(proto_version '1', "
+            f"publication_names {pg_quote_literal(self.publication)})"
         )
         _send_msg(self.sock, "Q", q.encode() + b"\x00")
         # wait for CopyBothResponse; 'E' means the server rejected it
@@ -620,7 +675,12 @@ class TranscriptServer:
         # exist`), forcing clients through ensure_bootstrap first
         self.strict_bootstrap = strict_bootstrap
         self.xlogpos = xlogpos
-        self._active_slot: str | None = None
+        # thread-per-connection backend: the active slot is threaded
+        # through _handle/_drain_client/_record as a per-connection
+        # LOCAL (two concurrent streams must not clobber each other's
+        # confirmed_flush advancement); the drop-after fault-injection
+        # flag is the one genuinely shared bit, guarded by a lock
+        self._drop_lock = threading.Lock()
         # exported-snapshot state (pg_export_snapshot / SET TRANSACTION
         # SNAPSHOT semantics for the parallel-snapshot coordinator): a
         # snapshot id is adoptable only while its exporting transaction
@@ -770,13 +830,17 @@ class TranscriptServer:
                   str(len(tables or [])).encode()]],
             )
         elif up.startswith("CREATE PUBLICATION"):
-            name = q.split()[2]
+            # store NORMALIZED names, as the real pg_publication catalog
+            # would after parsing the quoted identifiers
+            name = _unquote_ident(q.split()[2])
             tbl_txt = q.split(" FOR TABLE ", 1)[1].split(" WITH ")[0]
-            self.publications[name] = [t.strip() for t in tbl_txt.split(",") if t.strip()]
+            self.publications[name] = [
+                _unquote_ident(t.strip()) for t in tbl_txt.split(",") if t.strip()
+            ]
             _send_msg(conn, "C", b"CREATE PUBLICATION\x00")
         elif up.startswith("ALTER PUBLICATION"):
-            name = q.split()[2]
-            tbl = q.rsplit(" ", 1)[-1]
+            name = _unquote_ident(q.split()[2])
+            tbl = _unquote_ident(q.rsplit(" ", 1)[-1])
             self.publications.setdefault(name, []).append(tbl)
             _send_msg(conn, "C", b"ALTER PUBLICATION\x00")
         elif "confirmed_flush_lsn" in q:
@@ -827,12 +891,12 @@ class TranscriptServer:
             )
             _send_msg(conn, "Z", b"I")
             return
-        self._active_slot = slot_name
         _send_msg(conn, "W", struct.pack(">BH", 0, 0))  # CopyBothResponse
-        drop_budget = (
-            self.drop_after if not self._first_conn_handled else None
-        )
-        self._first_conn_handled = True
+        with self._drop_lock:
+            drop_budget = (
+                self.drop_after if not self._first_conn_handled else None
+            )
+            self._first_conn_handled = True
         conn.settimeout(0.05)
         # confirmed_flush semantics are TRANSACTION-level: skip whole
         # transactions whose commit (the Begin message's final LSN) is at
@@ -856,38 +920,43 @@ class TranscriptServer:
                 if drop_budget <= 0:
                     conn.close()  # abrupt mid-stream death, no CopyDone
                     return
-            self._drain_client(conn)
+            self._drain_client(conn, slot_name)
         _send_msg(conn, "c", b"")  # server ends the copy stream
         # read until client CopyDone (collecting status updates)
         conn.settimeout(5)
         try:
             while True:
                 tag, payload = _read_msg(conn)
-                self._record(tag, payload)
+                self._record(tag, payload, slot_name)
                 if tag == "c":
                     break
         except (ConnectionError, OSError):
             return
         _send_msg(conn, "Z", b"I")
 
-    def _drain_client(self, conn) -> None:
+    def _drain_client(self, conn, active_slot: str | None = None) -> None:
         try:
             while True:
                 tag, payload = _read_msg(conn)
-                self._record(tag, payload)
+                self._record(tag, payload, active_slot)
         except (TimeoutError, OSError):
             pass
 
-    def _record(self, tag: str, payload: bytes) -> None:
+    def _record(
+        self, tag: str, payload: bytes, active_slot: str | None = None
+    ) -> None:
         if tag == "d" and payload[:1] == b"r":
             w, f, a, clock, reply = struct.unpack_from(">QQQqB", payload, 1)
             self.received.append(("status", w, f, a, reply))
             # a status update's flush position advances the slot's
             # confirmed_flush_lsn, exactly as the walsender advances the
-            # physical slot — a later bootstrap resumes from here
-            if self._active_slot is not None:
-                self.slots[self._active_slot] = max(
-                    self.slots.get(self._active_slot, 0), f
+            # physical slot — a later bootstrap resumes from here.
+            # active_slot is the CONNECTION's slot (threaded through from
+            # _handle), so concurrent streams on different slots advance
+            # independently
+            if active_slot is not None:
+                self.slots[active_slot] = max(
+                    self.slots.get(active_slot, 0), f
                 )
         elif tag == "c":
             self.received.append(("copydone",))

@@ -156,6 +156,30 @@ def test_ivfpq_persisted_search_equals_inline(spark, tmp_path):
     assert "cell_id" in plan
 
 
+def test_ivfpq_exact_encode_build_matches_fast_and_inline(spark, tmp_path):
+    """encode="exact" (the decimal-fold build path for corpora where
+    float64 near-ties could diverge from the inline arithmetic) must
+    produce an index whose stored codes AND search results equal both
+    the default fast build and the inline ivfpq_topk."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    sim.ivfpq_index_build(emb, str(tmp_path / "fast"))
+    sim.ivfpq_index_build(emb, str(tmp_path / "exact"), encode="exact")
+    codes = lambda p: sorted(
+        (r["n_id"], r["cell_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{p}/codes").collect()
+    )
+    assert codes(tmp_path / "fast") == codes(tmp_path / "exact")
+    inline = sorted(map(tuple, sim.ivfpq_topk(emb, queries).collect()))
+    got = sorted(
+        map(
+            tuple,
+            sim.ivfpq_search(spark, str(tmp_path / "exact"), queries).collect(),
+        )
+    )
+    assert got == inline
+
+
 def test_ivf_recall_high_on_clustered_data(spark):
     """On data WITH cluster structure (the case IVF exists for), probing
     3/16 cells must recover most true neighbors — unlike the near-

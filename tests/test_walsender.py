@@ -361,7 +361,10 @@ def test_bootstrap_creates_publication_and_slot_from_scratch(tmp_path):
         assert "s1" in srv.slots
         queries = [r[1] for r in srv.received if r[0] == "query"]
         assert any(
-            q.startswith("CREATE PUBLICATION p1 FOR TABLE public.users, public.orders")
+            q.startswith(
+                'CREATE PUBLICATION "p1" FOR TABLE '
+                '"public"."users", "public"."orders"'
+            )
             and "publish_via_partition_root = true" in q
             for q in queries
         ), queries
@@ -377,6 +380,76 @@ def test_bootstrap_creates_publication_and_slot_from_scratch(tmp_path):
             out.append(row)
             sess.ack(l)
         assert _interpret_ops(out) == {1: "a2", 3: "c"}
+    finally:
+        srv.close()
+
+
+def test_bootstrap_quotes_mixed_case_identifiers(tmp_path):
+    """Round-9 verdict item 4: identifiers are QUOTED into the DDL, so a
+    mixed-case `"Ns"."Order Items"` table (which raw interpolation would
+    fold or break on a real primary) bootstraps cleanly, and the backend
+    catalog records the normalized names."""
+    from creek_spark.sources.walsender import SocketTransport, TranscriptServer
+
+    path = _transcript(tmp_path / "s.hex", _events())
+    srv = TranscriptServer(path, strict_bootstrap=True)
+    try:
+        t = SocketTransport(
+            "127.0.0.1", srv.port, slot="s1", publication="MyPub"
+        )
+        t.ensure_bootstrap(["Ns.OrderItems", 'public.we"ird'])
+        assert srv.publications == {"MyPub": ["Ns.OrderItems", 'public.we"ird']}
+        queries = [r[1] for r in srv.received if r[0] == "query"]
+        assert any(
+            q.startswith(
+                'CREATE PUBLICATION "MyPub" FOR TABLE '
+                '"Ns"."OrderItems", "public"."we""ird"'
+            )
+            for q in queries
+        ), queries
+    finally:
+        srv.close()
+
+
+def test_bootstrap_raises_on_missing_tables(tmp_path):
+    """Creating a publication with NO tables would emit `FOR TABLE  WITH`
+    — a syntax error a real primary rejects but the lenient transcript
+    backend masks.  The client must refuse up front."""
+    import pytest
+
+    from creek_spark.sources.walsender import SocketTransport, TranscriptServer
+
+    path = _transcript(tmp_path / "s.hex", _events())
+    srv = TranscriptServer(path, strict_bootstrap=True)
+    try:
+        t = SocketTransport("127.0.0.1", srv.port, slot="s1", publication="p1")
+        with pytest.raises(ValueError, match="no tables"):
+            t.ensure_bootstrap([])
+        with pytest.raises(ValueError, match="no tables"):
+            t.ensure_bootstrap(None)
+        assert srv.publications == {}
+    finally:
+        srv.close()
+
+
+def test_invalid_slot_name_rejected(tmp_path):
+    """Slot names take no quoting in the replication grammar — Postgres
+    itself restricts them to [a-z0-9_]; the client validates before any
+    round-trip rather than interpolating garbage."""
+    import pytest
+
+    from creek_spark.sources.walsender import SocketTransport, TranscriptServer
+
+    path = _transcript(tmp_path / "s.hex", _events())
+    srv = TranscriptServer(path, strict_bootstrap=True)
+    try:
+        t = SocketTransport(
+            "127.0.0.1", srv.port, slot="Bad-Slot", publication="p1"
+        )
+        with pytest.raises(ValueError, match="slot name"):
+            t.ensure_bootstrap(["public.users"])
+        with pytest.raises(ValueError, match="slot name"):
+            t.send_start(0)
     finally:
         srv.close()
 
