@@ -595,16 +595,24 @@ def pq_residual_codebook(
     ).withColumn("is_residual", F.lit(True))
 
 
-def _md5_sample_np(corpus, id_col: str, vec_col: str, n: int):
+def _md5_sample_np(corpus, id_col: str, vec_col: str, n: int, salt: str = ""):
     """First ``n`` md5-ordered vectors as a float64 matrix — the
     deterministic bounded training/holdout sample every quantizer
     trainer draws from.  One ≤n-row collect regardless of corpus size,
-    so the driver-side work is O(sample), never O(corpus)."""
+    so the driver-side work is O(sample), never O(corpus).
+
+    ``salt`` keys a DIFFERENT pseudo-random draw: the drift probe
+    (ann_maintenance) salts its baseline sample so that, at real scale,
+    the rows it measures recall on are disjoint from the unsalted
+    training prefix — a held-out baseline instead of an optimistic
+    recall-on-trained-rows one."""
     import numpy as np
 
     rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .withColumn("mkey", F.md5(F.col("cid").cast("string")))
+        .withColumn(
+            "mkey", F.md5(F.concat(F.col("cid").cast("string"), F.lit(salt)))
+        )
         .orderBy("mkey", "cid")
         .limit(n)
         .collect()
@@ -1238,21 +1246,20 @@ def ivfpq_topk(
     )
 
 
-def _probe_pick_residual(S, CC, cb_raw_m, cb_res_m, m, n_queries: int = 16, k: int = 5):
-    """Decide raw vs residual coding by SIMULATED RECALL in driver
-    numpy: the first ``n_queries`` md5-ordered sample rows query the
-    whole sample; each candidate codebook encodes the sample and
-    ADC-ranks it (residual adds the q·c_cell term exactly as the real
-    search does); the encoding whose top-k agrees better with the exact
-    cosine top-k wins, ties → raw.  This measures the end metric —
-    reconstruction error provably mispredicts it (see
-    ivfpq_index_build docstring)."""
+def _simulated_recall_np(S, E, cbm, base_dot, m, n_queries: int = 16, k: int = 5):
+    """Simulated-recall kernel shared by the build-time raw-vs-residual
+    probe and the maintenance drift probe (ann_maintenance): the first
+    ``n_queries`` md5-ordered sample rows query the whole sample ``S``;
+    the encoding matrix ``E`` (raw vectors, or residuals) is PQ-encoded
+    against ``cbm`` and ADC-ranked exactly as the real search would
+    (``base_dot`` carries the q·c_cell term for residual coding).
+    Returns (hits, possible): Σ |ADC top-k ∩ exact cosine top-k| and
+    n_queries·k.  This measures the end metric itself — reconstruction
+    error provably mispredicts it (see ivfpq_index_build docstring)."""
     import numpy as np
 
     d = S.shape[1]
     sub = d // m
-    cell = _cos_assign_np(S, CC)
-    R = S - CC[cell]
     Q = S[:n_queries]
     qn = np.sqrt((Q * Q).sum(axis=1))
     sn = np.sqrt((S * S).sum(axis=1))
@@ -1264,34 +1271,38 @@ def _probe_pick_residual(S, CC, cb_raw_m, cb_res_m, m, n_queries: int = 16, k: i
     true_sim[idx, idx] = -2.0  # exclude self, like the real search
     true_top = np.argsort(-true_sim, axis=1, kind="stable")[:, :k]
 
-    def _codes(E, cbm):
-        codes = np.empty((len(E), m), dtype=np.int64)
-        for j in range(m):
-            Ej = E[:, j * sub : (j + 1) * sub]
-            Cj = cbm[:, j * sub : (j + 1) * sub]
-            dist = (
-                (Ej * Ej).sum(axis=1)[:, None]
-                - 2.0 * (Ej @ Cj.T)
-                + (Cj * Cj).sum(axis=1)[None, :]
-            )
-            codes[:, j] = dist.argmin(axis=1)
-        return codes
-
-    def _recall(E, cbm, base_dot):
-        codes = _codes(E, cbm)
-        est = np.zeros((len(Q), len(S)))
-        for j in range(m):
-            lut = Q[:, j * sub : (j + 1) * sub] @ cbm[:, j * sub : (j + 1) * sub].T
-            est += lut[:, codes[:, j]]
-        est = (est + base_dot) / denom
-        est[idx, idx] = -2.0
-        top = np.argsort(-est, axis=1, kind="stable")[:, :k]
-        return sum(
-            len(set(t) & set(a)) for t, a in zip(true_top, top)
+    codes = np.empty((len(E), m), dtype=np.int64)
+    for j in range(m):
+        Ej = E[:, j * sub : (j + 1) * sub]
+        Cj = cbm[:, j * sub : (j + 1) * sub]
+        dist = (
+            (Ej * Ej).sum(axis=1)[:, None]
+            - 2.0 * (Ej @ Cj.T)
+            + (Cj * Cj).sum(axis=1)[None, :]
         )
+        codes[:, j] = dist.argmin(axis=1)
+    est = np.zeros((len(Q), len(S)))
+    for j in range(m):
+        lut = Q[:, j * sub : (j + 1) * sub] @ cbm[:, j * sub : (j + 1) * sub].T
+        est += lut[:, codes[:, j]]
+    est = (est + base_dot) / denom
+    est[idx, idx] = -2.0
+    top = np.argsort(-est, axis=1, kind="stable")[:, :k]
+    hits = sum(len(set(t) & set(a)) for t, a in zip(true_top, top))
+    return hits, len(Q) * k
 
-    raw = _recall(S, cb_raw_m, 0.0)
-    res = _recall(R, cb_res_m, (Q @ CC.T)[:, cell])
+
+def _probe_pick_residual(S, CC, cb_raw_m, cb_res_m, m, n_queries: int = 16, k: int = 5):
+    """Decide raw vs residual coding by SIMULATED RECALL
+    (`_simulated_recall_np`): the encoding whose top-k agrees better
+    with the exact cosine top-k wins, ties → raw."""
+    cell = _cos_assign_np(S, CC)
+    R = S - CC[cell]
+    Q = S[:n_queries]
+    raw, _ = _simulated_recall_np(S, S, cb_raw_m, 0.0, m, n_queries, k)
+    res, _ = _simulated_recall_np(
+        S, R, cb_res_m, (Q @ CC.T)[:, cell], m, n_queries, k
+    )
     return bool(res > raw)
 
 
@@ -1523,10 +1534,19 @@ def ivfpq_search(
     exist the identity is not guaranteed (gated bit-exact on the bench
     corpus; build with ``encode="exact"`` when it must hold regardless).
     The stored codebook's ``is_residual`` column (written by residual
-    builds) selects the matching ADC estimate automatically."""
+    builds) selects the matching ADC estimate automatically.
+
+    Streaming-maintained indexes (streaming/ann.py) carry a commit
+    manifest: code rows are then read ONLY from committed
+    ``codes/batch=<id>`` directories, so a search concurrent with an
+    in-flight or crashed micro-batch can never rank over a torn
+    partial write (ann_maintenance.read_codes).  Static indexes have
+    no manifest and read the codes root exactly as before."""
+    from creek_spark.operators.ann_maintenance import read_codes
+
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebook")
-    enc = spark.read.parquet(f"{path}/codes")
+    enc = read_codes(spark, path)
     residual = "is_residual" in cb.columns and bool(cb.first()["is_residual"])
     qlut = _pq_query_lut(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
