@@ -576,6 +576,145 @@ def test_daemon_walsender_mode_bootstraps_strict_server(spark, tmp_path):
         srv.close()
 
 
+def test_kill_between_schema_generations_resumes_and_converges(
+    spark, tmp_path
+):
+    """Round-9 verdict item 5 — the exactly-once × schema-evolution
+    PRODUCT: the consumer dies exactly at the generation boundary
+    (generation 1 fully staged/acked, NOTHING of generation 2 persisted
+    — not even its schema registration), and a FRESH consumer on a fresh
+    host resumes from the server-side confirmed_flush.  The resumed
+    session's decoder has no in-memory relation state, so convergence
+    depends on the walsender re-declaring relations per session
+    (replication.go re-sends Relation before first use): it must
+    re-register generation 2, stage ONLY the gen-2 transaction (no tx1
+    dupes, no loss), and the CdcApplier must converge to the
+    uninterrupted interpreter's state with gen-1 rows NULL-padded."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from creek_spark.sources.registry import SchemaRegistry
+    from creek_spark.sources.walsender import (
+        SocketTransport,
+        TranscriptServer,
+        encode_keepalive,
+        ingest_transcript_tables,
+    )
+    from creek_spark.streaming import CdcApplier, read_envelope_stream
+    from creek_spark.types.envelope import envelope_schema
+    from creek_spark.types.pgtypes import pg_relation_to_struct
+    from tests.test_pgoutput import relation
+
+    v1 = relation(70, "public", "evolving", [(1, "id", 23, -1), (0, "a", 25, -1)])
+    v2 = relation(
+        70, "public", "evolving",
+        [(1, "id", 23, -1), (0, "a", 25, -1), (0, "b", 25, -1)],
+    )
+    frames = [
+        encode_xlogdata(0x10, begin(lsn=0x30), clock=0),
+        encode_xlogdata(0x10, v1, clock=0),
+        encode_xlogdata(0x14, insert(70, 1, "x"), clock=1 * US),
+        encode_xlogdata(0x18, insert(70, 2, "y"), clock=1 * US),
+        encode_xlogdata(0x30, commit(lsn=0x30), clock=2 * US),
+        # the primary demands an ack at the boundary — the status update
+        # advances the slot's confirmed_flush to tx1's commit
+        encode_keepalive(0x30, clock=3 * US, reply=True),
+        # ALTER TABLE evolving ADD COLUMN b — new Relation generation
+        encode_xlogdata(0x40, begin(lsn=0x60), clock=4 * US),
+        encode_xlogdata(0x40, v2, clock=4 * US),
+        encode_xlogdata(0x44, insert(70, 3, "z", "Z"), clock=4 * US),
+        encode_xlogdata(0x48, insert(70, 4, "w", "W"), clock=5 * US),
+        encode_xlogdata(0x60, commit(lsn=0x60), clock=5 * US),
+    ]
+    path = _transcript(tmp_path / "evo.hex", frames)
+    srv = TranscriptServer(path, strict_bootstrap=True)
+    wal_dir = str(tmp_path / "wal")
+    reg_dir = str(tmp_path / "registry")
+    try:
+        # ---- run 1: bootstraps from scratch, dies at the boundary ----
+        t1 = SocketTransport("127.0.0.1", srv.port, slot="se", publication="pe")
+        assert t1.ensure_bootstrap(["public.evolving"]) == 0
+        s1 = WalSenderSession(t1, str(tmp_path / "host1"))
+        structs = []
+        s1.decoder.on_relation = lambda rel: structs.append(
+            pg_relation_to_struct(rel)
+        )
+        rows1 = []
+        for lsn, row in s1.stream():
+            if lsn > 0x30:
+                break  # first gen-2 row: die before ANY gen-2 persist
+            rows1.append(row)
+            s1.ack(lsn)
+        assert [r["after"]["id"] for r in rows1] == [1, 2]
+        # crash-consistent persists of run 1: gen-1 registration + the
+        # tx1 staging (what ingest had durably completed by the kill)
+        registry1 = SchemaRegistry(reg_dir)
+        registry1.put(structs[0], source="public.evolving")
+        spark.createDataFrame(
+            rows1, envelope_schema(structs[0])
+        ).coalesce(1).write.mode("append").parquet(wal_dir + "/public_evolving")
+        # the reply-requested keepalive at the boundary advanced the slot
+        assert srv.slots["se"] == 0x30
+
+        # ---- run 2: fresh host, fresh decoder, same backend ----------
+        t2 = SocketTransport("127.0.0.1", srv.port, slot="se", publication="pe")
+        lsn2 = t2.ensure_bootstrap(["public.evolving"])
+        assert lsn2 == 0x30  # resume point = tx1's commit, not zero
+        queries = [r[1] for r in srv.received if r[0] == "query"]
+        assert sum("CREATE_REPLICATION_SLOT" in q for q in queries) == 1
+        s2 = WalSenderSession(t2, str(tmp_path / "host2"))
+        s2.ack(lsn2)
+        registry2 = SchemaRegistry(reg_dir)
+        written = ingest_transcript_tables(spark, s2, wal_dir, registry2)
+        assert written == {"public.evolving": 2}  # ONLY tx2 — no tx1 dupes
+
+        # generation 2 was registered BY THE RESUMED SESSION; generation
+        # 1's re-declaration deduped against run 1's persist
+        with open(registry2._store_path()) as f:
+            gens = [
+                _json.loads(ln) for ln in f if '"public.evolving"' in ln
+            ]
+        assert len(gens) == 2, gens
+        assert gens[0]["fingerprint"] != gens[1]["fingerprint"]
+        fp_latest, latest_schema = registry2.last_for_source("public.evolving")
+        assert [f.name for f in latest_schema.fields] == ["id", "a", "b"]
+        assert fp_latest == gens[1]["fingerprint"]
+
+        # staged stream: 4 rows, 2 per fingerprint, no dupes or loss
+        schema = envelope_schema(latest_schema)
+        staged = spark.read.schema(schema).parquet(wal_dir + "/public_evolving")
+        fps = {
+            r["fingerprint"]: r["cnt"]
+            for r in staged.groupBy("fingerprint")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        assert fps == {gens[0]["fingerprint"]: 2, gens[1]["fingerprint"]: 2}
+
+        # applier convergence == the uninterrupted interpreter
+        applier = CdcApplier(
+            spark, str(tmp_path / "tbl"), ["id"], schema, n_buckets=2
+        )
+        q = applier.start(
+            read_envelope_stream(spark, wal_dir + "/public_evolving", schema),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        got = {
+            r["id"]: (r["a"], r["b"])
+            for r in applier.current_state().collect()
+        }
+        assert got == {
+            1: ("x", None),
+            2: ("y", None),
+            3: ("z", "Z"),
+            4: ("w", "W"),
+        }
+    finally:
+        srv.close()
+
+
 def test_mid_stream_schema_evolution_e2e(spark, tmp_path):
     """SURVEY §7's hard item: one walsender session in which the table
     gains a column between transaction 1 and transaction 2 (a second
