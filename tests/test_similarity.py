@@ -340,6 +340,18 @@ def test_ivfadc_kmeans_residual_beats_sampled_default(spark, tmp_path):
     )
     assert r_trained >= r_sampled, (r_trained, r_sampled)
     assert r_trained >= 0.6
+    # the round-9 recall-ladder operating point (nprobe/rerank sweep on
+    # the trained index; see bench.py's sweep table): nprobe=12,
+    # rerank=200 measured 0.94 at sf0.1 when this gate was added —
+    # gated at the verdict's ≥ 0.85 bar (bench-scale only: the tiny
+    # test fixture's recall quantum is too coarse for this bar)
+    r_ladder = _recall(
+        _topk_sets(sim.ivfpq_search(spark, p_k, queries, nprobe=12, rerank=200)),
+        exact,
+    )
+    assert r_ladder >= r_trained, (r_ladder, r_trained)
+    if sf == bench_dir:
+        assert r_ladder >= 0.85, r_ladder
 
 
 def test_ivfpq_index_append_equals_one_shot(spark, tmp_path):
