@@ -503,11 +503,11 @@ class SocketTransport:
                 f"WHERE pub.pubname = {pg_quote_literal(self.publication)}",
             )
             exists = bool(rows) and rows[0][0] == b"t"
-            if not exists:
+            if not exists and tables is not None:
                 if not tables:
-                    # without this, the f-string emits `FOR TABLE  WITH`
-                    # — a syntax error a real primary rejects but a
-                    # lenient test backend would mask
+                    # an EXPLICITLY empty list would emit `FOR TABLE
+                    # WITH` — a syntax error a real primary rejects but
+                    # a lenient test backend would mask
                     raise ValueError(
                         f"publication {self.publication!r} does not exist "
                         "and no tables were given to create it with"
@@ -520,6 +520,11 @@ class SocketTransport:
                     "WITH (publish_via_partition_root = true)",
                 )
                 self.sent.append(("create_publication", self.publication))
+            # tables=None + missing publication: the publication is
+            # managed externally (the daemon was started without table
+            # config) — creation is skipped and a real primary surfaces
+            # `publication does not exist` at START_REPLICATION, the
+            # honest failure point, instead of broken DDL here
             slot_rows = _simple_query(
                 sql,
                 "SELECT confirmed_flush_lsn FROM pg_get_replication_slots() "

@@ -412,9 +412,12 @@ def test_bootstrap_quotes_mixed_case_identifiers(tmp_path):
 
 
 def test_bootstrap_raises_on_missing_tables(tmp_path):
-    """Creating a publication with NO tables would emit `FOR TABLE  WITH`
-    — a syntax error a real primary rejects but the lenient transcript
-    backend masks.  The client must refuse up front."""
+    """Creating a publication with an EXPLICITLY EMPTY table list would
+    emit `FOR TABLE  WITH` — a syntax error a real primary rejects but
+    the lenient transcript backend masks.  The client must refuse up
+    front.  tables=None means the publication is managed externally:
+    creation is skipped (never broken DDL), and a missing publication
+    then surfaces at START_REPLICATION where a real primary reports it."""
     import pytest
 
     from creek_spark.sources.walsender import SocketTransport, TranscriptServer
@@ -425,9 +428,14 @@ def test_bootstrap_raises_on_missing_tables(tmp_path):
         t = SocketTransport("127.0.0.1", srv.port, slot="s1", publication="p1")
         with pytest.raises(ValueError, match="no tables"):
             t.ensure_bootstrap([])
-        with pytest.raises(ValueError, match="no tables"):
-            t.ensure_bootstrap(None)
         assert srv.publications == {}
+        # unmanaged mode: no DDL issued, slot still created/resumed
+        lsn = t.ensure_bootstrap(None)
+        assert lsn == 0
+        assert srv.publications == {}
+        assert "s1" in srv.slots
+        queries = [r[1] for r in srv.received if r[0] == "query"]
+        assert not any(q.startswith("CREATE PUBLICATION") for q in queries)
     finally:
         srv.close()
 

@@ -378,7 +378,13 @@ def main() -> int:
             # min of 2: single measurements of the explode-amplified
             # shapes swing 2-3x run to run (GC/memory pressure) — one
             # unlucky t16 over one lucky t4 false-fails the gate
-            # (observed: basket ratio 6.77 on singles, 2.9-3.6 on reps)
+            # (observed: basket ratio 6.77 on singles, 2.9-3.6 on reps).
+            # Round-9 adjudication of the recorded 5.21 basket ratio: an
+            # IDLE-machine min-of-3 rerun measured t16/t4 = 3.93 — at or
+            # below perfectly-linear 4.0 — with the three k=16 singles
+            # spanning 16.9-37.0 s (2.2x).  The shape is linear; ratios
+            # up to ~5.5 on this shape are the contended-run noise band,
+            # not a scaling defect.
             ts[k] = round(min(_run(fn(k)), _run(fn(k))), 3)
             spark.catalog.clearCache()
         denom = ts[4] - ts[1]
