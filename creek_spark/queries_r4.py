@@ -956,13 +956,25 @@ def _corr_oracle() -> str:
         for i, a in enumerate(_CORR_COLS)
         for b in _CORR_COLS[i + 1 :]
     ]
+
+    # decimal→double through VARCHAR: DuckDB's direct decimal→double
+    # cast scales the hugeint in float arithmetic and is NOT correctly
+    # rounded once the sum needs > 53 bits (measured at sf0.1:
+    # ss_l_extendedprice exact 2224071148386123.169 → direct cast
+    # ...123.0, Spark/Java/strtod all ...123.2); its string formatter +
+    # fast_float parse ARE correctly rounded, so this route makes both
+    # engines produce the bit-identical nearest double of the same
+    # exact decimal at any scale factor.
+    def as_dbl(expr: str) -> str:
+        return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
     stats = ",\n             ".join(
-        f"CAST(SUM(CAST({c} AS DECIMAL(19,4))) AS DOUBLE) AS s_{c},\n             "
-        f"CAST(SUM(CAST({c} AS DECIMAL(19,4)) * CAST({c} AS DECIMAL(19,4))) AS DOUBLE) AS ss_{c}"
+        f"{as_dbl(f'SUM(CAST({c} AS DECIMAL(19,4)))')} AS s_{c},\n             "
+        f"{as_dbl(f'SUM(CAST({c} AS DECIMAL(19,4)) * CAST({c} AS DECIMAL(19,4)))')} AS ss_{c}"
         for c in _CORR_COLS
     )
     cross = ",\n             ".join(
-        f"CAST(SUM(CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4))) AS DOUBLE) AS sp_{a}_{b}"
+        f"{as_dbl(f'SUM(CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4)))')} AS sp_{a}_{b}"
         for a, b in pairs
     )
     sel = "\n    UNION ALL\n    ".join(
