@@ -213,3 +213,60 @@ def test_static_index_without_manifest_unchanged(spark, tmp_path, parts):
             fromlist=["ivfpq_index_compact"],
         )
         sim_compact.ivfpq_index_compact(spark, p)
+
+
+def test_streaming_ann_true_writestream_e2e(spark, tmp_path, parts):
+    """The real Structured Streaming wiring, not apply_batch in a loop:
+    a file-source readStream feeds foreachBatch(idx.foreach_batch())
+    under a checkpoint; a SECOND start with the same checkpoint after
+    more files arrive processes only the new data (committed batch ids
+    no-op on replay), and the final search equals a one-shot
+    build+append of the same rows."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    p = str(tmp_path / "idx")
+    schema = parts["emb"].schema
+
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(parts["seed"])
+
+    def run_available_now():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(idx.foreach_batch())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    parts["b"][0].write.mode("overwrite").parquet(src)
+    run_available_now()
+    n1 = len(_batch_dirs(p))
+    assert n1 >= 2  # bootstrap + at least one streamed batch
+
+    # more data arrives; the restarted query resumes from the checkpoint
+    parts["b"][1].write.mode("append").parquet(src)
+    run_available_now()
+    assert len(_batch_dirs(p)) > n1
+
+    ref = str(tmp_path / "ref")
+    sim.ivfpq_index_build(parts["seed"], ref)
+    sim.ivfpq_index_append(parts["b"][0].unionByName(parts["b"][1]), ref)
+    assert _key(idx.search(parts["queries"])) == _key(
+        sim.ivfpq_search(spark, ref, parts["queries"])
+    )
+    # exactly-once across the restart: every vector indexed once
+    from creek_spark.operators.ann_maintenance import read_codes
+
+    total = (
+        parts["seed"].count()
+        + parts["b"][0].count()
+        + parts["b"][1].count()
+    )
+    ids = read_codes(spark, p).select("n_id")
+    assert ids.count() == total and ids.distinct().count() == total
