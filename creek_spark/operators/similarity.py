@@ -1485,8 +1485,25 @@ def ivfpq_index_append(corpus: DataFrame, path: str, *,
 
     Cost ∝ the batch: one map-side encode of the new rows + appended
     parquet; the existing index is never read or rewritten (the
-    quantizer frames are two 1-row reads)."""
+    quantizer frames are two 1-row reads).
+
+    A MANIFEST-MANAGED index (streaming/ann.py layout) refuses the
+    default-codes_dir append: rows written loose under the codes root
+    would never appear in the committed-batch list, so the gated reader
+    would silently ignore them forever — append through
+    ``StreamingAnnIndex.apply_batch`` (which commits), or pass an
+    explicit fenced ``codes_dir`` and commit it yourself."""
     spark = corpus.sparkSession
+    if codes_dir is None:
+        from creek_spark.operators.ann_maintenance import read_manifest
+
+        if read_manifest(spark, path) is not None:
+            raise ValueError(
+                f"index at {path} is manifest-managed: a bare append to "
+                "codes/ would be invisible to the gated reader; use "
+                "StreamingAnnIndex.apply_batch or pass codes_dir and "
+                "commit the batch via ann_maintenance.write_manifest"
+            )
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebook")
     residual = "is_residual" in cb.columns and bool(cb.first()["is_residual"])

@@ -270,3 +270,20 @@ def test_streaming_ann_true_writestream_e2e(spark, tmp_path, parts):
     )
     ids = read_codes(spark, p).select("n_id")
     assert ids.count() == total and ids.distinct().count() == total
+
+
+def test_bare_append_to_manifested_index_refuses(spark, tmp_path, parts):
+    """An ivfpq_index_append with the default codes_dir on a
+    manifest-managed index would write rows the gated reader silently
+    never sees — it must refuse loudly instead (append through
+    apply_batch, or pass a fenced codes_dir and commit it)."""
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(parts["seed"])
+    with pytest.raises(ValueError, match="manifest-managed"):
+        sim.ivfpq_index_append(parts["b"][0], p)
+    # the static layout keeps plain appends, unchanged
+    ref = str(tmp_path / "ref")
+    sim.ivfpq_index_build(parts["seed"], ref)
+    sim.ivfpq_index_append(parts["b"][0], ref)  # no manifest → fine
+    assert len(_key(sim.ivfpq_search(spark, ref, parts["queries"]))) > 0
