@@ -481,11 +481,36 @@ class Engine:
         ivfpq_index_build(corpus, path, **kw)
 
     def ann_search(self, path: str, queries, **kw) -> DataFrame:
-        """Search a persisted IVFADC index with cell partition pruning
-        (operators/similarity.py)."""
+        """Search a persisted IVFADC index with cell partition pruning;
+        manifest-managed (streaming) indexes read only committed batch
+        directories (operators/similarity.py)."""
         from creek_spark.operators.similarity import ivfpq_search
 
         return ivfpq_search(self.spark, path, queries, **kw)
+
+    def streaming_ann_index(self, path: str, **kw):
+        """Continuously-maintained IVFADC index with the full lifecycle:
+        manifest-committed foreachBatch appends, bit-exact compaction,
+        vacuum, and the recall-drift retrain signal (streaming/ann.py)."""
+        from creek_spark.streaming.ann import StreamingAnnIndex
+
+        return StreamingAnnIndex(self.spark, path, **kw)
+
+    def ann_index_compact(self, path: str, *, vacuum: bool = False) -> int:
+        """Fold a streaming index's committed batch directories into one
+        generation — bit-exact under the frozen quantizers
+        (operators/ann_maintenance.py)."""
+        from creek_spark.operators.ann_maintenance import ivfpq_index_compact
+
+        return ivfpq_index_compact(self.spark, path, vacuum=vacuum)
+
+    def ann_drift_report(self, path: str, recent, **kw) -> dict:
+        """Recall-drift probe of recent data against the index's
+        bootstrap baseline: the retrain-recommended signal
+        (operators/ann_maintenance.py)."""
+        from creek_spark.operators.ann_maintenance import ann_drift_report
+
+        return ann_drift_report(self.spark, path, recent, **kw)
 
     def streaming_dedup(self, state_dir: str, text_col: str = "text", id_col: str = "doc_id", **kw):
         """Continuous near-dedup against an append-only persisted LSH
