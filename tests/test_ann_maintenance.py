@@ -287,3 +287,24 @@ def test_bare_append_to_manifested_index_refuses(spark, tmp_path, parts):
     sim.ivfpq_index_build(parts["seed"], ref)
     sim.ivfpq_index_append(parts["b"][0], ref)  # no manifest → fine
     assert len(_key(sim.ivfpq_search(spark, ref, parts["queries"]))) > 0
+
+
+def test_manifested_search_keeps_dynamic_cell_pruning(
+    spark, tmp_path, parts
+):
+    """Reading the index as an explicit committed-directory list (the
+    manifest gate) must not cost the scale mechanism: the probed-cell
+    filter still reaches the codes scan as a dynamic partition pruning
+    expression on cell_id, so a search scans nprobe/n_cells of the
+    stored codes — not everything — exactly as in the static layout."""
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(parts["seed"])
+    idx.apply_batch(parts["b"][0], 0)
+    plan = (
+        idx.search(parts["queries"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruningexpression(cast(cell_id" in plan, plan[:2000]

@@ -154,6 +154,11 @@ def test_ivfpq_persisted_search_equals_inline(spark, tmp_path):
     assert key(searched) == key(inline)
     plan = searched._jdf.queryExecution().executedPlan().toString()
     assert "cell_id" in plan
+    # the probed-cell filter must REACH the index scan at runtime
+    # (dynamic partition pruning on the cell_id partition column) — the
+    # load-bearing mechanism behind "searches scan only probed cells";
+    # "cell_id somewhere in the plan" alone would accept a full scan
+    assert "dynamicpruningexpression(cast(cell_id" in plan, plan[:2000]
 
 
 def test_ivfpq_exact_encode_build_matches_fast_and_inline(spark, tmp_path):
