@@ -595,7 +595,9 @@ def ts_cusum_changepoints(spark, sf_dir):
     reconstruct the global prefix sums/extrema exactly (the hour bucket
     is monotone in the (ts, event_id) order, so segment order refines
     row order).  The corpus shuffles once on (type, hour); every
-    unpartitioned window in the plan runs over the segment SUMMARY."""
+    summary-level window walks the bounded segment SUMMARY (keyed by
+    const_partition since round 9, so a clean run logs no global-window
+    warning)."""
     from creek_spark.operators.distributed import segmented_running
 
     ev = _t(spark, sf_dir, "events")
@@ -1524,9 +1526,10 @@ def pareto_abc(spark, sf_dir):
     segmented_running prefix sum, not a global ordered window — parts
     window within bounded $1000-revenue-band segments (the band is
     monotone in the rev-desc order) and broadcast per-band offsets
-    reconstruct the exact global running sum; the only unpartitioned
-    window in the plan walks the ~|revenue range|/1000-row band summary,
-    never the catalog."""
+    reconstruct the exact global running sum; the only order-only-shaped
+    window walks the ~|revenue range|/1000-row band summary, never the
+    catalog (const_partition-keyed since round 9 — zero global-window
+    warnings)."""
     from creek_spark.operators.distributed import segmented_running
 
     li = _t(spark, sf_dir, "lineitem")
