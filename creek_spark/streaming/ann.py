@@ -51,6 +51,7 @@ Operational lifecycle (the round-8 verdict's `weak`):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from creek_spark.operators.ann_maintenance import (
     ann_drift_report,
@@ -141,6 +142,41 @@ class StreamingAnnIndex:
         )
 
     # -- maintenance ----------------------------------------------------
+
+    def retrain(self, corpus: DataFrame | None = None, **build_kw) -> None:
+        """The action behind the drift signal: re-train the quantizers
+        and re-encode — Faiss's 'rebuild when add stops being enough'.
+
+        With ``corpus=None`` the index's own stored vectors are used
+        (requires a store_vectors index).  They are STAGED to a scratch
+        directory first: bootstrap overwrites ``codes/batch=0``, the very
+        directory those vectors would be read from, and Spark cannot
+        overwrite files an in-flight plan is reading (FAILED_READ_FILE)
+        — the one-line mistake every caller would otherwise make.
+        After the re-bootstrap the stale generations (encoded under the
+        OLD quantizers — unreadable by the new search either way) are
+        vacuumed and the staging directory is removed."""
+        from creek_spark.operators.ann_maintenance import _fs, read_codes
+
+        staging = None
+        if corpus is None:
+            stored = read_codes(self.spark, self.path)
+            if "c_vec" not in stored.columns:
+                raise ValueError(
+                    "retrain(corpus=None) needs a store_vectors index to "
+                    "read the vectors back from; pass the corpus explicitly"
+                )
+            staging = f"{self.path}/_retrain_staging"
+            stored.select(
+                F.col("n_id").alias(self.id_col),
+                F.col("c_vec").alias(self.vec_col),
+            ).write.mode("overwrite").parquet(staging)
+            corpus = self.spark.read.parquet(staging)
+        self.bootstrap(corpus, **build_kw)
+        self.vacuum()
+        if staging is not None:
+            fs, _, jvm = _fs(self.spark, staging)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
     def compact(self, *, vacuum: bool = False) -> int:
         """Fold the live batch directories into one generation

@@ -308,3 +308,56 @@ def test_manifested_search_keeps_dynamic_cell_pruning(
         .toString()
     )
     assert "dynamicpruningexpression(cast(cell_id" in plan, plan[:2000]
+
+
+def test_retrain_cycle_after_drift(spark, tmp_path):
+    """The action behind the drift signal: drift flags, the owner calls
+    retrain(), and the index is rebuilt from its OWN stored vectors.
+    The mechanical contract under test: the vectors are STAGED before
+    the re-bootstrap (bootstrap overwrites codes/batch=0 — the very
+    directory they are read from; an unstaged self-read dies mid-write
+    with FAILED_READ_FILE, the bug this test originally caught), stale
+    generations are vacuumed, the staging dir is cleaned up, the drift
+    BASELINE resets to the new corpus (self-probe drift is exactly 0 —
+    same salted draw, same computation), and the stream keeps appending
+    exactly-once through the same path.  Whether recall RECOVERS is a
+    property of the new distribution's quantizability, not of retrain()
+    — the cone-collapse shift used by the flagging test above is
+    unfixable at any codebook budget (all pairwise differences sit
+    below quantization resolution), which is precisely why the probe
+    reports measured recall instead of promising a fix."""
+    from creek_spark.operators.ann_maintenance import read_codes
+
+    seed = _clustered(spark, 0, 100, 1)
+    shifted1 = _clustered(
+        spark, 100000, 50, 2, transform=lambda v: [x * 0.01 + 25.0 for x in v]
+    )
+    shifted2 = _clustered(
+        spark, 200000, 50, 3, transform=lambda v: [x * 0.01 + 25.0 for x in v]
+    )
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(seed, train="kmeans", sample=512)
+    old_base = read_manifest(spark, p)["probe"]["recall"]
+    idx.apply_batch(shifted1, 0)
+    assert idx.drift_report(shifted1)["retrain_recommended"]
+
+    idx.retrain(train="kmeans", sample=512)
+    assert _batch_dirs(p) == ["batch=0"]  # stale generations vacuumed
+    assert not os.path.exists(os.path.join(p, "_retrain_staging"))
+    new_base = read_manifest(spark, p)["probe"]["recall"]
+    assert new_base != old_base  # baseline re-measured on the new corpus
+
+    # self-probe: the retrained corpus against its own baseline is
+    # exactly drift-free (identical salted draw, identical computation)
+    union = seed.unionByName(shifted1)
+    rep = idx.drift_report(union)
+    assert rep["base_recall"] == new_base and rep["drift"] == 0.0, rep
+
+    # the stream continues on the new quantizers, exactly-once
+    idx.apply_batch(shifted2, 1)
+    total = seed.count() + shifted1.count() + shifted2.count()
+    ids = read_codes(spark, p).select("n_id")
+    assert ids.count() == total and ids.distinct().count() == total
+    q = shifted2.limit(5)
+    assert len(_key(idx.search(q, k=3))) == 15  # 5 queries x k
