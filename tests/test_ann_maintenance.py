@@ -361,3 +361,55 @@ def test_retrain_cycle_after_drift(spark, tmp_path):
     assert ids.count() == total and ids.distinct().count() == total
     q = shifted2.limit(5)
     assert len(_key(idx.search(q, k=3))) == 15  # 5 queries x k
+
+
+def test_concurrent_reads_never_see_torn_state(spark, tmp_path, parts):
+    """The reader-isolation invariant behind the manifest, exercised
+    with REAL concurrency: a reader thread hammers the committed-codes
+    count while the owner thread commits batches and then COMPACTS.
+    Every observed count must equal the size of SOME committed prefix
+    (bootstrap, +b0, +b1, +b2 — compaction changes layout, never size)
+    and no read may error; a raw directory listing would instead
+    observe partial in-flight file sets.  VACUUM is deliberately run
+    only after the reader quiesces — deleting dead generations under a
+    reader holding an older manifest version is exactly what the
+    documented grace period exists for (this test originally vacuumed
+    concurrently and the reader died on the deleted files, proving the
+    caveat is real, not theoretical).  Invariant-based, not
+    timing-based: any interleaving passes iff isolation holds."""
+    import threading
+
+    from creek_spark.operators.ann_maintenance import read_codes
+
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(parts["seed"])
+    sizes = [parts["seed"].count()]
+    for b in parts["b"]:
+        sizes.append(sizes[-1] + b.count())
+    valid = set(sizes)
+
+    observed, errors, stop = [], [], threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                observed.append(read_codes(spark, p).count())
+            except Exception as e:  # noqa: BLE001 — the assertion target
+                errors.append(repr(e))
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    for i, b in enumerate(parts["b"]):
+        idx.apply_batch(b, i)
+    idx.compact()
+    stop.set()
+    t.join(timeout=60)
+    assert not errors, errors
+    assert len(observed) >= 3, "reader never got going"
+    bad = [n for n in observed if n not in valid]
+    assert not bad, (bad, sorted(valid))
+    # grace period over (reader joined) — now reclamation is safe
+    idx.vacuum()
+    assert read_codes(spark, p).count() == sizes[-1]
