@@ -127,13 +127,16 @@ def main() -> None:
                 spark.catalog.clearCache()
         if best < float("inf"):
             timings[name] = round(best, 3)
-    # total = sum of per-query minima (NOT wall time of the rep loop)
-    total = round(sum(timings.values()), 3)
     # cross-round comparability: the r1 headline set's subtotal, excluding
-    # the rows promoted in round 6 (BASELINE.md §2 records the rule)
-    r6_added = ("ts_anomaly_mad", "customer_rfm")
+    # the rows promoted in round 6 and round 10 (BASELINE.md §2 records
+    # the rule)
+    promoted = (
+        "ts_anomaly_mad",
+        "customer_rfm",
+        "similarity_ivfpq_search_trained",
+    )
     r1_subset = round(
-        sum(v for k, v in timings.items() if k not in r6_added), 3
+        sum(v for k, v in timings.items() if k not in promoted), 3
     )
 
     # Bench-only EXTRAS (excluded from the frozen headline total): the
@@ -250,32 +253,50 @@ def main() -> None:
         # both small at this corpus), so the knee is recall-driven.
         # Kept off the default path because the sampled codebooks are
         # what the decimal-exact oracle rows pin.
+        # ROUND-10 PROMOTION: the trained operating point (0.94 recall@5
+        # at nprobe=12/rerank=200 on the r9 sweep) graduates from extras
+        # into the headline `queries` block, so BENCH diffs regression-
+        # watch it like MAD/RFM; recall rides along top-level.  min over
+        # `reps` like every headline row; build stays an extras row
+        # (amortized cost, not per-query).
         with tempfile.TemporaryDirectory() as idx_dir:
             t0 = time.perf_counter()
             ivfpq_index_build(emb, idx_dir, train="kmeans", residual=True)
             extras["similarity_ivfpq_build_trained"] = round(
                 time.perf_counter() - t0, 3
             )
+            best_t, rows_t = float("inf"), []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                rows_t = ivfpq_search(
+                    spark, idx_dir, qs, nprobe=12, rerank=200
+                ).collect()
+                best_t = min(best_t, time.perf_counter() - t0)
+            timings["similarity_ivfpq_search_trained"] = round(best_t, 3)
             trained = {}
-            t0 = time.perf_counter()
-            rows_t = ivfpq_search(
-                spark, idx_dir, qs, nprobe=12, rerank=200
-            ).collect()
-            extras["similarity_ivfpq_search_trained"] = round(
-                time.perf_counter() - t0, 3
-            )
             for r in rows_t:
                 trained.setdefault(r["q_id"], set()).add(r["n_id"])
             hits_t = sum(
                 len(v & trained.get(q, set())) for q, v in exact.items()
             )
-            extras["similarity_ivfpq_recall_at5_trained"] = round(
-                hits_t / total_n, 3
-            )
+            recall_trained = round(hits_t / total_n, 3)
+            extras["similarity_ivfpq_recall_at5_trained"] = recall_trained
             extras["similarity_ivfpq_trained_nprobe"] = 12
             extras["similarity_ivfpq_trained_rerank"] = 200
+            # the ≥0.85 gate (tests/test_similarity.py) watched here too:
+            # a sub-gate recall is a loud error row, not a silent number
+            if recall_trained < 0.85:
+                errors.setdefault(
+                    "similarity_ivfpq_recall_at5_trained",
+                    f"recall {recall_trained} below the 0.85 gate",
+                )
     except Exception as e:
         errors.setdefault("similarity_ivfpq", f"extras: {type(e).__name__}: {e}"[:500])
+
+    # total = sum of per-query minima (NOT wall time of the rep loop);
+    # computed after the round-10 promotion so the headline metric
+    # includes the trained-search row
+    total = round(sum(timings.values()), 3)
 
     wall = round(time.perf_counter() - t_all, 3)
 

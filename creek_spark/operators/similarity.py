@@ -1322,7 +1322,10 @@ def ivfpq_index_build(
     sample: int = 4096,
     iters: int = 10,
     codes_dir: str | None = None,
+    centroids_dir: str | None = None,
+    codebook_dir: str | None = None,
     encode: str = "fast",
+    on_zero_norm: str = "raise",
 ) -> None:
     """Persist the IVFADC index the ivfpq_topk docstring prescribes for
     real scale: the encoded corpus (n_id, codes, _nrm) partitioned by
@@ -1370,14 +1373,51 @@ def ivfpq_index_build(
     whenever no codeword/centroid pair sits within float64 rounding of
     equidistant from a vector (gated on the bench corpus); pass
     ``encode="exact"`` when bit-parity with the inline `ivfpq_topk` MUST
-    hold regardless of such near-ties, at ~3-4× the build cost."""
+    hold regardless of such near-ties, at ~3-4× the build cost.
+
+    ``on_zero_norm`` polices zero-norm rows (all-zero, empty, or NULL
+    vectors) at BUILD time: cosine similarity is undefined on them — the
+    exact path surfaces NULL, while the fast ADC fold ranks them at an
+    arbitrary-but-deterministic 0, so letting them into the index turns
+    a documented divergence into silent wrong neighbors.  ``"raise"``
+    (default) fails the build on the first such row (a LIMIT-1 probe —
+    Spark short-circuits the scan, so a clean corpus pays one early-out
+    pass, not a second full aggregation); ``"warn"`` logs and proceeds;
+    ``"allow"`` skips the probe (the pre-round-10 behavior) for corpora
+    where the caller owns the junk-filtering upstream."""
     import numpy as np
 
     if train not in ("sample", "kmeans"):
         raise ValueError(f"train must be 'sample' or 'kmeans', got {train!r}")
     if encode not in ("fast", "exact"):
         raise ValueError(f"encode must be 'fast' or 'exact', got {encode!r}")
+    if on_zero_norm not in ("raise", "warn", "allow"):
+        raise ValueError(
+            f"on_zero_norm must be 'raise', 'warn' or 'allow', got {on_zero_norm!r}"
+        )
     spark = corpus.sparkSession
+    if on_zero_norm != "allow":
+        zl = F.col(vec_col)
+        bad = (
+            corpus.where(zl.isNull() | ~F.exists(zl, lambda x: x != F.lit(0.0)))
+            .select(F.col(id_col).alias("_zid"))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            msg = (
+                f"corpus has zero-norm {vec_col!r} rows (first: "
+                f"{id_col}={bad[0]['_zid']!r}): cosine is undefined on them "
+                "and ADC would rank them deterministically-arbitrarily — "
+                "filter them upstream, or pass on_zero_norm='allow' to "
+                "index them anyway (documented divergence from the exact "
+                "path's NULL)"
+            )
+            if on_zero_norm == "raise":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
     S = CC = None
     if train == "kmeans" or residual is None:
         # the probe simulates recall on this draw — full `sample` size
@@ -1460,8 +1500,12 @@ def ivfpq_index_build(
     enc.select(*cols).write.mode("overwrite").partitionBy("cell_id").parquet(
         codes_dir or f"{path}/codes"
     )
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    # centroids_dir/codebook_dir route a RETRAIN's frames into a fresh
+    # quantizer-epoch directory (streaming/ann.py) so a live index is
+    # never overwritten under concurrent readers; default builds keep
+    # the root layout
+    cents.write.mode("overwrite").parquet(centroids_dir or f"{path}/centroids")
+    cb.write.mode("overwrite").parquet(codebook_dir or f"{path}/codebook")
 
 
 def ivfpq_index_append(corpus: DataFrame, path: str, *,
@@ -1494,20 +1538,29 @@ def ivfpq_index_append(corpus: DataFrame, path: str, *,
     ``StreamingAnnIndex.apply_batch`` (which commits), or pass an
     explicit fenced ``codes_dir`` and commit it yourself."""
     spark = corpus.sparkSession
-    if codes_dir is None:
-        from creek_spark.operators.ann_maintenance import read_manifest
+    from creek_spark.operators.ann_maintenance import (
+        quantizer_dirs,
+        read_codes,
+        read_manifest,
+    )
 
-        if read_manifest(spark, path) is not None:
-            raise ValueError(
-                f"index at {path} is manifest-managed: a bare append to "
-                "codes/ would be invisible to the gated reader; use "
-                "StreamingAnnIndex.apply_batch or pass codes_dir and "
-                "commit the batch via ann_maintenance.write_manifest"
-            )
-    cents = spark.read.parquet(f"{path}/centroids")
-    cb = spark.read.parquet(f"{path}/codebook")
+    man = read_manifest(spark, path)
+    if codes_dir is None and man is not None:
+        raise ValueError(
+            f"index at {path} is manifest-managed: a bare append to "
+            "codes/ would be invisible to the gated reader; use "
+            "StreamingAnnIndex.apply_batch or pass codes_dir and "
+            "commit the batch via ann_maintenance.write_manifest"
+        )
+    # quantizers + layout probe resolve through the SAME manifest read:
+    # a retrained index's frames live in their epoch directory, and the
+    # store_vectors sniff must see committed rows only (the codes root
+    # may hold torn in-flight batch dirs)
+    cents_dir, cb_dir = quantizer_dirs(path, man)
+    cents = spark.read.parquet(cents_dir)
+    cb = spark.read.parquet(cb_dir)
     residual = "is_residual" in cb.columns and bool(cb.first()["is_residual"])
-    store_vectors = "c_vec" in spark.read.parquet(f"{path}/codes").columns
+    store_vectors = "c_vec" in read_codes(spark, path, man).columns
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
     enc = assign_encode_fast(
         c, cents, cb, "n_id", "c_vec", dim=dim, m=m, residual=residual
@@ -1558,12 +1611,13 @@ def ivfpq_search(
     ``codes/batch=<id>`` directories, so a search concurrent with an
     in-flight or crashed micro-batch can never rank over a torn
     partial write (ann_maintenance.read_codes).  Static indexes have
-    no manifest and read the codes root exactly as before."""
-    from creek_spark.operators.ann_maintenance import read_codes
+    no manifest and read the codes root exactly as before.  Codes and
+    quantizer frames resolve through ONE manifest read (read_index), so
+    a concurrent retrain's manifest flip can never pair new quantizers
+    with old codes inside a single search."""
+    from creek_spark.operators.ann_maintenance import read_index
 
-    cents = spark.read.parquet(f"{path}/centroids")
-    cb = spark.read.parquet(f"{path}/codebook")
-    enc = read_codes(spark, path)
+    enc, cents, cb = read_index(spark, path)
     residual = "is_residual" in cb.columns and bool(cb.first()["is_residual"])
     qlut = _pq_query_lut(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),

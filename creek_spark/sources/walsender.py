@@ -53,14 +53,55 @@ def parse_lsn(text: str) -> int:
     return (int(hi, 16) << 32) | int(lo, 16)
 
 
+def _split_qualified(name: str) -> list[str]:
+    """Split a possibly schema-qualified identifier on dots that are
+    OUTSIDE double-quoted parts, unquoting each quoted part (Postgres
+    lexer rules: ``"my.tbl"`` is ONE identifier containing a dot;
+    ``a."b""c".d`` is three parts).  A blind ``name.split(".")`` cannot
+    express a raw identifier that itself contains a dot — the round-9
+    advice's silently-wrong-DDL edge.  Back-compat: a part that does
+    not START with ``"`` is raw text (an interior quote is a literal
+    character, as before — ``public.we"ird`` keeps meaning the table
+    named ``we"ird``)."""
+    parts, buf, quoted = [], [], False
+    i = 0
+    while i < len(name):
+        ch = name[i]
+        if quoted:
+            if ch == '"':
+                if i + 1 < len(name) and name[i + 1] == '"':
+                    buf.append('"')  # escaped quote inside a quoted part
+                    i += 1
+                else:
+                    quoted = False
+            else:
+                buf.append(ch)
+        elif ch == '"' and not buf:
+            quoted = True  # quote at part START opens a quoted part
+        elif ch == ".":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)  # interior quotes stay literal (back-compat)
+        i += 1
+    if quoted:
+        raise ValueError(f"unterminated quoted identifier: {name!r}")
+    parts.append("".join(buf))
+    return parts
+
+
 def pg_quote_ident(name: str) -> str:
     """Quote a (possibly schema-qualified) identifier for interpolation
-    into DDL: each dot-separated part is double-quoted with internal
-    quotes doubled — so ``Ns.My"Table`` → ``"Ns"."My""Table"``.  The
+    into DDL: each part is double-quoted with internal quotes doubled —
+    so ``Ns.My"Table`` → ``"Ns"."My""Table"``.  The split respects
+    quoting, so an identifier that itself contains a dot IS expressible
+    as ``'"my.tbl"'`` (and normalizes to the same quoted form).  The
     reference interpolates these unquoted (init.go:135 fmt.Sprintf),
     which breaks on mixed-case or reserved names; operator config is
-    trusted, but the three lines that make it safe are free."""
-    return ".".join('"' + p.replace('"', '""') + '"' for p in name.split("."))
+    trusted, but the lines that make it safe are free."""
+    return ".".join(
+        '"' + p.replace('"', '""') + '"' for p in _split_qualified(name)
+    )
 
 
 def pg_quote_literal(value: str) -> str:
@@ -71,15 +112,14 @@ def pg_quote_literal(value: str) -> str:
 
 def _unquote_ident(name: str) -> str:
     """Inverse of pg_quote_ident for the test backend's catalog state:
-    strip the double quotes from each dotted part (undoubling inner
-    quotes) so the server records the same normalized names a real
-    pg_publication catalog would."""
-    parts = []
-    for p in name.split("."):
-        if len(p) >= 2 and p[0] == '"' and p[-1] == '"':
-            p = p[1:-1].replace('""', '"')
-        parts.append(p)
-    return ".".join(parts)
+    strip the double quotes from each part (undoubling inner quotes,
+    respecting quoted dots — ``"my.tbl"`` unquotes as ONE part, where
+    the old blind dot-split mangled it into two).  Parts re-join on
+    '.', so the simulated catalog keys ``"my.tbl"`` and ``my.tbl`` the
+    same — acceptable for a test backend (a real pg_catalog stores
+    nspname/relname separately); the DDL the CLIENT emits is exact
+    either way via pg_quote_ident."""
+    return ".".join(_split_qualified(name))
 
 
 def check_slot_name(name: str) -> str:

@@ -818,3 +818,131 @@ def test_mid_stream_schema_evolution_e2e(spark, tmp_path):
         }
     finally:
         srv.close()
+
+def test_quote_ident_dotted_raw_identifier_expressible(tmp_path):
+    """Round-9 advice (low): pg_quote_ident split blindly on '.', so a
+    raw identifier containing a dot (table named ``my.tbl``) could not
+    be expressed — quoted input came out as garbage three-part DDL.
+    The split now respects quoting: a part that
+    STARTS with a double quote is one (possibly dotted) identifier;
+    unquoted parts keep the old raw-text semantics (interior quotes
+    literal), so every previously-valid input is unchanged."""
+    from creek_spark.sources.walsender import _unquote_ident, pg_quote_ident
+
+    # back-compat: raw parts, interior quote literal — unchanged
+    assert pg_quote_ident("public.users") == '"public"."users"'
+    assert pg_quote_ident('Ns.My"Table') == '"Ns"."My""Table"'
+    # the advice's edge: a dotted raw identifier IS now expressible
+    assert pg_quote_ident('"my.tbl"') == '"my.tbl"'
+    assert pg_quote_ident('public."my.tbl"') == '"public"."my.tbl"'
+    assert pg_quote_ident('"My.Schema"."a""b.c"') == '"My.Schema"."a""b.c"'
+    # quoting is idempotent: feeding the quoted form back re-normalizes
+    for name in ("public.users", 'public."my.tbl"', '"My.Schema"."a""b.c"'):
+        q = pg_quote_ident(name)
+        assert pg_quote_ident(q) == q
+    # the server-side inverse keeps dotted parts whole
+    assert _unquote_ident('"public"."my.tbl"') == "public.my.tbl"
+    assert _unquote_ident('"Ns"."My""Table"') == 'Ns.My"Table'
+    # unterminated quote is a loud error, not silent wrong DDL
+    import pytest
+
+    with pytest.raises(ValueError, match="unterminated"):
+        pg_quote_ident('public."broken')
+
+
+def test_bootstrap_dotted_table_name_end_to_end(tmp_path):
+    """A publication over a table whose NAME contains a dot (quoted
+    input form) bootstraps with exact DDL — the round-9 advice's
+    silently-wrong-DDL case, now end-to-end over real sockets."""
+    from creek_spark.sources.walsender import SocketTransport, TranscriptServer
+
+    path = _transcript(tmp_path / "s.hex", _events())
+    srv = TranscriptServer(path, strict_bootstrap=True)
+    try:
+        t = SocketTransport("127.0.0.1", srv.port, slot="s1", publication="p1")
+        t.ensure_bootstrap(['public."my.tbl"'])
+        queries = [r[1] for r in srv.received if r[0] == "query"]
+        assert any(
+            'FOR TABLE "public"."my.tbl"' in q for q in queries
+        ), queries
+    finally:
+        srv.close()
+
+
+def test_two_concurrent_streams_advance_slots_independently(tmp_path):
+    """Round-10 verdict item 4: round 9 made the TranscriptServer's
+    active slot per-CONNECTION (not a server-global), which is exactly
+    what two concurrent replication streams need — this is the test
+    that fix unlocked.  Two clients on different slots stream the same
+    backend CONCURRENTLY (real threads, real sockets, interleaved
+    status updates): each slot's confirmed_flush must advance from ITS
+    OWN client's acks only, and a fresh host resuming each slot must
+    start from that slot's LSN — s1 (died mid-stream) replays only its
+    own tail, s2 (fully acked) replays nothing."""
+    import threading
+
+    from creek_spark.sources.walsender import SocketTransport, TranscriptServer
+
+    path = _transcript(tmp_path / "s.hex", _events())
+    srv = TranscriptServer(path, strict_bootstrap=True)
+    try:
+        t1 = SocketTransport("127.0.0.1", srv.port, slot="s1", publication="p1")
+        t2 = SocketTransport("127.0.0.1", srv.port, slot="s2", publication="p2")
+        assert t1.ensure_bootstrap(["public.users"]) == 0
+        assert t2.ensure_bootstrap(["public.users"]) == 0
+        s1 = WalSenderSession(t1, str(tmp_path / "h1"))
+        s2 = WalSenderSession(t2, str(tmp_path / "h2"))
+
+        got: dict[str, list] = {"s1": [], "s2": []}
+        errors: list[str] = []
+
+        def drive(sess, name, stop_lsn):
+            try:
+                for lsn, row in sess.stream():
+                    got[name].append(row)
+                    sess.ack(lsn)
+                    if stop_lsn is not None and lsn == stop_lsn:
+                        break  # die mid-stream, no CopyDone
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                errors.append(f"{name}: {e!r}")
+
+        th1 = threading.Thread(target=drive, args=(s1, "s1", 0x4C))
+        th2 = threading.Thread(target=drive, args=(s2, "s2", None))
+        th1.start()
+        th2.start()
+        th1.join(timeout=120)
+        th2.join(timeout=120)
+        assert not errors, errors
+
+        # s2 consumed and acked everything; s1 died inside tx2
+        assert _interpret_ops(got["s2"]) == {1: "a2", 3: "c"}
+        assert srv.slots["s2"] >= 0x60
+        # s1's slot advanced past tx1 (its 6s-keepalive status) but NOT
+        # to s2's position — per-slot, not server-global
+        assert 0x30 <= srv.slots["s1"] < srv.slots["s2"]
+
+        # fresh host on s1: resumes ITS slot, replays only its tail
+        t1b = SocketTransport(
+            "127.0.0.1", srv.port, slot="s1", publication="p1"
+        )
+        lsn1 = t1b.ensure_bootstrap(["public.users"])
+        assert lsn1 == srv.slots["s1"]
+        s1b = WalSenderSession(t1b, str(tmp_path / "h1b"))
+        s1b.ack(lsn1)
+        tail = s1b.stream_rows()
+        assert _interpret_ops(got["s1"] + tail) == {1: "a2", 3: "c"}
+        assert all(
+            not (r["op"] == "c" and r["after"]["id"] in (1, 2)) for r in tail
+        )
+
+        # fresh host on s2: fully confirmed — nothing replays
+        t2b = SocketTransport(
+            "127.0.0.1", srv.port, slot="s2", publication="p2"
+        )
+        lsn2 = t2b.ensure_bootstrap(["public.users"])
+        assert lsn2 >= 0x60
+        s2b = WalSenderSession(t2b, str(tmp_path / "h2b"))
+        s2b.ack(lsn2)
+        assert s2b.stream_rows() == []
+    finally:
+        srv.close()

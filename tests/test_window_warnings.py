@@ -39,24 +39,19 @@ SF_DIR = sys.argv[1]
 spark = get_spark(app_name="window_warning_gate", shuffle_partitions=8)
 spark.sparkContext.setLogLevel("WARN")
 
-# the queries that exercised every formerly-warning site: empty-part
-# segmented_running (pareto bands, gini), global rank_pick offsets
-# (conversion latency), grand-total windows (drift tvd, p-chart),
-# calendar-day cumulatives (backlog, cumulative users)
-NAMES = [
-    "pareto_abc",
-    "quality_drift_tvd",
-    "ts_error_pchart",
-    "orders_open_backlog",
-    "events_conversion_latency",
-    "parts_abc_xyz_matrix",
-    "events_cumulative_users",
-    "customer_revenue_gini",
-]
+# ROUND-10 (verdict item 6): the WHOLE registry, not 8 representative
+# walkers — the empty-allow-list invariant ("any WindowExec warning is
+# a real unbounded global window") is enforced at every catalog site.
 cat = entrymod._catalog()
-for name in NAMES:
-    cat[name].fn(spark, SF_DIR).collect()
-print("WALKERS_DONE", flush=True)
+failed = []
+for name, q in sorted(cat.items()):
+    try:
+        q.fn(spark, SF_DIR).collect()
+    except Exception as e:  # surfaced as a hard failure below
+        failed.append(f"{name}: {type(e).__name__}: {e}")
+for f in failed:
+    print("QUERY_FAILED", f, flush=True)
+print(f"WALKERS_DONE n={len(cat)} failed={len(failed)}", flush=True)
 
 # canary: this MUST warn, or the whole capture is vacuous
 df = spark.range(100).select((F.col("id") % 7).alias("k"))
@@ -67,7 +62,12 @@ spark.stop()
 """
 
 
-def test_summary_walkers_log_no_global_window_warning():
+def test_full_catalog_logs_no_global_window_warning():
+    """One subprocess drives EVERY registered catalog query at sf0.001
+    and asserts the JVM logged zero `WindowExec: No Partition Defined`
+    warnings — then the canary (a deliberately unpartitioned window)
+    proves the capture isn't vacuous.  Any query that fails to run is a
+    hard failure too: a gate that skips broken queries gates nothing."""
     env = dict(os.environ)
     env["PYTHONPATH"] = (
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -78,16 +78,22 @@ def test_summary_walkers_log_no_global_window_warning():
         [sys.executable, "-c", _SCRIPT, SF_DIR],
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=2700,
         env=env,
     )
     log = proc.stdout + proc.stderr
     assert proc.returncode == 0, log[-3000:]
     assert "CANARY_DONE" in log, log[-3000:]
+    assert "QUERY_FAILED" not in log, [
+        line for line in log.splitlines() if "QUERY_FAILED" in line
+    ]
     walkers_log = log.split("WALKERS_DONE")[0]
     canary_log = log.split("WALKERS_DONE")[1]
-    # zero warnings from the whole formerly-warning query set ...
-    assert "No Partition Defined" not in walkers_log, walkers_log[-3000:]
+    assert " failed=0" in log, log[-3000:]
+    # zero warnings across the FULL catalog (empty allow-list) ...
+    assert "No Partition Defined" not in walkers_log, (
+        [l for l in walkers_log.splitlines() if "WindowExec" in l][:5]
+    )
     # ... while the canary proves the warning IS logged and captured
     assert "No Partition Defined" in canary_log, canary_log[-3000:]
 
