@@ -512,6 +512,23 @@ class Engine:
 
         return ann_drift_report(self.spark, path, recent, **kw)
 
+    def ann_index_vacuum(self, path: str) -> list[int]:
+        """Reclaim a streaming index's dead generations, superseded
+        quantizer epochs, and over-retention manifest versions — run
+        after the reader grace period (operators/ann_maintenance.py)."""
+        from creek_spark.operators.ann_maintenance import ivfpq_index_vacuum
+
+        return ivfpq_index_vacuum(self.spark, path)
+
+    def ann_index_adopt(self, path: str) -> int:
+        """Losslessly migrate a static ann_index_build layout into the
+        manifest-managed streaming layout (fs rename into batch=0 +
+        manifest v1) so a stream can safely append to it
+        (operators/ann_maintenance.py adopt_static_layout)."""
+        from creek_spark.operators.ann_maintenance import adopt_static_layout
+
+        return adopt_static_layout(self.spark, path)
+
     def streaming_dedup(self, state_dir: str, text_col: str = "text", id_col: str = "doc_id", **kw):
         """Continuous near-dedup against an append-only persisted LSH
         index, batch_id-fenced (streaming/dedup.py)."""

@@ -629,3 +629,29 @@ def test_build_polices_zero_norm_rows(spark, tmp_path, parts):
     clean = str(tmp_path / "clean")
     sim.ivfpq_index_build(parts["seed"], clean)
     assert len(_key(sim.ivfpq_search(spark, clean, parts["queries"]))) > 0
+
+
+def test_engine_facade_drives_full_ann_lifecycle(spark, tmp_path, parts):
+    """The Engine surface a reference user would script against: static
+    build → adopt into the streaming layout → streamed commit → search
+    → compact → drift probe → vacuum, all through engine methods (the
+    round-10 facades ann_index_adopt / ann_index_vacuum included)."""
+    from creek_spark.engine import Engine
+
+    eng = Engine(spark, data_dir=str(tmp_path))
+    p = str(tmp_path / "idx")
+    eng.ann_index_build(parts["seed"], p)
+    n0 = eng.ann_search(p, parts["queries"]).count()
+
+    eng.ann_index_adopt(p)
+    idx = eng.streaming_ann_index(p)
+    idx.apply_batch(parts["b"][0], 0)
+    assert eng.ann_search(p, parts["queries"]).count() == n0  # same k·|q|
+
+    v = eng.ann_index_compact(p)
+    assert v == read_manifest(spark, p)["version"]
+    rep = eng.ann_drift_report(p, parts["b"][1])
+    assert "retrain_recommended" in rep
+    dead = eng.ann_index_vacuum(p)
+    assert dead  # pre-compaction generations reclaimed
+    assert eng.ann_search(p, parts["queries"]).count() == n0
