@@ -265,17 +265,28 @@ def adopt_static_layout(spark, path: str) -> int:
     only the new batch and the gated reader would silently drop the
     whole seed corpus forever.  Single-writer: run it from the index
     owner with no search in flight (the rename window moves files a
-    root-reader may hold open)."""
+    root-reader may hold open).
+
+    CRASH-RESUMABLE: the per-file renames are not atomic as a group, so
+    a crash mid-adopt leaves files split between the root and
+    ``batch=0`` — a state `apply_batch` (loose root files) and a naive
+    re-adopt (``batch=*`` exists) would both refuse, wedging the index.
+    Because no manifest was published, ``batch=0`` can only be this
+    adopt's own half-finished destination; re-running finishes the
+    remaining moves and publishes v1.  Any OTHER batch id alongside
+    root files is a state adopt never creates and refuses as ambiguous."""
     if read_manifest(spark, path) is not None:
         raise ValueError(f"index at {path} is already manifest-managed")
     names = _list_names(spark, f"{path}/codes")
-    if any(n.startswith("batch=") for n in names):
+    batches = {n for n in names if n.startswith("batch=")}
+    names = [n for n in names if n not in batches]
+    if batches - {"batch=0"}:
         raise ValueError(
-            f"index at {path} already has codes/batch=* generations: not a "
-            "static layout (a pre-manifest streaming index is adopted by "
-            "apply_batch itself)"
+            f"index at {path} already has codes/batch=* generations "
+            f"({sorted(batches)[:3]}): not a static layout (a pre-manifest "
+            "streaming index is adopted by apply_batch itself)"
         )
-    if not names:
+    if not names and not batches:
         raise ValueError(f"no codes at {path}/codes: nothing to adopt")
     fs, _, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path

@@ -655,3 +655,60 @@ def test_engine_facade_drives_full_ann_lifecycle(spark, tmp_path, parts):
     dead = eng.ann_index_vacuum(p)
     assert dead  # pre-compaction generations reclaimed
     assert eng.ann_search(p, parts["queries"]).count() == n0
+
+
+def test_adopt_resumes_after_mid_rename_crash(spark, tmp_path, parts):
+    """adopt_static_layout's per-file renames are not atomic as a group:
+    a crash mid-adopt leaves files split between the codes root and
+    batch=0 — a state apply_batch (loose root files) and a naive
+    re-adopt (batch=* exists) would BOTH refuse, wedging the index with
+    no migration path.  Since no manifest was published, batch=0 can
+    only be adopt's own half-finished destination: re-running adopt must
+    finish the remaining moves and publish v1, bit-identical to an
+    uninterrupted adopt."""
+    from creek_spark.operators.ann_maintenance import adopt_static_layout
+
+    p = str(tmp_path / "idx")
+    sim.ivfpq_index_build(parts["seed"], p)  # static root layout
+    before = _key(sim.ivfpq_search(spark, p, parts["queries"]))
+
+    # simulate the crash: half the root entries already moved
+    codes = os.path.join(p, "codes")
+    os.makedirs(os.path.join(codes, "batch=0"))
+    loose = sorted(os.listdir(codes))
+    for n in loose[: max(1, len(loose) // 2)]:
+        if n != "batch=0":
+            os.rename(
+                os.path.join(codes, n), os.path.join(codes, "batch=0", n)
+            )
+    assert read_manifest(spark, p) is None
+    idx = StreamingAnnIndex(spark, p)
+    with pytest.raises(ValueError, match="adopt_static_layout"):
+        idx.apply_batch(parts["b"][0], 0)  # still refuses the hybrid
+
+    adopt_static_layout(spark, p)  # the resume
+    assert read_manifest(spark, p)["live"] == [0]
+    assert sorted(os.listdir(codes)) == ["batch=0"]  # nothing left behind
+    assert _key(sim.ivfpq_search(spark, p, parts["queries"])) == before
+
+    # streaming now proceeds normally on the adopted index
+    idx.apply_batch(parts["b"][0], 0)
+    assert read_manifest(spark, p)["live"] == [0, 1]
+
+
+def test_adopt_refuses_ambiguous_multi_generation_hybrid(
+    spark, tmp_path, parts
+):
+    """Loose root files alongside a batch id other than 0 is a state
+    adopt never creates (its destination is always batch=0) — absorbing
+    it would guess at provenance, so it must refuse, and the error names
+    the offending generations."""
+    from creek_spark.operators.ann_maintenance import adopt_static_layout
+
+    p = str(tmp_path / "idx")
+    sim.ivfpq_index_build(parts["seed"], p)
+    sim.ivfpq_index_append(
+        parts["b"][0], p, codes_dir=f"{p}/codes/batch=7", mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="batch=7"):
+        adopt_static_layout(spark, p)
