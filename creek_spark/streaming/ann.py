@@ -150,7 +150,19 @@ class StreamingAnnIndex:
         directory listing; a STATIC layout (code rows at the codes
         root, from a plain `ivfpq_index_build`) cannot be listed into a
         batch manifest and refuses loudly — run
-        `ann_maintenance.adopt_static_layout` once, or bootstrap()."""
+        `ann_maintenance.adopt_static_layout` once, or bootstrap().
+
+        One listing-seeded directory is NOT trusted: ``batch=<bid>``
+        itself.  A pre-manifest stream that crashed mid-write left that
+        directory torn, and the replayed trigger that adopts the index
+        is exactly the one that must repair it — so the adoption
+        manifest is published WITHOUT ``bid`` before anything reads the
+        index (append's store_vectors sniff included: un-gated it would
+        read the torn directory), then the normal path rewrites ``bid``
+        (bit-exact if it was in fact complete, codes being
+        deterministic; repaired if it was torn) and commits it.  Older
+        directories can't be distinguished from committed ones without
+        the stream's checkpoint and are seeded as-is."""
         bid = batch_id + 1
         live = committed_batches(self.spark, self.path)
         if live is None:
@@ -171,8 +183,17 @@ class StreamingAnnIndex:
                     "ann_maintenance.adopt_static_layout(spark, path) once "
                     "to absorb it as batch=0, or start from bootstrap()"
                 )
-            live = [int(n.split("=", 1)[1]) for n in names]
-        if bid in live:
+            live = [
+                b
+                for n in names
+                if (b := int(n.split("=", 1)[1])) != bid
+            ]
+            if live:
+                # adoption publish: from here on every reader (the
+                # append below included) is manifest-gated, so a torn
+                # bid directory can never be read or committed as-is
+                write_manifest(self.spark, self.path, live)
+        elif bid in live:
             return
         ivfpq_index_append(
             batch, self.path, id_col=self.id_col, vec_col=self.vec_col,

@@ -712,3 +712,45 @@ def test_adopt_refuses_ambiguous_multi_generation_hybrid(
     )
     with pytest.raises(ValueError, match="batch=7"):
         adopt_static_layout(spark, p)
+
+
+def test_adoption_repairs_torn_replay_batch(spark, tmp_path, parts):
+    """A pre-manifest stream that crashed mid-write left its last batch
+    directory TORN on disk — and the replayed trigger that first adopts
+    the index is exactly that batch.  Seeding the manifest straight from
+    the directory listing would commit the torn directory and the replay
+    shortcut would skip the rewrite: torn data committed forever, the
+    silent-wrong-answers class.  The seeding path must instead treat the
+    replayed bid as uncommitted — rewrite it (bit-exact when it was in
+    fact complete, repaired when torn) before the first manifest commits
+    it."""
+    p = str(tmp_path / "idx")
+    # round-8 (pre-manifest) layout: committed batches 0 and 1 ...
+    sim.ivfpq_index_build(parts["seed"], p, codes_dir=f"{p}/codes/batch=0")
+    sim.ivfpq_index_append(
+        parts["b"][0], p, codes_dir=f"{p}/codes/batch=1", mode="overwrite"
+    )
+    # ... and a TORN batch=2 from the crashed trigger (batch_id=1)
+    torn = os.path.join(p, "codes", "batch=2")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.snappy.parquet"), "wb") as f:
+        f.write(b"PAR1 torn mid-write, not a valid footer")
+
+    idx = StreamingAnnIndex(spark, p)
+    idx.apply_batch(parts["b"][1], 1)  # the replay of the crashed trigger
+    man = read_manifest(spark, p)
+    assert man["live"] == [0, 1, 2]
+
+    # committed content equals a one-shot build+append of the same rows —
+    # the torn file is gone, not ranked over
+    ref = str(tmp_path / "ref")
+    sim.ivfpq_index_build(parts["seed"], ref)
+    sim.ivfpq_index_append(
+        parts["b"][0].unionByName(parts["b"][1]), ref
+    )
+    assert _key(idx.search(parts["queries"])) == _key(
+        sim.ivfpq_search(spark, ref, parts["queries"])
+    )
+    # and once manifest-managed, the replay shortcut IS a pure no-op
+    idx.apply_batch(parts["b"][1], 1)
+    assert read_manifest(spark, p)["version"] == man["version"]
