@@ -754,3 +754,64 @@ def test_adoption_repairs_torn_replay_batch(spark, tmp_path, parts):
     # and once manifest-managed, the replay shortcut IS a pure no-op
     idx.apply_batch(parts["b"][1], 1)
     assert read_manifest(spark, p)["version"] == man["version"]
+
+
+def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
+    """Random interleavings of the full maintenance surface (apply,
+    compact, retrain, vacuum, drift probe).  The pairwise tests prove
+    each transition; this proves their COMPOSITION: after every op, the
+    indexed id-set equals exactly what was ingested (nothing hidden,
+    nothing resurrected), search keeps answering, the manifest version
+    only moves forward, and `_manifest/` stays inside the retention
+    window no matter how the ops interleave.  Seeded, so a failure
+    replays deterministically."""
+    import random
+
+    from creek_spark.operators.ann_maintenance import (
+        MANIFEST_RETAIN,
+        read_codes,
+    )
+
+    rng = random.Random(17)
+    p = str(tmp_path / "idx")
+    emb = parts["emb"]
+    slices = [emb.where(F.col("vec_id") % 8 == r) for r in range(8)]
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(slices[0])
+    ingested = {r["vec_id"] for r in slices[0].select("vec_id").collect()}
+
+    next_bid, last_version = 0, read_manifest(spark, p)["version"]
+    ops = ["apply", "apply", "apply", "compact", "retrain", "vacuum", "drift"]
+    for step in range(14):
+        op = rng.choice(ops)
+        if op == "apply" and next_bid < 7:
+            s = slices[next_bid + 1]
+            idx.apply_batch(s, next_bid)
+            ingested |= {r["vec_id"] for r in s.select("vec_id").collect()}
+            next_bid += 1
+        elif op == "compact":
+            idx.compact(vacuum=rng.random() < 0.5)
+        elif op == "retrain":
+            idx.retrain(vacuum=rng.random() < 0.5)
+        elif op == "vacuum":
+            idx.vacuum()
+        elif op == "drift":
+            rep = idx.drift_report(slices[rng.randrange(8)])
+            assert 0.0 <= rep["recall"] <= 1.0
+        else:
+            continue
+        # invariant 1: the committed rows are EXACTLY the ingested rows
+        got = {r["n_id"] for r in read_codes(spark, p).select("n_id").collect()}
+        assert got == ingested, (step, op, len(got), len(ingested))
+        # invariant 2: search keeps answering over the committed snapshot
+        assert idx.search(parts["queries"]).count() > 0, (step, op)
+        # invariant 3: versions only move forward; retention holds
+        man = read_manifest(spark, p)
+        assert man["version"] >= last_version, (step, op)
+        last_version = man["version"]
+        files = [
+            n
+            for n in os.listdir(os.path.join(p, "_manifest"))
+            if n.endswith(".json")
+        ]
+        assert len(files) <= MANIFEST_RETAIN, (step, op, len(files))
