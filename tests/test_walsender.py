@@ -946,3 +946,29 @@ def test_two_concurrent_streams_advance_slots_independently(tmp_path):
         assert s2b.stream_rows() == []
     finally:
         srv.close()
+
+
+def test_quote_ident_roundtrip_property():
+    """Property: ANY sequence of identifier parts — dots, quotes,
+    unicode, whatever — is expressible in quoted form, and the scanner
+    recovers the parts exactly; quoting is idempotent on its own output
+    (the canonical form is a fixed point)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from creek_spark.sources.walsender import _split_qualified, pg_quote_ident
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.text(min_size=1, max_size=12),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def check(parts):
+        joined = ".".join('"' + p.replace('"', '""') + '"' for p in parts)
+        assert _split_qualified(joined) == parts
+        assert pg_quote_ident(joined) == joined
+
+    check()
