@@ -181,9 +181,14 @@ class CdcApplier:
             parts.append(
                 self.spark.read.option("basePath", vdir).parquet(*paths)
             )
+        # allowMissingColumns: after a schema-widening restart, buckets
+        # rewritten since the widening carry the new column while
+        # untouched buckets persist under the old schema — the union
+        # fills the gap with NULLs (ADD COLUMN semantics) instead of
+        # refusing to read a half-migrated state
         df = parts[0]
         for p in parts[1:]:
-            df = df.unionByName(p)
+            df = df.unionByName(p, allowMissingColumns=True)
         return df
 
     def _publish(
@@ -235,6 +240,15 @@ class CdcApplier:
     def _state_as_wal(self, state: DataFrame) -> DataFrame:
         after_t = self.envelope_schema["after"].dataType
         before_t = self.envelope_schema["before"].dataType
+        # Schema evolution (upstream ADD COLUMN): the applier's envelope
+        # schema can be WIDER than the persisted state — the reference
+        # publishes a new fingerprint and keeps streaming (O10), so the
+        # restarted consumer replays new-schema batches onto old-schema
+        # state.  Fields the stored rows don't have surface as typed
+        # NULLs, exactly Postgres's ADD COLUMN semantics for
+        # pre-existing rows; dropped columns fall away because only the
+        # current envelope's fields are selected.
+        have = set(state.columns)
         return state.select(
             F.lit("state").alias("fingerprint"),
             F.struct(
@@ -251,7 +265,9 @@ class CdcApplier:
             F.lit(None).cast(before_t).alias("before"),
             F.struct(
                 *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    (F.col(f.name) if f.name in have else F.lit(None))
+                    .cast(f.dataType)
+                    .alias(f.name)
                     for f in after_t.fields
                 ]
             ).alias("after"),

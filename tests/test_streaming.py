@@ -188,3 +188,69 @@ def test_cdc_applier_delete_empties_bucket(spark, tmp_path):
     assert state_dict(applier.current_state().select("id", "data")) == {
         2: "two"
     }
+
+
+def test_cdc_schema_evolution_add_column(spark, tmp_path):
+    """Upstream `ALTER TABLE ... ADD COLUMN` mid-stream: the reference
+    publishes a new schema fingerprint and keeps streaming (O10), so the
+    consumer restarts its applier with the WIDENED envelope schema — and
+    that applier must merge new-schema batches onto the old-schema
+    persisted state.  Old rows surface the new column as NULL (exactly
+    Postgres ADD COLUMN semantics for pre-existing rows), updated and
+    inserted rows carry values, and untouched buckets persisted under
+    the old schema keep reading alongside new-schema buckets."""
+    from creek_spark.types import envelope_schema
+    from creek_spark.types.pgtypes import (
+        PGColumn,
+        PGRelation,
+        pg_relation_to_struct,
+    )
+    from tests.fixtures import wal_row
+
+    state_dir = str(tmp_path / "state")
+    a1 = CdcApplier(spark, state_dir, ["id"], ENV_SCHEMA, n_buckets=4)
+    b1 = spark.createDataFrame(
+        [
+            wal_row(1, "c", after=(1, "one")),
+            wal_row(2, "c", after=(2, "two")),
+        ],
+        schema=ENV_SCHEMA,
+    )
+    a1.apply_batch(b1, 0)
+
+    widened = PGRelation(
+        namespace="public",
+        name="other",
+        columns=[
+            PGColumn("id", "int4", flags=1),
+            PGColumn("data", "text"),
+            PGColumn("score", "int4"),
+        ],
+    )
+    env2 = envelope_schema(pg_relation_to_struct(widened))
+    a2 = CdcApplier(spark, state_dir, ["id"], env2, n_buckets=4)
+    b2 = spark.createDataFrame(
+        [
+            wal_row(20, "c", after=(3, "three", 30)),
+            wal_row(21, "u", before=(2,), after=(2, "two-v2", 20)),
+        ],
+        schema=env2,
+    )
+    a2.apply_batch(b2, 1)
+
+    st = {
+        r["id"]: (r["data"], r["score"])
+        for r in a2.current_state().select("id", "data", "score").collect()
+    }
+    assert st == {1: ("one", None), 2: ("two-v2", 20), 3: ("three", 30)}
+
+    # the widened state keeps evolving normally (delete under new schema)
+    b3 = spark.createDataFrame(
+        [wal_row(22, "d", before=(1,))], schema=env2
+    )
+    a2.apply_batch(b3, 2)
+    st3 = {
+        r["id"]: (r["data"], r["score"])
+        for r in a2.current_state().select("id", "data", "score").collect()
+    }
+    assert st3 == {2: ("two-v2", 20), 3: ("three", 30)}
