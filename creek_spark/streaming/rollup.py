@@ -133,7 +133,9 @@ class AdditiveRollupSink:
             )
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            # allowMissingColumns: partitions rewritten since a metric
+            # column was added carry it; untouched ones read as NULL
+            out = out.unionByName(p, allowMissingColumns=True)
         # partition values round-trip through hive paths as strings
         return out.withColumn(
             self.partition_col, F.col(self.partition_col).cast("string")
@@ -172,7 +174,28 @@ class AdditiveRollupSink:
                 ).withColumn(
                     self.partition_col, F.col(self.partition_col).cast("string")
                 )
-                merged = merged.unionByName(prev.select(*merged.columns))
+                # Schema evolution (a metric column added to add_cols
+                # after state was persisted): stored partitions that
+                # predate the column contribute typed NULLs, which the
+                # merge aggregates ignore — "no prior contributions",
+                # the only additive reading of a metric that didn't
+                # exist yet.  Dropped metrics fall away because only
+                # the current columns are selected.
+                have = set(prev.columns)
+                merged = merged.unionByName(
+                    prev.select(
+                        *[
+                            (
+                                F.col(c)
+                                if c in have
+                                else F.lit(None).cast(
+                                    merged.schema[c].dataType
+                                )
+                            ).alias(c)
+                            for c in merged.columns
+                        ]
+                    )
+                )
             merged = merged.groupBy(*self.key_cols).agg(*self._merge_exprs())
         ver_n = (old["version"] + 1) if old else 1
         new_ver = f"v{ver_n:07d}"

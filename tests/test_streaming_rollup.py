@@ -606,3 +606,42 @@ def test_streaming_vocab_equals_batch(spark, sf_dir, tmp_path):
     assert key(det.report()) == want
     det.apply_batch(docs.where(F.col("doc_id") >= 320), len(splits) - 1)
     assert key(det.report()) == want
+
+
+def test_rollup_schema_evolution_new_metric_column(spark, tmp_path):
+    """A metric column added to ``add_cols`` after state was persisted
+    (the rollup-side twin of CdcApplier's ADD COLUMN case): the widened
+    sink must merge onto old-schema partitions — prior periods read the
+    new metric as its batch-only value (no prior contributions), while
+    pre-existing metrics keep accumulating across the widening."""
+    sd = str(tmp_path / "roll")
+    keys, part = ["day", "k"], "day"
+    v1 = AdditiveRollupSink(spark, sd, keys, ["n"], part)
+    v1.apply_batch(
+        spark.createDataFrame(
+            [("d1", "a", 10), ("d2", "a", 5)], "day string, k string, n long"
+        ),
+        0,
+    )
+    v2 = AdditiveRollupSink(
+        spark, sd, keys, {"n": "sum", "err": "sum"}, part
+    )
+    v2.apply_batch(
+        spark.createDataFrame(
+            [("d1", "a", 3, 2), ("d3", "b", 1, 7)],
+            "day string, k string, n long, err long",
+        ),
+        1,
+    )
+    got = {
+        (r["day"], r["k"]): (r["n"], r["err"])
+        for r in v2.current().collect()
+    }
+    # d1 merged across the widening: n accumulates, err = batch-only;
+    # d2 untouched (old schema on disk): err reads as NULL;
+    # d3 new under the widened schema
+    assert got == {
+        ("d1", "a"): (13, 2),
+        ("d2", "a"): (5, None),
+        ("d3", "b"): (1, 7),
+    }
