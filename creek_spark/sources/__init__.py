@@ -283,8 +283,22 @@ def bootstrap(
         F.lit("r").alias("op"),
         F.lit(header["at"]).cast("timestamp").alias("sent_at"),
         F.lit(None).cast(before_t).alias("before"),
+        # Schema evolution: bootstrapping an old snapshot against a
+        # stream whose envelope gained columns since the snapshot was
+        # taken — snapshot rows surface the new columns as typed NULLs
+        # (Postgres ADD COLUMN semantics for pre-existing rows), the
+        # same widening rule as CdcApplier._state_as_wal
         F.struct(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in after_t.fields]
+            *[
+                (
+                    F.col(f.name)
+                    if f.name in snapshot_df.columns
+                    else F.lit(None)
+                )
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in after_t.fields
+            ]
         ).alias("after"),
         F.lit(None).cast("array<string>").alias("unchanged_toast"),
     )

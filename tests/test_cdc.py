@@ -121,3 +121,53 @@ def test_latest_state_keeps_distinct_keys_sharing_lsn(spark):
     df = spark.createDataFrame(rows, schema=ENV_SCHEMA)
     out = latest_state(df, ["id"])
     assert state_dict(out) == {1: "a", 2: "b"}
+
+
+def test_bootstrap_old_snapshot_against_widened_stream(spark, tmp_path):
+    """Upstream ADD COLUMN between the snapshot and the stream head: the
+    snapshot's rows predate the column, the WAL envelope carries it —
+    bootstrapping must widen the snapshot rows with typed NULLs (what
+    those rows would read as in Postgres after ADD COLUMN) and let later
+    changes fill the column in."""
+    from creek_spark.sources import bootstrap, read_snapshot, write_snapshot
+    from creek_spark.types import envelope_schema
+    from creek_spark.types.pgtypes import (
+        PGColumn,
+        PGRelation,
+        pg_relation_to_struct,
+    )
+    from tests.fixtures import wal_row
+
+    widened = PGRelation(
+        namespace="public",
+        name="other",
+        columns=[
+            PGColumn("id", "int4", flags=1),
+            PGColumn("data", "text"),
+            PGColumn("score", "int4"),
+        ],
+    )
+    env2 = envelope_schema(pg_relation_to_struct(widened))
+    stream = spark.createDataFrame(
+        [
+            wal_row(20, "u", before=(2,), after=(2, "two-v2", 9)),
+            wal_row(21, "c", after=(4, "four", 40)),
+        ],
+        schema=env2,
+    )
+    snap = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "id int, data string"
+    )
+    path = write_snapshot(snap, str(tmp_path), "other", lsn="0/F", tx_id=7)
+    sdf, header = read_snapshot(spark, path)
+    out = bootstrap(sdf, header, stream, ["id"])
+    got = {
+        r["id"]: (r["data"], r["score"])
+        for r in out.select("id", "data", "score").collect()
+    }
+    assert got == {
+        1: ("one", None),
+        2: ("two-v2", 9),
+        3: ("three", None),
+        4: ("four", 40),
+    }
