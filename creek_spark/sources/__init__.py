@@ -80,8 +80,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
+    # Guard on the type Spark ACTUALLY produced: nanosAsLong only turns
+    # TIMESTAMP(NANOS)-annotated int64 into LongType; INT96 timestamps
+    # (e.g. Spark's own default parquet writer) report as timestamp[ns]
+    # to pyarrow too but arrive here as TimestampType already — blindly
+    # div-1000'ing those broke reading any Spark-written table back
+    # through this boundary.
+    from pyspark.sql.types import LongType
+
     for c in _nano_ts_columns(path):
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     # Belt-and-suspenders: if a future reader path still yields NTZ (e.g. a
     # conf snapshot taken before ours), cast it away.  Only safe when the
     # session tz is UTC; otherwise the conf above already prevented NTZ.
