@@ -254,3 +254,62 @@ def test_cdc_schema_evolution_add_column(spark, tmp_path):
         for r in a2.current_state().select("id", "data", "score").collect()
     }
     assert st3 == {2: ("two-v2", 20), 3: ("three", 30)}
+
+
+def test_cdc_stream_restart_across_schema_widening(spark, tmp_path):
+    """The full production shape of the ADD COLUMN case: a checkpointed
+    stream processes old-schema envelope files, stops, the upstream adds
+    a column, and a NEW query on the SAME checkpoint — widened schema,
+    widened applier — resumes without reprocessing old files and merges
+    new-schema batches onto the old-schema state."""
+    from creek_spark.types import envelope_schema
+    from creek_spark.types.pgtypes import (
+        PGColumn,
+        PGRelation,
+        pg_relation_to_struct,
+    )
+    from tests.fixtures import wal_row
+
+    src = str(tmp_path / "wal")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    a1 = CdcApplier(spark, state_dir, ["id"], ENV_SCHEMA, n_buckets=4)
+    _write_batch(
+        spark,
+        [wal_row(1, "c", after=(1, "one")), wal_row(2, "c", after=(2, "two"))],
+        src,
+    )
+    q1 = a1.start(read_envelope_stream(spark, src, ENV_SCHEMA), ckpt)
+    q1.awaitTermination(120)
+    assert state_dict(a1.current_state().select("id", "data")) == {
+        1: "one",
+        2: "two",
+    }
+
+    widened = PGRelation(
+        namespace="public",
+        name="other",
+        columns=[
+            PGColumn("id", "int4", flags=1),
+            PGColumn("data", "text"),
+            PGColumn("score", "int4"),
+        ],
+    )
+    env2 = envelope_schema(pg_relation_to_struct(widened))
+    spark.createDataFrame(
+        [
+            wal_row(20, "u", before=(2,), after=(2, "two-v2", 9)),
+            wal_row(21, "c", after=(3, "three", 30)),
+        ],
+        schema=env2,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    a2 = CdcApplier(spark, state_dir, ["id"], env2, n_buckets=4)
+    q2 = a2.start(read_envelope_stream(spark, src, env2), ckpt)
+    q2.awaitTermination(120)
+    st = {
+        r["id"]: (r["data"], r["score"])
+        for r in a2.current_state().select("id", "data", "score").collect()
+    }
+    assert st == {1: ("one", None), 2: ("two-v2", 9), 3: ("three", 30)}
