@@ -59,10 +59,25 @@ MANIFEST_RETAIN = 10
 
 # Keys that describe the INDEX rather than one commit, carried forward
 # manifest-to-manifest unless a writer overrides them: the drift-probe
-# baseline and the quantizer-epoch pointer (retrain publishes new
+# baseline, the quantizer-epoch pointer (retrain publishes new
 # quantizers under quantizers/v<epoch> — a per-batch commit must not
-# silently revert readers to the stale root quantizers).
-_PERSISTENT_KEYS = ("probe", "quantizers")
+# silently revert readers to the stale root quantizers), and the
+# streaming-batch high-watermark (compaction/retrain fold committed
+# batch ids out of `live`; without the watermark a replayed trigger
+# whose directory was folded would re-append rows the fold already
+# contains — silent duplication).
+_PERSISTENT_KEYS = ("probe", "quantizers", "max_bid")
+
+
+class ManifestConflictError(RuntimeError):
+    """The manifest advanced between a writer's read and its publish —
+    some other writer committed in the window.  The single-writer
+    contract was violated (or a maintenance op raced a live stream);
+    the loser must re-read and redo its work against current state, it
+    must NOT publish: its `live` list was computed from a stale
+    snapshot and would silently drop the interleaved commit (a stream
+    batch vanishing from every future search — the worst failure
+    class) or pair codes with the wrong quantizer epoch."""
 
 
 # -- hadoop-fs plumbing (works for local/HDFS/S3A alike) ----------------
@@ -161,14 +176,39 @@ def write_manifest(
     *,
     extra: dict | None = None,
     retain: int = MANIFEST_RETAIN,
+    expect_version: int | None = None,
 ) -> int:
     """Publish the next manifest version listing the LIVE batch ids,
     then prune versions older than the last ``retain`` (publish first,
     prune after — a reader always finds at least the newest version).
-    Index-level keys (probe baseline, quantizer-epoch pointer) ride
-    forward from the previous version unless ``extra`` overrides them.
-    Returns the published version number."""
+    Index-level keys (probe baseline, quantizer-epoch pointer,
+    streaming-batch watermark) ride forward from the previous version
+    unless ``extra`` overrides them.  Returns the published version
+    number.
+
+    ``expect_version`` is the optimistic-concurrency fence every
+    read-modify-write caller should pass: the manifest version its
+    `live` list was computed FROM (0 = "no manifest existed").  If the
+    manifest moved in between, `ManifestConflictError` — turning the
+    two silent-corruption interleavings (a retrain/compaction flip
+    dropping a concurrently-committed stream batch; a stream commit
+    landing after a quantizer flip with codes encoded under the OLD
+    epoch) into loud, retryable failures.  The check is
+    check-then-write, not true CAS — under the documented single-writer
+    contract that is exact (one writer at a time, the fence catches
+    SEQUENCING mistakes like maintenance racing a live stream); two
+    truly simultaneous writers are out of contract on any
+    filesystem-backed log without a lock service."""
     prev = read_manifest(spark, path)
+    if expect_version is not None:
+        found = prev["version"] if prev else 0
+        if found != expect_version:
+            raise ManifestConflictError(
+                f"manifest at {path} is v{found}, expected v{expect_version}: "
+                "another writer committed since this one read — re-read and "
+                "redo against current state (publishing would drop or "
+                "mis-pair that commit)"
+            )
     version = (prev["version"] + 1) if prev else 1
     man = dict(extra or {})
     for k in _PERSISTENT_KEYS:
@@ -295,7 +335,7 @@ def adopt_static_layout(spark, path: str) -> int:
     for n in names:
         if not fs.rename(P(f"{path}/codes/{n}"), P(f"{path}/codes/batch=0/{n}")):
             raise IOError(f"adopt: rename of codes/{n} failed")
-    return write_manifest(spark, path, [0])
+    return write_manifest(spark, path, [0], expect_version=0)
 
 
 # -- compaction ----------------------------------------------------------
@@ -332,7 +372,12 @@ def ivfpq_index_compact(spark, path: str, *, vacuum: bool = False) -> int:
     rows.select(*cols).write.mode("overwrite").partitionBy("cell_id").parquet(
         f"{path}/codes/batch={gen}"
     )
-    published = write_manifest(spark, path, [gen])
+    # fenced on the version the fold was computed from: a stream batch
+    # committed during the fold makes this publish raise rather than
+    # silently drop that batch from every future search
+    published = write_manifest(
+        spark, path, [gen], expect_version=man["version"]
+    )
     # write_manifest rereads the latest version itself; under the
     # single-writer contract it equals `version`
     if vacuum:
@@ -474,9 +519,25 @@ def ann_drift_report(
     ``retrain_recommended`` trips when recall fell more than
     ``tolerance`` below baseline — the signal to rebuild (retrain
     quantizers) instead of appending forever, i.e. Faiss's
-    train-vs-add decision made measurable."""
+    train-vs-add decision made measurable.
+
+    An index whose manifest carries NO baseline (adopted from a
+    pre-manifest/static layout — neither adoption path probes) raises
+    rather than comparing against nothing: drift=None would make
+    ``retrain_recommended`` permanently False, silently disabling the
+    one signal this probe exists to produce.  Publish a baseline once
+    with `StreamingAnnIndex.rebaseline()`."""
     man = read_manifest(spark, path) or {}
     probe = man.get("probe") or {}
+    base = probe.get("recall")
+    if base is None:
+        raise ValueError(
+            f"index at {path} has no drift baseline in its manifest "
+            "(adopted from a pre-manifest or static layout?): drift "
+            "cannot be measured against nothing, and defaulting to "
+            "'no drift' would silently disable the retrain signal — "
+            "publish a baseline once with StreamingAnnIndex.rebaseline()"
+        )
     params = {
         "sample": probe.get("sample", 512),
         "n_queries": probe.get("n_queries", 64),
@@ -487,11 +548,10 @@ def ann_drift_report(
         spark, path, recent_df, id_col=id_col, vec_col=vec_col, m=m,
         **params,
     )
-    base = probe.get("recall")
-    drift = None if base is None else base - recall
+    drift = base - recall
     return {
         "recall": recall,
         "base_recall": base,
         "drift": drift,
-        "retrain_recommended": bool(drift is not None and drift > tolerance),
+        "retrain_recommended": bool(drift > tolerance),
     }

@@ -235,10 +235,21 @@ def hyperplane_sign_bits(vec_col, dim: int, n_planes: int = 8):
 def _pair_cos(qv, cv, qn, cn, exact: bool):
     """Cosine of a pair.  exact=True: decimal dot over precomputed decimal
     norm-squares — bit-reproducible in any ANSI-SQL engine.  exact=False:
-    double fold (fast path); qn/cn are ignored (None)."""
+    double fold (fast path); qn/cn are ignored (None).
+
+    A zero denominator (either side zero-norm) yields NULL — the
+    documented exact-path semantics for undefined cosine ("zero rows
+    surface NULL / a NULL cell").  Without the guard, ANSI mode raises
+    DIVIDE_BY_ZERO instead, which made `on_zero_norm='allow'` builds
+    crash whenever the residual path ran this assignment over an
+    admitted zero row: the policy promised NULL-cell semantics the
+    arithmetic couldn't deliver.  On any zero-free corpus the guard is
+    value-invariant (the branch is never taken), so oracle bit-parity
+    is untouched."""
     if exact:
-        return _exact_dot(qv, cv).cast("double") / (
-            F.sqrt(qn.cast("double")) * F.sqrt(cn.cast("double"))
+        denom = F.sqrt(qn.cast("double")) * F.sqrt(cn.cast("double"))
+        return F.when(
+            denom != F.lit(0.0), _exact_dot(qv, cv).cast("double") / denom
         )
     return cosine_similarity(qv, cv)
 
@@ -987,9 +998,17 @@ def _adc_sim_col(m: int, *, with_cdot: bool = False):
     adc = F.col("_cdot") if with_cdot else terms.pop(0)
     for t_ in terms:
         adc = (adc + t_).cast("decimal(25,12)")
-    return adc.cast("double") / (
-        F.sqrt(F.col("_qnrm").cast("double")) * F.sqrt(F.col("_nrm").cast("double"))
+    denom = (
+        F.sqrt(F.col("_qnrm").cast("double"))
+        * F.sqrt(F.col("_nrm").cast("double"))
     )
+    # zero-norm side (possible only under on_zero_norm='allow') → NULL
+    # similarity, ranked last — matching the exact path's NULL on
+    # undefined cosine; without the guard ANSI mode fails EVERY search
+    # over an index containing one admitted zero row.  Value-invariant
+    # on zero-free corpora (the branch never taken), so oracle
+    # bit-parity holds.
+    return F.when(denom != F.lit(0.0), adc.cast("double") / denom)
 
 
 def _probe_frame(qlut: DataFrame, cents: DataFrame, nprobe: int, *, with_cdot: bool):
@@ -1306,6 +1325,70 @@ def _probe_pick_residual(S, CC, cb_raw_m, cb_res_m, m, n_queries: int = 16, k: i
     return bool(res > raw)
 
 
+def _zero_norm_cond(vec_col: str):
+    """True exactly for the vectors cosine is undefined on: NULL, empty,
+    containing a NULL element (their norm computes to NULL), or all-zero.
+    Never three-valued: the NULL-element disjunct is true whenever the
+    all-zero ``exists`` would have been NULL under SQL's 3VL (no true
+    element + a null element), so a WHERE on this (or its negation)
+    drops nothing silently."""
+    zl = F.col(vec_col)
+    return (
+        zl.isNull()
+        | (F.size(zl) == 0)
+        | F.exists(zl, lambda x: x.isNull())
+        | ~F.exists(zl, lambda x: x != F.lit(0.0))
+    )
+
+
+def _police_zero_norm(
+    corpus: DataFrame, id_col: str, vec_col: str, on_zero_norm: str, *,
+    site: str,
+) -> DataFrame:
+    """Apply the zero-norm policy shared by `ivfpq_index_build` and
+    `ivfpq_index_append`: ``raise``/``warn`` probe for one offending row
+    (a LIMIT-1 filter — a DIRTY corpus early-outs at the first hit; a
+    clean one pays one column-pruned scan of ``id_col``+``vec_col``,
+    small next to the training/encode passes the build already runs);
+    ``filter`` drops offending rows before encoding (the streaming-
+    friendly policy — a poison-pill row must not wedge every replay of
+    its trigger); ``allow`` admits them unchecked (documented
+    divergence: exact path NULL, ADC arbitrary-but-deterministic 0)."""
+    if on_zero_norm not in ("raise", "warn", "filter", "allow"):
+        raise ValueError(
+            "on_zero_norm must be 'raise', 'warn', 'filter' or 'allow', "
+            f"got {on_zero_norm!r}"
+        )
+    if on_zero_norm == "allow":
+        return corpus
+    cond = _zero_norm_cond(vec_col)
+    if on_zero_norm == "filter":
+        return corpus.where(~cond)
+    bad = (
+        corpus.where(cond)
+        .select(F.col(id_col).alias("_zid"))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        msg = (
+            f"{site} corpus has zero-norm {vec_col!r} rows (first: "
+            f"{id_col}={bad[0]['_zid']!r}; NULL/empty vectors and vectors "
+            "with NULL elements count — their norm is NULL): cosine is "
+            "undefined on them and ADC would rank them deterministically-"
+            "arbitrarily — filter them upstream, pass "
+            "on_zero_norm='filter' to drop them here, or 'allow' to index "
+            "them anyway (documented divergence from the exact path's "
+            "NULL)"
+        )
+        if on_zero_norm == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+    return corpus
+
+
 def ivfpq_index_build(
     corpus: DataFrame,
     path: str,
@@ -1379,45 +1462,27 @@ def ivfpq_index_build(
     vectors) at BUILD time: cosine similarity is undefined on them — the
     exact path surfaces NULL, while the fast ADC fold ranks them at an
     arbitrary-but-deterministic 0, so letting them into the index turns
-    a documented divergence into silent wrong neighbors.  ``"raise"``
-    (default) fails the build on the first such row (a LIMIT-1 probe —
-    Spark short-circuits the scan, so a clean corpus pays one early-out
-    pass, not a second full aggregation); ``"warn"`` logs and proceeds;
-    ``"allow"`` skips the probe (the pre-round-10 behavior) for corpora
-    where the caller owns the junk-filtering upstream."""
+    a documented divergence into silent wrong neighbors.  NULL/empty
+    vectors and vectors with NULL ELEMENTS count (their norm is NULL —
+    the same undefined-cosine class).  ``"raise"`` (default) fails the
+    build on the first such row — a LIMIT-1 probe: a dirty corpus
+    early-outs at the first hit, a clean one pays one column-pruned
+    scan, small next to the training + encode passes the build already
+    runs; ``"warn"`` logs and proceeds; ``"filter"`` drops such rows
+    before training/encoding; ``"allow"`` skips the probe (the
+    pre-round-10 behavior) for corpora where the caller owns the
+    junk-filtering upstream.  `ivfpq_index_append` polices the same
+    policy on the continuous-ingest path."""
     import numpy as np
 
     if train not in ("sample", "kmeans"):
         raise ValueError(f"train must be 'sample' or 'kmeans', got {train!r}")
     if encode not in ("fast", "exact"):
         raise ValueError(f"encode must be 'fast' or 'exact', got {encode!r}")
-    if on_zero_norm not in ("raise", "warn", "allow"):
-        raise ValueError(
-            f"on_zero_norm must be 'raise', 'warn' or 'allow', got {on_zero_norm!r}"
-        )
     spark = corpus.sparkSession
-    if on_zero_norm != "allow":
-        zl = F.col(vec_col)
-        bad = (
-            corpus.where(zl.isNull() | ~F.exists(zl, lambda x: x != F.lit(0.0)))
-            .select(F.col(id_col).alias("_zid"))
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            msg = (
-                f"corpus has zero-norm {vec_col!r} rows (first: "
-                f"{id_col}={bad[0]['_zid']!r}): cosine is undefined on them "
-                "and ADC would rank them deterministically-arbitrarily — "
-                "filter them upstream, or pass on_zero_norm='allow' to "
-                "index them anyway (documented divergence from the exact "
-                "path's NULL)"
-            )
-            if on_zero_norm == "raise":
-                raise ValueError(msg)
-            import warnings
-
-            warnings.warn(msg, stacklevel=2)
+    corpus = _police_zero_norm(
+        corpus, id_col, vec_col, on_zero_norm, site="build"
+    )
     S = CC = None
     if train == "kmeans" or residual is None:
         # the probe simulates recall on this draw — full `sample` size
@@ -1512,7 +1577,8 @@ def ivfpq_index_append(corpus: DataFrame, path: str, *,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        dim: int = 64, m: int = 8,
                        codes_dir: str | None = None,
-                       mode: str = "append") -> None:
+                       mode: str = "append",
+                       on_zero_norm: str = "raise") -> None:
     """Append a batch to a persisted IVFADC index WITHOUT rebuilding —
     the production freshness path: quantizers (centroids + codebook) are
     read back from the index and FROZEN, the new vectors run the same
@@ -1536,8 +1602,17 @@ def ivfpq_index_append(corpus: DataFrame, path: str, *,
     would never appear in the committed-batch list, so the gated reader
     would silently ignore them forever — append through
     ``StreamingAnnIndex.apply_batch`` (which commits), or pass an
-    explicit fenced ``codes_dir`` and commit it yourself."""
+    explicit fenced ``codes_dir`` and commit it yourself.
+
+    ``on_zero_norm`` enforces the same junk gate as `ivfpq_index_build`
+    on the continuous-ingest path — without it, a zero-norm row in any
+    micro-batch would silently bypass the build-time policy forever.
+    Streams that must not wedge on a poison-pill row (a raise replays
+    with the same batch on every retry) should pass ``"filter"``."""
     spark = corpus.sparkSession
+    corpus = _police_zero_norm(
+        corpus, id_col, vec_col, on_zero_norm, site="append"
+    )
     from creek_spark.operators.ann_maintenance import (
         quantizer_dirs,
         read_codes,
@@ -1560,7 +1635,8 @@ def ivfpq_index_append(corpus: DataFrame, path: str, *,
     cents = spark.read.parquet(cents_dir)
     cb = spark.read.parquet(cb_dir)
     residual = "is_residual" in cb.columns and bool(cb.first()["is_residual"])
-    store_vectors = "c_vec" in read_codes(spark, path, man).columns
+    stored = read_codes(spark, path, man)
+    store_vectors = "c_vec" in stored.columns
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
     enc = assign_encode_fast(
         c, cents, cb, "n_id", "c_vec", dim=dim, m=m, residual=residual
@@ -1568,6 +1644,18 @@ def ivfpq_index_append(corpus: DataFrame, path: str, *,
     cols = ["n_id", "cell_id", "codes", "_nrm"] + (
         ["c_vec"] if store_vectors else []
     )
+    # align the batch to the index's STORED column types: parquet dirs
+    # with mixed physical types (float c_vec from a float corpus,
+    # double from a later double-typed stream) read fine column-pruned
+    # but fail the moment a search or compaction touches the divergent
+    # column — a schema-torn index, the quiet cousin of the torn-file
+    # read the manifest exists to prevent.  float→double is lossless;
+    # double→float rounds to the index's own storage precision.
+    for name in ("n_id", "c_vec"):
+        if name in cols:
+            want = stored.schema[name].dataType
+            if enc.schema[name].dataType != want:
+                enc = enc.withColumn(name, F.col(name).cast(want))
     # codes_dir + mode="overwrite" is the streaming-fenced form: each
     # micro-batch owns a `codes/batch=<id>` directory and a replayed
     # trigger overwrites its OWN dir (idempotent), never the others —

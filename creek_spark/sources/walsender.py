@@ -64,6 +64,7 @@ def _split_qualified(name: str) -> list[str]:
     character, as before — ``public.we"ird`` keeps meaning the table
     named ``we"ird``)."""
     parts, buf, quoted = [], [], False
+    closed = False  # this part was a quoted part and its quote closed
     i = 0
     while i < len(name):
         ch = name[i]
@@ -74,13 +75,24 @@ def _split_qualified(name: str) -> list[str]:
                     i += 1
                 else:
                     quoted = False
+                    closed = True
             else:
                 buf.append(ch)
-        elif ch == '"' and not buf:
-            quoted = True  # quote at part START opens a quoted part
         elif ch == ".":
             parts.append("".join(buf))
             buf = []
+            closed = False
+        elif closed:
+            # text adjacent to a closing quote ('"my.tbl"x') is input
+            # Postgres's own lexer rejects — guessing a concatenation
+            # here would emit DDL that silently targets a DIFFERENT
+            # table, the same malformed-input class as an unterminated
+            # quote
+            raise ValueError(
+                f"unexpected text after closing quote in identifier: {name!r}"
+            )
+        elif ch == '"' and not buf:
+            quoted = True  # quote at part START opens a quoted part
         else:
             buf.append(ch)  # interior quotes stay literal (back-compat)
         i += 1

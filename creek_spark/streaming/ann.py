@@ -52,14 +52,25 @@ rounds 9–10):
 
     idx = StreamingAnnIndex(spark, path)
     idx.bootstrap(seed_corpus, train="kmeans")        # train + batch=0
-    (stream.writeStream.foreachBatch(idx.foreach_batch())
+    q = (stream.writeStream.foreachBatch(idx.foreach_batch())
         .option("checkpointLocation", ...).start())
     ...
-    idx.search(queries, k=5)
+    idx.search(queries, k=5)                   # safe concurrent w/ stream
     if idx.drift_report(recent)["retrain_recommended"]:
+        q.stop()                      # owner op: pause ingest first
         idx.retrain(train="kmeans")   # fresh generation + manifest flip
+        q = ...restart the stream from its checkpoint...
         idx.vacuum()                  # after the reader grace period
-    idx.compact(vacuum=True)                          # maintenance job
+    idx.compact(vacuum=True)          # likewise between triggers
+
+Maintenance ops (retrain/compact) are OWNER operations under the
+single-writer contract: run them with the stream stopped or between
+triggers.  Every manifest publish is fenced on the version it read
+(`ManifestConflictError`), so violating that sequencing fails loudly —
+a racing trigger or maintenance flip can no longer silently drop a
+committed batch or mis-pair codes with a newer quantizer epoch.
+SEARCHES need no pause: readers resolve one committed manifest version
+atomically at any time.
 """
 
 from __future__ import annotations
@@ -69,7 +80,6 @@ from pyspark.sql import functions as F
 
 from creek_spark.operators.ann_maintenance import (
     ann_drift_report,
-    committed_batches,
     ivfpq_index_compact,
     ivfpq_index_vacuum,
     write_manifest,
@@ -83,11 +93,19 @@ from creek_spark.operators.similarity import (
 
 class StreamingAnnIndex:
     def __init__(self, spark, path: str, *, id_col: str = "vec_id",
-                 vec_col: str = "embedding", dim: int = 64, m: int = 8):
+                 vec_col: str = "embedding", dim: int = 64, m: int = 8,
+                 on_zero_norm: str = "raise"):
+        """``on_zero_norm`` is this index's junk policy, applied at
+        bootstrap AND on every streamed micro-batch (the build-time-only
+        gate would otherwise be bypassed by the first streamed row).
+        ``"raise"`` (default) fails the trigger — note a poison-pill row
+        then replays forever; streams that must keep flowing should use
+        ``"filter"`` (drop such rows) or ``"warn"``."""
         self.spark = spark
         self.path = path
         self.id_col, self.vec_col = id_col, vec_col
         self.dim, self.m = dim, m
+        self.on_zero_norm = on_zero_norm
 
     def bootstrap(self, corpus: DataFrame, **build_kw) -> None:
         """Train the quantizers on the seed corpus, store its codes as
@@ -115,6 +133,7 @@ class StreamingAnnIndex:
                 "bootstrap would rewrite live directories under readers; "
                 "use retrain() (fresh generation + atomic manifest flip)"
             )
+        build_kw.setdefault("on_zero_norm", self.on_zero_norm)
         ivfpq_index_build(
             corpus, self.path, id_col=self.id_col, vec_col=self.vec_col,
             dim=self.dim, m=self.m,
@@ -127,13 +146,25 @@ class StreamingAnnIndex:
         # recent data like-for-like
         params = {"sample": 512, "n_queries": 64, "k": 5, "salt": DRIFT_SALT}
         base = ann_recall_probe(
-            self.spark, self.path, corpus,
+            self.spark, self.path, self._probe_view(corpus, build_kw),
             id_col=self.id_col, vec_col=self.vec_col, m=self.m, **params,
         )
         write_manifest(
             self.spark, self.path, [0],
             extra={"probe": {"recall": base, **params}},
+            expect_version=0,
         )
+
+    def _probe_view(self, corpus: DataFrame, build_kw: dict) -> DataFrame:
+        """The corpus as the recall probe should see it: under the
+        ``filter`` policy the junk rows were dropped before indexing, so
+        probing them would measure recall of rows the index by design
+        does not contain."""
+        if build_kw.get("on_zero_norm", self.on_zero_norm) == "filter":
+            from creek_spark.operators.similarity import _zero_norm_cond
+
+            return corpus.where(~_zero_norm_cond(self.vec_col))
+        return corpus
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Encode one micro-batch under the frozen quantizers into its
@@ -162,9 +193,31 @@ class StreamingAnnIndex:
         (bit-exact if it was in fact complete, codes being
         deterministic; repaired if it was torn) and commits it.  Older
         directories can't be distinguished from committed ones without
-        the stream's checkpoint and are seeded as-is."""
+        the stream's checkpoint and are seeded as-is.
+
+        Replay detection is two-layer: ``bid in live`` (the directory
+        is itself still listed) OR ``bid <= max_bid`` (the manifest's
+        streaming-batch high-watermark — compaction/retrain FOLD
+        committed directories into a new generation and drop their ids
+        from ``live``, and without the watermark a replayed trigger
+        whose batch was folded would re-append rows the fold already
+        contains: silent duplication).  ``max_bid`` only ever advances
+        on a successful commit, so ``bid <= max_bid`` implies this
+        batch's rows were committed — hence folded into every later
+        generation.
+
+        Both manifest publishes are fenced on the version this call
+        read (`ManifestConflictError` on interleave): a maintenance op
+        (compact/retrain) racing a live trigger fails the trigger
+        LOUDLY, Spark replays it, and the replay re-reads current
+        state — re-encoding under the current quantizer epoch —
+        instead of committing codes encoded under a superseded epoch
+        into a manifest whose ``quantizers`` pointer has moved on."""
+        from creek_spark.operators.ann_maintenance import read_manifest
+
         bid = batch_id + 1
-        live = committed_batches(self.spark, self.path)
+        man = read_manifest(self.spark, self.path)
+        live = None if man is None else man["live"]
         if live is None:
             from creek_spark.operators.ann_maintenance import _list_names
 
@@ -191,17 +244,31 @@ class StreamingAnnIndex:
             if live:
                 # adoption publish: from here on every reader (the
                 # append below included) is manifest-gated, so a torn
-                # bid directory can never be read or committed as-is
-                write_manifest(self.spark, self.path, live)
-        elif bid in live:
+                # bid directory can never be read or committed as-is.
+                # The seeded ids are committed-as-of-adoption, so they
+                # seed the watermark too — all but bid, which is about
+                # to be (re)written and committed by the normal path.
+                write_manifest(
+                    self.spark, self.path, live,
+                    extra={"max_bid": max(
+                        (b for b in live if b > 0), default=0)},
+                    expect_version=0,
+                )
+                man = read_manifest(self.spark, self.path)
+        elif bid in live or bid <= man.get("max_bid", 0):
             return
         ivfpq_index_append(
             batch, self.path, id_col=self.id_col, vec_col=self.vec_col,
             dim=self.dim, m=self.m,
             codes_dir=f"{self.path}/codes/batch={bid}",
             mode="overwrite",
+            on_zero_norm=self.on_zero_norm,
         )
-        write_manifest(self.spark, self.path, [*live, bid])
+        write_manifest(
+            self.spark, self.path, [*live, bid],
+            extra={"max_bid": max(bid, (man or {}).get("max_bid", 0))},
+            expect_version=man["version"] if man else 0,
+        )
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch``."""
@@ -245,7 +312,19 @@ class StreamingAnnIndex:
         With ``corpus=None`` the index's own stored vectors are used
         (requires a store_vectors index); they are read from the
         COMMITTED generations, which this retrain never writes to, so no
-        staging copy is needed."""
+        staging copy is needed.  Those rows were already ADMITTED, so
+        the rebuild defaults to ``on_zero_norm='allow'`` — an index
+        built or streamed under the ``allow`` policy must not find its
+        only retrain path wedged by a row it accepted earlier (an
+        explicit ``corpus`` gets the index's own policy, like any other
+        build; both are overridable through ``build_kw``).
+
+        The manifest flip is fenced on the version this retrain read:
+        a stream batch committed during the rebuild raises
+        `ManifestConflictError` instead of silently vanishing from
+        ``live`` — retrain is an OWNER operation, run it with the
+        stream stopped (between triggers), and on conflict re-run it
+        against current state."""
         from creek_spark.operators.ann_maintenance import (
             DRIFT_SALT,
             ann_recall_probe,
@@ -261,6 +340,7 @@ class StreamingAnnIndex:
                 "ivfpq_index_build"
             )
         if corpus is None:
+            build_kw.setdefault("on_zero_norm", "allow")
             stored = read_codes(self.spark, self.path, man)
             if "c_vec" not in stored.columns:
                 raise ValueError(
@@ -271,6 +351,8 @@ class StreamingAnnIndex:
                 F.col("n_id").alias(self.id_col),
                 F.col("c_vec").alias(self.vec_col),
             )
+        else:
+            build_kw.setdefault("on_zero_norm", self.on_zero_norm)
         # under the single-writer contract write_manifest will publish
         # version+1; derive the fresh directory names from it so a
         # crashed attempt retries into the SAME (unpublished, hence
@@ -288,16 +370,61 @@ class StreamingAnnIndex:
         )
         params = {"sample": 512, "n_queries": 64, "k": 5, "salt": DRIFT_SALT}
         base = ann_recall_probe(
-            self.spark, self.path, corpus,
+            self.spark, self.path, self._probe_view(corpus, build_kw),
             id_col=self.id_col, vec_col=self.vec_col, m=self.m,
             quantizers=f"{self.path}/{qdir}", **params,
         )
         write_manifest(
             self.spark, self.path, [gen],
             extra={"probe": {"recall": base, **params}, "quantizers": qdir},
+            expect_version=man["version"],
         )
         if vacuum:
             self.vacuum()
+
+    def rebaseline(self, corpus: DataFrame | None = None) -> float:
+        """Probe and publish the drift baseline on an index whose
+        manifest has none — the state both ADOPTION paths (static-layout
+        `adopt_static_layout`, pre-manifest `apply_batch` seeding)
+        leave behind, on which `drift_report` refuses to compare
+        against nothing.  With ``corpus=None`` the stored vectors are
+        probed (requires store_vectors); the publish keeps ``live``
+        unchanged and is fenced on the version read."""
+        from creek_spark.operators.ann_maintenance import (
+            DRIFT_SALT,
+            ann_recall_probe,
+            read_codes,
+            read_manifest,
+        )
+
+        man = read_manifest(self.spark, self.path)
+        if man is None:
+            raise ValueError(
+                f"index at {self.path} has no manifest: only "
+                "manifest-managed indexes carry a drift baseline"
+            )
+        if corpus is None:
+            stored = read_codes(self.spark, self.path, man)
+            if "c_vec" not in stored.columns:
+                raise ValueError(
+                    "rebaseline(corpus=None) needs a store_vectors index "
+                    "to read the vectors back from; pass a corpus"
+                )
+            corpus = stored.select(
+                F.col("n_id").alias(self.id_col),
+                F.col("c_vec").alias(self.vec_col),
+            )
+        params = {"sample": 512, "n_queries": 64, "k": 5, "salt": DRIFT_SALT}
+        base = ann_recall_probe(
+            self.spark, self.path, corpus,
+            id_col=self.id_col, vec_col=self.vec_col, m=self.m, **params,
+        )
+        write_manifest(
+            self.spark, self.path, man["live"],
+            extra={"probe": {"recall": base, **params}},
+            expect_version=man["version"],
+        )
+        return base
 
     def compact(self, *, vacuum: bool = False) -> int:
         """Fold the live batch directories into one generation

@@ -650,6 +650,12 @@ def test_engine_facade_drives_full_ann_lifecycle(spark, tmp_path, parts):
 
     v = eng.ann_index_compact(p)
     assert v == read_manifest(spark, p)["version"]
+    # an ADOPTED index has no drift baseline: probing against nothing
+    # refuses (silent retrain_recommended=False would disable the
+    # signal forever) until rebaseline() publishes one
+    with pytest.raises(ValueError, match="rebaseline"):
+        eng.ann_drift_report(p, parts["b"][1])
+    idx.rebaseline()
     rep = eng.ann_drift_report(p, parts["b"][1])
     assert "retrain_recommended" in rep
     dead = eng.ann_index_vacuum(p)
@@ -815,3 +821,244 @@ def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
             if n.endswith(".json")
         ]
         assert len(files) <= MANIFEST_RETAIN, (step, op, len(files))
+
+
+def test_write_manifest_expect_version_fences_interleaves(
+    spark, tmp_path, parts
+):
+    """The optimistic-concurrency fence: a writer whose `live` list was
+    computed from manifest v_n must not publish if the manifest moved —
+    its list would silently drop (or mis-pair) whatever the interleaved
+    writer committed."""
+    from creek_spark.operators.ann_maintenance import (
+        ManifestConflictError,
+        write_manifest,
+    )
+
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(parts["seed"])
+    v = read_manifest(spark, p)["version"]
+    # in-contract publish: expected version matches
+    write_manifest(spark, p, [0], expect_version=v)
+    # stale publish: the manifest moved since this writer read v
+    with pytest.raises(ManifestConflictError, match="another writer"):
+        write_manifest(spark, p, [0], expect_version=v)
+    # 'no manifest yet' is spelled expect_version=0 and fences too
+    with pytest.raises(ManifestConflictError):
+        write_manifest(spark, p, [0], expect_version=0)
+
+
+def test_replay_after_compaction_is_noop_not_duplicate(
+    spark, tmp_path, parts
+):
+    """Compaction folds committed batch dirs into one generation and
+    drops their ids from `live` — a TRIGGER REPLAY of a folded batch
+    (commit landed, Spark's checkpoint commit didn't, owner compacted
+    before restart) must detect 'already committed' via the manifest's
+    max_bid watermark, not re-append rows the fold already contains."""
+    from creek_spark.operators.ann_maintenance import read_codes
+
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(parts["seed"])
+    idx.apply_batch(parts["b"][0], 0)
+    idx.apply_batch(parts["b"][1], 1)
+    idx.compact(vacuum=True)
+    man = read_manifest(spark, p)
+    assert man["live"] == [-4] and man["max_bid"] == 2
+    n = read_codes(spark, p).count()
+    results = _key(idx.search(parts["queries"]))
+
+    idx.apply_batch(parts["b"][1], 1)  # the replayed trigger
+    assert read_manifest(spark, p) == man  # pure no-op: no publish
+    assert read_codes(spark, p).count() == n  # no duplicated rows
+    assert _key(idx.search(parts["queries"])) == results
+    # a genuinely NEW batch still appends normally
+    idx.apply_batch(parts["b"][2], 2)
+    assert read_manifest(spark, p)["live"] == [-4, 3]
+    assert read_codes(spark, p).count() > n
+
+
+def test_replay_after_retrain_is_noop_not_duplicate(spark, tmp_path, parts):
+    """Same interleaving through retrain(corpus=None): the new
+    generation re-encodes every stored row, so a replayed folded batch
+    re-appending would duplicate its rows under the new quantizers."""
+    from creek_spark.operators.ann_maintenance import read_codes
+
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(parts["seed"])
+    idx.apply_batch(parts["b"][0], 0)
+    idx.retrain(vacuum=True)
+    n = read_codes(spark, p).count()
+    man = read_manifest(spark, p)
+    assert man["max_bid"] == 1  # watermark rode through the flip
+
+    idx.apply_batch(parts["b"][0], 0)  # replay of the folded batch
+    assert read_manifest(spark, p) == man
+    assert read_codes(spark, p).count() == n
+
+    idx.apply_batch(parts["b"][1], 1)  # next batch proceeds
+    assert read_codes(spark, p).count() > n
+
+
+def test_retrain_racing_stream_commit_fails_loudly(spark, tmp_path, parts):
+    """A stream batch committed DURING a retrain's rebuild must not
+    silently vanish from `live` when the retrain flips the manifest
+    (exactly-once would become zero-once, and vacuum would then delete
+    the batch directory as dead).  The fence turns the race into a loud
+    ManifestConflictError, the interleaved commit survives, and the
+    owner re-runs the retrain against current state."""
+    import creek_spark.streaming.ann as ann_mod
+    from creek_spark.operators.ann_maintenance import (
+        ManifestConflictError,
+        read_codes,
+    )
+
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(parts["seed"])
+    idx.apply_batch(parts["b"][0], 0)
+
+    real_build = ann_mod.ivfpq_index_build
+
+    def build_with_interleaved_commit(*a, **kw):
+        real_build(*a, **kw)
+        # the "concurrent trigger": a fresh handle (its own manifest
+        # read) commits a batch while the retrain is mid-rebuild
+        StreamingAnnIndex(spark, p).apply_batch(parts["b"][1], 1)
+
+    ann_mod.ivfpq_index_build = build_with_interleaved_commit
+    try:
+        with pytest.raises(ManifestConflictError):
+            idx.retrain()
+    finally:
+        ann_mod.ivfpq_index_build = real_build
+
+    # the interleaved commit is intact: live, searchable, undamaged
+    man = read_manifest(spark, p)
+    assert 2 in man["live"] and man["max_bid"] == 2
+    ids = {r["n_id"] for r in read_codes(spark, p).select("n_id").collect()}
+    want = {
+        r["vec_id"]
+        for part in (parts["seed"], parts["b"][0], parts["b"][1])
+        for r in part.select("vec_id").collect()
+    }
+    assert ids == want
+    # and the re-run against current state succeeds and keeps all rows
+    idx.retrain()
+    assert {
+        r["n_id"] for r in read_codes(spark, p).select("n_id").collect()
+    } == want
+
+
+def test_drift_report_requires_baseline_and_rebaseline_publishes_one(
+    spark, tmp_path, parts
+):
+    """Both adoption paths leave a manifest with no probe baseline;
+    drift_report comparing against nothing would return
+    retrain_recommended=False forever — the silent opposite of the
+    signal it exists to produce.  It must refuse instead, and
+    rebaseline() (stored vectors by default) repairs the state."""
+    from creek_spark.operators.ann_maintenance import adopt_static_layout
+
+    p = str(tmp_path / "idx")
+    sim.ivfpq_index_build(parts["seed"], p)  # static layout
+    adopt_static_layout(spark, p)
+    idx = StreamingAnnIndex(spark, p)
+    with pytest.raises(ValueError, match="rebaseline"):
+        idx.drift_report(parts["b"][0])
+
+    base = idx.rebaseline()  # probes the stored vectors
+    assert 0.0 < base <= 1.0
+    man = read_manifest(spark, p)
+    assert man["probe"]["recall"] == base and man["live"] == [0]
+    rep = idx.drift_report(parts["b"][0])
+    assert rep["base_recall"] == base
+    assert isinstance(rep["retrain_recommended"], bool)
+
+
+def test_append_polices_zero_norm_and_filter_policy(spark, tmp_path, parts):
+    """Round-10 hardening of the round-10 gate: the build-time zero-norm
+    policy must also hold on the continuous-ingest path — otherwise any
+    micro-batch bypasses it forever.  'filter' is the streaming-friendly
+    policy: junk rows drop, the rest of the batch commits (a raising
+    policy would replay the same poison pill on every retry)."""
+    from creek_spark.operators.ann_maintenance import read_codes
+
+    junk = spark.createDataFrame(
+        [
+            (888_001, [0.0] * 64),  # all-zero
+            (888_002, None),  # NULL vector
+            (888_003, [1.0] + [None] * 63),  # NULL element → NULL norm
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+
+    # static index: bare append raises on junk by default
+    ref = str(tmp_path / "ref")
+    sim.ivfpq_index_build(parts["seed"], ref)
+    with pytest.raises(ValueError, match="zero-norm"):
+        sim.ivfpq_index_append(junk, ref)
+
+    # streaming index with the filter policy: junk drops, rest commits
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p, on_zero_norm="filter")
+    idx.bootstrap(parts["seed"])
+    dirty = parts["b"][0].select("vec_id", "embedding").unionByName(junk)
+    idx.apply_batch(dirty, 0)
+    ids = {r["n_id"] for r in read_codes(spark, p).select("n_id").collect()}
+    assert not ids & {888_001, 888_002, 888_003}
+    clean_ids = {
+        r["vec_id"]
+        for part in (parts["seed"], parts["b"][0])
+        for r in part.select("vec_id").collect()
+    }
+    assert ids == clean_ids
+    # the union with the junk frame coerced the batch's vectors to
+    # double while the seed stored float: the append must align to the
+    # index's stored types or the FULL read (c_vec included — search
+    # rerank, compaction, retrain) fails on the mixed-type parquet dirs
+    # even though column-pruned id reads still work
+    assert read_codes(spark, p).collect()  # full-width read across dirs
+    assert idx.search(parts["queries"]).count() > 0
+    # default-policy streaming index raises on the same batch
+    q = str(tmp_path / "strict")
+    strict = StreamingAnnIndex(spark, q)
+    strict.bootstrap(parts["seed"])
+    with pytest.raises(ValueError, match="zero-norm"):
+        strict.apply_batch(dirty, 0)
+
+
+def test_zero_norm_gate_catches_null_elements(spark, tmp_path, parts):
+    """SQL three-valued logic edge: exists(x != 0) over [0.0, NULL] is
+    NULL, which a WHERE silently drops — vectors with NULL ELEMENTS
+    (their norm computes to NULL, the same undefined-cosine class) must
+    still trip the probe."""
+    for vec in ([0.0, None] + [0.0] * 62, [None] * 64, [1.0, None] + [0.0] * 62):
+        bad = spark.createDataFrame(
+            [(777_001, vec)], "vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="zero-norm"):
+            sim.ivfpq_index_build(
+                parts["seed"].select("vec_id", "embedding").unionByName(bad),
+                str(tmp_path / "x"),
+            )
+
+
+def test_retrain_stored_vectors_not_wedged_by_allowed_junk(
+    spark, tmp_path, parts
+):
+    """An index built under on_zero_norm='allow' contains junk rows BY
+    POLICY; retrain(corpus=None) re-reads those stored vectors — it must
+    not re-litigate their admission and wedge the only retrain path a
+    streaming index has."""
+    zero = spark.createDataFrame(
+        [(888_009, [0.0] * 64)], "vec_id bigint, embedding array<double>"
+    )
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p, on_zero_norm="allow")
+    idx.bootstrap(parts["seed"].select("vec_id", "embedding").unionByName(zero))
+    idx.retrain()  # would raise without the allow default
+    assert idx.search(parts["queries"]).count() > 0

@@ -972,3 +972,21 @@ def test_quote_ident_roundtrip_property():
         assert pg_quote_ident(joined) == joined
 
     check()
+
+
+def test_quote_ident_rejects_text_adjacent_to_closing_quote():
+    """Input like ``"my.tbl"x`` — raw text touching a closing quote —
+    is something Postgres's own lexer rejects; guessing a concatenation
+    would emit DDL that silently targets a DIFFERENT table (the same
+    malformed-input class as an unterminated quote, which already
+    raises).  Well-formed neighbors keep working."""
+    import pytest
+
+    from creek_spark.sources.walsender import pg_quote_ident
+
+    for bad in ('"my.tbl"x', '"my.tbl"x.y', 'a."b"c', '"a""b"trail'):
+        with pytest.raises(ValueError, match="after closing quote"):
+            pg_quote_ident(bad)
+    # the adjacent-DOT forms stay valid
+    assert pg_quote_ident('"my.tbl".x') == '"my.tbl"."x"'
+    assert pg_quote_ident('a."b".c') == '"a"."b"."c"'
