@@ -512,13 +512,19 @@ class Engine:
 
         return ann_drift_report(self.spark, path, recent, **kw)
 
-    def ann_index_vacuum(self, path: str) -> list[int]:
+    def ann_index_vacuum(
+        self, path: str, *, reclaim_pending: bool = False
+    ) -> list[int]:
         """Reclaim a streaming index's dead generations, superseded
         quantizer epochs, and over-retention manifest versions — run
-        after the reader grace period (operators/ann_maintenance.py)."""
+        after the reader grace period (operators/ann_maintenance.py).
+        Possibly-in-flight directories (above the manifest's watermark)
+        are skipped unless ``reclaim_pending=True``."""
         from creek_spark.operators.ann_maintenance import ivfpq_index_vacuum
 
-        return ivfpq_index_vacuum(self.spark, path)
+        return ivfpq_index_vacuum(
+            self.spark, path, reclaim_pending=reclaim_pending
+        )
 
     def ann_index_adopt(self, path: str) -> int:
         """Losslessly migrate a static ann_index_build layout into the

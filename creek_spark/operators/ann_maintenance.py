@@ -374,9 +374,15 @@ def ivfpq_index_compact(spark, path: str, *, vacuum: bool = False) -> int:
     )
     # fenced on the version the fold was computed from: a stream batch
     # committed during the fold makes this publish raise rather than
-    # silently drop that batch from every future search
+    # silently drop that batch from every future search.  The watermark
+    # advances to cover every folded streaming id EXPLICITLY (not via
+    # key persistence) so pre-watermark manifests gain one here — vacuum
+    # treats ids above it as possibly-pending and won't reclaim them.
+    folded = max((b for b in live if b > 0), default=0)
     published = write_manifest(
-        spark, path, [gen], expect_version=man["version"]
+        spark, path, [gen],
+        extra={"max_bid": max(folded, man.get("max_bid", 0))},
+        expect_version=man["version"],
     )
     # write_manifest rereads the latest version itself; under the
     # single-writer contract it equals `version`
@@ -385,20 +391,38 @@ def ivfpq_index_compact(spark, path: str, *, vacuum: bool = False) -> int:
     return published
 
 
-def ivfpq_index_vacuum(spark, path: str) -> list[int]:
+def ivfpq_index_vacuum(
+    spark, path: str, *, reclaim_pending: bool = False
+) -> list[int]:
     """Delete code directories of batches NOT in the latest manifest
-    (dead generations after compaction/retrain, torn dirs of batches
-    that died before commit and will never be replayed), quantizer
-    epochs the latest manifest no longer points at (including the root
+    (dead generations after compaction/retrain), quantizer epochs the
+    latest manifest no longer points at (including the root
     centroids/codebook once an epoch superseded them), and manifest
     versions beyond the retention window.  Run only once no reader can
     still hold an older manifest version — same grace-period discipline
     as any snapshot-isolated table format.  Returns the deleted batch
-    ids."""
+    ids.
+
+    A non-live directory is only PROVABLY dead when the manifest
+    vouches it was superseded: a positive batch id at or below the
+    ``max_bid`` watermark (committed, then folded), or a negative
+    generation whose epoch is at or below the current version
+    (published, then superseded).  Directories ABOVE those bounds are
+    PENDING — a trigger that has written its batch but not yet
+    committed, or a retrain mid-build of its next generation — and the
+    default vacuum skips them: deleting one races the writer, and in
+    the worst interleaving (delete lands between the writer's last file
+    and its manifest publish) the commit succeeds pointing at a
+    directory that no longer exists — permanent silent data loss with
+    no error at fault time.  ``reclaim_pending=True`` deletes them too,
+    for the owner who has verified no writer is in flight (an abandoned
+    stream's torn dirs, which nothing will ever replay)."""
     man = read_manifest(spark, path)
     if man is None:
         raise ValueError(f"no manifest at {path}: nothing is provably dead")
     live = set(man["live"])
+    max_bid = man.get("max_bid", 0)
+    version = man["version"]
     fs, _, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     deleted = []
@@ -406,9 +430,13 @@ def ivfpq_index_vacuum(spark, path: str) -> list[int]:
         if not name.startswith("batch="):
             continue
         bid = int(name.split("=", 1)[1])
-        if bid not in live:
-            fs.delete(P(f"{path}/codes/{name}"), True)
-            deleted.append(bid)
+        if bid in live:
+            continue
+        pending = bid > max_bid if bid >= 0 else -bid > version
+        if pending and not reclaim_pending:
+            continue
+        fs.delete(P(f"{path}/codes/{name}"), True)
+        deleted.append(bid)
     # dead quantizer generations: every epoch dir except the live one,
     # and — once an epoch IS live — the superseded root frames (readers
     # resolve quantizers through the manifest, never the root, as soon

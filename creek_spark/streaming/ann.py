@@ -376,7 +376,18 @@ class StreamingAnnIndex:
         )
         write_manifest(
             self.spark, self.path, [gen],
-            extra={"probe": {"recall": base, **params}, "quantizers": qdir},
+            extra={
+                "probe": {"recall": base, **params},
+                "quantizers": qdir,
+                # advance the watermark over every folded streaming id
+                # explicitly (pre-watermark manifests have no key to
+                # persist) — vacuum relies on it to tell dead from
+                # pending directories
+                "max_bid": max(
+                    max((b for b in man["live"] if b > 0), default=0),
+                    man.get("max_bid", 0),
+                ),
+            },
             expect_version=man["version"],
         )
         if vacuum:
@@ -433,10 +444,16 @@ class StreamingAnnIndex:
         writer."""
         return ivfpq_index_compact(self.spark, self.path, vacuum=vacuum)
 
-    def vacuum(self) -> list[int]:
-        """Delete dead (non-live) batch directories — after the reader
-        grace period."""
-        return ivfpq_index_vacuum(self.spark, self.path)
+    def vacuum(self, *, reclaim_pending: bool = False) -> list[int]:
+        """Delete provably-dead (folded/superseded, manifest-vouched)
+        batch directories — after the reader grace period.  Directories
+        above the watermark/version bounds may belong to an in-flight
+        writer and are skipped unless ``reclaim_pending=True`` (owner
+        has verified no writer is running — e.g. an abandoned stream's
+        torn dirs)."""
+        return ivfpq_index_vacuum(
+            self.spark, self.path, reclaim_pending=reclaim_pending
+        )
 
     def drift_report(self, recent: DataFrame, **kw) -> dict:
         """Recall-drift probe of ``recent`` against the bootstrap

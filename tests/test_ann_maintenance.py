@@ -131,6 +131,12 @@ def test_compaction_is_bit_exact_and_bounds_directories(
 
 
 def test_vacuum_removes_torn_uncommitted_dirs(spark, tmp_path, parts):
+    """A directory above the watermark is indistinguishable from a
+    trigger writing RIGHT NOW — the default vacuum must leave it alone
+    (deleting it races the writer: if its commit then lands, the
+    manifest points at nothing forever).  reclaim_pending=True is the
+    owner's assertion that no writer is in flight, and only then do the
+    abandoned torn dirs go."""
     p = str(tmp_path / "idx")
     idx = StreamingAnnIndex(spark, p)
     idx.bootstrap(parts["seed"])
@@ -138,9 +144,33 @@ def test_vacuum_removes_torn_uncommitted_dirs(spark, tmp_path, parts):
         parts["b"][0], p, codes_dir=f"{p}/codes/batch=7", mode="overwrite"
     )
     before = _key(idx.search(parts["queries"]))
-    assert idx.vacuum() == [7]
-    assert _batch_dirs(p) == ["batch=0"]
-    assert _key(idx.search(parts["queries"])) == before
+    assert idx.vacuum() == []  # pending: possibly an in-flight trigger
+    assert "batch=7" in _batch_dirs(p)
+    # the in-flight trigger commits — its rows are intact and visible
+    idx.apply_batch(parts["b"][0], 6)
+    after_commit = _key(idx.search(parts["queries"]))
+    assert after_commit != before
+
+    # an ABANDONED torn dir (never committed, stream gone): the owner
+    # reclaims it explicitly
+    sim.ivfpq_index_append(
+        parts["b"][1], p, codes_dir=f"{p}/codes/batch=9", mode="overwrite"
+    )
+    assert idx.vacuum() == []
+    assert idx.vacuum(reclaim_pending=True) == [9]
+    assert "batch=9" not in _batch_dirs(p)
+    assert _key(idx.search(parts["queries"])) == after_commit
+
+    # same protection on the negative axis: a retrain mid-build writes
+    # its next generation at -(version+1) BEFORE publishing — vacuum
+    # must not reclaim it out from under the build
+    gen = -(read_manifest(spark, p)["version"] + 1)
+    sim.ivfpq_index_append(
+        parts["b"][2], p, codes_dir=f"{p}/codes/batch={gen}", mode="overwrite"
+    )
+    assert idx.vacuum() == []
+    assert idx.vacuum(reclaim_pending=True) == [gen]
+    assert _key(idx.search(parts["queries"])) == after_commit
 
 
 def _clustered(spark, start_id, per, rngseed, transform=None):
