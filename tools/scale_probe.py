@@ -39,6 +39,11 @@ cardinalities scale with the data; value distributions untouched):
                                 brands fixed → levels per brand deepen)
   * pca_power shape           — two power rounds: map-side dots + ≤dim
                                 aggregates (embeddings ×k)
+  * ann_append_flat           — streaming-index apply_batch of a FIXED
+                                batch vs index ×k (expected FLAT: the
+                                freshness path never reads the corpus)
+  * ann_search_pruned         — fixed 20-query ivfpq_search vs index ×k
+                                (probed-cell scan → linear)
 
 Near-dup detection (LSH/jaccard) is deliberately NOT probed: inflating
 a corpus by replication makes every document a near-duplicate, so the
@@ -365,12 +370,74 @@ def probes(spark, sf_dir: str):
     }
 
 
+def lifecycle_probes(spark, sf_dir: str) -> dict[str, dict[int, float]]:
+    """Streaming-ANN maintenance scaling: for each k, bootstrap an index
+    over embeddings ×k (SETUP, untimed — build cost is ∝ corpus by
+    design and already covered by the encode-shaped probes), then time
+
+      * ann_append_flat    — apply_batch of a FIXED 2k-row batch.  The
+        claim under test is the freshness path's core promise: append
+        cost ∝ batch, FLAT in index size (the existing index is never
+        read beyond two 1-row quantizer frames + one schema sniff).
+        Expected top_ratio ≈ 1; any growth means the append secretly
+        scans the corpus.
+      * ann_search_pruned  — ivfpq_search of a fixed 20-query set.
+        Scans nprobe/n_cells of the stored codes → linear in corpus
+        (top_ratio ≈ 4), bounded by the same ≤6 gate as every other
+        linear shape.
+    """
+    import shutil
+    import tempfile
+
+    from creek_spark.sources import read_table
+    from creek_spark.streaming.ann import StreamingAnnIndex
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    batch = emb.where(F.col("vec_id") < 2000).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    queries = emb.where(F.col("vec_id") < 20)
+    t_app, t_srch = {}, {}
+    for k in KS:
+        root = tempfile.mkdtemp(prefix=f"annprobe{k}_")
+        p = f"{root}/idx"
+        idx = StreamingAnnIndex(spark, p)
+        idx.bootstrap(inflate(emb, k, {"vec_id": "remap"}))
+        # distinct batch ids per rep: a replayed id is a committed
+        # no-op and would time the fast path, not the append
+        times = []
+        for bid in (0, 1, 2):  # first is the warm run
+            t0 = time.time()
+            idx.apply_batch(batch, bid)
+            times.append(time.time() - t0)
+        t_app[k] = round(min(times[1:]), 3)
+        stimes = []
+        for _ in range(3):
+            t0 = time.time()
+            idx.search(queries, k=5).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            stimes.append(time.time() - t0)
+        t_srch[k] = round(min(stimes[1:]), 3)
+        shutil.rmtree(root)
+    return {"ann_append_flat": t_app, "ann_search_pruned": t_srch}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from creek_spark.session import get_spark
 
     spark = get_spark()
     ops = {}
+    for name, ts in lifecycle_probes(spark, sf_dir).items():
+        denom = ts[4] - ts[1]
+        r = (ts[16] - ts[4]) / denom if denom > 0.05 else None
+        ops[name] = {
+            "t1": ts[1], "t4": ts[4], "t16": ts[16],
+            "top_ratio": round(ts[16] / ts[4], 2),
+            "marginal_ratio": round(r, 2) if r is not None else None,
+        }
+        print(name, ops[name], flush=True)
     for name, fn in probes(spark, sf_dir).items():
         ts = {}
         for k in KS:
