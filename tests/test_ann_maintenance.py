@@ -794,13 +794,16 @@ def test_adoption_repairs_torn_replay_batch(spark, tmp_path, parts):
 
 def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
     """Random interleavings of the full maintenance surface (apply,
-    compact, retrain, vacuum, drift probe).  The pairwise tests prove
-    each transition; this proves their COMPOSITION: after every op, the
-    indexed id-set equals exactly what was ingested (nothing hidden,
-    nothing resurrected), search keeps answering, the manifest version
-    only moves forward, and `_manifest/` stays inside the retention
-    window no matter how the ops interleave.  Seeded, so a failure
-    replays deterministically."""
+    REPLAY of an already-committed trigger, compact, retrain, vacuum,
+    drift probe).  The pairwise tests prove each transition; this proves
+    their COMPOSITION: after every op, the indexed rows are EXACTLY the
+    ingested rows — as a set (nothing hidden, nothing resurrected) AND
+    as a count (nothing duplicated: a replay landing after a random
+    sequence of folds is where watermark bugs would double rows) —
+    search keeps answering, the manifest version only moves forward,
+    and `_manifest/` stays inside the retention window no matter how
+    the ops interleave.  Seeded, so a failure replays
+    deterministically."""
     import random
 
     from creek_spark.operators.ann_maintenance import (
@@ -817,14 +820,23 @@ def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
     ingested = {r["vec_id"] for r in slices[0].select("vec_id").collect()}
 
     next_bid, last_version = 0, read_manifest(spark, p)["version"]
-    ops = ["apply", "apply", "apply", "compact", "retrain", "vacuum", "drift"]
-    for step in range(14):
+    ops = [
+        "apply", "apply", "apply", "replay", "compact", "retrain",
+        "vacuum", "drift",
+    ]
+    for step in range(16):
         op = rng.choice(ops)
         if op == "apply" and next_bid < 7:
             s = slices[next_bid + 1]
             idx.apply_batch(s, next_bid)
             ingested |= {r["vec_id"] for r in s.select("vec_id").collect()}
             next_bid += 1
+        elif op == "replay" and next_bid > 0:
+            # a replayed trigger of any previously committed batch id —
+            # regardless of how many compact/retrain folds happened in
+            # between — must change NOTHING
+            bid = rng.randrange(next_bid)
+            idx.apply_batch(slices[bid + 1], bid)
         elif op == "compact":
             idx.compact(vacuum=rng.random() < 0.5)
         elif op == "retrain":
@@ -837,8 +849,12 @@ def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
         else:
             continue
         # invariant 1: the committed rows are EXACTLY the ingested rows
-        got = {r["n_id"] for r in read_codes(spark, p).select("n_id").collect()}
+        # — set equality catches loss/resurrection, the count catches
+        # replay duplication that set equality would mask
+        rows = read_codes(spark, p).select("n_id").collect()
+        got = {r["n_id"] for r in rows}
         assert got == ingested, (step, op, len(got), len(ingested))
+        assert len(rows) == len(ingested), (step, op, len(rows))
         # invariant 2: search keeps answering over the committed snapshot
         assert idx.search(parts["queries"]).count() > 0, (step, op)
         # invariant 3: versions only move forward; retention holds
