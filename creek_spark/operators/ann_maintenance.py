@@ -440,12 +440,22 @@ def ivfpq_index_vacuum(
     # dead quantizer generations: every epoch dir except the live one,
     # and — once an epoch IS live — the superseded root frames (readers
     # resolve quantizers through the manifest, never the root, as soon
-    # as `quantizers` is set)
+    # as `quantizers` is set).  Same pending-guard as the codes axis:
+    # a retrain mid-build writes quantizers/v<version+1> BEFORE its
+    # publish — an epoch above the current version may be that build's
+    # in-flight frames and is skipped unless reclaim_pending.
     epoch = man.get("quantizers")
     live_epoch = epoch.rsplit("/", 1)[-1] if epoch else None
     for name in _list_names(spark, f"{path}/quantizers"):
-        if name != live_epoch:
-            fs.delete(P(f"{path}/quantizers/{name}"), True)
+        if name == live_epoch:
+            continue
+        try:
+            pending = int(name.lstrip("v")) > version
+        except ValueError:
+            pending = True  # unrecognized layout: never reclaim blindly
+        if pending and not reclaim_pending:
+            continue
+        fs.delete(P(f"{path}/quantizers/{name}"), True)
     if live_epoch is not None:
         for stale in ("centroids", "codebook"):
             fs.delete(P(f"{path}/{stale}"), True)

@@ -172,6 +172,17 @@ def test_vacuum_removes_torn_uncommitted_dirs(spark, tmp_path, parts):
     assert idx.vacuum(reclaim_pending=True) == [gen]
     assert _key(idx.search(parts["queries"])) == after_commit
 
+    # ... and on the quantizers axis: a retrain mid-build writes its
+    # epoch frames before publishing — default vacuum must not delete
+    # them out from under the build
+    nxt = f"{p}/quantizers/v{read_manifest(spark, p)['version'] + 1:08d}"
+    os.makedirs(nxt)
+    open(f"{nxt}/marker", "w").write("in-flight")
+    idx.vacuum()
+    assert os.path.exists(nxt)
+    idx.vacuum(reclaim_pending=True)
+    assert not os.path.exists(nxt)
+
 
 def _clustered(spark, start_id, per, rngseed, transform=None):
     """Deterministic clustered vectors (same generator family as
