@@ -270,11 +270,30 @@ class StreamingAnnIndex:
             expect_version=man["version"] if man else 0,
         )
 
-    def foreach_batch(self):
-        """Adapter for ``writeStream.foreachBatch``."""
+    def foreach_batch(self, *, compact_every: int | None = None):
+        """Adapter for ``writeStream.foreachBatch``.
+
+        ``compact_every=N`` folds the accreted batch directories every N
+        committed streaming batches — INSIDE the callback, which is the
+        one place that needs no external scheduler to satisfy the
+        single-writer contract: foreachBatch invocations serialize, so
+        the compaction provably runs between triggers.  Old generations
+        are left on disk for concurrent searchers holding older manifest
+        versions (the reader grace period); reclaim them with an
+        explicit `vacuum()` from a maintenance job.  A compaction that
+        crashes mid-fold changes nothing durable (the manifest flip is
+        last), and the fence makes any out-of-contract interleaving
+        loud rather than lossy."""
 
         def _fn(batch: DataFrame, batch_id: int) -> None:
             self.apply_batch(batch, batch_id)
+            if not compact_every:
+                return
+            from creek_spark.operators.ann_maintenance import read_manifest
+
+            man = read_manifest(self.spark, self.path)
+            if man and len([b for b in man["live"] if b > 0]) >= compact_every:
+                self.compact()
 
         return _fn
 

@@ -1119,3 +1119,48 @@ def test_retrain_stored_vectors_not_wedged_by_allowed_junk(
     idx.bootstrap(parts["seed"].select("vec_id", "embedding").unionByName(zero))
     idx.retrain()  # would raise without the allow default
     assert idx.search(parts["queries"]).count() > 0
+
+
+def test_foreach_batch_auto_compaction_bounds_directories(
+    spark, tmp_path, parts
+):
+    """compact_every=N inside the foreachBatch callback: invocations
+    serialize, so the fold provably runs between triggers (no external
+    scheduler, no fence conflicts).  The live set stays bounded, replays
+    across the automatic folds stay no-ops, and results equal a
+    never-compacted reference."""
+    from creek_spark.operators.ann_maintenance import read_codes
+
+    emb = parts["emb"]
+    slices = [emb.where(F.col("vec_id") % 8 == r) for r in range(8)]
+
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(slices[0])
+    fn = idx.foreach_batch(compact_every=2)
+    for bid in range(6):
+        fn(slices[bid + 1], bid)
+        live = read_manifest(spark, p)["live"]
+        assert len([b for b in live if b > 0]) < 2, (bid, live)
+
+    # replay through the auto-folds: still a pure no-op
+    man = read_manifest(spark, p)
+    n = read_codes(spark, p).count()
+    fn(slices[3], 2)
+    assert read_manifest(spark, p) == man
+    assert read_codes(spark, p).count() == n
+
+    # identical results to a never-compacted index over the same rows
+    ref = str(tmp_path / "ref")
+    ref_idx = StreamingAnnIndex(spark, ref)
+    ref_idx.bootstrap(slices[0])
+    for bid in range(6):
+        ref_idx.apply_batch(slices[bid + 1], bid)
+    assert _key(idx.search(parts["queries"])) == _key(
+        ref_idx.search(parts["queries"])
+    )
+    # dead generations accrete for the reader grace period; the owner's
+    # vacuum reclaims them and search is unchanged
+    before = _key(idx.search(parts["queries"]))
+    assert idx.vacuum()
+    assert _key(idx.search(parts["queries"])) == before
