@@ -565,16 +565,24 @@ def ann_drift_report(
     ``retrain_recommended`` permanently False, silently disabling the
     one signal this probe exists to produce.  Publish a baseline once
     with `StreamingAnnIndex.rebaseline()`."""
-    man = read_manifest(spark, path) or {}
-    probe = man.get("probe") or {}
+    man = read_manifest(spark, path)
+    probe = (man or {}).get("probe") or {}
     base = probe.get("recall")
     if base is None:
+        step = (
+            "run adopt_static_layout(spark, path) (or "
+            "engine.ann_index_adopt) once, then "
+            "StreamingAnnIndex.rebaseline()"
+            if man is None
+            else "publish a baseline once with "
+            "StreamingAnnIndex.rebaseline()"
+        )
         raise ValueError(
-            f"index at {path} has no drift baseline in its manifest "
-            "(adopted from a pre-manifest or static layout?): drift "
-            "cannot be measured against nothing, and defaulting to "
-            "'no drift' would silently disable the retrain signal — "
-            "publish a baseline once with StreamingAnnIndex.rebaseline()"
+            f"index at {path} has no drift baseline "
+            f"({'static layout, no manifest' if man is None else 'manifest without a probe — adopted index'}): "
+            "drift cannot be measured against nothing, and defaulting "
+            "to 'no drift' would silently disable the retrain signal — "
+            + step
         )
     params = {
         "sample": probe.get("sample", 512),

@@ -1638,24 +1638,47 @@ def ivfpq_index_append(corpus: DataFrame, path: str, *,
     stored = read_codes(spark, path, man)
     store_vectors = "c_vec" in stored.columns
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
+    # align the batch to the index's STORED column types BEFORE encoding:
+    # parquet dirs with mixed physical types (float c_vec from a float
+    # corpus, double from a later double-typed stream) read fine
+    # column-pruned but fail the moment a search or compaction touches
+    # the divergent column — a schema-torn index, the quiet cousin of
+    # the torn-file read the manifest exists to prevent.  The cast runs
+    # before assign_encode_fast so codes, _nrm and the stored c_vec all
+    # derive from the SAME (storage-precision) values — a post-encode
+    # cast would store codes computed from the double vector beside a
+    # float-rounded c_vec, breaking the build+append ≡ one-build parity
+    # the module guarantees.  Vectors round to the index's own storage
+    # precision; IDS are different — a narrowing id cast silently wraps
+    # (non-ANSI) or nulls, corrupting every result that cites the row,
+    # so only provably lossless widenings pass and anything else raises.
+    want_vec = stored.schema["c_vec"].dataType if store_vectors else None
+    if want_vec is not None and c.schema["c_vec"].dataType != want_vec:
+        c = c.withColumn("c_vec", F.col("c_vec").cast(want_vec))
+    want_id = stored.schema["n_id"].dataType
+    have_id = c.schema["n_id"].dataType
+    if have_id != want_id:
+        widths = {"byte": 1, "short": 2, "integer": 3, "long": 4,
+                  "float": 1.5, "double": 2.5}
+        hn, wn = have_id.typeName(), want_id.typeName()
+        if hn in widths and wn in widths and widths[hn] < widths[wn] and (
+            (hn in ("byte", "short", "integer", "long"))
+            == (wn in ("byte", "short", "integer", "long"))
+        ):
+            c = c.withColumn("n_id", F.col("n_id").cast(want_id))
+        else:
+            raise ValueError(
+                f"batch {id_col!r} type {hn} does not losslessly widen to "
+                f"the index's stored id type {wn}: a narrowing/lossy id "
+                "cast would silently corrupt result ids — cast the batch "
+                "explicitly upstream if the values are known to fit"
+            )
     enc = assign_encode_fast(
         c, cents, cb, "n_id", "c_vec", dim=dim, m=m, residual=residual
     )
     cols = ["n_id", "cell_id", "codes", "_nrm"] + (
         ["c_vec"] if store_vectors else []
     )
-    # align the batch to the index's STORED column types: parquet dirs
-    # with mixed physical types (float c_vec from a float corpus,
-    # double from a later double-typed stream) read fine column-pruned
-    # but fail the moment a search or compaction touches the divergent
-    # column — a schema-torn index, the quiet cousin of the torn-file
-    # read the manifest exists to prevent.  float→double is lossless;
-    # double→float rounds to the index's own storage precision.
-    for name in ("n_id", "c_vec"):
-        if name in cols:
-            want = stored.schema[name].dataType
-            if enc.schema[name].dataType != want:
-                enc = enc.withColumn(name, F.col(name).cast(want))
     # codes_dir + mode="overwrite" is the streaming-fenced form: each
     # micro-batch owns a `codes/batch=<id>` directory and a replayed
     # trigger overwrites its OWN dir (idempotent), never the others —

@@ -82,6 +82,7 @@ from creek_spark.operators.ann_maintenance import (
     ann_drift_report,
     ivfpq_index_compact,
     ivfpq_index_vacuum,
+    read_manifest,
     write_manifest,
 )
 from creek_spark.operators.similarity import (
@@ -124,7 +125,6 @@ class StreamingAnnIndex:
         from creek_spark.operators.ann_maintenance import (
             DRIFT_SALT,
             ann_recall_probe,
-            read_manifest,
         )
 
         if read_manifest(self.spark, self.path) is not None:
@@ -166,7 +166,9 @@ class StreamingAnnIndex:
             return corpus.where(~_zero_norm_cond(self.vec_col))
         return corpus
 
-    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+    def apply_batch(
+        self, batch: DataFrame, batch_id: int
+    ) -> list[int] | None:
         """Encode one micro-batch under the frozen quantizers into its
         fenced ``batch=<id+1>`` directory, then COMMIT it to the
         manifest.  A replayed trigger whose id is already committed is a
@@ -196,15 +198,23 @@ class StreamingAnnIndex:
         the stream's checkpoint and are seeded as-is.
 
         Replay detection is two-layer: ``bid in live`` (the directory
-        is itself still listed) OR ``bid <= max_bid`` (the manifest's
+        is itself still listed) OR ``bid == max_bid`` (the manifest's
         streaming-batch high-watermark — compaction/retrain FOLD
         committed directories into a new generation and drop their ids
         from ``live``, and without the watermark a replayed trigger
         whose batch was folded would re-append rows the fold already
-        contains: silent duplication).  ``max_bid`` only ever advances
-        on a successful commit, so ``bid <= max_bid`` implies this
-        batch's rows were committed — hence folded into every later
-        generation.
+        contains: silent duplication).  Triggers serialize and the
+        checkpoint commit FOLLOWS this sink commit, so at most ONE
+        batch can ever be sink-committed but not checkpoint-committed:
+        a genuine Spark replay is exactly ``bid == max_bid`` (or a
+        still-listed ``bid in live``).  ``bid < max_bid`` outside
+        ``live`` is therefore NOT a replay — it is a stream restarted
+        against a RESET/RELOCATED checkpoint (batch ids restarted from
+        0), carrying genuinely NEW rows under recycled ids; treating
+        it as a replay would silently discard every such batch until
+        the ids catch up, so it raises instead (resume from the
+        original checkpoint, or point the fresh stream at a fresh
+        index).
 
         Both manifest publishes are fenced on the version this call
         read (`ManifestConflictError` on interleave): a maintenance op
@@ -212,9 +222,11 @@ class StreamingAnnIndex:
         LOUDLY, Spark replays it, and the replay re-reads current
         state — re-encoding under the current quantizer epoch —
         instead of committing codes encoded under a superseded epoch
-        into a manifest whose ``quantizers`` pointer has moved on."""
-        from creek_spark.operators.ann_maintenance import read_manifest
+        into a manifest whose ``quantizers`` pointer has moved on.
 
+        Returns the committed live list, or None when the call was a
+        replay no-op (`foreach_batch` uses it to trigger auto-
+        compaction without re-reading the manifest)."""
         bid = batch_id + 1
         man = read_manifest(self.spark, self.path)
         live = None if man is None else man["live"]
@@ -255,8 +267,21 @@ class StreamingAnnIndex:
                     expect_version=0,
                 )
                 man = read_manifest(self.spark, self.path)
-        elif bid in live or bid <= man.get("max_bid", 0):
-            return
+        else:
+            max_bid = man.get("max_bid", 0)
+            if bid in live or bid == max_bid:
+                return None
+            if bid < max_bid:
+                raise ValueError(
+                    f"batch id {bid} is below the index's committed "
+                    f"watermark (max_bid={max_bid}) and not in the live "
+                    "set: triggers serialize, so this cannot be a Spark "
+                    "replay — the stream was restarted with a reset or "
+                    "relocated checkpoint and its recycled ids carry NEW "
+                    "rows that a replay no-op would silently discard; "
+                    "resume from the original checkpointLocation, or "
+                    "stream into a fresh index"
+                )
         ivfpq_index_append(
             batch, self.path, id_col=self.id_col, vec_col=self.vec_col,
             dim=self.dim, m=self.m,
@@ -264,11 +289,13 @@ class StreamingAnnIndex:
             mode="overwrite",
             on_zero_norm=self.on_zero_norm,
         )
+        committed = [*live, bid]
         write_manifest(
-            self.spark, self.path, [*live, bid],
+            self.spark, self.path, committed,
             extra={"max_bid": max(bid, (man or {}).get("max_bid", 0))},
             expect_version=man["version"] if man else 0,
         )
+        return committed
 
     def foreach_batch(self, *, compact_every: int | None = None):
         """Adapter for ``writeStream.foreachBatch``.
@@ -286,13 +313,12 @@ class StreamingAnnIndex:
         loud rather than lossy."""
 
         def _fn(batch: DataFrame, batch_id: int) -> None:
-            self.apply_batch(batch, batch_id)
-            if not compact_every:
-                return
-            from creek_spark.operators.ann_maintenance import read_manifest
-
-            man = read_manifest(self.spark, self.path)
-            if man and len([b for b in man["live"] if b > 0]) >= compact_every:
+            live = self.apply_batch(batch, batch_id)
+            if (
+                compact_every
+                and live is not None  # replay no-ops never re-fold
+                and len([b for b in live if b > 0]) >= compact_every
+            ):
                 self.compact()
 
         return _fn
@@ -348,7 +374,6 @@ class StreamingAnnIndex:
             DRIFT_SALT,
             ann_recall_probe,
             read_codes,
-            read_manifest,
         )
 
         man = read_manifest(self.spark, self.path)
@@ -424,7 +449,6 @@ class StreamingAnnIndex:
             DRIFT_SALT,
             ann_recall_probe,
             read_codes,
-            read_manifest,
         )
 
         man = read_manifest(self.spark, self.path)
@@ -444,6 +468,10 @@ class StreamingAnnIndex:
                 F.col("n_id").alias(self.id_col),
                 F.col("c_vec").alias(self.vec_col),
             )
+        else:
+            # the filter policy drops junk rows before indexing — the
+            # baseline must not count rows the index by design excludes
+            corpus = self._probe_view(corpus, {})
         params = {"sample": 512, "n_queries": 64, "k": 5, "salt": DRIFT_SALT}
         base = ann_recall_probe(
             self.spark, self.path, corpus,
@@ -476,8 +504,12 @@ class StreamingAnnIndex:
 
     def drift_report(self, recent: DataFrame, **kw) -> dict:
         """Recall-drift probe of ``recent`` against the bootstrap
-        baseline: {recall, base_recall, drift, retrain_recommended}."""
+        baseline: {recall, base_recall, drift, retrain_recommended}.
+        Under the ``filter`` policy, junk rows are dropped from
+        ``recent`` first — the index excludes them by design, so
+        counting them as recall misses would inflate drift and trip
+        the retrain signal spuriously."""
         return ann_drift_report(
-            self.spark, self.path, recent,
+            self.spark, self.path, self._probe_view(recent, {}),
             id_col=self.id_col, vec_col=self.vec_col, m=self.m, **kw,
         )

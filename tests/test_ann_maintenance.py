@@ -843,11 +843,13 @@ def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
             ingested |= {r["vec_id"] for r in s.select("vec_id").collect()}
             next_bid += 1
         elif op == "replay" and next_bid > 0:
-            # a replayed trigger of any previously committed batch id —
-            # regardless of how many compact/retrain folds happened in
-            # between — must change NOTHING
-            bid = rng.randrange(next_bid)
-            idx.apply_batch(slices[bid + 1], bid)
+            # a genuine Spark replay is always of the LAST committed
+            # trigger (the checkpoint commit follows the sink commit,
+            # so at most one batch can be sink-committed but not
+            # checkpoint-committed) — regardless of how many
+            # compact/retrain folds happened in between, it must
+            # change NOTHING
+            idx.apply_batch(slices[next_bid], next_bid - 1)
         elif op == "compact":
             idx.compact(vacuum=rng.random() < 0.5)
         elif op == "retrain":
@@ -1143,10 +1145,10 @@ def test_foreach_batch_auto_compaction_bounds_directories(
         live = read_manifest(spark, p)["live"]
         assert len([b for b in live if b > 0]) < 2, (bid, live)
 
-    # replay through the auto-folds: still a pure no-op
+    # replay of the last trigger through the auto-folds: pure no-op
     man = read_manifest(spark, p)
     n = read_codes(spark, p).count()
-    fn(slices[3], 2)
+    fn(slices[6], 5)
     assert read_manifest(spark, p) == man
     assert read_codes(spark, p).count() == n
 
@@ -1164,3 +1166,90 @@ def test_foreach_batch_auto_compaction_bounds_directories(
     before = _key(idx.search(parts["queries"]))
     assert idx.vacuum()
     assert _key(idx.search(parts["queries"])) == before
+
+
+def test_checkpoint_reset_raises_instead_of_silently_skipping(
+    spark, tmp_path, parts
+):
+    """Batch ids below the watermark and outside the live set cannot be
+    Spark replays (triggers serialize; the checkpoint commit follows the
+    sink commit, so only the LAST batch can replay) — they mean the
+    stream restarted with a reset/relocated checkpoint, and its recycled
+    ids carry NEW rows.  A silent replay no-op would discard every such
+    batch until the ids caught up; apply_batch must refuse loudly."""
+    from creek_spark.operators.ann_maintenance import read_codes
+
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(parts["seed"])
+    idx.apply_batch(parts["b"][0], 0)
+    idx.apply_batch(parts["b"][1], 1)
+    idx.compact()  # fold: live no longer contains the streamed ids
+
+    # "new" stream against the same index, checkpoint reset: ids restart
+    fresh = StreamingAnnIndex(spark, p)
+    with pytest.raises(ValueError, match="reset or relocated checkpoint"):
+        fresh.apply_batch(parts["b"][2], 0)
+    # nothing was written or committed by the refusal
+    man = read_manifest(spark, p)
+    assert man["max_bid"] == 2 and man["live"] == [-4]
+    # the LAST id replay stays a legitimate no-op ...
+    assert fresh.apply_batch(parts["b"][1], 1) is None
+    # ... and the next id onward proceeds
+    assert fresh.apply_batch(parts["b"][2], 2) is not None
+    assert read_codes(spark, p).count() == (
+        parts["seed"].count()
+        + parts["b"][0].count()
+        + parts["b"][1].count()
+        + parts["b"][2].count()
+    )
+
+
+def test_append_aligns_types_before_encoding(spark, tmp_path, parts):
+    """Schema alignment must happen BEFORE encoding so codes/_nrm/c_vec
+    all derive from storage-precision values (build+append ≡ one-build
+    parity), vectors round to the index's own element type, and id
+    alignment accepts only lossless widenings — a narrowing id cast
+    silently wraps or nulls, corrupting every result that cites the
+    row."""
+    from creek_spark.operators.ann_maintenance import read_codes
+
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(parts["seed"])  # float vectors, bigint ids
+
+    # double-typed stream into the float-seeded index: aligned, readable,
+    # and bit-identical to appending the float-cast batch directly
+    dbl = (
+        parts["b"][0]
+        .select("vec_id", "embedding")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    idx.apply_batch(dbl, 0)
+    rows = read_codes(spark, p)
+    assert dict(rows.dtypes)["c_vec"] == "array<float>"
+    got = _key(rows.select("n_id", "cell_id", "codes"))
+    ref = str(tmp_path / "ref")
+    ref_idx = StreamingAnnIndex(spark, ref)
+    ref_idx.bootstrap(parts["seed"])
+    ref_idx.apply_batch(parts["b"][0].select("vec_id", "embedding"), 0)
+    assert got == _key(
+        read_codes(spark, ref).select("n_id", "cell_id", "codes")
+    )
+
+    # int ids widen losslessly into the stored bigint ids
+    small = (
+        parts["b"][1]
+        .select("vec_id", "embedding")
+        .withColumn("vec_id", F.col("vec_id").cast("int"))
+    )
+    idx.apply_batch(small, 1)
+
+    # a lossy id alignment (string → bigint) refuses
+    lossy = (
+        parts["b"][2]
+        .select("vec_id", "embedding")
+        .withColumn("vec_id", F.col("vec_id").cast("string"))
+    )
+    with pytest.raises(ValueError, match="losslessly widen"):
+        idx.apply_batch(lossy, 2)
