@@ -75,8 +75,21 @@ class StreamingDedup:
         )
 
         m = self._read_manifest()
-        if m is not None and batch_id <= m["last_batch_id"]:
+        if m is not None and batch_id == m["last_batch_id"]:
             return  # replayed trigger — state already reflects it
+        if m is not None and batch_id < m["last_batch_id"]:
+            # triggers serialize and the checkpoint commit follows this
+            # sink commit, so only the LAST batch can genuinely replay:
+            # a lower id means a reset/relocated checkpoint whose
+            # recycled ids carry NEW rows — refusing beats silently
+            # dropping them until the ids catch up
+            raise ValueError(
+                f"batch id {batch_id} is below this index's committed "
+                f"fence (last_batch_id={m['last_batch_id']}): not a Spark "
+                "replay — the stream restarted with a reset or relocated "
+                "checkpoint; resume from the original checkpointLocation "
+                "or use a fresh state_dir"
+            )
         index = self._index(m)
         if index is None:
             pairs = minhash_lsh_candidates(

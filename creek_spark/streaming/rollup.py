@@ -144,12 +144,27 @@ class AdditiveRollupSink:
     # -- merge ---------------------------------------------------------
 
     def apply_batch(self, tier: DataFrame, batch_id: int) -> None:
-        """Merge one micro-batch's pre-aggregated tier rows.  Replays
-        (batch_id ≤ last committed) are no-ops — at-least-once delivery
-        becomes effectively-once."""
+        """Merge one micro-batch's pre-aggregated tier rows.  A replayed
+        trigger is a no-op — at-least-once delivery becomes
+        effectively-once.  Triggers serialize and Spark's checkpoint
+        commit FOLLOWS this sink commit, so a genuine replay is exactly
+        ``batch_id == last_batch_id``; an id BELOW that means the stream
+        restarted with a reset/relocated checkpoint and its recycled ids
+        carry NEW rows — skipping them would silently drop data until
+        the ids caught up, and merging them would attribute them to the
+        wrong fence, so it raises instead."""
         old = self._read_manifest()
-        if old is not None and batch_id <= old["last_batch_id"]:
+        if old is not None and batch_id == old["last_batch_id"]:
             return
+        if old is not None and batch_id < old["last_batch_id"]:
+            raise ValueError(
+                f"batch id {batch_id} is below this sink's committed fence "
+                f"(last_batch_id={old['last_batch_id']}): triggers "
+                "serialize, so this cannot be a Spark replay — the stream "
+                "was restarted with a reset or relocated checkpoint; "
+                "resume from the original checkpointLocation, or point "
+                "the fresh stream at a fresh state_dir"
+            )
         tier = tier.groupBy(*self.key_cols).agg(*self._merge_exprs())
         touched = {
             str(v)

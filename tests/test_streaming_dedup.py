@@ -35,7 +35,12 @@ def test_streaming_dedup_replay_fenced(spark, sf_dir, tmp_path):
     sd.apply_batch(b1, 1)
     before = _pairs(sd.candidates())
     sd.apply_batch(b1, 1)  # replayed trigger — must be a no-op
-    sd.apply_batch(b0, 0)  # stale replay — also a no-op
+    # below the fence = not a replay (only the LAST batch can replay):
+    # a reset checkpoint's recycled ids carry new rows — loud refusal
+    import pytest
+
+    with pytest.raises(ValueError, match="reset or relocated checkpoint"):
+        sd.apply_batch(b0, 0)
     assert _pairs(sd.candidates()) == before
     assert sd.last_batch_id() == 1
 

@@ -60,9 +60,17 @@ def test_replayed_batch_is_noop(spark, sf_dir, tmp_path):
     sink.apply_batch(_tier(b0), 0)
     sink.apply_batch(_tier(b1), 1)
     before = _rows(sink.current())
-    sink.apply_batch(_tier(b1), 1)  # replay after "crash"
-    sink.apply_batch(_tier(b0), 0)  # stale replay
+    sink.apply_batch(_tier(b1), 1)  # replay after "crash" — no-op
     assert _rows(sink.current()) == before
+    # an id BELOW the fence cannot be a Spark replay (triggers
+    # serialize; only the last batch can replay) — it means a
+    # reset/relocated checkpoint whose recycled ids carry NEW rows,
+    # and silently skipping them would drop data: loud refusal
+    import pytest
+
+    with pytest.raises(ValueError, match="reset or relocated checkpoint"):
+        sink.apply_batch(_tier(b0), 0)
+    assert _rows(sink.current()) == before  # refusal committed nothing
 
 
 def test_batch_rewrites_only_touched_partitions(spark, tmp_path):
