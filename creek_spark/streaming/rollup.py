@@ -6,8 +6,12 @@ Additive state (counts/sums per key) composes differently from the
 CdcApplier's latest-state MERGE: merge is ``old + batch`` per key, which
 is NOT idempotent — a replayed batch would double-count.  Structured
 Streaming replays a failed trigger under the SAME batch_id, so the sink
-records ``last_batch_id`` in its manifest and skips replays — the
+records ``last_batch_id`` in its manifest and no-ops the replay — the
 standard transactional-sink recipe (batch_id fencing + atomic commit).
+Only the LAST batch can genuinely replay (triggers serialize; the
+checkpoint commit follows this sink commit), so an id BELOW the fence
+means a reset/relocated checkpoint and raises instead of silently
+dropping the new rows it carries.
 
 Scale design mirrors CdcApplier: state is hive-partitioned on a caller
 -chosen partition key (for time-tier rollups: the day of the bucket), a
