@@ -43,6 +43,9 @@ Readers are always safe: they only ever see committed versions.
 from __future__ import annotations
 
 import json
+import logging
+
+log = logging.getLogger("creek_spark.ann")
 
 _MANIFEST_DIR = "_manifest"
 
@@ -66,7 +69,15 @@ MANIFEST_RETAIN = 10
 # batch ids out of `live`; without the watermark a replayed trigger
 # whose directory was folded would re-append rows the fold already
 # contains — silent duplication).
-_PERSISTENT_KEYS = ("probe", "quantizers", "max_bid")
+# index-level keys that ride forward across manifest versions unless a
+# publish overrides them: the drift baseline, the quantizer-epoch
+# pointer, the streaming-batch watermark, the watermark batch's content
+# fingerprint (streaming/fence.py — compaction/retrain don't change what
+# the last committed batch CONTAINED, so it rides), and the index's junk
+# policy (so every drift entry point probes the same view)
+_PERSISTENT_KEYS = (
+    "probe", "quantizers", "max_bid", "fence_print", "on_zero_norm"
+)
 
 
 class ManifestConflictError(RuntimeError):
@@ -416,7 +427,10 @@ def ivfpq_index_vacuum(
     directory that no longer exists — permanent silent data loss with
     no error at fault time.  ``reclaim_pending=True`` deletes them too,
     for the owner who has verified no writer is in flight (an abandoned
-    stream's torn dirs, which nothing will ever replay)."""
+    stream's torn dirs, which nothing will ever replay).  Skipped
+    pending directories are logged by name at WARNING (logger
+    ``creek_spark.ann``) so the deliberate leftovers are visible
+    instead of accreting as an unexplained disk leak."""
     man = read_manifest(spark, path)
     if man is None:
         raise ValueError(f"no manifest at {path}: nothing is provably dead")
@@ -426,6 +440,7 @@ def ivfpq_index_vacuum(
     fs, _, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     deleted = []
+    skipped = []
     for name in _list_names(spark, f"{path}/codes"):
         if not name.startswith("batch="):
             continue
@@ -434,6 +449,7 @@ def ivfpq_index_vacuum(
             continue
         pending = bid > max_bid if bid >= 0 else -bid > version
         if pending and not reclaim_pending:
+            skipped.append(f"codes/{name}")
             continue
         fs.delete(P(f"{path}/codes/{name}"), True)
         deleted.append(bid)
@@ -454,12 +470,25 @@ def ivfpq_index_vacuum(
         except ValueError:
             pending = True  # unrecognized layout: never reclaim blindly
         if pending and not reclaim_pending:
+            skipped.append(f"quantizers/{name}")
             continue
         fs.delete(P(f"{path}/quantizers/{name}"), True)
     if live_epoch is not None:
         for stale in ("centroids", "codebook"):
             fs.delete(P(f"{path}/{stale}"), True)
     _prune_manifests(spark, path, keep_from=man["version"] - MANIFEST_RETAIN + 1)
+    if skipped:
+        # deliberately left behind, not forgotten: an abandoned stream's
+        # torn dirs / a crashed retrain's staging dirs sit above the
+        # watermark forever and would otherwise read as a slow disk
+        # leak — name them so the owner can verify no writer is in
+        # flight and reclaim with reclaim_pending=True
+        log.warning(
+            "vacuum at %s skipped %d possibly-in-flight dir(s) above the "
+            "watermark (max_bid=%d, version=%d): %s — verify no writer "
+            "is running, then reclaim with reclaim_pending=True",
+            path, len(skipped), max_bid, version, sorted(skipped),
+        )
     return sorted(deleted)
 
 
@@ -549,11 +578,21 @@ def ann_drift_report(
     vec_col: str = "embedding",
     m: int = 8,
     tolerance: float = 0.15,
+    on_zero_norm: str | None = None,
 ) -> dict:
     """Compare recent data's simulated recall with the baseline the
     bootstrap recorded in the manifest, measured with the SAME probe
     parameters (sample size, query count, k, salt — stored beside the
     baseline), so the two numbers are like-for-like.
+
+    ``on_zero_norm=None`` (default) resolves the index's OWN junk
+    policy from the manifest (recorded at bootstrap/retrain/rebaseline):
+    under ``'filter'`` the index excludes zero-norm rows by design, so
+    they are dropped from ``recent_df`` before probing — counting them
+    as recall misses would inflate drift and trip
+    ``retrain_recommended`` spuriously.  This makes every entry point
+    (`StreamingAnnIndex.drift_report`, this function, the Engine
+    facade) probe the same view of the same index.
     ``retrain_recommended`` trips when recall fell more than
     ``tolerance`` below baseline — the signal to rebuild (retrain
     quantizers) instead of appending forever, i.e. Faiss's
@@ -584,6 +623,15 @@ def ann_drift_report(
             "to 'no drift' would silently disable the retrain signal — "
             + step
         )
+    policy = (
+        on_zero_norm
+        if on_zero_norm is not None
+        else (man or {}).get("on_zero_norm", "raise")
+    )
+    if policy == "filter":
+        from creek_spark.operators.similarity import _zero_norm_cond
+
+        recent_df = recent_df.where(~_zero_norm_cond(vec_col))
     params = {
         "sample": probe.get("sample", 512),
         "n_queries": probe.get("n_queries", 64),

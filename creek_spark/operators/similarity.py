@@ -243,9 +243,16 @@ def _pair_cos(qv, cv, qn, cn, exact: bool):
     DIVIDE_BY_ZERO instead, which made `on_zero_norm='allow'` builds
     crash whenever the residual path ran this assignment over an
     admitted zero row: the policy promised NULL-cell semantics the
-    arithmetic couldn't deliver.  On any zero-free corpus the guard is
-    value-invariant (the branch is never taken), so oracle bit-parity
-    is untouched."""
+    arithmetic couldn't deliver.  (Verified empirically on this Spark:
+    ANSI `/` raises SparkArithmeticException[DIVIDE_BY_ZERO] for
+    double/double too — the `/` operator under ANSI is not IEEE
+    division; only `try_divide` returns NULL.  Were it IEEE, the
+    failure mode would instead be 0/0 → NaN, which Spark's double
+    ordering ranks ABOVE every number in desc sorts — zero-norm junk
+    ranked FIRST — so the NULL guard is the right fix under either
+    semantics; test_ansi_double_division_raises pins the actual one.)
+    On any zero-free corpus the guard is value-invariant (the branch
+    is never taken), so oracle bit-parity is untouched."""
     if exact:
         denom = F.sqrt(qn.cast("double")) * F.sqrt(cn.cast("double"))
         return F.when(
@@ -1005,9 +1012,12 @@ def _adc_sim_col(m: int, *, with_cdot: bool = False):
     # zero-norm side (possible only under on_zero_norm='allow') → NULL
     # similarity, ranked last — matching the exact path's NULL on
     # undefined cosine; without the guard ANSI mode fails EVERY search
-    # over an index containing one admitted zero row.  Value-invariant
-    # on zero-free corpora (the branch never taken), so oracle
-    # bit-parity holds.
+    # over an index containing one admitted zero row (ANSI `/` raises
+    # DIVIDE_BY_ZERO even for double/double — verified, see _pair_cos;
+    # and under IEEE semantics 0/0→NaN would rank the junk row FIRST
+    # in desc sorts, so the guard is right either way).  Value-
+    # invariant on zero-free corpora (the branch never taken), so
+    # oracle bit-parity holds.
     return F.when(denom != F.lit(0.0), adc.cast("double") / denom)
 
 

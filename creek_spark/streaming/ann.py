@@ -149,9 +149,19 @@ class StreamingAnnIndex:
             self.spark, self.path, self._probe_view(corpus, build_kw),
             id_col=self.id_col, vec_col=self.vec_col, m=self.m, **params,
         )
+        # the junk policy rides in the manifest so EVERY drift entry
+        # point (this object, a fresh StreamingAnnIndex, the bare
+        # ann_drift_report, the Engine facade) probes the same view —
+        # otherwise the same index yields different drift numbers and
+        # can trip retrain_recommended spuriously (round-11 ADVICE)
         write_manifest(
             self.spark, self.path, [0],
-            extra={"probe": {"recall": base, **params}},
+            extra={
+                "probe": {"recall": base, **params},
+                "on_zero_norm": build_kw.get(
+                    "on_zero_norm", self.on_zero_norm
+                ),
+            },
             expect_version=0,
         )
 
@@ -269,13 +279,30 @@ class StreamingAnnIndex:
                 man = read_manifest(self.spark, self.path)
         else:
             max_bid = man.get("max_bid", 0)
-            if bid in live or bid == max_bid:
+            if bid == max_bid:
+                # the one genuine Spark replay (triggers serialize; the
+                # checkpoint commit follows this sink commit, so only
+                # the LAST committed trigger can redeliver) — UNLESS a
+                # reset checkpoint's recycled id landed exactly on the
+                # fence, which the committed content fingerprint
+                # distinguishes (streaming/fence.py): same content =
+                # replay no-op, different content refuses loudly
+                from creek_spark.streaming.fence import check_on_fence
+
+                check_on_fence(
+                    batch, man.get("fence_print"), batch_id=bid,
+                    sink="StreamingAnnIndex", state_path=self.path,
+                )
                 return None
             if bid < max_bid:
+                # committed bids are <= max_bid by construction, so
+                # this covers ids still in the live set too: a live id
+                # below the fence was committed MORE than one trigger
+                # ago, which serialized triggers can never redeliver
                 raise ValueError(
                     f"batch id {bid} is below the index's committed "
-                    f"watermark (max_bid={max_bid}) and not in the live "
-                    "set: triggers serialize, so this cannot be a Spark "
+                    f"watermark (max_bid={max_bid}): triggers "
+                    "serialize, so this cannot be a Spark "
                     "replay — the stream was restarted with a reset or "
                     "relocated checkpoint and its recycled ids carry NEW "
                     "rows that a replay no-op would silently discard; "
@@ -289,10 +316,18 @@ class StreamingAnnIndex:
             mode="overwrite",
             on_zero_norm=self.on_zero_norm,
         )
+        from creek_spark.streaming.fence import content_fingerprint
+
         committed = [*live, bid]
         write_manifest(
             self.spark, self.path, committed,
-            extra={"max_bid": max(bid, (man or {}).get("max_bid", 0))},
+            extra={
+                "max_bid": max(bid, (man or {}).get("max_bid", 0)),
+                # fingerprint of THIS batch's raw input, recorded beside
+                # the fence it advances: the on-fence check above
+                # compares a redelivery of this id against it
+                "fence_print": content_fingerprint(batch),
+            },
             expect_version=man["version"] if man else 0,
         )
         return committed
@@ -423,6 +458,13 @@ class StreamingAnnIndex:
             extra={
                 "probe": {"recall": base, **params},
                 "quantizers": qdir,
+                # the rebuilt generation's effective junk policy (may
+                # differ from bootstrap's: fresh-path retrain defaults
+                # to 'allow') — keeps every drift entry point probing
+                # the view THIS generation indexes
+                "on_zero_norm": build_kw.get(
+                    "on_zero_norm", self.on_zero_norm
+                ),
                 # advance the watermark over every folded streaming id
                 # explicitly (pre-watermark manifests have no key to
                 # persist) — vacuum relies on it to tell dead from
@@ -479,7 +521,12 @@ class StreamingAnnIndex:
         )
         write_manifest(
             self.spark, self.path, man["live"],
-            extra={"probe": {"recall": base, **params}},
+            extra={
+                "probe": {"recall": base, **params},
+                # adopted manifests carry no junk policy; record this
+                # object's so bare ann_drift_report probes the same view
+                "on_zero_norm": man.get("on_zero_norm", self.on_zero_norm),
+            },
             expect_version=man["version"],
         )
         return base
@@ -508,8 +555,12 @@ class StreamingAnnIndex:
         Under the ``filter`` policy, junk rows are dropped from
         ``recent`` first — the index excludes them by design, so
         counting them as recall misses would inflate drift and trip
-        the retrain signal spuriously."""
+        the retrain signal spuriously.  The filtering itself lives in
+        `ann_drift_report`, which resolves the policy from the manifest
+        (recorded at bootstrap/retrain/rebaseline), so this method, the
+        bare function, and the Engine facade probe the identical view;
+        pass ``on_zero_norm=`` explicitly to override."""
         return ann_drift_report(
-            self.spark, self.path, self._probe_view(recent, {}),
+            self.spark, self.path, recent,
             id_col=self.id_col, vec_col=self.vec_col, m=self.m, **kw,
         )

@@ -74,9 +74,22 @@ class StreamingDedup:
             minhash_lsh_candidates,
         )
 
+        from creek_spark.streaming.fence import (
+            check_on_fence,
+            content_fingerprint,
+        )
+
         m = self._read_manifest()
         if m is not None and batch_id == m["last_batch_id"]:
-            return  # replayed trigger — state already reflects it
+            # replayed trigger — state already reflects it; the content
+            # fingerprint distinguishes a genuine replay from a reset
+            # checkpoint whose recycled id landed ON the fence
+            # (streaming/fence.py), which carries NEW rows and raises
+            check_on_fence(
+                batch, m.get("fence_print"), batch_id=batch_id,
+                sink="StreamingDedup", state_path=self.state_dir,
+            )
+            return
         if m is not None and batch_id < m["last_batch_id"]:
             # triggers serialize and the checkpoint commit follows this
             # sink commit, so only the LAST batch can genuinely replay:
@@ -110,6 +123,7 @@ class StreamingDedup:
             "last_batch_id": batch_id,
             "index_parts": (m or {}).get("index_parts", []) + [part],
             "stale_parts": (m or {}).get("stale_parts", []),
+            "fence_print": content_fingerprint(batch),
         }
         tmp = os.path.join(self.state_dir, _MANIFEST + ".tmp")
         with open(tmp, "w") as f:

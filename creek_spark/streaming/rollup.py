@@ -156,9 +156,22 @@ class AdditiveRollupSink:
         restarted with a reset/relocated checkpoint and its recycled ids
         carry NEW rows — skipping them would silently drop data until
         the ids caught up, and merging them would attribute them to the
-        wrong fence, so it raises instead."""
+        wrong fence, so it raises instead.  The one case the id alone
+        cannot decide — a reset checkpoint recycling to EXACTLY the
+        fence — is closed by the content fingerprint committed beside
+        the fence (streaming/fence.py): on-fence + same content = the
+        replay no-op, on-fence + different content refuses loudly."""
+        from creek_spark.streaming.fence import (
+            check_on_fence,
+            content_fingerprint,
+        )
+
         old = self._read_manifest()
         if old is not None and batch_id == old["last_batch_id"]:
+            check_on_fence(
+                tier, old.get("fence_print"), batch_id=batch_id,
+                sink="AdditiveRollupSink", state_path=self.state_dir,
+            )
             return
         if old is not None and batch_id < old["last_batch_id"]:
             raise ValueError(
@@ -169,6 +182,11 @@ class AdditiveRollupSink:
                 "resume from the original checkpointLocation, or point "
                 "the fresh stream at a fresh state_dir"
             )
+        # fingerprint the PRE-aggregation rows: that is the view the
+        # on-fence check above sees on a replay (tier content is
+        # deterministic under the sink contract — integer sums, order-
+        # free min/max — so a genuine replay reproduces it bit-exact)
+        fence_print = content_fingerprint(tier)
         tier = tier.groupBy(*self.key_cols).agg(*self._merge_exprs())
         touched = {
             str(v)
@@ -177,7 +195,7 @@ class AdditiveRollupSink:
             )
         }
         if not touched:
-            self._publish(old, None, touched, batch_id)
+            self._publish(old, None, touched, batch_id, fence_print)
             return
         merged = tier
         old_parts = (old or {}).get("parts", {})
@@ -221,10 +239,15 @@ class AdditiveRollupSink:
         merged.write.partitionBy(self.partition_col).mode("overwrite").parquet(
             os.path.join(self.state_dir, new_ver)
         )
-        self._publish(old, new_ver, touched, batch_id)
+        self._publish(old, new_ver, touched, batch_id, fence_print)
 
     def _publish(
-        self, old: dict | None, new_ver: str | None, touched: set, batch_id: int
+        self,
+        old: dict | None,
+        new_ver: str | None,
+        touched: set,
+        batch_id: int,
+        fence_print: dict | None = None,
     ) -> None:
         parts = dict((old or {}).get("parts", {}))
         if new_ver is not None:
@@ -233,6 +256,7 @@ class AdditiveRollupSink:
             "version": (old["version"] + 1) if old else 1,
             "parts": parts,
             "last_batch_id": batch_id,
+            "fence_print": fence_print,
         }
         tmp = os.path.join(self.state_dir, _MANIFEST + ".tmp")
         with open(tmp, "w") as f:

@@ -134,7 +134,12 @@ def test_streaming_ann_index_incremental_equals_batch(spark, tmp_path):
     micro-batch appends under frozen quantizers) must search identically
     to the one-shot index built from the same seed and fed the same rows
     in one append — and a replayed trigger must be a no-op (its fenced
-    batch dir is overwritten, not duplicated)."""
+    batch dir is overwritten, not duplicated).  Only the LAST committed
+    trigger can genuinely replay (triggers serialize; the checkpoint
+    commit follows the sink commit), so that is the replay this test
+    drives; an id further below the fence is a reset checkpoint and
+    raises (round-11: previously it was silently no-opped when still in
+    the live set, discarding the new rows a recycled id carries)."""
     from pyspark.sql import functions as F
 
     from creek_spark.operators import similarity as sim
@@ -148,11 +153,15 @@ def test_streaming_ann_index_incremental_equals_batch(spark, tmp_path):
     b0 = emb.where(F.col("vec_id") % 3 == 1)
     b1 = emb.where(F.col("vec_id") % 3 == 2)
 
+    import pytest
+
     idx = StreamingAnnIndex(spark, str(tmp_path / "stream_idx"))
     idx.bootstrap(seed)
     idx.apply_batch(b0, 0)
     idx.apply_batch(b1, 1)
-    idx.apply_batch(b0, 0)  # replayed trigger — must be a no-op
+    idx.apply_batch(b1, 1)  # replayed LAST trigger — must be a no-op
+    with pytest.raises(ValueError, match="below the index's committed"):
+        idx.apply_batch(b0, 0)  # reset checkpoint: two triggers back
 
     p_ref = str(tmp_path / "batch_idx")
     sim.ivfpq_index_build(seed, p_ref)
