@@ -27,6 +27,7 @@ def _catalog():
     import creek_spark.queries_r6  # noqa: F401 — registers part 8
     import creek_spark.queries_r6b  # noqa: F401 — registers part 9
     import creek_spark.queries_r6c  # noqa: F401 — registers part 10
+    import creek_spark.queries_r11  # noqa: F401 — registers part 11
 
     return q.QUERIES
 

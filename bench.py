@@ -293,6 +293,24 @@ def main() -> None:
     except Exception as e:
         errors.setdefault("similarity_ivfpq", f"extras: {type(e).__name__}: {e}"[:500])
 
+    # JPEG codec throughput (round 11): encode+decode round-trip of one
+    # deterministic block-grid JPEG per document through the catalog
+    # query (mapInPandas across all cores) — the visible number for the
+    # pure-numpy baseline-JPEG path that closed the non-PNG pixel gap
+    try:
+        qfn = catalog["multimodal_jpeg_pixel_stats"].fn
+        t0 = time.perf_counter()
+        n_imgs = qfn(spark, sf_dir).count()
+        extras["multimodal_jpeg_roundtrip_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        extras["multimodal_jpeg_images"] = int(n_imgs)
+    except Exception as e:
+        errors.setdefault(
+            "multimodal_jpeg_roundtrip",
+            f"extras: {type(e).__name__}: {e}"[:500],
+        )
+
     # total = sum of per-query minima (NOT wall time of the rep loop);
     # computed after the round-10 promotion so the headline metric
     # includes the trained-search row

@@ -4,17 +4,24 @@ The Spark-side plumbing (schema, partition-friendly batch shape, Arrow
 transfer via mapInPandas) is real and tested.  IMAGE header decode
 (PNG IHDR / JPEG SOF / GIF LSD / BMP DIB → width, height, bit depth,
 channels) is REAL and pure-stdlib — see ``parse_image_header`` /
-``decode_image_headers`` — and for PNG the engine carries a REAL
-pixel-level codec too (``decode_png_pixels`` / ``png_from_array``:
-chunk walk, IDAT inflate, full None/Sub/Up/Average/Paeth unfiltering),
-so PNG resize (``resize_images``) and pixel statistics
-(``pixel_stats``, oracle-verified in the catalog) run on actual pixels
-with no injected library.  Non-PNG pixel transforms and audio/video
-payload decode remain injection points, because no codec library ships
-in this environment: those either raise NotImplementedError (strict
-mode), produce a deterministic fake payload (plumbing-test mode), or
-accept an injected batch codec (PIL/librosa/ffmpeg in real
-deployments).
+``decode_image_headers`` — and the engine carries REAL pixel-level
+codecs for ALL FOUR formats its header decoder recognizes: PNG
+(``decode_png_pixels`` / ``png_from_array``: chunk walk, IDAT inflate,
+full None/Sub/Up/Average/Paeth unfiltering), baseline JPEG
+(operators/jpeg_codec.py: Huffman entropy decode with restart markers,
+dequant, vectorized IDCT, chroma upsampling, YCbCr→RGB — plus the
+matching encoder), BMP and GIF with full LZW
+(operators/media_codecs.py, both directions) — plus real WAV PCM
+SAMPLE decode (``audio_stats``).  So resize (``resize_images``) and
+pixel statistics (``pixel_stats``, oracle-verified in the catalog) run
+on actual pixels with no injected library for PNG/JPEG/BMP/GIF, and
+audio statistics on actual samples for PCM WAV.  Outside those
+profiles (progressive/arithmetic JPEG, palette PNG, compressed
+BMP/audio, animated GIF, video frames) remain injection points,
+because no codec library ships in this environment: those either
+raise (strict mode), produce a deterministic fake payload
+(plumbing-test mode), or accept an injected batch codec
+(PIL/librosa/ffmpeg in real deployments).
 
 Design for 100 TB: binary payloads ride in parquet with the metadata
 columns beside them; decode/feature-extract runs as `mapInPandas` so each
@@ -335,19 +342,43 @@ def resize_images(
         if batch_resizer is not None:
             return batch_resizer(content, width, height)
         if not fake:
-            # REAL path for PNG payloads: pure-stdlib pixel decode →
-            # nearest-neighbor resize → re-encode.  Other formats still
-            # need an injected codec.
+            # REAL path for PNG / baseline JPEG / BMP / GIF: pure-stdlib
+            # pixel decode → nearest-neighbor resize → re-encode in the
+            # SOURCE format (a resized JPEG stays a JPEG — downstream
+            # consumers key on the container; GIF resizes the INDEX
+            # plane and reuses the exact palette, staying lossless).
+            # Outside these profiles an injected codec is still needed.
+            head = bytes(content[:4])
             try:
-                return png_from_array(
-                    nn_resize(decode_png_pixels(content), width, height)
+                if head == b"GIF8":
+                    from creek_spark.operators.media_codecs import (
+                        decode_gif_indexed,
+                        gif_from_indexed,
+                    )
+
+                    idx, pal = decode_gif_indexed(content)
+                    return gif_from_indexed(
+                        nn_resize(idx, width, height), pal
+                    )
+                resized = nn_resize(
+                    decode_image_pixels(content), width, height
                 )
             except ValueError:
                 raise NotImplementedError(
-                    "non-PNG resize requires a codec library not present "
-                    "in this environment; inject batch_resizer or run "
-                    "with fake_resize=True to exercise the plumbing"
+                    "resize outside the PNG/JPEG/BMP/GIF profiles "
+                    "requires a codec library not present in this "
+                    "environment; inject batch_resizer or run with "
+                    "fake_resize=True to exercise the plumbing"
                 )
+            if head[:2] == b"\xff\xd8":
+                from creek_spark.operators.jpeg_codec import jpeg_from_array
+
+                return jpeg_from_array(resized)
+            if head[:2] == b"BM":
+                from creek_spark.operators.media_codecs import bmp_from_array
+
+                return bmp_from_array(resized)
+            return png_from_array(resized)
         # deterministic fake: cap payload at width*height bytes
         return bytes(content[: width * height])
 
@@ -504,6 +535,73 @@ def decode_av_headers(media: DataFrame, *, strict: bool = False) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         run, schema=AV_HEADER_SCHEMA
+    )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_us", T.LongType(), True),
+        T.StructField("sum_amp", T.LongType(), True),
+        T.StructField("min_amp", T.IntegerType(), True),
+        T.StructField("max_amp", T.IntegerType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+    ]
+)
+
+
+def audio_stats(media: DataFrame, *, strict: bool = False) -> DataFrame:
+    """Per-clip statistics from REAL decoded PCM samples (frame count /
+    exact amplitude sum / min / max / exact energy sum-of-squares) —
+    the silence/clipping screen an audio curation pipeline runs first,
+    the sample-level twin of ``pixel_stats``.  WAV PCM decodes via the
+    pure-stdlib codec (operators/media_codecs.py); compressed audio
+    yields nulls (or raises under ``strict``) until a codec is
+    injected.  All stats are exact integers (duration_us is the floor
+    of frames·1e6/rate), so a SQL oracle reproduces them bit-for-bit.
+
+    Scale shape: mapInPandas (Arrow batches), decode work ∝ media
+    bytes, one metadata row out per clip — the blob never shuffles."""
+    import numpy as np
+
+    from creek_spark.operators.media_codecs import decode_wav_samples
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    arr, rate = decode_wav_samples(content)
+                    frames, channels = arr.shape
+                    a64 = arr.astype(np.int64)
+                    rows.append(
+                        (
+                            mid,
+                            frames,
+                            channels,
+                            rate,
+                            frames * 1_000_000 // rate,
+                            int(a64.sum()),
+                            int(arr.min(initial=0)),
+                            int(arr.max(initial=0)),
+                            int((a64 * a64).sum()),
+                        )
+                    )
+                except (ValueError, NotImplementedError):
+                    if strict:
+                        raise
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=AUDIO_STATS_SCHEMA
     )
 
 
@@ -666,6 +764,31 @@ def png_bytes_gradient(width: int, height: int, seed: int = 0) -> bytes:
     return png_from_array((xx + 2 * yy + seed + cc) % 256)
 
 
+def decode_image_pixels(payload: bytes):
+    """Pixel decode dispatching across ALL four pure-stdlib codecs by
+    signature: baseline JPEG (FFD8 → operators/jpeg_codec.py), BMP
+    ('BM'), GIF ('GIF8') with full LZW (both →
+    operators/media_codecs.py), or PNG (everything else, which
+    `decode_png_pixels` signature-checks itself).  Returns H×W×C uint8.
+    Raises ValueError for unrecognized/malformed payloads and
+    NotImplementedError for variants outside the implemented profiles
+    (progressive JPEG, palette PNG, compressed BMP, animated GIF)."""
+    head = b"" if payload is None else bytes(payload[:4])
+    if head[:2] == b"\xff\xd8":
+        from creek_spark.operators.jpeg_codec import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
+    if head[:2] == b"BM":
+        from creek_spark.operators.media_codecs import decode_bmp_pixels
+
+        return decode_bmp_pixels(payload)
+    if head == b"GIF8":
+        from creek_spark.operators.media_codecs import decode_gif_pixels
+
+        return decode_gif_pixels(payload)
+    return decode_png_pixels(payload)
+
+
 def nn_resize(arr, width: int, height: int):
     """Nearest-neighbor resize by floor index mapping — pure numpy
     fancy-indexing, deterministic."""
@@ -696,9 +819,9 @@ def pixel_stats(media: DataFrame, *, strict: bool = False) -> DataFrame:
     """Per-image pixel statistics from REAL decoded pixels
     (count / exact integer sum / min / max over all channel values) —
     the brightness/degenerate-image screen a multimodal curation
-    pipeline runs first.  PNG decodes via the pure-stdlib codec; other
-    formats yield nulls (or raise under ``strict``) until a codec is
-    injected.
+    pipeline runs first.  PNG and baseline JPEG decode via the
+    pure-stdlib codecs; other formats yield nulls (or raise under
+    ``strict``) until a codec is injected.
 
     Scale shape: mapInPandas (Arrow batches), decode work ∝ media
     bytes, output one metadata row per image — the blob never leaves
@@ -710,7 +833,7 @@ def pixel_stats(media: DataFrame, *, strict: bool = False) -> DataFrame:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    a = decode_png_pixels(content)
+                    a = decode_image_pixels(content)
                     rows.append(
                         (
                             mid,
@@ -723,7 +846,11 @@ def pixel_stats(media: DataFrame, *, strict: bool = False) -> DataFrame:
                             int(a.max()),
                         )
                     )
-                except ValueError:
+                except (ValueError, NotImplementedError):
+                    # ValueError: not a PNG/JPEG, or malformed;
+                    # NotImplementedError: outside the implemented
+                    # profile (progressive JPEG, palette PNG) — both
+                    # null out unless strict
                     if strict:
                         raise
                     rows.append((mid, None, None, None, None, None, None, None))
