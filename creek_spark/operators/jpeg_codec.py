@@ -579,21 +579,22 @@ def _mag_cat(v: int) -> int:
 
 
 def _encode_block(
-    bw: _BitWriter, zz: np.ndarray, pred: int, dc_codes: dict, ac_codes: dict
+    bw: _BitWriter, nz_idx, nz_val, dc: int, pred: int,
+    dc_codes: dict, ac_codes: dict,
 ) -> int:
-    diff = int(zz[0]) - pred
+    """One block from its precomputed nonzero-AC (indices, values) —
+    the python cost is per NONZERO coefficient, not per coefficient
+    (typical blocks are sparse after quantization)."""
+    diff = dc - pred
     s = _mag_cat(diff)
     code, length = dc_codes[s]
     bw.bits(code, length)
     if s:
         bw.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for k in range(1, last_nz + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    prev_k = 0
+    for k, v in zip(nz_idx, nz_val):
+        run = k - prev_k - 1
+        prev_k = k
         while run > 15:
             code, length = ac_codes[0xF0]  # ZRL
             bw.bits(code, length)
@@ -602,11 +603,10 @@ def _encode_block(
         code, length = ac_codes[(run << 4) | s]
         bw.bits(code, length)
         bw.bits(v if v >= 0 else v + (1 << s) - 1, s)
-        run = 0
-    if last_nz < 63:
+    if prev_k < 63:
         code, length = ac_codes[0x00]  # EOB
         bw.bits(code, length)
-    return int(zz[0])
+    return dc
 
 
 def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
@@ -723,7 +723,11 @@ def jpeg_from_array(
                 for by in range(sv):
                     for bx in range(sh):
                         zz = coefs[ci][my * sv + by, mx * sh + bx]
-                        preds[ci] = _encode_block(bw, zz, preds[ci], dct, act)
+                        nzk = zz[1:].nonzero()[0] + 1
+                        preds[ci] = _encode_block(
+                            bw, nzk.tolist(), zz[nzk].tolist(),
+                            int(zz[0]), preds[ci], dct, act,
+                        )
             mcu += 1
     bw.flush()
     entropy += bw.out
