@@ -56,10 +56,6 @@ _ZZ = sorted(
 )
 _ZZ_ROWS = np.array([r for r, _ in _ZZ])
 _ZZ_COLS = np.array([c for _, c in _ZZ])
-# inverse: natural (row-major) index -> zigzag position
-_ZZ_POS = np.empty(64, dtype=np.int64)
-for _k, (_r, _c) in enumerate(_ZZ):
-    _ZZ_POS[_r * 8 + _c] = _k
 
 # orthonormal 8-point DCT-II matrix: A @ s @ A.T is the T.81 FDCT,
 # A.T @ S @ A the IDCT

@@ -39,6 +39,9 @@ cardinalities scale with the data; value distributions untouched):
                                 brands fixed → levels per brand deepen)
   * pca_power shape           — two power rounds: map-side dots + ≤dim
                                 aggregates (embeddings ×k)
+  * jpeg_codec shape          — encode + Huffman-decode one block-grid
+                                JPEG per document ×k in one mapInPandas
+                                stage (zero shuffles → linear)
   * ann_append_flat           — streaming-index apply_batch of a FIXED
                                 batch vs index ×k (expected FLAT: the
                                 freshness path never reads the corpus)
@@ -354,6 +357,34 @@ def probes(spark, sf_dir: str):
 
         return pca_power_top_component(d, "vec_id", "embedding", iters=2)
 
+    def jpeg_pixels(k):
+        # codec stage: encode + Huffman-decode one small block-grid
+        # JPEG per document ×k inside ONE mapInPandas stage — the
+        # multimodal family's scale claim is "work ∝ media bytes, zero
+        # shuffles, blobs never leave the task"; expected linear
+        d = inflate(docs.select("doc_id"), k, {"doc_id": "remap"})
+        from creek_spark.operators.jpeg_codec import jpeg_bytes_blockgrid
+        from creek_spark.operators.multimodal import pixel_stats
+
+        def synth(batches):
+            import pandas as pd  # noqa: PLC0415 — worker-side import
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["doc_id"],
+                        "content": [
+                            jpeg_bytes_blockgrid(16, 8, seed=int(i) % 97)
+                            for i in pdf["doc_id"]
+                        ],
+                    }
+                )
+
+        media = d.mapInPandas(
+            synth, schema="media_id bigint, content binary"
+        )
+        return pixel_stats(media, strict=True)
+
     return {
         "q1_scan_agg": q1,
         "latest_per_key_shape": latest_state,
@@ -367,6 +398,7 @@ def probes(spark, sf_dir: str):
         "graph_triangles_shape": triangles,
         "parts_skyline_shape": skyline,
         "pca_power_shape": pca,
+        "jpeg_codec_shape": jpeg_pixels,
     }
 
 
