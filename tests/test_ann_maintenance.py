@@ -833,7 +833,7 @@ def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
     next_bid, last_version = 0, read_manifest(spark, p)["version"]
     ops = [
         "apply", "apply", "apply", "replay", "compact", "retrain",
-        "vacuum", "drift",
+        "vacuum", "drift", "imposter", "reset",
     ]
     for step in range(16):
         op = rng.choice(ops)
@@ -850,6 +850,20 @@ def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
             # compact/retrain folds happened in between, it must
             # change NOTHING
             idx.apply_batch(slices[next_bid], next_bid - 1)
+        elif op == "imposter" and next_bid > 0:
+            # a reset/relocated checkpoint whose recycled id lands
+            # exactly ON the fence delivers DIFFERENT content under the
+            # last committed id — the content fingerprint must refuse
+            # it loudly and change nothing (round-11 fence closure)
+            from creek_spark.streaming.fence import FenceContentError
+
+            with pytest.raises(FenceContentError, match="content differs"):
+                idx.apply_batch(slices[next_bid - 1], next_bid - 1)
+        elif op == "reset" and next_bid > 1:
+            # recycled id BELOW the fence: serialized triggers can
+            # never redeliver it — refuse, change nothing
+            with pytest.raises(ValueError, match="below the index"):
+                idx.apply_batch(slices[next_bid], next_bid - 2)
         elif op == "compact":
             idx.compact(vacuum=rng.random() < 0.5)
         elif op == "retrain":
