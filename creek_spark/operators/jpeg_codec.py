@@ -9,23 +9,29 @@ sequential DCT, Huffman-coded) profile end to end, the same way the PNG
 codec in operators/multimodal.py did for PNG: spec-faithful, stdlib +
 numpy only, deterministic.
 
-Decoder (`decode_jpeg_pixels`): marker parse (DQT/DHT/SOF0/SOF1/DRI/
-SOS), entropy decode with byte-unstuffing and restart-marker DC-predictor
-resets, dequantize + inverse zigzag, vectorized 8x8 IDCT (one
-``A.T @ S @ A`` matmul over ALL blocks of a component at once — the hot
-loop is numpy, only the Huffman symbol walk is Python), chroma
+Decoder (`decode_jpeg_pixels`): marker parse (DQT/DHT/SOF0/SOF1/SOF2/
+DRI/SOS), entropy decode with byte-unstuffing and restart-marker
+DC-predictor resets, dequantize + inverse zigzag, vectorized 8x8 IDCT
+(one ``A.T @ S @ A`` matmul over ALL blocks of a component at once —
+the hot loop is numpy, only the Huffman symbol walk is Python), chroma
 upsampling for any h/v sampling factors up to 4 (4:4:4, 4:2:2, 4:2:0,
 4:1:1), JFIF YCbCr→RGB.  Returns H×W×C uint8 (C=1 grayscale, 3 color).
+PROGRESSIVE (SOF2) streams decode scan-by-scan — spectral selection,
+successive approximation (DC/AC first + refinement passes), EOB runs,
+per-scan restart intervals (T.81 G.1.2) — into the same coefficient
+arrays, so a progressive and a baseline encoding of the same quantized
+coefficients decode to bit-identical pixels.
 
-Encoder (`jpeg_from_array`): the matching baseline writer — Annex K
-quantization tables scaled by libjpeg's quality formula, Annex K
-"typical" Huffman tables, forward DCT, zigzag run-length + Huffman,
-byte stuffing, JFIF APP0.  Grayscale (H×W or H×W×1) and RGB (H×W×3),
-4:4:4 or 4:2:0.
+Encoder (`jpeg_from_array`): the matching writer — Annex K quantization
+tables scaled by libjpeg's quality formula, Annex K "typical" Huffman
+tables, forward DCT, zigzag run-length + Huffman, byte stuffing, JFIF
+APP0.  Grayscale (H×W or H×W×1) and RGB (H×W×3), 4:4:4/4:2:2/4:2:0;
+``progressive=True`` emits a SOF2 successive-approximation scan script
+(EOB runs not aggregated, which keeps the Annex K tables sufficient).
 
-Out of the baseline profile — and refused loudly, never silently wrong:
-progressive (SOF2), arithmetic coding (SOF9+), lossless, hierarchical,
-12-bit precision.  Real deployments inject libjpeg-turbo through the
+Out of the implemented profiles — and refused loudly, never silently
+wrong: arithmetic coding (SOF9+), lossless, hierarchical, 12-bit
+precision.  Real deployments inject libjpeg-turbo through the
 ``batch_resizer``/``batch_decoder`` hooks; this codec is the correct
 always-available fallback, exactly like the stdlib PNG path.
 
@@ -298,7 +304,6 @@ def _unstuff_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive DCT (SOF2)",
     0xC3: "lossless sequential (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -313,11 +318,19 @@ _SOF_UNSUPPORTED = {
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to an H×W×C uint8 array (C=1 gray, 3 RGB).
+    """Decode a baseline OR progressive JPEG to an H×W×C uint8 array
+    (C=1 gray, 3 RGB).  Progressive (SOF2) streams are decoded scan by
+    scan — spectral selection and successive approximation (DC/AC first
+    and refinement passes, EOB runs, per-scan restart intervals) —
+    into the same coefficient arrays the baseline path fills in one
+    scan; everything downstream (dequant, IDCT, upsampling, color) is
+    shared, so a progressive and a baseline encoding of the same
+    quantized coefficients decode to bit-identical pixels (the property
+    the round-trip tests assert).
 
     Raises ``ValueError`` for non-JPEG payloads and malformed streams,
-    ``NotImplementedError`` for JPEG variants outside the baseline
-    profile (progressive, arithmetic, lossless, 12-bit) — the same
+    ``NotImplementedError`` for JPEG variants outside those profiles
+    (arithmetic coding, lossless, hierarchical, 12-bit) — the same
     strict-vs-injectable contract as the PNG codec."""
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -326,14 +339,15 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None
+    progressive = False
     dri = 0
     i = 2
-    scan = None
+    scans: list[tuple] = []
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = b[i + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
         seg = b[i + 4 : i + 2 + seglen]
@@ -369,13 +383,14 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_lut(
                     tuple(bits), tuple(vals)
                 )
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(
-                    f"{prec}-bit JPEG precision is outside the baseline "
-                    "profile this pure-numpy codec implements"
+                    f"{prec}-bit JPEG precision is outside the "
+                    "profiles this pure-numpy codec implements"
                 )
+            progressive = marker == 0xC2
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -394,38 +409,67 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            sel = {}
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated JPEG SOS header")
+            sel_list = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c : 3 + 2 * c]
-                sel[cs] = (tt >> 4, tt & 15)
-            scan = (sel, i)
-            break
+                sel_list.append((cs, tt >> 4, tt & 15))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            segs, i = _unstuff_scan(b, i)
+            # snapshot the tables the scan resolves (they may be
+            # redefined between scans)
+            scans.append(
+                (
+                    sel_list, ss, se, ahal >> 4, ahal & 15, dri, segs,
+                    dict(dc_tabs), dict(ac_tabs),
+                )
+            )
+            if not progressive:
+                break  # sequential: exactly one scan
         # APPn / COM / others: skipped
-    if scan is None:
+    if not scans:
         raise ValueError("JPEG has no scan (missing SOS)")
 
-    sel, data_start = scan
     h, w, comps = frame
     # validate the cross-references a corrupted stream can break before
     # the hot loop dereferences them (KeyError/ZeroDivisionError must
     # never escape to a strict=False caller expecting ValueError)
     if h == 0 or w == 0:
         raise ValueError("JPEG frame with zero dimension")
+    cids = {c[0] for c in comps}
     for cid, ch, cv, tq in comps:
         if not (1 <= ch <= 4 and 1 <= cv <= 4):
             raise ValueError(f"JPEG sampling factors {ch}x{cv} out of range")
         if tq not in qt:
             raise ValueError(f"JPEG references undefined quant table {tq}")
+    for sel_list, *_ in scans:
+        for cs, _td, _ta in sel_list:
+            if cs not in cids:
+                raise ValueError(f"JPEG scan covers unknown component {cs}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    if progressive:
+        bufs = _decode_progressive(
+            scans, comps, w, h, hmax, vmax, mcus_x, mcus_y
+        )
+        rowblocks = [mcus_x * c[1] for c in comps]
+        return _idct_assemble(
+            bufs, rowblocks, comps, qt, w, h, hmax, vmax
+        )
+
+    sel = {cs: (td, ta) for cs, td, ta in scans[0][0]}
+    for cid, ch, cv, tq in comps:
         if cid not in sel:
             raise ValueError(f"JPEG scan does not cover component {cid}")
         dct, act = sel[cid]
         if dct not in dc_tabs or act not in ac_tabs:
             raise ValueError("JPEG references an undefined Huffman table")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    segs, _ = _unstuff_scan(b, data_start)
+    dri = scans[0][5]
+    segs = scans[0][6]
 
     # zigzag coefficient buffers per component: (blocks, 64)
     # per component: a flat python list of per-block [64] coefficient
@@ -484,7 +528,14 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                         buf[(my * cv + by) * rb + mx * ch + bx] = coef
             mcu += 1
 
-    # vectorized dequant + de-zigzag + IDCT per component, then upsample
+    return _idct_assemble(bufs, rowblocks, comps, qt, w, h, hmax, vmax)
+
+
+def _idct_assemble(bufs, rowblocks, comps, qt, w, h, hmax, vmax):
+    """Shared decode tail: vectorized dequant + de-zigzag + IDCT per
+    component, upsample, color-convert, clip.  ``bufs[ci]`` is either a
+    flat list of per-block [64] zigzag coefficient lists (baseline) or
+    an (nblocks, 64) array (progressive) — np.array handles both."""
     planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         bx = rowblocks[ci]
@@ -524,6 +575,205 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     np.floor(out, out)
     np.clip(out, 0, 255, out)
     return out.astype(np.uint8)
+
+
+# -- progressive scan decoding ------------------------------------------------
+
+
+def _comp_grid(w, h, ch, cv, hmax, vmax):
+    """Non-interleaved data-unit grid of one component (T.81 A.2.2):
+    ceil over the component's own sample dimensions, NOT the padded MCU
+    grid — single-component scans cover exactly these blocks."""
+    x_i = -(-w * ch // hmax)
+    y_i = -(-h * cv // vmax)
+    return -(-y_i // 8), -(-x_i // 8)
+
+
+def _decode_progressive(scans, comps, w, h, hmax, vmax, mcus_x, mcus_y):
+    """Accumulate every scan's contribution into per-component
+    (nblocks, 64) zigzag coefficient arrays: spectral selection bands,
+    successive-approximation first (values << Al) and refinement
+    (one magnitude bit per pass) for both DC and AC, EOB runs, and
+    per-scan restart intervals.  Mirrors the reference algorithm of
+    T.81 G.1.2 (the same structure libjpeg's phuff codecs implement)."""
+    idx_of = {c[0]: i for i, c in enumerate(comps)}
+    rbs = [mcus_x * c[1] for c in comps]
+    bufs = [
+        np.zeros((mcus_y * c[2] * mcus_x * c[1], 64), dtype=np.int64)
+        for c in comps
+    ]
+    for sel_list, ss, se, ah, al, dri, segs, dcs, acs in scans:
+        if not segs or al > 13 or ah > 13:
+            raise ValueError("malformed JPEG progressive scan header")
+        if ss == 0:
+            if se != 0:
+                raise ValueError("JPEG DC scan with nonzero Se")
+            _prog_dc_scan(
+                sel_list, ah, al, dri, segs, dcs, comps, idx_of, rbs,
+                bufs, mcus_x, mcus_y, w, h, hmax, vmax,
+            )
+        else:
+            if len(sel_list) != 1 or not ss <= se <= 63:
+                raise ValueError("malformed JPEG AC scan band")
+            _prog_ac_scan(
+                sel_list[0], ss, se, ah, al, dri, segs, acs, comps,
+                idx_of, rbs, bufs, w, h, hmax, vmax,
+            )
+    return bufs
+
+
+def _prog_dc_scan(
+    sel_list, ah, al, dri, segs, dcs, comps, idx_of, rbs, bufs,
+    mcus_x, mcus_y, w, h, hmax, vmax,
+):
+    first = ah == 0
+    members = []
+    for cs, td, _ta in sel_list:
+        ci = idx_of[cs]
+        if first and td not in dcs:
+            raise ValueError("JPEG references an undefined Huffman table")
+        members.append((ci, dcs[td] if first else None))
+    # scan units: MCUs when interleaved (ns > 1), the component's own
+    # block grid when ns == 1 (identical for 1x1 sampling)
+    units: list[list] = []
+    if len(members) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                u = []
+                for ci, tab in members:
+                    _cid, ch, cv, _tq = comps[ci]
+                    rb = rbs[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            u.append(
+                                (ci, tab, (my * cv + by) * rb + mx * ch + bx)
+                            )
+                units.append(u)
+    else:
+        ci, tab = members[0]
+        _cid, ch, cv, _tq = comps[ci]
+        # ns == 1 means non-interleaved even for DC: the component's
+        # own grid (T.81 A.2.2), not the MCU-padded one
+        ny, nx = _comp_grid(w, h, ch, cv, hmax, vmax)
+        rb = rbs[ci]
+        units = [[(ci, tab, by * rb + bx)] for by in range(ny) for bx in range(nx)]
+    seg_idx = 0
+    br = _BitReader(segs[0])
+    preds = [0] * len(comps)
+    for ui, unit in enumerate(units):
+        if dri and ui and ui % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            br = _BitReader(segs[seg_idx])
+            preds = [0] * len(comps)
+        for ci, tab, bidx in unit:
+            coef = bufs[ci][bidx]
+            if first:
+                t = br.huff(tab)
+                if t > 15:
+                    raise ValueError("invalid JPEG DC category")
+                preds[ci] += br.receive_extend(t)
+                coef[0] = preds[ci] << al
+            elif br.bits(1):
+                coef[0] = int(coef[0]) | (1 << al)
+
+
+def _prog_ac_scan(
+    sel, ss, se, ah, al, dri, segs, acs, comps, idx_of, rbs, bufs,
+    w, h, hmax, vmax,
+):
+    cs, _td, ta = sel
+    if ta not in acs:
+        raise ValueError("JPEG references an undefined Huffman table")
+    tab = acs[ta]
+    ci = idx_of[cs]
+    _cid, ch, cv, _tq = comps[ci]
+    ny, nx = _comp_grid(w, h, ch, cv, hmax, vmax)
+    rb = rbs[ci]
+    buf = bufs[ci]
+    first = ah == 0
+    p1 = 1 << al
+    m1 = -(1 << al)
+    seg_idx = 0
+    br = _BitReader(segs[0])
+    eobrun = 0
+    ui = 0
+    for by in range(ny):
+        for bx in range(nx):
+            if dri and ui and ui % dri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("JPEG missing restart segment")
+                br = _BitReader(segs[seg_idx])
+                eobrun = 0
+            ui += 1
+            coef = buf[by * rb + bx]
+            if first:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(tab)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC index overflow")
+                    coef[k] = br.receive_extend(s) << al
+                    k += 1
+            else:
+                # refinement: one magnitude bit for every already-
+                # nonzero coefficient traversed; new coefficients are
+                # ±(1<<Al); EOB runs carry the remaining correction
+                # bits (T.81 G.1.2.3 / the jdphuff structure)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.huff(tab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            val = 0
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "invalid JPEG refinement symbol"
+                                )
+                            val = p1 if br.bits(1) else m1
+                        while k <= se:
+                            c = int(coef[k])
+                            if c != 0:
+                                if br.bits(1) and (c & p1) == 0:
+                                    coef[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val != 0 and k <= se:
+                            coef[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = int(coef[k])
+                        if c != 0:
+                            if br.bits(1) and (c & p1) == 0:
+                                coef[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
 
 
 # =============================================================================
@@ -605,6 +855,182 @@ def _encode_block(
     return dc
 
 
+# -- progressive scan encoding ------------------------------------------------
+
+
+def _sos_payload(members, ss, se, ah, al):
+    """members: list of (component index, Td, Ta)."""
+    p = bytes([len(members)])
+    for ci, td, ta in members:
+        p += bytes([ci + 1, (td << 4) | ta])
+    return p + bytes([ss, se, (ah << 4) | al])
+
+
+def _enc_dc_scan(coefs, samps, al, first, mcus_x, mcus_y, dc_l, dc_c):
+    """Interleaved DC scan over the full MCU grid: first pass codes the
+    point-transformed differences, refinement emits one raw bit per
+    block (no Huffman)."""
+    bw = _BitWriter()
+    preds = [0] * len(samps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(samps):
+                codes = dc_l if ci == 0 else dc_c
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(coefs[ci][my * sv + by, mx * sh + bx, 0])
+                        if first:
+                            v = dc >> al  # arithmetic shift, like C
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            s = _mag_cat(diff)
+                            code, length = codes[s]
+                            bw.bits(code, length)
+                            if s:
+                                bw.bits(
+                                    diff if diff >= 0
+                                    else diff + (1 << s) - 1,
+                                    s,
+                                )
+                        else:
+                            bw.bits((dc >> al) & 1, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _enc_ac_first(comp_coefs, ny, nx, ss, se, al, codes):
+    """AC first pass of one band, non-interleaved: baseline-style
+    run/size symbols over the point-transformed magnitudes; EOB runs
+    not aggregated (EOB0 per block — larger but spec-valid, and it
+    keeps the Annex K tables sufficient: no EOBn>0 symbols needed)."""
+    bw = _BitWriter()
+    for by in range(ny):
+        for bx in range(nx):
+            zz = comp_coefs[by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                t = int(zz[k])
+                v = abs(t) >> al
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = codes[0xF0]
+                    bw.bits(code, length)
+                    run -= 16
+                s = v.bit_length()
+                code, length = codes[(run << 4) | s]
+                bw.bits(code, length)
+                sv = v if t >= 0 else -v
+                bw.bits(sv if sv >= 0 else sv + (1 << s) - 1, s)
+                run = 0
+            if run:
+                code, length = codes[0x00]  # EOB0
+                bw.bits(code, length)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _enc_ac_refine(comp_coefs, ny, nx, ss, se, al, codes):
+    """AC refinement of one band: the T.81 G.1.2.3 structure (libjpeg's
+    jcphuff shape) — newly-significant coefficients as (run-of-zero-
+    history, 1) symbols with a sign bit, one buffered correction bit
+    per already-nonzero coefficient traversed, EOB0 carrying the tail
+    corrections.  Must mirror _prog_ac_scan's refinement reader
+    bit-for-bit."""
+    bw = _BitWriter()
+    for by in range(ny):
+        for bx in range(nx):
+            zz = comp_coefs[by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob = ss - 1  # band position of the last NEW coefficient
+            for i in range(len(absv) - 1, -1, -1):
+                if absv[i] == 1:
+                    eob = ss + i
+                    break
+            r = 0
+            br_bits: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    code, length = codes[0xF0]
+                    bw.bits(code, length)
+                    r -= 16
+                    for bit in br_bits:
+                        bw.bits(bit, 1)
+                    br_bits = []
+                if t > 1:
+                    br_bits.append(t & 1)
+                    continue
+                code, length = codes[(r << 4) | 1]
+                bw.bits(code, length)
+                bw.bits(1 if int(zz[k]) >= 0 else 0, 1)
+                for bit in br_bits:
+                    bw.bits(bit, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                code, length = codes[0x00]  # EOB0
+                bw.bits(code, length)
+                for bit in br_bits:
+                    bw.bits(bit, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _encode_progressive_scans(
+    coefs, samps, w, h, hmax, vmax, mcus_x, mcus_y, dc_l, ac_l, dc_c, ac_c
+):
+    """The scan script: interleaved DC first (Al=1) → per-component AC
+    bands first (Al=1, luma split 1–5 / 6–63 to exercise spectral
+    selection) → DC refinement → AC refinements.  Returns
+    [(sos_payload, entropy_bytes)] in emission order."""
+    nc = len(samps)
+    all_members = [(ci, 0 if ci == 0 else 1, 0) for ci in range(nc)]
+    bands = []
+    for ci in range(nc):
+        grid = _comp_grid(w, h, samps[ci][0], samps[ci][1], hmax, vmax)
+        if ci == 0:
+            bands += [(ci, 1, 5, grid), (ci, 6, 63, grid)]
+        else:
+            bands += [(ci, 1, 63, grid)]
+    parts = []
+    parts.append(
+        (
+            _sos_payload(all_members, 0, 0, 0, 1),
+            _enc_dc_scan(coefs, samps, 1, True, mcus_x, mcus_y, dc_l, dc_c),
+        )
+    )
+    for ci, ss, se, (ny, nx) in bands:
+        codes = ac_l if ci == 0 else ac_c
+        ta = 0 if ci == 0 else 1
+        parts.append(
+            (
+                _sos_payload([(ci, 0, ta)], ss, se, 0, 1),
+                _enc_ac_first(coefs[ci], ny, nx, ss, se, 1, codes),
+            )
+        )
+    parts.append(
+        (
+            _sos_payload(all_members, 0, 0, 1, 0),
+            _enc_dc_scan(coefs, samps, 0, False, mcus_x, mcus_y, dc_l, dc_c),
+        )
+    )
+    for ci, ss, se, (ny, nx) in bands:
+        codes = ac_l if ci == 0 else ac_c
+        ta = 0 if ci == 0 else 1
+        parts.append(
+            (
+                _sos_payload([(ci, 0, ta)], ss, se, 1, 0),
+                _enc_ac_refine(coefs[ci], ny, nx, ss, se, 0, codes),
+            )
+        )
+    return parts
+
+
 def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
     hh, ww = plane.shape
     py = (-hh) % mult_y
@@ -618,15 +1044,22 @@ def jpeg_from_array(
     quality: int = 75,
     subsampling: str = "4:2:0",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode H×W (or H×W×1) grayscale / H×W×3 RGB uint8 to a baseline
-    JFIF JPEG.  ``subsampling``: '4:2:0' (default, the common web
-    layout) or '4:4:4'.  ``restart_interval``: emit a DRI segment and
-    RSTn markers every N MCUs (0 = none) — real camera/libjpeg output
-    commonly carries these, so the decoder's restart path needs honest
-    streams to be tested against.  Deterministic: same array + params =
-    same bytes, which is what lets the catalog query carry an analytic
-    DuckDB oracle."""
+    or progressive JFIF JPEG.  ``subsampling``: '4:2:0' (default, the
+    common web layout) or '4:4:4'.  ``restart_interval``: emit a DRI
+    segment and RSTn markers every N MCUs (0 = none; baseline only) —
+    real camera/libjpeg output commonly carries these, so the decoder's
+    restart path needs honest streams to be tested against.
+    ``progressive=True`` writes SOF2 with a successive-approximation
+    scan script (interleaved DC first at Al=1 + DC refinement, per-
+    component AC bands at Al=1 + refinements) — the quantized
+    coefficients are IDENTICAL to the baseline encoding, only the
+    entropy organization differs, so both decode to bit-identical
+    pixels (the round-trip tests assert exactly that).  Deterministic:
+    same array + params = same bytes, which is what lets the catalog
+    query carry an analytic DuckDB oracle."""
     a = np.asarray(arr)
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
@@ -697,36 +1130,49 @@ def jpeg_from_array(
     dc_c = _huff_codes(*_DC_CHROMA_SPEC)
     ac_c = _huff_codes(*_AC_CHROMA_SPEC)
 
-    bw = _BitWriter()
-    preds = [0] * len(planes)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    entropy = bytearray()
-    mcu = 0
-    rst = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                bw.flush()
-                entropy += bw.out
-                entropy += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                bw = _BitWriter()
-                preds = [0] * len(planes)
-            for ci, (sh, sv) in enumerate(samps):
-                dct = dc_l if ci == 0 else dc_c
-                act = ac_l if ci == 0 else ac_c
-                for by in range(sv):
-                    for bx in range(sh):
-                        zz = coefs[ci][my * sv + by, mx * sh + bx]
-                        nzk = zz[1:].nonzero()[0] + 1
-                        preds[ci] = _encode_block(
-                            bw, nzk.tolist(), zz[nzk].tolist(),
-                            int(zz[0]), preds[ci], dct, act,
-                        )
-            mcu += 1
-    bw.flush()
-    entropy += bw.out
+    scan_parts: list[tuple[bytes, bytes]] = []
+    if progressive:
+        scan_parts = _encode_progressive_scans(
+            coefs, samps, w, h, hmax, vmax, mcus_x, mcus_y,
+            dc_l, ac_l, dc_c, ac_c,
+        )
+    else:
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        entropy = bytearray()
+        mcu = 0
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    bw.flush()
+                    entropy += bw.out
+                    entropy += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    bw = _BitWriter()
+                    preds = [0] * len(planes)
+                for ci, (sh, sv) in enumerate(samps):
+                    dct = dc_l if ci == 0 else dc_c
+                    act = ac_l if ci == 0 else ac_c
+                    for by in range(sv):
+                        for bx in range(sh):
+                            zz = coefs[ci][my * sv + by, mx * sh + bx]
+                            nzk = zz[1:].nonzero()[0] + 1
+                            preds[ci] = _encode_block(
+                                bw, nzk.tolist(), zz[nzk].tolist(),
+                                int(zz[0]), preds[ci], dct, act,
+                            )
+                mcu += 1
+        bw.flush()
+        entropy += bw.out
+        nc_ = 1 if gray else 3
+        sos = bytes([nc_])
+        for ci in range(nc_):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += b"\x00\x3f\x00"  # Ss, Se, Ah/Al for baseline
+        scan_parts = [(sos, bytes(entropy))]
 
     # -- assemble segments --
     def seg(marker: int, payload: bytes) -> bytes:
@@ -743,7 +1189,7 @@ def jpeg_from_array(
     for ci in range(nc):
         sh, sv = samps[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     dht = bytearray()
     for tc, th, (bits, vals) in (
         (0, 0, _DC_LUMA_SPEC),
@@ -751,14 +1197,11 @@ def jpeg_from_array(
     ) + (() if gray else ((0, 1, _DC_CHROMA_SPEC), (1, 1, _AC_CHROMA_SPEC))):
         dht += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
     out += seg(0xC4, bytes(dht))
-    if restart_interval:
+    if restart_interval and not progressive:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3f\x00"  # Ss, Se, Ah/Al for baseline
-    out += seg(0xDA, sos)
-    out += entropy
+    for sos, entropy in scan_parts:
+        out += seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -771,6 +1214,7 @@ def jpeg_bytes_blockgrid(
     color: bool = False,
     quality: int = 50,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Deterministic JPEG whose pixel statistics a SQL oracle can
     predict in closed form — the JPEG analogue of ``png_bytes_gradient``.
@@ -797,4 +1241,5 @@ def jpeg_bytes_blockgrid(
         quality=quality,
         subsampling="4:2:0" if color else "4:4:4",
         restart_interval=restart_interval,
+        progressive=progressive,
     )

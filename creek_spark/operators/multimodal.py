@@ -7,16 +7,17 @@ channels) is REAL and pure-stdlib — see ``parse_image_header`` /
 ``decode_image_headers`` — and the engine carries REAL pixel-level
 codecs for ALL FOUR formats its header decoder recognizes: PNG
 (``decode_png_pixels`` / ``png_from_array``: chunk walk, IDAT inflate,
-full None/Sub/Up/Average/Paeth unfiltering), baseline JPEG
+full None/Sub/Up/Average/Paeth unfiltering), JPEG — baseline AND
+progressive SOF2 with successive approximation
 (operators/jpeg_codec.py: Huffman entropy decode with restart markers,
 dequant, vectorized IDCT, chroma upsampling, YCbCr→RGB — plus the
-matching encoder), BMP and GIF with full LZW
+matching encoder for both organizations), BMP and GIF with full LZW
 (operators/media_codecs.py, both directions) — plus real WAV PCM
 SAMPLE decode (``audio_stats``).  So resize (``resize_images``) and
 pixel statistics (``pixel_stats``, oracle-verified in the catalog) run
 on actual pixels with no injected library for PNG/JPEG/BMP/GIF, and
 audio statistics on actual samples for PCM WAV.  Outside those
-profiles (progressive/arithmetic JPEG, palette PNG, compressed
+profiles (arithmetic/lossless JPEG, palette PNG, compressed
 BMP/audio, animated GIF, video frames) remain injection points,
 because no codec library ships in this environment: those either
 raise (strict mode), produce a deterministic fake payload

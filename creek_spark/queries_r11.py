@@ -38,7 +38,10 @@ from creek_spark.queries import _t, register
 
 # per doc: w=(id%5+2)*8, h=(id%3+1)*8 (multiples of 8 — no padding
 # blocks), seed=id%97, color on odd ids (4:2:0 + YCbCr identity path),
-# restart_interval=id%4 (0=no RSTn; 1..3 exercise DC-predictor resets).
+# restart_interval=id%4 (0=no RSTn; 1..3 exercise DC-predictor resets),
+# PROGRESSIVE (SOF2: spectral-selection + successive-approximation
+# scans) when id%8 >= 4 — the quantized coefficients are identical to
+# the baseline encoding, so the oracle is the same closed form.
 # block (bx,by) decodes to exactly 2*((seed + 7*bx + 13*by) % 125).
 JPEG_PIXEL_STATS_ORACLE = """
 WITH g AS (
@@ -70,15 +73,18 @@ FROM blk GROUP BY doc_id, w, h, nch
 
 @register("multimodal_jpeg_pixel_stats", JPEG_PIXEL_STATS_ORACLE, "multimodal")
 def multimodal_jpeg_pixel_stats(spark, sf_dir):
-    """Round-trip proof that baseline-JPEG pixel decode is REAL:
-    synthesize a deterministic block-grid JPEG per document through the
-    pure-numpy encoder (grayscale 4:4:4 on even doc_ids, RGB 4:2:0 on
-    odd ones, restart markers on doc_id%4≠0), decode it back through
-    the full Huffman + dequant + IDCT + chroma-upsample pipeline inside
-    ``pixel_stats`` (mapInPandas), and report count / exact sum / min /
-    max / mean per image.  The oracle predicts every statistic in
-    closed form (module docstring explains why the lossy pipeline is
-    bit-exact on these payloads)."""
+    """Round-trip proof that JPEG pixel decode is REAL — baseline AND
+    progressive: synthesize a deterministic block-grid JPEG per
+    document through the pure-numpy encoder (grayscale 4:4:4 on even
+    doc_ids, RGB 4:2:0 on odd ones, restart markers on doc_id%4≠0,
+    SOF2 progressive with successive-approximation scans on
+    doc_id%8≥4), decode it back through the full Huffman + dequant +
+    IDCT + chroma-upsample pipeline inside ``pixel_stats``
+    (mapInPandas), and report count / exact sum / min / max / mean per
+    image.  The oracle predicts every statistic in closed form (module
+    docstring explains why the lossy pipeline is bit-exact on these
+    payloads; progressive reorganizes the same quantized coefficients,
+    so the same closed form holds)."""
     from creek_spark.operators.jpeg_codec import jpeg_bytes_blockgrid
     from creek_spark.operators.multimodal import pixel_stats
 
@@ -93,6 +99,7 @@ def multimodal_jpeg_pixel_stats(spark, sf_dir):
                     seed=int(i) % 97,
                     color=int(i) % 2 == 1,
                     restart_interval=int(i) % 4,
+                    progressive=int(i) % 8 >= 4,
                 )
                 for i in pdf["doc_id"]
             ]

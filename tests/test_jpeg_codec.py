@@ -102,10 +102,11 @@ def test_blockgrid_bit_exact_grid():
     for seed in (0, 13, 59, 124):
         for w, h in [(8, 8), (16, 8), (40, 24)]:
             for color in (False, True):
-                for ri in (0, 2):
+                for ri, prog in ((0, False), (2, False), (0, True)):
                     dec = decode_jpeg_pixels(
                         jpeg_bytes_blockgrid(
-                            w, h, seed, color=color, restart_interval=ri
+                            w, h, seed, color=color,
+                            restart_interval=ri, progressive=prog,
                         )
                     )
                     bx = np.arange(w // 8)[None, :]
@@ -157,12 +158,34 @@ def test_marker_grammar():
 # -- refusal of out-of-profile variants ---------------------------------------
 
 
-def test_progressive_refused_loudly():
-    enc = bytearray(jpeg_from_array(_smooth_rgb(16, 16)))
-    i = enc.index(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # rebrand the frame progressive
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg_pixels(bytes(enc))
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:2", "4:2:0"])
+def test_progressive_decodes_bit_identical_to_baseline(subsampling):
+    """Progressive (SOF2) reorganizes the SAME quantized coefficients
+    into spectral-selection + successive-approximation scans, so a
+    progressive and a baseline encoding of one image must decode to
+    bit-identical pixels — the strongest cross-check two codec paths
+    can give each other."""
+    img = _smooth_rgb(41, 53)  # non-multiple-of-8: padding blocks live
+    base = decode_jpeg_pixels(
+        jpeg_from_array(img, quality=80, subsampling=subsampling)
+    )
+    prog_enc = jpeg_from_array(
+        img, quality=80, subsampling=subsampling, progressive=True
+    )
+    assert prog_enc[2:4] != b"\xff\xc0" and b"\xff\xc2" in prog_enc
+    assert prog_enc.count(b"\xff\xda") >= 5  # really multi-scan
+    assert np.array_equal(decode_jpeg_pixels(prog_enc), base)
+
+
+def test_progressive_gray_and_randomized_grid():
+    rng = np.random.default_rng(31)
+    for shape in [(1, 1), (8, 8), (23, 9), (40, 64)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        b = decode_jpeg_pixels(jpeg_from_array(a, quality=90))
+        p = decode_jpeg_pixels(
+            jpeg_from_array(a, quality=90, progressive=True)
+        )
+        assert np.array_equal(b, p), shape
 
 
 def test_arithmetic_refused_loudly():
@@ -204,9 +227,12 @@ def test_bitflip_fuzz_never_escapes_valueerror():
     (Found live: KeyError via corrupted table ids, OverflowError via a
     corrupted DHT yielding a DC category > 15.)"""
     rng = np.random.default_rng(123)
-    enc = jpeg_bytes_blockgrid(24, 16, 11, color=True, restart_interval=2)
-    for _ in range(400):
-        m = bytearray(enc)
+    encs = [
+        jpeg_bytes_blockgrid(24, 16, 11, color=True, restart_interval=2),
+        jpeg_bytes_blockgrid(24, 16, 11, color=True, progressive=True),
+    ]
+    for t in range(400):
+        m = bytearray(encs[t % 2])
         for _ in range(rng.integers(1, 5)):
             m[rng.integers(2, len(m))] ^= 1 << rng.integers(0, 8)
         try:
@@ -253,16 +279,16 @@ def test_pixel_stats_jpeg_strict_and_null_paths(spark):
     from creek_spark.operators.multimodal import pixel_stats
 
     good = jpeg_bytes_blockgrid(16, 8, seed=5)
-    progressive = bytearray(good)
-    progressive[progressive.index(b"\xff\xc0") + 1] = 0xC2
+    arith = bytearray(good)
+    arith[arith.index(b"\xff\xc0") + 1] = 0xC9  # arithmetic-coded SOF
     media = spark.createDataFrame(
-        [(1, bytearray(good)), (2, bytearray(bytes(progressive)))],
+        [(1, bytearray(good)), (2, bytearray(bytes(arith)))],
         "media_id bigint, content binary",
     )
     rows = {r["media_id"]: r for r in pixel_stats(media).collect()}
     assert rows[1]["n_values"] == 16 * 8  # decoded for real
     assert rows[2]["n_values"] is None  # out-of-profile → nulls
-    with pytest.raises(Exception, match="progressive"):
+    with pytest.raises(Exception, match="arithmetic"):
         pixel_stats(media, strict=True).collect()
     # and the strict path is exact: sum matches the closed form
     bx = np.arange(2)[None, :]
