@@ -17,7 +17,7 @@ SAMPLE decode (``audio_stats``).  So resize (``resize_images``) and
 pixel statistics (``pixel_stats``, oracle-verified in the catalog) run
 on actual pixels with no injected library for PNG/JPEG/BMP/GIF, and
 audio statistics on actual samples for PCM WAV.  Outside those
-profiles (arithmetic/lossless JPEG, palette PNG, compressed
+profiles (arithmetic/lossless JPEG, 16-bit PNG, compressed
 BMP/audio, animated GIF, video frames) remain injection points,
 because no codec library ships in this environment: those either
 raise (strict mode), produce a deterministic fake payload
@@ -644,70 +644,48 @@ def mp4_bytes(*, timescale: int = 1000, duration: int = 2500) -> bytes:
 # ---------------------------------------------------------------------
 
 
-def decode_png_pixels(payload: bytes):
-    """Decode a non-interlaced 8-bit PNG (gray / RGB / gray+alpha /
-    RGBA) to a (height, width, channels) uint8 numpy array — REAL
-    decode: chunk walk, IDAT inflate, and full scanline unfiltering
-    (None/Sub/Up/Average/Paeth per the PNG spec §9), no image library.
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Raises ValueError for non-PNG payloads and unsupported variants
-    (palette, 16-bit, interlaced) — callers fall back to the injection
-    point for those."""
-    import struct
-    import zlib
 
+def _png_unfilter(raw, h, stride, fstep, offset):
+    """Unfilter h scanlines of `stride` bytes starting at byte `offset`
+    of the decompressed stream (None/Sub/Up/Average/Paeth, PNG §9);
+    `fstep` is the byte distance to the 'left' reference (bytes per
+    pixel, min 1).  Returns ((h, stride) uint8, next offset)."""
     import numpy as np
 
-    if payload is None or payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, [], None
-    while pos + 8 <= len(payload):
-        (length,), tag = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + length]
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
-    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
-        raise ValueError(
-            f"unsupported PNG variant (depth={bit_depth}, "
-            f"color_type={color_type}, interlace={interlace})"
-        )
-    ch = _PNG_CHANNELS[color_type]
-    if ch == 0:  # palette — needs PLTE handling, out of scope
-        raise ValueError("palette PNG not supported")
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    end = offset + h * (stride + 1)
+    if len(raw) < end:
         raise ValueError("PNG scanline length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
-        line = raw[y * (stride + 1): (y + 1) * (stride + 1)]
-        ft, row = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        base = offset + y * (stride + 1)
+        ft = raw[base]
+        row = np.frombuffer(
+            raw[base + 1 : base + 1 + stride], dtype=np.uint8
+        ).astype(np.int64)
         if ft == 0:
             recon = row
         elif ft == 1:  # Sub — per-lane cumulative sum (vectorized)
             recon = row.copy()
-            for lane in range(ch):
-                recon[lane::ch] = np.cumsum(row[lane::ch]) % 256
+            for lane in range(fstep):
+                recon[lane::fstep] = np.cumsum(row[lane::fstep]) % 256
         elif ft == 2:  # Up
             recon = (row + prev) % 256
         elif ft in (3, 4):  # Average / Paeth — sequential in x
             recon = np.zeros(stride, dtype=np.int64)
             for x in range(stride):
-                a = recon[x - ch] if x >= ch else 0
+                a = recon[x - fstep] if x >= fstep else 0
                 b = prev[x]
                 if ft == 3:
                     recon[x] = (row[x] + ((a + b) >> 1)) % 256
                 else:
-                    c = prev[x - ch] if x >= ch else 0
+                    c = prev[x - fstep] if x >= fstep else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -716,14 +694,138 @@ def decode_png_pixels(payload: bytes):
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = recon.astype(np.uint8)
         prev = recon
-    return out.reshape(h, w, ch)
+    return out, end
 
 
-def png_from_array(arr) -> bytes:
+def _png_unpack_samples(rows, w, ch, depth):
+    """(h, stride) filtered-out bytes -> (h, w, ch) sample array (native
+    depth values, NOT yet expanded to 8-bit)."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    # sub-8-bit exists only for 1-sample-per-pixel types (gray, palette)
+    bits = np.unpackbits(rows, axis=1)
+    n = (rows.shape[1] * 8 // depth) * depth
+    grouped = bits[:, :n].reshape(h, -1, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (grouped * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :w].reshape(h, w, 1)
+
+
+def decode_png_pixels(payload: bytes):
+    """Decode a PNG to a (height, width, channels) uint8 numpy array —
+    REAL decode: chunk walk, IDAT inflate, full scanline unfiltering
+    (None/Sub/Up/Average/Paeth per the PNG spec §9), Adam7 interlace,
+    bit depths 1/2/4/8 for grayscale and palette (PLTE lookup, with
+    tRNS palette transparency surfacing as an alpha channel), 8-bit
+    gray+alpha / RGB / RGBA — no image library.  Low-depth grayscale is
+    expanded to 8-bit by the spec's v·255/(2^d−1) scaling; palette
+    indices resolve through the color table.
+
+    Raises ValueError for non-PNG payloads and the remaining
+    unsupported variant (16-bit) — callers fall back to the injection
+    point for those."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr, plte, trns = 8, [], None, None, None
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            if length != 13:
+                raise ValueError("malformed PNG IHDR")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8)
+            if plte.size % 3:
+                raise ValueError("malformed PNG PLTE")
+            plte = plte.reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if color_type not in _PNG_CHANNELS or interlace not in (0, 1):
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if bit_depth not in (1, 2, 4, 8) or (
+        bit_depth != 8 and color_type not in (0, 3)
+    ):
+        raise ValueError(
+            f"unsupported PNG variant (depth={bit_depth}, "
+            f"color_type={color_type}) — 16-bit and low-depth "
+            "multi-channel need an injected codec"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
+    if w == 0 or h == 0:
+        raise ValueError("empty PNG")
+    ch = _PNG_CHANNELS[color_type]
+    fstep = max(1, ch * bit_depth // 8)
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT: {e}")
+
+    def stride_of(width):
+        return -(-width * ch * bit_depth // 8)
+
+    samples = np.zeros((h, w, ch), dtype=np.uint8)
+    if interlace == 0:
+        rows, end = _png_unfilter(raw, h, stride_of(w), fstep, 0)
+        if end != len(raw):
+            raise ValueError("PNG scanline length mismatch")
+        samples = _png_unpack_samples(rows, w, ch, bit_depth)
+    else:  # Adam7: 7 independently-filtered sub-images
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            rows, off = _png_unfilter(raw, ph, stride_of(pw), fstep, off)
+            samples[y0::dy, x0::dx] = _png_unpack_samples(
+                rows, pw, ch, bit_depth
+            )
+        if off != len(raw):
+            raise ValueError("PNG scanline length mismatch")
+
+    if color_type == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG pixel index outside the palette")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+            alpha[: min(trns.size, plte.shape[0])] = trns[: plte.shape[0]]
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if bit_depth != 8:  # low-depth grayscale: spec expansion to 8-bit
+        maxv = (1 << bit_depth) - 1
+        return (
+            samples.astype(np.int64) * 255 // maxv
+        ).astype(np.uint8)
+    return samples
+
+
+def png_from_array(arr, *, interlace: bool = False) -> bytes:
     """Encode a (h, w) or (h, w, channels) uint8 array as a spec-valid
-    PNG (filter 0 scanlines, one zlib IDAT) — the encoder half of the
-    pure-stdlib pixel codec; round-trips exactly through
-    ``decode_png_pixels``."""
+    PNG (filter 0 scanlines, one zlib IDAT; optional Adam7 interlace) —
+    the encoder half of the pure-stdlib pixel codec; round-trips
+    exactly through ``decode_png_pixels``."""
     import struct
     import zlib
 
@@ -743,13 +845,130 @@ def png_from_array(arr) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.size:
+                raw += b"".join(
+                    b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])
+                )
+        raw = bytes(raw)
+    else:
+        raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
+    )
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload))
+    )
+
+
+def _png_pack_rows(vals, depth) -> bytes:
+    """(h, w) sample values < 2^depth -> filter-0 scanlines (MSB-first
+    bit packing per PNG §7.2)."""
+    import numpy as np
+
+    h, w = vals.shape
+    if depth == 8:
+        return b"".join(b"\x00" + vals[y].tobytes() for y in range(h))
+    out = bytearray()
+    for y in range(h):
+        bits = (
+            (vals[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).astype(np.uint8).reshape(-1)
+        out += b"\x00" + np.packbits(bits).tobytes()
+    return bytes(out)
+
+
+def png_bytes_indexed(
+    indices,
+    palette,
+    *,
+    bit_depth: int = 8,
+    interlace: bool = False,
+    trns=None,
+) -> bytes:
+    """Palette (color type 3) PNG from an (h, w) index plane and an
+    (N, 3) palette — the encoder half for the decoder's PLTE/tRNS/
+    low-depth/Adam7 paths (1/2/4/8-bit indices, optional palette
+    transparency, optional interlace).  Pure stdlib."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("expected (h, w) indices and (N, 3) palette")
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError("palette bit depth must be 1/2/4/8")
+    if int(idx.max(initial=0)) >= min(pal.shape[0], 1 << bit_depth):
+        raise ValueError("index outside the palette/depth range")
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, int(interlace))
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.size:
+                raw += _png_pack_rows(sub, bit_depth)
+        raw = bytes(raw)
+    else:
+        raw = _png_pack_rows(idx, bit_depth)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(bytearray(trns)))
+    out += _png_chunk(b"IDAT", zlib.compress(raw))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def png_bytes_gray_lowdepth(
+    vals, bit_depth: int, *, interlace: bool = False
+) -> bytes:
+    """Grayscale PNG at 1/2/4-bit depth from raw sample values
+    (< 2^depth); decode expands them to 8-bit by the spec scaling."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(vals, dtype=np.uint8)
+    if a.ndim != 2 or bit_depth not in (1, 2, 4):
+        raise ValueError("expected (h, w) values and depth 1/2/4")
+    if int(a.max(initial=0)) >= (1 << bit_depth):
+        raise ValueError("sample exceeds the bit depth")
+    h, w = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 0, 0, 0, int(interlace))
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.size:
+                raw += _png_pack_rows(sub, bit_depth)
+        raw = bytes(raw)
+    else:
+        raw = _png_pack_rows(a, bit_depth)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -773,7 +992,7 @@ def decode_image_pixels(payload: bytes):
     `decode_png_pixels` signature-checks itself).  Returns H×W×C uint8.
     Raises ValueError for unrecognized/malformed payloads and
     NotImplementedError for variants outside the implemented profiles
-    (progressive JPEG, palette PNG, compressed BMP, animated GIF)."""
+    (arithmetic JPEG, 16-bit PNG, compressed BMP, animated GIF)."""
     head = b"" if payload is None else bytes(payload[:4])
     if head[:2] == b"\xff\xd8":
         from creek_spark.operators.jpeg_codec import decode_jpeg_pixels
@@ -820,7 +1039,8 @@ def pixel_stats(media: DataFrame, *, strict: bool = False) -> DataFrame:
     """Per-image pixel statistics from REAL decoded pixels
     (count / exact integer sum / min / max over all channel values) —
     the brightness/degenerate-image screen a multimodal curation
-    pipeline runs first.  PNG and baseline JPEG decode via the
+    pipeline runs first.  PNG (incl. palette/low-depth/interlaced),
+    JPEG (baseline + progressive), BMP and GIF decode via the
     pure-stdlib codecs; other formats yield nulls (or raise under
     ``strict``) until a codec is injected.
 
@@ -848,10 +1068,10 @@ def pixel_stats(media: DataFrame, *, strict: bool = False) -> DataFrame:
                         )
                     )
                 except (ValueError, NotImplementedError):
-                    # ValueError: not a PNG/JPEG, or malformed;
-                    # NotImplementedError: outside the implemented
-                    # profile (progressive JPEG, palette PNG) — both
-                    # null out unless strict
+                    # ValueError: not a recognized image, or
+                    # malformed; NotImplementedError: outside the
+                    # implemented profiles (arithmetic JPEG, 16-bit
+                    # PNG, animated GIF) — both null out unless strict
                     if strict:
                         raise
                     rows.append((mid, None, None, None, None, None, None, None))

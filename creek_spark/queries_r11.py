@@ -121,10 +121,12 @@ def multimodal_jpeg_pixel_stats(spark, sf_dir):
 # =====================================================================
 
 # even doc_id → 24-bit BMP with the PNG-style gradient (pixel (x,y,c) =
-# (x + 2y + seed + c) mod 256); odd → grayscale GIF (value (x + 2y +
-# seed) mod 256, identity 256-gray palette resolves to (v,v,v) — so each
-# pixel contributes 3v), interlaced when doc_id % 4 == 1 (exercises the
-# pass reordering).  Both formats are lossless, so the oracle is exact.
+# (x + 2y + seed + c) mod 256); odd → a palette-indexed image (value
+# (x + 2y + seed) mod 256 through an identity 256-gray palette, so it
+# resolves to (v,v,v) and each pixel contributes 3v): doc_id%4==1 is an
+# INTERLACED GIF (full LZW + pass reordering), doc_id%4==3 an Adam7-
+# interlaced palette PNG (PLTE lookup).  All lossless → exact oracle;
+# the two palette containers share one closed form by construction.
 LOSSLESS_PIXEL_STATS_ORACLE = """
 WITH g AS (
   SELECT doc_id,
@@ -159,11 +161,12 @@ FROM px GROUP BY doc_id, w, h
     "multimodal",
 )
 def multimodal_lossless_pixel_stats(spark, sf_dir):
-    """Round-trip proof for the two LOSSLESS pure-stdlib codecs that
-    complete image coverage (operators/media_codecs.py): BMP — BGR row
+    """Round-trip proof for the LOSSLESS pure-stdlib codec paths that
+    complete image coverage: BMP (operators/media_codecs.py — BGR row
     order, bottom-up storage, 4-byte row padding on the odd widths this
-    generator produces — and GIF — FULL variable-width LZW with
-    dictionary growth and interlaced row order.  Per document the
+    generator produces), GIF (FULL variable-width LZW with dictionary
+    growth and interlaced row order), and palette PNG (round-11 PNG
+    extension: PLTE lookup under Adam7 interlace).  Per document the
     gradient image is encoded, shipped as binary, and decoded back
     inside ``pixel_stats`` on executors; the oracle predicts every
     statistic exactly (lossless codecs, no quantization argument
@@ -187,10 +190,17 @@ def multimodal_lossless_pixel_stats(spark, sf_dir):
                 cc = np.arange(3, dtype=np.int64)[None, None, :]
                 arr = (xx[..., None] + 2 * yy[..., None] + seed + cc) % 256
                 return bmp_from_array(arr.astype(np.uint8))
-            arr = (xx + 2 * yy + seed) % 256
-            return gif_from_array(
-                arr.astype(np.uint8), interlace=(i % 4 == 1)
-            )
+            arr = ((xx + 2 * yy + seed) % 256).astype(np.uint8)
+            if i % 4 == 3:
+                from creek_spark.operators.multimodal import (
+                    png_bytes_indexed,
+                )
+
+                pal = np.repeat(
+                    np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+                )
+                return png_bytes_indexed(arr, pal, interlace=True)
+            return gif_from_array(arr, interlace=(i % 4 == 1))
 
         for pdf in batches:
             yield pd.DataFrame(

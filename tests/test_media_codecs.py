@@ -227,3 +227,100 @@ def test_audio_stats_strict_and_null_paths(spark):
     assert rows[2]["n_frames"] is None  # compressed → nulls
     with pytest.raises(Exception, match="non-PCM"):
         audio_stats(media, strict=True).collect()
+
+
+# -- PNG extensions (round 11): palette, low depth, Adam7, tRNS ----------------
+
+
+def test_png_palette_roundtrip_all_depths():
+    from creek_spark.operators.multimodal import (
+        decode_png_pixels,
+        png_bytes_indexed,
+    )
+
+    rng = np.random.default_rng(4)
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (11, 17), dtype=np.uint8)
+        for interlace in (False, True):
+            d = decode_png_pixels(
+                png_bytes_indexed(idx, pal, bit_depth=depth, interlace=interlace)
+            )
+            assert np.array_equal(d, pal[idx]), (depth, interlace)
+
+
+def test_png_palette_trns_yields_alpha():
+    from creek_spark.operators.multimodal import (
+        decode_png_pixels,
+        png_bytes_indexed,
+    )
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    d = decode_png_pixels(png_bytes_indexed(idx, pal, trns=[10, 200]))
+    assert d.shape == (2, 2, 4)
+    # entries beyond the tRNS table default to opaque
+    assert d[0, 0, 3] == 10 and d[0, 1, 3] == 200 and d[1, 0, 3] == 255
+
+
+def test_png_adam7_interlace_all_channel_counts():
+    from creek_spark.operators.multimodal import (
+        decode_png_pixels,
+        png_from_array,
+    )
+
+    rng = np.random.default_rng(6)
+    for shape in [(1, 1), (3, 2), (13, 21, 3), (5, 9, 4), (16, 7, 2)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        d = decode_png_pixels(png_from_array(a, interlace=True))
+        exp = a[:, :, None] if a.ndim == 2 else a
+        assert np.array_equal(d, exp), shape
+
+
+def test_png_lowdepth_gray_expands_per_spec():
+    from creek_spark.operators.multimodal import (
+        decode_png_pixels,
+        png_bytes_gray_lowdepth,
+    )
+
+    rng = np.random.default_rng(7)
+    for depth in (1, 2, 4):
+        v = rng.integers(0, 1 << depth, (9, 14), dtype=np.uint8)
+        d = decode_png_pixels(png_bytes_gray_lowdepth(v, depth))
+        exp = (v.astype(np.int64) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        assert np.array_equal(d[:, :, 0], exp), depth
+
+
+def test_png_16bit_still_refused_and_palette_needs_plte():
+    """Pre-round-11 latent bug pinned fixed: color type 3 mapped to 1
+    channel, so the old 'palette not supported' guard was dead code and
+    palette PNGs silently decoded their INDEX PLANE as gray pixels —
+    now they resolve through PLTE, and a missing PLTE raises."""
+    import struct
+    import zlib
+
+    from creek_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png_pixels,
+    )
+
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    p16 = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 36))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_png_pixels(p16)
+    ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    no_plte = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr_pal)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x01\x00\x01\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png_pixels(no_plte)
