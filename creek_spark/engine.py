@@ -662,18 +662,29 @@ class Engine:
         return StreamingTrend(self.spark, state_dir)
 
     def pixel_stats(self, media, *, strict: bool = False) -> DataFrame:
-        """Per-image pixel statistics through the REAL pure-stdlib PNG
-        codec (operators/multimodal.py)."""
+        """Per-image pixel statistics through the REAL pure-stdlib
+        codecs — PNG (incl. palette/low-depth/Adam7), JPEG (baseline +
+        progressive), BMP, GIF (operators/multimodal.py,
+        operators/jpeg_codec.py, operators/media_codecs.py)."""
         from creek_spark.operators.multimodal import pixel_stats
 
         return pixel_stats(media, strict=strict)
 
     def resize_media(self, media, *, width: int = 224, height: int = 224, **kw) -> DataFrame:
-        """Image resize: REAL decode→NN→re-encode for PNG, injected codec
-        or plumbing-fake for the rest (operators/multimodal.py)."""
+        """Image resize: REAL decode→NN→re-encode in the source
+        container for PNG/JPEG/BMP/GIF, injected codec or plumbing-fake
+        for the rest (operators/multimodal.py)."""
         from creek_spark.operators.multimodal import resize_images
 
         return resize_images(media, width=width, height=height, **kw)
+
+    def audio_stats(self, media, *, strict: bool = False) -> DataFrame:
+        """Per-clip exact-integer amplitude/energy statistics from REAL
+        decoded WAV PCM samples — the sample-level twin of pixel_stats
+        (operators/multimodal.py audio_stats)."""
+        from creek_spark.operators.multimodal import audio_stats
+
+        return audio_stats(media, strict=strict)
 
     def skyline(self, sf_dir: str | None = None):
         """Per-brand Pareto frontier on (price ↓, size ↑)
