@@ -686,6 +686,23 @@ class Engine:
 
         return audio_stats(media, strict=strict)
 
+    def media_report(self, media, *, day_col: str = "day") -> DataFrame:
+        """Per-(format, day) media ingest report from real decoded
+        content — exact-integer cells, undecodable payloads counted as
+        arrived-but-undecoded (operators/multimodal.py media_report)."""
+        from creek_spark.operators.multimodal import media_report
+
+        return media_report(media, day_col=day_col)
+
+    def streaming_media_report(self, state_dir: str):
+        """Continuously-maintained media ingest report, bit-identical
+        to media_report over the streamed union — Python decode stage
+        feeding the fenced additive rollup sink
+        (streaming/detectors.py StreamingMediaReport)."""
+        from creek_spark.streaming.detectors import StreamingMediaReport
+
+        return StreamingMediaReport(self.spark, state_dir)
+
     def skyline(self, sf_dir: str | None = None):
         """Per-brand Pareto frontier on (price ↓, size ↑)
         (queries_r6c.parts_skyline)."""

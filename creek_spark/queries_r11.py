@@ -284,3 +284,137 @@ def multimodal_audio_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     media = docs.mapInPandas(synth, schema="media_id bigint, content binary")
     return audio_stats(media, strict=True)
+
+
+# =====================================================================
+# mixed-format media ingest report (the multimodal curation dashboard)
+# =====================================================================
+
+# five deterministic arms by doc_id%5 — BMP gradient / GIF gradient /
+# JPEG block-grid / WAV PCM pattern / an unrecognizable payload (counts
+# as arrived-but-undecoded) — bucketed into 3 days by doc_id%3.  Every
+# decoded arm is exact (lossless codecs; the JPEG arm is the bit-exact
+# block-grid construction), so the whole report is closed-form.
+MEDIA_REPORT_ORACLE = """
+WITH g AS (
+  SELECT doc_id, doc_id % 5 AS arm,
+         'd' || CAST(doc_id % 3 AS VARCHAR) AS day
+  FROM documents),
+bmp_px AS (
+  SELECT g.doc_id, day, (x + 2*y + (doc_id % 256) + c) % 256 AS v
+  FROM g,
+       unnest(generate_series(0, doc_id % 9 + 1)) AS tx(x),
+       unnest(generate_series(0, doc_id % 5 + 1)) AS ty(y),
+       unnest(generate_series(0, 2)) AS tc(c)
+  WHERE arm = 0),
+gif_px AS (
+  SELECT g.doc_id, day, (x + 2*y + (doc_id % 256)) % 256 AS v
+  FROM g,
+       unnest(generate_series(0, doc_id % 9 + 1)) AS tx(x),
+       unnest(generate_series(0, doc_id % 5 + 1)) AS ty(y),
+       unnest(generate_series(0, 2)) AS tc(c)
+  WHERE arm = 1),
+jpg_px AS (
+  SELECT g.doc_id, day,
+         2 * (((doc_id % 97) + 7*bx + 13*by) % 125) AS v, 64 AS mult
+  FROM g,
+       unnest(generate_series(0, doc_id % 5 + 1)) AS tx(bx),
+       unnest(generate_series(0, doc_id % 3)) AS ty(by)
+  WHERE arm = 2),
+wav_px AS (
+  SELECT g.doc_id, day, (37*f + 11*c + (doc_id % 97)) % 201 - 100 AS v
+  FROM g,
+       unnest(generate_series(0, (doc_id % 37 + 5) * 4 - 1)) AS tf(f),
+       unnest(generate_series(0, doc_id % 2)) AS tc(c)
+  WHERE arm = 3),
+perdoc AS (
+  SELECT 'bmp' AS fmt, day, doc_id, COUNT(*) AS nv, SUM(v) AS sv,
+         MIN(v) AS lo, MAX(v) AS hi, 1 AS dec
+  FROM bmp_px GROUP BY day, doc_id
+  UNION ALL
+  SELECT 'gif', day, doc_id, COUNT(*), SUM(v), MIN(v), MAX(v), 1
+  FROM gif_px GROUP BY day, doc_id
+  UNION ALL
+  SELECT 'jpeg', day, doc_id, 64 * COUNT(*), 64 * SUM(v),
+         MIN(v), MAX(v), 1
+  FROM jpg_px GROUP BY day, doc_id
+  UNION ALL
+  SELECT 'wav', day, doc_id, COUNT(*), SUM(v), MIN(v), MAX(v), 1
+  FROM wav_px GROUP BY day, doc_id
+  UNION ALL
+  SELECT 'other', day, doc_id, 0, 0, NULL, NULL, 0
+  FROM g WHERE arm = 4)
+SELECT fmt, day,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(dec) AS BIGINT) AS n_decoded,
+       CAST(SUM(nv) AS BIGINT) AS n_values,
+       CAST(SUM(sv) AS BIGINT) AS sum_val,
+       CAST(MIN(lo) AS INTEGER) AS min_val,
+       CAST(MAX(hi) AS INTEGER) AS max_val
+FROM perdoc GROUP BY fmt, day
+"""
+
+
+@register("multimodal_media_report", MEDIA_REPORT_ORACLE, "multimodal")
+def multimodal_media_report(spark, sf_dir):
+    """The mixed-format curation dashboard: one pass over a corpus that
+    interleaves BMP, GIF, block-grid JPEG, PCM WAV and unrecognizable
+    payloads, decoded by signature through the pure-stdlib codecs
+    inside ``media_report`` (mapInPandas with in-Python map-side
+    combine — at most one cell per (fmt, day) leaves each Arrow batch;
+    blobs never shuffle) and folded to per-(format, day) exact-integer
+    ingest statistics.  Undecodable payloads count as
+    arrived-but-undecoded — the n_media/n_decoded gap IS the corruption
+    monitor.  Its streaming twin
+    (`StreamingMediaReport`) maintains the same frame incrementally,
+    proven bit-identical in tests/test_streaming_rollup.py."""
+    from creek_spark.operators.multimodal import media_report
+
+    def synth(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side import
+        import pandas as pd  # noqa: PLC0415
+
+        from creek_spark.operators.jpeg_codec import jpeg_bytes_blockgrid
+        from creek_spark.operators.media_codecs import (
+            bmp_from_array,
+            gif_from_array,
+            wav_from_array,
+        )
+
+        def one(i: int) -> bytes | None:
+            arm = i % 5
+            if arm in (0, 1):
+                w, h, seed = i % 9 + 2, i % 5 + 2, i % 256
+                xx = np.arange(w, dtype=np.int64)[None, :]
+                yy = np.arange(h, dtype=np.int64)[:, None]
+                if arm == 0:
+                    cc = np.arange(3, dtype=np.int64)[None, None, :]
+                    arr = (
+                        xx[..., None] + 2 * yy[..., None] + seed + cc
+                    ) % 256
+                    return bmp_from_array(arr.astype(np.uint8))
+                return gif_from_array(((xx + 2 * yy + seed) % 256).astype(np.uint8))
+            if arm == 2:
+                return jpeg_bytes_blockgrid(
+                    (i % 5 + 2) * 8, (i % 3 + 1) * 8, seed=i % 97,
+                    progressive=i % 2 == 0,
+                )
+            if arm == 3:
+                n, ch, seed = (i % 37 + 5) * 4, 1 + i % 2, i % 97
+                f = np.arange(n, dtype=np.int64)[:, None]
+                c = np.arange(ch, dtype=np.int64)[None, :]
+                v = (37 * f + 11 * c + seed) % 201 - 100
+                return wav_from_array(v.astype(np.int16), rate=8000)
+            return b"\x00unrecognizable-payload" + bytes([i % 251])
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "day": ["d" + str(int(i) % 3) for i in pdf["doc_id"]],
+                    "content": [one(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(synth, schema="day string, content binary")
+    return media_report(media)

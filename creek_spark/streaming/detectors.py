@@ -1017,3 +1017,66 @@ class StreamingVocab:
             raise ValueError("no committed state yet — apply a batch first")
         tf = cur.groupBy("source", "w").agg(F.sum("c").alias("c"))
         return vocab_from_tf(tf)
+
+
+class StreamingMediaReport:
+    """Continuously-maintained per-(format, day) media ingest report —
+    the streaming twin of ``operators.multimodal.media_report`` and the
+    sixteenth incremental == batch proof, with a property none of the
+    other fifteen exercises: the tier is produced by a PYTHON decode
+    stage (mapInPandas over the pure-stdlib codecs) feeding the fenced
+    rollup sink — the shape of a 100 TB multimodal curation dashboard
+    running continuously (decode each blob exactly once, on arrival,
+    then merge integer cells forever).
+
+    All cells are exact-integer SUM/MIN/MAX (media and decode counts,
+    pixel/sample count, Σvalue, min/max value), so the streamed report
+    is bit-identical to the batch operator over the union of streamed
+    batches — no float path exists to disagree
+    (tests/test_streaming_rollup.py::test_streaming_media_report_equals_batch).
+    Blobs never shuffle: the Python stage map-side combines to at most
+    one cell per (fmt, day) per Arrow batch; only cells reach the sink.
+    """
+
+    KEYS = ["fmt", "day"]
+    ADDS = {
+        "n_media": "sum",
+        "n_decoded": "sum",
+        "n_values": "sum",
+        "sum_val": "sum",
+        "min_val": "min",
+        "max_val": "max",
+    }
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.sink = AdditiveRollupSink(
+            spark, state_dir, self.KEYS, self.ADDS, "day"
+        )
+
+    @staticmethod
+    def report_tier(batch: DataFrame) -> DataFrame:
+        from creek_spark.operators.multimodal import media_report
+
+        return media_report(batch)
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self.sink.apply_batch(self.report_tier(batch), batch_id)
+
+    def foreach_batch(self):
+        return self.sink.foreach_batch(self.report_tier)
+
+    def report(self) -> DataFrame:
+        """The media_report frame over everything streamed so far —
+        column-for-column and bit-for-bit the batch operator's output."""
+        cur = self.sink.current()
+        if cur is None:
+            raise ValueError("no committed state yet — apply a batch first")
+        return cur.groupBy("fmt", "day").agg(
+            F.sum("n_media").cast("bigint").alias("n_media"),
+            F.sum("n_decoded").cast("bigint").alias("n_decoded"),
+            F.sum("n_values").cast("bigint").alias("n_values"),
+            F.sum("sum_val").cast("bigint").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )

@@ -324,3 +324,51 @@ def test_png_16bit_still_refused_and_palette_needs_plte():
     )
     with pytest.raises(ValueError, match="PLTE"):
         decode_png_pixels(no_plte)
+
+
+# -- EXIF orientation (round 11) ------------------------------------------------
+
+
+def test_exif_orientation_parse_and_auto_orient():
+    from creek_spark.operators.jpeg_codec import (
+        decode_jpeg_pixels,
+        jpeg_from_array,
+    )
+    from creek_spark.operators.multimodal import (
+        auto_orient,
+        exif_app1_segment,
+        exif_orientation,
+    )
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    enc = jpeg_from_array(img, quality=90)
+    assert exif_orientation(enc) is None
+    for big_endian in (False, True):
+        for o in range(1, 9):
+            tagged = enc[:2] + exif_app1_segment(o, big_endian=big_endian) + enc[2:]
+            assert exif_orientation(tagged) == o
+            # the tagged stream still decodes: APP1 is metadata
+            assert decode_jpeg_pixels(tagged).shape == (6, 9, 3)
+    # the 8 orientations are the 8 distinct dihedral transforms
+    outs = {auto_orient(img, o).tobytes() for o in range(1, 9)}
+    assert len(outs) == 8
+    # never raises on junk — orientation is advisory metadata
+    assert exif_orientation(b"\xff\xd8\xff\xe1\x00\x04xx") is None
+    assert exif_orientation(None) is None
+
+
+def test_orientation_aware_dedup_motivation():
+    """Why a pixel-dedup pass must auto-orient first: one photo stored
+    sensor-order with orientation tag 6 vs the same photo stored
+    display-order hash apart on raw pixels but together after
+    auto_orient."""
+    from creek_spark.operators.jpeg_codec import jpeg_bytes_blockgrid, decode_jpeg_pixels
+    from creek_spark.operators.multimodal import auto_orient
+
+    display = decode_jpeg_pixels(jpeg_bytes_blockgrid(24, 16, seed=3))
+    sensor = auto_orient(display, 8)  # stored rotated; tag would say 6
+    assert not np.array_equal(
+        display, sensor.reshape(-1)[: display.size].reshape(display.shape)
+    )
+    assert np.array_equal(auto_orient(sensor, 6), display)

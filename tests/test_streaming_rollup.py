@@ -653,3 +653,75 @@ def test_rollup_schema_evolution_new_metric_column(spark, tmp_path):
         ("d2", "a"): (5, None),
         ("d3", "b"): (1, 7),
     }
+
+
+def test_streaming_media_report_equals_batch(spark, tmp_path):
+    """Sixteenth incremental == batch proof, and the first whose tier is
+    a PYTHON decode stage (mapInPandas over the pure-stdlib codecs)
+    feeding the fenced sink: the per-(format, day) media ingest report
+    maintained from micro-batches equals the batch media_report
+    bit-for-bit — every cell is an exact-integer sum/min/max, so no
+    float path exists to disagree.  Covers all four image formats, WAV,
+    an out-of-profile payload (counts as arrived-but-undecoded), a null
+    payload, replay fencing, and an on-fence imposter."""
+    import numpy as np
+    import pytest
+
+    from creek_spark.operators.jpeg_codec import jpeg_bytes_blockgrid
+    from creek_spark.operators.media_codecs import (
+        bmp_from_array,
+        gif_from_array,
+        wav_from_array,
+    )
+    from creek_spark.operators.multimodal import (
+        media_report,
+        png_bytes_gradient,
+    )
+    from creek_spark.streaming.detectors import StreamingMediaReport
+    from creek_spark.streaming.fence import FenceContentError
+
+    rng = np.random.default_rng(8)
+    rows = []
+    mid = 0
+    for day in ("2026-08-14", "2026-08-15", "2026-08-16"):
+        for _ in range(3):
+            mid += 1
+            pick = mid % 6
+            if pick == 0:
+                c = png_bytes_gradient(5 + mid % 4, 3 + mid % 3, seed=mid)
+            elif pick == 1:
+                c = jpeg_bytes_blockgrid(16, 8, seed=mid, progressive=mid % 2 == 0)
+            elif pick == 2:
+                c = bmp_from_array(rng.integers(0, 256, (5, 7, 3), dtype=np.uint8))
+            elif pick == 3:
+                c = gif_from_array(rng.integers(0, 256, (6, 4), dtype=np.uint8))
+            elif pick == 4:
+                c = wav_from_array(
+                    rng.integers(-999, 999, (40, 2), dtype=np.int16)
+                )
+            else:
+                c = b"\x00not-a-media-payload" + bytes(mid)
+            rows.append((mid, day, bytearray(bytes(c))))
+    rows.append((mid + 1, "2026-08-16", None))  # null payload
+    media = spark.createDataFrame(
+        rows, "media_id bigint, day string, content binary"
+    )
+
+    det = StreamingMediaReport(spark, str(tmp_path / "mstate"))
+    batches = [
+        media.where(F.col("media_id") % 3 == r) for r in range(3)
+    ]
+    for i, b in enumerate(batches):
+        det.apply_batch(b, i)
+
+    key = lambda df: sorted(tuple(map(repr, r)) for r in df.collect())
+    want = key(media_report(media))
+    assert len(want) > 0
+    assert key(det.report()) == want
+    # genuine replay of the LAST batch: no-op
+    det.apply_batch(batches[-1], 2)
+    assert key(det.report()) == want
+    # on-fence imposter (same id, different content): refused loudly
+    with pytest.raises(FenceContentError, match="content differs"):
+        det.apply_batch(batches[0], 2)
+    assert key(det.report()) == want
