@@ -8,7 +8,7 @@ module, `pixel_stats` / `resize_images` / image dedup operate on REAL
 pixels for PNG, JPEG, BMP and GIF, and `audio_stats` operates on real
 PCM samples — with no injected library.  The remaining injection
 points are genuinely codec-library territory: arithmetic/lossless
-JPEG, 16-bit PNG, compressed audio (MP3/AAC), and video frames.
+JPEG, compressed audio (MP3/AAC), and video frames.
 
 All three formats here are lossless, so their catalog queries can use
 exact closed-form oracles (no quantization argument needed, unlike the

@@ -5,9 +5,11 @@ transfer via mapInPandas) is real and tested.  IMAGE header decode
 (PNG IHDR / JPEG SOF / GIF LSD / BMP DIB → width, height, bit depth,
 channels) is REAL and pure-stdlib — see ``parse_image_header`` /
 ``decode_image_headers`` — and the engine carries REAL pixel-level
-codecs for ALL FOUR formats its header decoder recognizes: PNG
-(``decode_png_pixels`` / ``png_from_array``: chunk walk, IDAT inflate,
-full None/Sub/Up/Average/Paeth unfiltering), JPEG — baseline AND
+codecs for ALL FOUR formats its header decoder recognizes: PNG —
+every variant the spec allows (``decode_png_pixels`` /
+``png_from_array``: chunk walk, IDAT inflate, full
+None/Sub/Up/Average/Paeth unfiltering, palette, tRNS, 1/2/4/8/16-bit,
+Adam7), JPEG — baseline AND
 progressive SOF2 with successive approximation
 (operators/jpeg_codec.py: Huffman entropy decode with restart markers,
 dequant, vectorized IDCT, chroma upsampling, YCbCr→RGB — plus the
@@ -17,8 +19,8 @@ SAMPLE decode (``audio_stats``).  So resize (``resize_images``) and
 pixel statistics (``pixel_stats``, oracle-verified in the catalog) run
 on actual pixels with no injected library for PNG/JPEG/BMP/GIF, and
 audio statistics on actual samples for PCM WAV.  Outside those
-profiles (arithmetic/lossless JPEG, 16-bit PNG, compressed
-BMP/audio, animated GIF, video frames) remain injection points,
+profiles (arithmetic/lossless JPEG, compressed BMP/audio, animated
+GIF, video frames) remain injection points,
 because no codec library ships in this environment: those either
 raise (strict mode), produce a deterministic fake payload
 (plumbing-test mode), or accept an injected batch codec
@@ -881,13 +883,18 @@ def _png_unfilter(raw, h, stride, fstep, offset):
 
 
 def _png_unpack_samples(rows, w, ch, depth):
-    """(h, stride) filtered-out bytes -> (h, w, ch) sample array (native
-    depth values, NOT yet expanded to 8-bit)."""
+    """(h, stride) filtered-out bytes -> (h, w, ch) uint8 sample array
+    (native values for depth <= 8 — NOT yet expanded; 16-bit samples
+    are reduced to their high byte, the spec's 16→8 scaling)."""
     import numpy as np
 
     h = rows.shape[0]
     if depth == 8:
         return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        # big-endian 16-bit samples; v*255/65535 rounds to the high byte
+        wide = np.ascontiguousarray(rows[:, : w * ch * 2]).view(">u2")
+        return (wide >> 8).astype(np.uint8).reshape(h, w, ch)
     # sub-8-bit exists only for 1-sample-per-pixel types (gray, palette)
     bits = np.unpackbits(rows, axis=1)
     n = (rows.shape[1] * 8 // depth) * depth
@@ -903,13 +910,13 @@ def decode_png_pixels(payload: bytes):
     (None/Sub/Up/Average/Paeth per the PNG spec §9), Adam7 interlace,
     bit depths 1/2/4/8 for grayscale and palette (PLTE lookup, with
     tRNS palette transparency surfacing as an alpha channel), 8-bit
-    gray+alpha / RGB / RGBA — no image library.  Low-depth grayscale is
-    expanded to 8-bit by the spec's v·255/(2^d−1) scaling; palette
-    indices resolve through the color table.
+    gray+alpha / RGB / RGBA at 8 AND 16 bits — no image library.
+    Low-depth grayscale is expanded to 8-bit by the spec's
+    v·255/(2^d−1) scaling; 16-bit samples reduce to their high byte
+    (the spec's 16→8 scaling); palette indices resolve through the
+    color table.  Every variant the PNG spec allows now decodes.
 
-    Raises ValueError for non-PNG payloads and the remaining
-    unsupported variant (16-bit) — callers fall back to the injection
-    point for those."""
+    Raises ValueError for non-PNG and malformed payloads."""
     import struct
     import zlib
 
@@ -944,13 +951,14 @@ def decode_png_pixels(payload: bytes):
     w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
     if color_type not in _PNG_CHANNELS or interlace not in (0, 1):
         raise ValueError(f"unsupported PNG color type {color_type}")
-    if bit_depth not in (1, 2, 4, 8) or (
-        bit_depth != 8 and color_type not in (0, 3)
+    if (
+        bit_depth not in (1, 2, 4, 8, 16)
+        or (bit_depth < 8 and color_type not in (0, 3))
+        or (bit_depth == 16 and color_type == 3)
     ):
         raise ValueError(
             f"unsupported PNG variant (depth={bit_depth}, "
-            f"color_type={color_type}) — 16-bit and low-depth "
-            "multi-channel need an injected codec"
+            f"color_type={color_type})"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG without a PLTE chunk")
@@ -996,7 +1004,7 @@ def decode_png_pixels(payload: bytes):
             alpha[: min(trns.size, plte.shape[0])] = trns[: plte.shape[0]]
             return np.dstack([rgb, alpha[idx]])
         return rgb
-    if bit_depth != 8:  # low-depth grayscale: spec expansion to 8-bit
+    if bit_depth < 8:  # low-depth grayscale: spec expansion to 8-bit
         maxv = (1 << bit_depth) - 1
         return (
             samples.astype(np.int64) * 255 // maxv
@@ -1121,6 +1129,42 @@ def png_bytes_indexed(
     return out + _png_chunk(b"IEND", b"")
 
 
+def png16_from_array(arr16, *, interlace: bool = False) -> bytes:
+    """16-bit PNG from an (h, w[, ch]) uint16 array (big-endian
+    samples, filter-0 scanlines) — the fixture encoder for the
+    decoder's 16-bit path (which reduces each sample to its high
+    byte)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr16, dtype=np.uint16)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    be = a.astype(">u2")
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, int(interlace))
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = be[y0::dy, x0::dx]
+            if sub.size:
+                raw += b"".join(
+                    b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])
+                )
+        raw = bytes(raw)
+    else:
+        raw = b"".join(b"\x00" + be[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def png_bytes_gray_lowdepth(
     vals, bit_depth: int, *, interlace: bool = False
 ) -> bytes:
@@ -1175,7 +1219,7 @@ def decode_image_pixels(payload: bytes):
     `decode_png_pixels` signature-checks itself).  Returns H×W×C uint8.
     Raises ValueError for unrecognized/malformed payloads and
     NotImplementedError for variants outside the implemented profiles
-    (arithmetic JPEG, 16-bit PNG, compressed BMP, animated GIF)."""
+    (arithmetic JPEG, compressed BMP, animated GIF)."""
     head = b"" if payload is None else bytes(payload[:4])
     if head[:2] == b"\xff\xd8":
         from creek_spark.operators.jpeg_codec import decode_jpeg_pixels
@@ -1253,8 +1297,8 @@ def pixel_stats(media: DataFrame, *, strict: bool = False) -> DataFrame:
                 except (ValueError, NotImplementedError):
                     # ValueError: not a recognized image, or
                     # malformed; NotImplementedError: outside the
-                    # implemented profiles (arithmetic JPEG, 16-bit
-                    # PNG, animated GIF) — both null out unless strict
+                    # implemented profiles (arithmetic JPEG, animated
+                    # GIF, compressed BMP) — both null out unless strict
                     if strict:
                         raise
                     rows.append((mid, None, None, None, None, None, None, None))

@@ -292,11 +292,13 @@ def test_png_lowdepth_gray_expands_per_spec():
         assert np.array_equal(d[:, :, 0], exp), depth
 
 
-def test_png_16bit_still_refused_and_palette_needs_plte():
+def test_png_16bit_decodes_and_palette_needs_plte():
     """Pre-round-11 latent bug pinned fixed: color type 3 mapped to 1
     channel, so the old 'palette not supported' guard was dead code and
     palette PNGs silently decoded their INDEX PLANE as gray pixels —
-    now they resolve through PLTE, and a missing PLTE raises."""
+    now they resolve through PLTE, and a missing PLTE raises.  16-bit
+    decodes too (high-byte reduction, the spec 16→8 scaling), so every
+    variant the PNG spec allows is covered."""
     import struct
     import zlib
 
@@ -304,17 +306,26 @@ def test_png_16bit_still_refused_and_palette_needs_plte():
         _png_chunk,
         _PNG_SIG,
         decode_png_pixels,
+        png16_from_array,
     )
 
-    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
-    p16 = (
+    rng = np.random.default_rng(13)
+    for shape in [(5, 7), (6, 11, 3), (3, 3, 4), (9, 4, 2)]:
+        a = rng.integers(0, 65536, shape, dtype=np.uint16)
+        for interlace in (False, True):
+            d = decode_png_pixels(png16_from_array(a, interlace=interlace))
+            exp = (a >> 8).astype(np.uint8)
+            exp = exp[:, :, None] if exp.ndim == 2 else exp
+            assert np.array_equal(d, exp), (shape, interlace)
+    # 16-bit PALETTE is spec-invalid and refused
+    bad16p = (
         _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr16)
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 36))
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="16-bit"):
-        decode_png_pixels(p16)
+    with pytest.raises(ValueError):
+        decode_png_pixels(bad16p)
     ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     no_plte = (
         _PNG_SIG
