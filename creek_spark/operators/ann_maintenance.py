@@ -579,6 +579,7 @@ def ann_drift_report(
     m: int = 8,
     tolerance: float = 0.15,
     on_zero_norm: str | None = None,
+    fallback_on_zero_norm: str = "raise",
 ) -> dict:
     """Compare recent data's simulated recall with the baseline the
     bootstrap recorded in the manifest, measured with the SAME probe
@@ -623,10 +624,17 @@ def ann_drift_report(
             "to 'no drift' would silently disable the retrain signal — "
             + step
         )
+    # resolution order: explicit caller override > the policy the
+    # manifest recorded at bootstrap/retrain/rebaseline > the caller's
+    # fallback.  The fallback matters for PRE-UPGRADE state dirs whose
+    # manifest predates the 'on_zero_norm' key: an index object
+    # configured with 'filter' passes that here, so its junk rows are
+    # not counted as recall misses just because the manifest is old —
+    # the exact spurious retrain_recommended the filtering prevents.
     policy = (
         on_zero_norm
         if on_zero_norm is not None
-        else (man or {}).get("on_zero_norm", "raise")
+        else (man or {}).get("on_zero_norm", fallback_on_zero_norm)
     )
     if policy == "filter":
         from creek_spark.operators.similarity import _zero_norm_cond

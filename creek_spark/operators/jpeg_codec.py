@@ -298,6 +298,11 @@ def _unstuff_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
         elif 0xD0 <= nxt <= 0xD7:  # RSTn
             segs.append(bytearray())
             i += 2
+        elif nxt == 0xFF:
+            # 0xFF fill byte before a marker (T.81 B.1.1.2): skip it and
+            # re-examine from the next 0xFF, so the returned index points
+            # at the real terminating marker, not the padding
+            i += 1
         else:
             break  # a real marker terminates the scan
     return [bytes(s) for s in segs], i
@@ -346,9 +351,18 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # runs of 0xFF before the marker byte are spec-legal fill
+        # (T.81 B.1.1.2) — parse_image_header already skips them; the
+        # pixel decoder must agree on the same payload
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(b):
+            break  # nothing but fill bytes to end of payload
         marker = b[i + 1]
         if marker == 0xD9:  # EOI
             break
+        if i + 4 > len(b):
+            raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
         seg = b[i + 4 : i + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -425,8 +439,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                     dict(dc_tabs), dict(ac_tabs),
                 )
             )
-            if not progressive:
-                break  # sequential: exactly one scan
+            # sequential streams may also carry SEVERAL scans (one per
+            # component subset, T.81 A.2) — keep collecting until EOI
         # APPn / COM / others: skipped
     if not scans:
         raise ValueError("JPEG has no scan (missing SOS)")
@@ -461,7 +475,30 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             bufs, rowblocks, comps, qt, w, h, hmax, vmax
         )
 
+    # sequential: each component must be entropy-coded exactly once
+    # across the collected scans (one interleaved scan is the common
+    # case; several non-interleaved scans are equally legal, T.81 A.2)
+    seen = sorted(cs for sl, *_ in scans for cs, _td, _ta in sl)
+    if seen != sorted(c[0] for c in comps):
+        raise ValueError(
+            "JPEG scans do not cover each component exactly once"
+        )
+    if len(scans) > 1 or (
+        len(scans[0][0]) == 1
+        and (comps[0][1], comps[0][2]) != (1, 1)
+    ):
+        # non-interleaved / multi-scan: single-component scans walk the
+        # component's OWN data-unit grid (T.81 A.2.2), not the padded
+        # MCU grid — e.g. a grayscale frame keeping 2x2 source factors
+        bufs, rowblocks = _decode_baseline_units(
+            scans, comps, w, h, hmax, vmax, mcus_x, mcus_y
+        )
+        return _idct_assemble(
+            bufs, rowblocks, comps, qt, w, h, hmax, vmax
+        )
+
     sel = {cs: (td, ta) for cs, td, ta in scans[0][0]}
+    dc_tabs, ac_tabs = scans[0][7], scans[0][8]
     for cid, ch, cv, tq in comps:
         if cid not in sel:
             raise ValueError(f"JPEG scan does not cover component {cid}")
@@ -529,6 +566,97 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             mcu += 1
 
     return _idct_assemble(bufs, rowblocks, comps, qt, w, h, hmax, vmax)
+
+
+def _decode_baseline_units(scans, comps, w, h, hmax, vmax, mcus_x, mcus_y):
+    """Generalized sequential entropy decode (T.81 A.2): one full-band
+    (Ss=0, Se=63, Ah=Al=0) pass per scan, walking MCUs when the scan
+    interleaves several components and the component's OWN data-unit
+    grid (``_comp_grid``) when ns == 1 — a single-component scan of a
+    component declaring 2x2 sampling factors covers ceil(w/8) x
+    ceil(h/8) blocks, NOT the MCU-padded grid (the jpegtran
+    ``-grayscale`` case, which keeps the source's Y factors).  Also
+    covers multi-scan (non-interleaved) baseline streams; padding
+    blocks outside a component's grid stay zero, matching the
+    progressive path's buffers."""
+    idx_of = {c[0]: i for i, c in enumerate(comps)}
+    rbs = [mcus_x * c[1] for c in comps]
+    bufs = [
+        np.zeros((mcus_y * c[2] * mcus_x * c[1], 64), dtype=np.int64)
+        for c in comps
+    ]
+    for sel_list, ss, se, ah, al, dri, segs, dcs, acs in scans:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError(
+                "sequential JPEG scan with progressive parameters"
+            )
+        if not segs:
+            raise ValueError("JPEG scan with no entropy data")
+        members = []
+        for cs, td, ta in sel_list:
+            if td not in dcs or ta not in acs:
+                raise ValueError(
+                    "JPEG references an undefined Huffman table"
+                )
+            members.append((idx_of[cs], dcs[td], acs[ta]))
+        units: list[list] = []
+        if len(members) > 1:  # interleaved: MCU walk in scan order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    u = []
+                    for ci, dtab, atab in members:
+                        _cid, ch, cv, _tq = comps[ci]
+                        rb = rbs[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                u.append((
+                                    ci, dtab, atab,
+                                    (my * cv + by) * rb + mx * ch + bx,
+                                ))
+                    units.append(u)
+        else:  # ns == 1: the component's own grid
+            ci, dtab, atab = members[0]
+            _cid, ch, cv, _tq = comps[ci]
+            ny, nx = _comp_grid(w, h, ch, cv, hmax, vmax)
+            rb = rbs[ci]
+            units = [
+                [(ci, dtab, atab, by * rb + bx)]
+                for by in range(ny)
+                for bx in range(nx)
+            ]
+        seg_idx = 0
+        br = _BitReader(segs[0])
+        preds = [0] * len(comps)
+        for ui, unit in enumerate(units):
+            if dri and ui and ui % dri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("JPEG missing restart segment")
+                br = _BitReader(segs[seg_idx])
+                preds = [0] * len(comps)
+            for ci, dtab, atab, bidx in unit:
+                coef = [0] * 64
+                t = br.huff(dtab)
+                if t > 15:
+                    raise ValueError("invalid JPEG DC category")
+                preds[ci] += br.receive_extend(t)
+                coef[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = br.huff(atab)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC index overflow")
+                    coef[k] = br.receive_extend(s)
+                    k += 1
+                bufs[ci][bidx] = coef
+    return bufs, rbs
 
 
 def _idct_assemble(bufs, rowblocks, comps, qt, w, h, hmax, vmax):
@@ -1045,6 +1173,7 @@ def jpeg_from_array(
     subsampling: str = "4:2:0",
     restart_interval: int = 0,
     progressive: bool = False,
+    interleave: bool = True,
 ) -> bytes:
     """Encode H×W (or H×W×1) grayscale / H×W×3 RGB uint8 to a baseline
     or progressive JFIF JPEG.  ``subsampling``: '4:2:0' (default, the
@@ -1057,7 +1186,12 @@ def jpeg_from_array(
     component AC bands at Al=1 + refinements) — the quantized
     coefficients are IDENTICAL to the baseline encoding, only the
     entropy organization differs, so both decode to bit-identical
-    pixels (the round-trip tests assert exactly that).  Deterministic:
+    pixels (the round-trip tests assert exactly that).
+    ``interleave=False`` (sequential color only) writes one scan per
+    component over the component's OWN data-unit grid (T.81 A.2.2) —
+    the multi-scan non-interleaved layout some encoders emit; again
+    the same quantized coefficients, so pixels are bit-identical to
+    the interleaved stream.  Deterministic:
     same array + params = same bytes, which is what lets the catalog
     query carry an analytic DuckDB oracle."""
     a = np.asarray(arr)
@@ -1138,6 +1272,45 @@ def jpeg_from_array(
             coefs, samps, w, h, hmax, vmax, mcus_x, mcus_y,
             dc_l, ac_l, dc_c, ac_c,
         )
+    elif not interleave and not gray:
+        # non-interleaved sequential: one scan per component, walking
+        # the component's own data-unit grid (T.81 A.2.2); restart
+        # markers count data units within each scan
+        for ci, (sh, sv) in enumerate(samps):
+            dct = dc_l if ci == 0 else dc_c
+            act = ac_l if ci == 0 else ac_c
+            ny, nx = _comp_grid(w, h, sh, sv, hmax, vmax)
+            bw = _BitWriter()
+            entropy = bytearray()
+            pred = 0
+            rst = 0
+            unit = 0
+            for by in range(ny):
+                for bx in range(nx):
+                    if (
+                        restart_interval
+                        and unit
+                        and unit % restart_interval == 0
+                    ):
+                        bw.flush()
+                        entropy += bw.out
+                        entropy += bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) % 8
+                        bw = _BitWriter()
+                        pred = 0
+                    zz = coefs[ci][by, bx]
+                    nzk = zz[1:].nonzero()[0] + 1
+                    pred = _encode_block(
+                        bw, nzk.tolist(), zz[nzk].tolist(),
+                        int(zz[0]), pred, dct, act,
+                    )
+                    unit += 1
+            bw.flush()
+            entropy += bw.out
+            sos = bytes(
+                [1, ci + 1, 0x00 if ci == 0 else 0x11, 0x00, 0x3F, 0x00]
+            )
+            scan_parts.append((sos, bytes(entropy)))
     else:
         bw = _BitWriter()
         preds = [0] * len(planes)

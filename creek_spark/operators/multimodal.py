@@ -424,9 +424,20 @@ def _media_report_cells(pdf):
     for day, content in zip(pdf["day"], pdf["content"]):
         b = None if content is None else bytes(content)
         hdr = parse_image_header(b) if b else None
-        fmt = hdr["format"] if hdr else (
-            "wav" if b and b[:4] == b"RIFF" else "other"
-        )
+        if hdr:
+            fmt = hdr["format"]
+        elif b and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            # RIFF is a container FAMILY: only RIFF....WAVE is wav
+            # (decode_wav_samples enforces the same check) — WebP and
+            # AVI payloads must not pollute the per-format corruption
+            # monitor's 'wav' bucket
+            fmt = "wav"
+        elif b and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+            fmt = "webp"  # undecoded: counted, never decode-attempted
+        elif b and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            fmt = "avi"
+        else:
+            fmt = "other"
         key = (fmt, str(day))
         c = cells.setdefault(key, [0, 0, 0, 0, None, None])
         c[0] += 1

@@ -559,7 +559,12 @@ class StreamingAnnIndex:
         `ann_drift_report`, which resolves the policy from the manifest
         (recorded at bootstrap/retrain/rebaseline), so this method, the
         bare function, and the Engine facade probe the identical view;
-        pass ``on_zero_norm=`` explicitly to override."""
+        pass ``on_zero_norm=`` explicitly to override.  For a
+        PRE-UPGRADE state dir whose manifest predates the
+        'on_zero_norm' key, this index object's own configured policy
+        is the fallback — not 'raise' — so a 'filter' index keeps
+        filtering instead of counting junk as drift."""
+        kw.setdefault("fallback_on_zero_norm", self.on_zero_norm)
         return ann_drift_report(
             self.spark, self.path, recent,
             id_col=self.id_col, vec_col=self.vec_col, m=self.m, **kw,

@@ -160,13 +160,32 @@ class AdditiveRollupSink:
         cannot decide — a reset checkpoint recycling to EXACTLY the
         fence — is closed by the content fingerprint committed beside
         the fence (streaming/fence.py): on-fence + same content = the
-        replay no-op, on-fence + different content refuses loudly."""
+        replay no-op, on-fence + different content refuses loudly.
+
+        The tier plan is evaluated up to three times per trigger
+        (fence fingerprint, touched-partition collect, merge/write) —
+        for tiers that embed a Python decode stage (StreamingMediaReport
+        runs the mapInPandas codecs) that would re-decode every blob
+        per pass, so the tier is persisted for the trigger's duration
+        and unpersisted after the manifest publish: the decode stage
+        runs ONCE per trigger."""
         from creek_spark.streaming.fence import (
             check_on_fence,
             content_fingerprint,
         )
 
         old = self._read_manifest()
+        tier = tier.persist()
+        try:
+            self._apply_batch_cached(
+                tier, batch_id, old, check_on_fence, content_fingerprint
+            )
+        finally:
+            tier.unpersist()
+
+    def _apply_batch_cached(
+        self, tier, batch_id, old, check_on_fence, content_fingerprint
+    ):
         if old is not None and batch_id == old["last_batch_id"]:
             check_on_fence(
                 tier, old.get("fence_print"), batch_id=batch_id,

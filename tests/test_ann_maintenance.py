@@ -1137,6 +1137,54 @@ def test_retrain_stored_vectors_not_wedged_by_allowed_junk(
     assert idx.search(parts["queries"]).count() > 0
 
 
+def test_drift_report_filter_survives_pre_upgrade_manifest(
+    spark, tmp_path, parts
+):
+    """A state dir whose manifest predates the 'on_zero_norm' key must
+    not silently flip a 'filter' index's drift probe to 'raise': junk
+    rows in `recent` would then count as recall misses — the exact
+    spurious retrain_recommended the filter policy exists to prevent.
+    The index object's own configured policy is the fallback."""
+    import json
+
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p, on_zero_norm="filter")
+    idx.bootstrap(parts["seed"])
+    clean = parts["seed"].select("vec_id", "embedding")
+    rep_clean = idx.drift_report(clean)
+
+    # simulate the pre-upgrade manifest: strip the key from the newest
+    # version in place (same version number — an OLD writer wrote it)
+    mdir = os.path.join(p, "_manifest")
+    name = sorted(n for n in os.listdir(mdir) if not n.startswith("."))[-1]
+    newest = os.path.join(mdir, name)
+    with open(newest) as fh:
+        man = json.load(fh)
+    assert man.pop("on_zero_norm") == "filter"
+    with open(newest, "w") as fh:
+        json.dump(man, fh)
+    crc = os.path.join(mdir, f".{name}.crc")
+    if os.path.exists(crc):  # hadoop LocalFS checksum of the old bytes
+        os.remove(crc)
+
+    junk = spark.createDataFrame(
+        [(888_100 + i, [0.0] * 64) for i in range(200)],
+        "vec_id bigint, embedding array<double>",
+    )
+    dirty = clean.unionByName(junk)
+    # fallback = the object's 'filter': junk drops, so the probe sees
+    # exactly the clean frame again — bit-identical report
+    rep = idx.drift_report(dirty)
+    assert rep == rep_clean
+    assert not rep["retrain_recommended"]
+    # explicit override still wins over the fallback
+    assert idx.drift_report(dirty, on_zero_norm="filter") == rep_clean
+    # the test bites: without filtering ('allow' override) the junk
+    # rows enter the probe view and the salted sample draw shifts —
+    # the report cannot be identical to the clean one
+    assert idx.drift_report(dirty, on_zero_norm="allow") != rep_clean
+
+
 def test_foreach_batch_auto_compaction_bounds_directories(
     spark, tmp_path, parts
 ):

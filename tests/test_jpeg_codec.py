@@ -188,6 +188,72 @@ def test_progressive_gray_and_randomized_grid():
         assert np.array_equal(b, p), shape
 
 
+def test_grayscale_with_subsampled_factors_uses_component_grid():
+    """jpegtran -grayscale keeps the source's 2x2 Y sampling factors.
+    A single-component scan is non-interleaved regardless of the
+    declared factors (T.81 A.2.2): its data units cover the
+    component's own ceil(w/8) x ceil(h/8) grid, which for nc==1 is the
+    SAME grid as 1x1 factors — so patching the SOF sampling byte from
+    0x11 to 0x22 must decode to bit-identical pixels, not raise."""
+    rng = np.random.default_rng(77)
+    for shape in [(8, 8), (23, 41), (40, 64)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        for kw in ({}, {"restart_interval": 3}):
+            enc = bytearray(jpeg_from_array(a, quality=85, **kw))
+            base = decode_jpeg_pixels(bytes(enc))
+            i = enc.index(b"\xff\xc0")
+            assert enc[i + 11] == 0x11  # the grayscale comp's h/v byte
+            enc[i + 11] = 0x22
+            assert np.array_equal(decode_jpeg_pixels(bytes(enc)), base), (
+                shape, kw,
+            )
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:2", "4:2:0"])
+def test_noninterleaved_multiscan_baseline(subsampling):
+    """Sequential JPEG legally carries one scan PER COMPONENT (T.81
+    A.2) — same quantized coefficients, different entropy layout, so
+    the 3-scan stream must decode bit-identical to the interleaved
+    one.  Also exercises restart markers inside single-component
+    scans, where the interval counts data units, not MCUs."""
+    img = _smooth_rgb(41, 53)  # non-multiple-of-8: padding blocks live
+    base = decode_jpeg_pixels(
+        jpeg_from_array(img, quality=80, subsampling=subsampling)
+    )
+    for kw in ({}, {"restart_interval": 4}):
+        enc = jpeg_from_array(
+            img, quality=80, subsampling=subsampling,
+            interleave=False, **kw,
+        )
+        assert enc.count(b"\xff\xda") == 3  # really one scan per comp
+        assert np.array_equal(decode_jpeg_pixels(enc), base), kw
+
+
+def test_fill_bytes_between_markers_are_spec_legal_padding():
+    """T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+    fill bytes.  parse_image_header already skips them; the pixel
+    decoder must agree on the same payload — including a fill byte
+    before the scan-terminating marker (EOI)."""
+    enc = jpeg_from_array(_smooth_rgb(24, 24), quality=80)
+    base = decode_jpeg_pixels(enc)
+    # pad before a mid-stream marker (DHT) and before EOI
+    padded = bytearray(enc)
+    i = padded.index(b"\xff\xc4")
+    padded[i:i] = b"\xff\xff\xff"
+    assert padded[-2:] == b"\xff\xd9"
+    padded[-2:-2] = b"\xff\xff"
+    assert np.array_equal(decode_jpeg_pixels(bytes(padded)), base)
+    # progressive: fill bytes between scans
+    penc = jpeg_from_array(_smooth_rgb(24, 24), quality=80,
+                           progressive=True)
+    pbase = decode_jpeg_pixels(penc)
+    pp = bytearray(penc)
+    j = pp.index(b"\xff\xda", pp.index(b"\xff\xda") + 2)
+    pp[j:j] = b"\xff"
+    pp[-2:-2] = b"\xff"
+    assert np.array_equal(decode_jpeg_pixels(bytes(pp)), pbase)
+
+
 def test_arithmetic_refused_loudly():
     enc = bytearray(jpeg_from_array(_smooth_rgb(16, 16)))
     i = enc.index(b"\xff\xc0")

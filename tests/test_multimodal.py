@@ -425,3 +425,35 @@ def test_pixel_stats_non_png_null_vs_strict(spark):
     assert row["sum_px"] is None and row["width"] is None
     with _pytest.raises(Exception):
         pixel_stats(media, strict=True).collect()
+
+
+def test_media_report_riff_family_classification(spark):
+    """RIFF is a container FAMILY: only RIFF....WAVE is wav.  WebP
+    (RIFF....WEBP — common in real image corpora) and AVI payloads must
+    land in their own undecoded buckets, not skew the 'wav' row of the
+    per-format corruption monitor the report exists to provide."""
+    import struct
+
+    import numpy as np
+
+    from creek_spark.operators.media_codecs import wav_from_array
+    from creek_spark.operators.multimodal import media_report
+
+    wav = wav_from_array(np.arange(-8, 8, dtype=np.int16))
+    webp = b"RIFF" + struct.pack("<I", 12) + b"WEBPVP8 " + bytes(16)
+    avi = b"RIFF" + struct.pack("<I", 12) + b"AVI LIST" + bytes(16)
+    riff_junk = b"RIFF" + struct.pack("<I", 4) + b"JUNK"
+    media = spark.createDataFrame(
+        [
+            (1, "d0", bytearray(wav)),
+            (2, "d0", bytearray(webp)),
+            (3, "d0", bytearray(avi)),
+            (4, "d0", bytearray(riff_junk)),
+        ],
+        "media_id bigint, day string, content binary",
+    )
+    rows = {r["fmt"]: r for r in media_report(media).collect()}
+    assert set(rows) == {"wav", "webp", "avi", "other"}
+    assert rows["wav"]["n_media"] == rows["wav"]["n_decoded"] == 1
+    for fmt in ("webp", "avi", "other"):
+        assert rows[fmt]["n_media"] == 1 and rows[fmt]["n_decoded"] == 0

@@ -725,3 +725,37 @@ def test_streaming_media_report_equals_batch(spark, tmp_path):
     with pytest.raises(FenceContentError, match="content differs"):
         det.apply_batch(batches[0], 2)
     assert key(det.report()) == want
+
+
+def test_tier_python_stage_runs_once_per_trigger(spark, tmp_path):
+    """The tier plan is referenced three times per trigger (fence
+    fingerprint, touched-partition collect, merge/write).  For tiers
+    with a Python decode stage (StreamingMediaReport's codecs) each
+    extra pass would re-decode every blob — apply_batch must persist
+    the tier so the Python stage runs ONCE per trigger (accumulator-
+    counted; local mode has no task retries to inflate it)."""
+    from creek_spark.streaming.rollup import AdditiveRollupSink
+
+    sink = AdditiveRollupSink(
+        spark, str(tmp_path / "state"), ["day"], ["n"], "day"
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def decode_like(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    src = spark.createDataFrame(
+        [("d0", 1)] * 8 + [("d1", 2)] * 8, "day string, n long"
+    ).repartition(2)
+    tier = src.mapInPandas(decode_like, schema="day string, n long")
+    sink.apply_batch(tier, 0)
+    assert acc.value == 16  # one decode pass, not 2-3x
+    got = {
+        (r["day"], r["n"]) for r in sink.current().collect()
+    }
+    assert got == {("d0", 8), ("d1", 16)}
+    # replay path (fingerprint check only): exactly one more pass
+    sink.apply_batch(tier, 0)
+    assert acc.value == 32
