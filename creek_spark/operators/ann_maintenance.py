@@ -60,6 +60,29 @@ _MANIFEST_DIR = "_manifest"
 # internal/dao/schemas.go:16).
 MANIFEST_RETAIN = 10
 
+# Online retrain writes its staging generations as
+# ``batch=-(epoch*ONLINE_GEN_STRIDE + round)`` — an id SPACE disjoint
+# from compaction/offline-retrain generations (magnitude = epoch ≤
+# version+1, tiny next to the stride) so a stream-side auto-compaction
+# interleaving the catch-up rounds can never allocate the same
+# directory and overwrite staged codes with old-epoch rows.  The stride
+# keeps the epoch recoverable from the id (``gen_epoch``), which is
+# what the vacuum pending-guard keys on.  10^12 versions at one
+# manifest commit per millisecond is ~31 years of uptime — versions
+# cannot cross the stride in practice.
+ONLINE_GEN_STRIDE = 10**12
+
+
+def gen_epoch(magnitude: int) -> int:
+    """The quantizer epoch a negative generation id belongs to:
+    compaction/offline-retrain ids carry it directly, online-retrain
+    staging ids carry it multiplied by ONLINE_GEN_STRIDE."""
+    return (
+        magnitude // ONLINE_GEN_STRIDE
+        if magnitude >= ONLINE_GEN_STRIDE
+        else magnitude
+    )
+
 # Keys that describe the INDEX rather than one commit, carried forward
 # manifest-to-manifest unless a writer overrides them: the drift-probe
 # baseline, the quantizer-epoch pointer (retrain publishes new
@@ -447,7 +470,7 @@ def ivfpq_index_vacuum(
         bid = int(name.split("=", 1)[1])
         if bid in live:
             continue
-        pending = bid > max_bid if bid >= 0 else -bid > version
+        pending = bid > max_bid if bid >= 0 else gen_epoch(-bid) > version
         if pending and not reclaim_pending:
             skipped.append(f"codes/{name}")
             continue

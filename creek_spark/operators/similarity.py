@@ -1588,7 +1588,8 @@ def ivfpq_index_append(corpus: DataFrame, path: str, *,
                        dim: int = 64, m: int = 8,
                        codes_dir: str | None = None,
                        mode: str = "append",
-                       on_zero_norm: str = "raise") -> None:
+                       on_zero_norm: str = "raise",
+                       quantizers: str | None = None) -> None:
     """Append a batch to a persisted IVFADC index WITHOUT rebuilding —
     the production freshness path: quantizers (centroids + codebook) are
     read back from the index and FROZEN, the new vectors run the same
@@ -1618,7 +1619,14 @@ def ivfpq_index_append(corpus: DataFrame, path: str, *,
     on the continuous-ingest path — without it, a zero-norm row in any
     micro-batch would silently bypass the build-time policy forever.
     Streams that must not wedge on a poison-pill row (a raise replays
-    with the same batch on every retry) should pass ``"filter"``."""
+    with the same batch on every retry) should pass ``"filter"``.
+
+    ``quantizers`` overrides the frame directory (a dir holding
+    ``centroids``/``codebook``), mirroring `ann_recall_probe`: the
+    ONLINE retrain's catch-up rounds encode gap rows under the freshly
+    built epoch BEFORE the manifest flip publishes it.  Default: the
+    index's own frames, resolved through the manifest like every other
+    reader."""
     spark = corpus.sparkSession
     corpus = _police_zero_norm(
         corpus, id_col, vec_col, on_zero_norm, site="append"
@@ -1641,7 +1649,12 @@ def ivfpq_index_append(corpus: DataFrame, path: str, *,
     # a retrained index's frames live in their epoch directory, and the
     # store_vectors sniff must see committed rows only (the codes root
     # may hold torn in-flight batch dirs)
-    cents_dir, cb_dir = quantizer_dirs(path, man)
+    if quantizers is not None:
+        cents_dir, cb_dir = (
+            f"{quantizers}/centroids", f"{quantizers}/codebook"
+        )
+    else:
+        cents_dir, cb_dir = quantizer_dirs(path, man)
     cents = spark.read.parquet(cents_dir)
     cb = spark.read.parquet(cb_dir)
     residual = "is_residual" in cb.columns and bool(cb.first()["is_residual"])

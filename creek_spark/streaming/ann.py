@@ -57,6 +57,11 @@ rounds 9–10):
     ...
     idx.search(queries, k=5)                   # safe concurrent w/ stream
     if idx.drift_report(recent)["retrain_recommended"]:
+        # preferred: no ingest pause — build the new epoch while
+        # triggers keep committing under the old, converge by
+        # re-encoding the gap, flip atomically (round 12)
+        idx.retrain_online(train="kmeans")
+        # or the stop-the-world form:
         q.stop()                      # owner op: pause ingest first
         idx.retrain(train="kmeans")   # fresh generation + manifest flip
         q = ...restart the stream from its checkpoint...
@@ -65,7 +70,10 @@ rounds 9–10):
 
 Maintenance ops (retrain/compact) are OWNER operations under the
 single-writer contract: run them with the stream stopped or between
-triggers.  Every manifest publish is fenced on the version it read
+triggers — EXCEPT ``retrain_online()``, which is designed to run
+concurrently with a live stream (its staging directories live in an id
+space no trigger or auto-compaction can allocate, and its final flip is
+fenced; see its docstring).  Every manifest publish is fenced on the version it read
 (`ManifestConflictError`), so violating that sequencing fails loudly —
 a racing trigger or maintenance flip can no longer silently drop a
 committed batch or mis-pair codes with a newer quantizer epoch.
@@ -478,6 +486,181 @@ class StreamingAnnIndex:
         )
         if vacuum:
             self.vacuum()
+
+    def retrain_online(
+        self, corpus: DataFrame | None = None, *, max_rounds: int = 10,
+        vacuum: bool = False, **build_kw,
+    ) -> int:
+        """`retrain()` WITHOUT pausing ingest (round-12; r10 verdict
+        item 5): the double-encode window.  A 100 TB deployment cannot
+        schedule the one thing `retrain()` demands — a stopped stream
+        for the duration of a full re-encode — so this variant builds
+        the new quantizer epoch while triggers keep committing under
+        the OLD epoch, then converges by re-encoding the gap:
+
+        1. **Build** (concurrent with the stream): snapshot the
+           committed corpus at manifest version v0, train new
+           quantizers into ``quantizers/v<v0+1>``, and re-encode the
+           snapshot into a staging generation
+           ``batch=-( (v0+1)·ONLINE_GEN_STRIDE )``.  Nothing is
+           published; every reader and every trigger still resolves the
+           old epoch.  The stride puts staging ids in a space disjoint
+           from compaction/offline-retrain generations (magnitude =
+           version+1), so a stream-side auto-compaction interleaving
+           this build can never allocate the same directory.
+        2. **Catch-up rounds**: re-read the manifest; rows committed
+           since the snapshot (found by an id anti-join of the
+           committed corpus against the staged generations — id-based,
+           so it survives interleaved compactions that fold batch
+           directories) are re-encoded under the NEW epoch into
+           ``batch=-(epoch·STRIDE + round)``.  Each round's gap is the
+           ingest of one round's wall clock, so gaps shrink
+           geometrically whenever encode outpaces ingest.
+        3. **Flip**: when a round finds no gap, ONE atomic manifest
+           publish flips live set, ``quantizers`` pointer, drift
+           baseline and watermark together, fenced on the version the
+           empty gap was computed from (`expect_version`).  A trigger
+           that commits between that read and the flip makes the flip
+           raise `ManifestConflictError` — caught here, and the loop
+           simply catches up with that batch and retries.  A trigger
+           in flight AT the flip fails its own fenced publish instead,
+           Spark replays it, and the replay re-reads current state and
+           re-encodes under the NEW epoch — the exact loud-retry
+           semantics the fence was built for.  Readers are never
+           paused: any manifest version they hold is a complete
+           generation.
+
+        Requires a ``store_vectors`` index (the catch-up rounds read
+        gap vectors back from the committed codes — same requirement as
+        ``retrain(corpus=None)``); rows are assumed uniquely keyed by
+        ``id_col`` (the id anti-join treats a re-streamed duplicate id
+        as already covered).  ``corpus`` (optional) overrides the
+        TRAINING corpus only; the staged content is always the
+        committed corpus.  Raises after ``max_rounds`` non-converging
+        rounds — if ingest durably outpaces a round's re-encode, no
+        cutover scheme converges; widen the trigger interval or fall
+        back to `retrain()`.  Do not run compact()/vacuum()/retrain()
+        from ANOTHER process concurrently — the stream (apply_batch +
+        auto-compaction) is the one sanctioned concurrent writer.
+
+        Returns the number of catch-up rounds that re-encoded a gap."""
+        from creek_spark.operators.ann_maintenance import (
+            DRIFT_SALT,
+            ONLINE_GEN_STRIDE,
+            ManifestConflictError,
+            ann_recall_probe,
+            read_codes,
+        )
+
+        man0 = read_manifest(self.spark, self.path)
+        if man0 is None:
+            raise ValueError(
+                f"index at {self.path} has no manifest: online retrain "
+                "applies to the streaming layout; rebuild a static index "
+                "with ivfpq_index_build"
+            )
+        stored0 = read_codes(self.spark, self.path, man0)
+        if "c_vec" not in stored0.columns:
+            raise ValueError(
+                "retrain_online needs a store_vectors index: the catch-up "
+                "rounds read the gap rows' vectors back from the "
+                "committed codes; pause the stream and use retrain() with "
+                "an explicit corpus instead"
+            )
+        snapshot = stored0.select(
+            F.col("n_id").alias(self.id_col),
+            F.col("c_vec").alias(self.vec_col),
+        )
+        if corpus is None:
+            # stored rows were already admitted — do not re-litigate
+            # their junk policy (same default as retrain(corpus=None))
+            build_kw.setdefault("on_zero_norm", "allow")
+            corpus = snapshot
+        else:
+            build_kw.setdefault("on_zero_norm", self.on_zero_norm)
+        epoch = man0["version"] + 1
+        qdir = f"quantizers/v{epoch:08d}"
+        gen0 = -(epoch * ONLINE_GEN_STRIDE)
+        # phase 1 — concurrent build: fresh dirs only, no publish
+        ivfpq_index_build(
+            corpus, self.path, id_col=self.id_col, vec_col=self.vec_col,
+            dim=self.dim, m=self.m,
+            codes_dir=f"{self.path}/codes/batch={gen0}",
+            centroids_dir=f"{self.path}/{qdir}/centroids",
+            codebook_dir=f"{self.path}/{qdir}/codebook",
+            **build_kw,
+        )
+        params = {"sample": 512, "n_queries": 64, "k": 5, "salt": DRIFT_SALT}
+        base = ann_recall_probe(
+            self.spark, self.path, self._probe_view(corpus, build_kw),
+            id_col=self.id_col, vec_col=self.vec_col, m=self.m,
+            quantizers=f"{self.path}/{qdir}", **params,
+        )
+        new_live = [gen0]
+        rounds = 0
+        for attempt in range(max_rounds):
+            self._retrain_online_round(attempt)  # test seam (no-op)
+            man = read_manifest(self.spark, self.path)
+            committed = read_codes(self.spark, self.path, man)
+            staged_ids = self.spark.read.option(
+                "basePath", f"{self.path}/codes"
+            ).parquet(
+                *[f"{self.path}/codes/batch={g}" for g in new_live]
+            ).select("n_id")
+            gap = (
+                committed.select("n_id", "c_vec")
+                .join(staged_ids, "n_id", "left_anti")
+                .select(
+                    F.col("n_id").alias(self.id_col),
+                    F.col("c_vec").alias(self.vec_col),
+                )
+            )
+            if gap.isEmpty():
+                try:
+                    write_manifest(
+                        self.spark, self.path, new_live,
+                        extra={
+                            "probe": {"recall": base, **params},
+                            "quantizers": qdir,
+                            "on_zero_norm": build_kw.get(
+                                "on_zero_norm", self.on_zero_norm
+                            ),
+                            "max_bid": max(
+                                max(
+                                    (b for b in man["live"] if b > 0),
+                                    default=0,
+                                ),
+                                man.get("max_bid", 0),
+                            ),
+                        },
+                        expect_version=man["version"],
+                    )
+                except ManifestConflictError:
+                    continue  # a trigger landed inside the flip window
+                if vacuum:
+                    self.vacuum()
+                return rounds
+            rounds += 1
+            gen_i = -(epoch * ONLINE_GEN_STRIDE + rounds)
+            ivfpq_index_append(
+                gap, self.path, id_col=self.id_col, vec_col=self.vec_col,
+                dim=self.dim, m=self.m,
+                codes_dir=f"{self.path}/codes/batch={gen_i}",
+                mode="overwrite", on_zero_norm="allow",
+                quantizers=f"{self.path}/{qdir}",
+            )
+            new_live.append(gen_i)
+        raise RuntimeError(
+            f"retrain_online did not converge after {max_rounds} catch-up "
+            "rounds: ingest is outpacing the per-round re-encode, so no "
+            "cutover scheme converges — widen the trigger interval, "
+            "raise max_rounds, or pause the stream and use retrain()"
+        )
+
+    def _retrain_online_round(self, attempt: int) -> None:
+        """Test seam: called at the top of every catch-up/flip round so
+        deterministic tests can interleave concurrent stream commits at
+        exact points.  No-op in production."""
 
     def rebaseline(self, corpus: DataFrame | None = None) -> float:
         """Probe and publish the drift baseline on an index whose

@@ -803,6 +803,182 @@ def test_adoption_repairs_torn_replay_batch(spark, tmp_path, parts):
     assert read_manifest(spark, p)["version"] == man["version"]
 
 
+def test_retrain_online_converges_with_concurrent_commits(
+    spark, tmp_path, parts
+):
+    """The double-encode window (round 12; r10 verdict item 5): the new
+    quantizer epoch builds and catches up WHILE triggers keep
+    committing under the old epoch — no ingest pause.  Deterministic
+    interleaving via the test seam: a stream batch commits at the top
+    of catch-up rounds 0 and 1, so the first two gap probes are
+    non-empty and the third flips.  Invariants: nothing lost, nothing
+    duplicated, quantizers pointer + baseline + watermark flip in ONE
+    publish, the stream continues exactly-once afterwards, and vacuum
+    reclaims the old epoch while keeping every staged generation."""
+    from creek_spark.operators.ann_maintenance import (
+        ONLINE_GEN_STRIDE,
+        read_codes,
+    )
+
+    emb = parts["emb"]
+    slices = [emb.where(F.col("vec_id") % 8 == r) for r in range(8)]
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(slices[0])
+    idx.apply_batch(slices[1], 0)
+
+    v0 = read_manifest(spark, p)["version"]
+    epoch = v0 + 1
+    state = {"bid": 1}
+
+    def interleave(attempt):
+        if attempt < 2:  # a live trigger lands mid-retrain, twice
+            idx.apply_batch(slices[state["bid"] + 1], state["bid"])
+            state["bid"] += 1
+
+    idx._retrain_online_round = interleave
+    rounds = idx.retrain_online()
+    assert rounds == 2  # both interleaved commits were caught up
+
+    man = read_manifest(spark, p)
+    assert man["quantizers"] == f"quantizers/v{epoch:08d}"
+    assert man["live"] == sorted(
+        -(epoch * ONLINE_GEN_STRIDE + i) for i in range(3)
+    )
+    assert man["max_bid"] == 3 and man["probe"]["recall"] > 0
+
+    ingested = {
+        r["vec_id"]
+        for s in slices[:4]
+        for r in s.select("vec_id").collect()
+    }
+    rows = read_codes(spark, p).select("n_id").collect()
+    assert {r["n_id"] for r in rows} == ingested
+    assert len(rows) == len(ingested)  # no double-encode leaked through
+    assert idx.search(parts["queries"]).count() > 0
+
+    # a genuine Spark replay of the last pre-flip trigger: pure no-op
+    assert idx.apply_batch(slices[3], 2) is None
+    # the stream continues under the NEW epoch, exactly-once
+    idx.apply_batch(slices[4], 3)
+    rows = read_codes(spark, p).select("n_id").collect()
+    ingested |= {r["vec_id"] for r in slices[4].select("vec_id").collect()}
+    assert {r["n_id"] for r in rows} == ingested and len(rows) == len(ingested)
+
+    # old epoch reclaimed, staged generations + post-flip batch survive
+    dead = idx.vacuum()
+    assert set(dead) == {0, 1, 2, 3}
+    assert sorted(_batch_dirs(p)) == sorted(
+        [f"batch={b}" for b in man["live"]] + ["batch=4"]
+    )
+    assert os.listdir(os.path.join(p, "quantizers")) == [f"v{epoch:08d}"]
+
+
+def test_retrain_online_flip_window_conflict_retries(
+    spark, tmp_path, parts, monkeypatch
+):
+    """The one race the catch-up loop cannot see coming: a trigger
+    commits BETWEEN the empty-gap read and the flip publish.  The
+    fenced publish raises ManifestConflictError, retrain_online catches
+    it, catches up with that batch, and the retried flip succeeds —
+    loud-retry, never silent loss of the interleaved commit."""
+    import creek_spark.streaming.ann as ann_mod
+    from creek_spark.operators.ann_maintenance import read_codes
+
+    emb = parts["emb"]
+    slices = [emb.where(F.col("vec_id") % 8 == r) for r in range(8)]
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(slices[0])
+    idx.apply_batch(slices[1], 0)
+
+    real = ann_mod.write_manifest
+    fired = {"n": 0}
+
+    def racy(spark_, path_, live_, **kw):
+        # intercept only the FLIP publish (it carries the quantizers
+        # pointer); the first one gets a trigger landed in its window
+        if "quantizers" in (kw.get("extra") or {}) and fired["n"] == 0:
+            fired["n"] = 1
+            idx.apply_batch(slices[2], 1)  # uses the real write_manifest
+        return real(spark_, path_, live_, **kw)
+
+    monkeypatch.setattr(ann_mod, "write_manifest", racy)
+    rounds = idx.retrain_online()
+    assert fired["n"] == 1 and rounds == 1  # conflicted, caught up, flipped
+
+    ingested = {
+        r["vec_id"]
+        for s in slices[:3]
+        for r in s.select("vec_id").collect()
+    }
+    rows = read_codes(spark, p).select("n_id").collect()
+    assert {r["n_id"] for r in rows} == ingested
+    assert len(rows) == len(ingested)
+    man = read_manifest(spark, p)
+    assert man["quantizers"] and man["max_bid"] == 2
+
+
+def test_retrain_online_staging_ids_never_collide_with_autocompact(
+    spark, tmp_path, parts
+):
+    """An auto-compaction folding between catch-up rounds allocates
+    gen=-(version+1); the online staging ids live at -(epoch*STRIDE+i)
+    — disjoint by construction, so the interleaved fold can never
+    overwrite staged new-epoch codes.  Also proves the id anti-join
+    catch-up survives the fold (batch ids vanish from live mid-retrain)
+    and the vacuum pending-guard understands the stride encoding."""
+    from creek_spark.operators.ann_maintenance import (
+        ONLINE_GEN_STRIDE,
+        read_codes,
+    )
+
+    emb = parts["emb"]
+    slices = [emb.where(F.col("vec_id") % 8 == r) for r in range(8)]
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(slices[0])
+    idx.apply_batch(slices[1], 0)
+    state = {"bid": 1}
+
+    def interleave(attempt):
+        if attempt == 0:
+            idx.apply_batch(slices[2], 1)
+            state["bid"] = 2
+            idx.compact()  # the stream's auto-compaction fires mid-retrain
+
+    idx._retrain_online_round = interleave
+    idx.retrain_online()
+    ingested = {
+        r["vec_id"]
+        for s in slices[:3]
+        for r in s.select("vec_id").collect()
+    }
+    rows = read_codes(spark, p).select("n_id").collect()
+    assert {r["n_id"] for r in rows} == ingested
+    assert len(rows) == len(ingested)
+
+    # crashed-next-attempt staging dir: epoch above the current version
+    # is PENDING (skipped by default vacuum), then provably dead once
+    # the version catches up
+    man = read_manifest(spark, p)
+    ghost = -( (man["version"] + 1) * ONLINE_GEN_STRIDE )
+    os.makedirs(os.path.join(p, "codes", f"batch={ghost}"))
+    assert ghost not in idx.vacuum()  # pending: version too low
+    assert os.path.isdir(os.path.join(p, "codes", f"batch={ghost}"))
+    idx.apply_batch(slices[3], state["bid"])  # version advances past it
+    assert ghost in idx.vacuum()
+    assert not os.path.isdir(os.path.join(p, "codes", f"batch={ghost}"))
+
+
+def test_retrain_online_requires_store_vectors(spark, tmp_path, parts):
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(parts["seed"], store_vectors=False)
+    with pytest.raises(ValueError, match="store_vectors"):
+        idx.retrain_online()
+
+
 def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
     """Random interleavings of the full maintenance surface (apply,
     REPLAY of an already-committed trigger, compact, retrain, vacuum,
@@ -833,7 +1009,7 @@ def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
     next_bid, last_version = 0, read_manifest(spark, p)["version"]
     ops = [
         "apply", "apply", "apply", "replay", "compact", "retrain",
-        "vacuum", "drift", "imposter", "reset",
+        "vacuum", "drift", "imposter", "reset", "retrain_online",
     ]
     for step in range(16):
         op = rng.choice(ops)
@@ -868,6 +1044,30 @@ def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
             idx.compact(vacuum=rng.random() < 0.5)
         elif op == "retrain":
             idx.retrain(vacuum=rng.random() < 0.5)
+        elif op == "retrain_online":
+            # the NO-PAUSE retrain, with stream commits randomly
+            # interleaved into its catch-up rounds through the test
+            # seam — the composition the double-encode window exists
+            # to survive
+            pending = []
+
+            def interleave(attempt):
+                nonlocal next_bid
+                if rng.random() < 0.6 and next_bid < 7 and len(pending) < 3:
+                    s = slices[next_bid + 1]
+                    idx.apply_batch(s, next_bid)
+                    pending.append(
+                        {r["vec_id"] for r in s.select("vec_id").collect()}
+                    )
+                    next_bid += 1
+
+            idx._retrain_online_round = interleave
+            try:
+                idx.retrain_online(vacuum=rng.random() < 0.5)
+            finally:
+                del idx._retrain_online_round
+            for ids in pending:
+                ingested |= ids
         elif op == "vacuum":
             idx.vacuum()
         elif op == "drift":
