@@ -540,24 +540,82 @@ def stream_shard_writer(
     """foreachBatch sink that grows a stable-shard corpus layout from a
     stream: every micro-batch lands under ``path/batch=<id>/shard=K/``.
 
-    Replay-idempotent by construction — a restarted batch OVERWRITES its
-    own ``batch=<id>`` directory and touches nothing else, so
-    exactly-once layout needs no fencing state.  Shard membership stays
-    a pure function of the id (``shard_assign``), so a doc ingested in
-    any batch lands in the same shard as a re-export would place it;
-    readers use ``spark.read.option("basePath", path).parquet(path)``
-    and get pruning on both ``batch`` and ``shard``.
+    Replay-idempotent for GENUINE Spark replays — a restarted batch
+    re-delivers identical rows, and the sink no-ops it (its
+    ``batch=<id>`` directory already holds exactly those rows).  But
+    "overwrites its own batch dir" is only safe against replays, not
+    against a RESET/RELOCATED checkpoint recycling batch ids with NEW
+    rows: an unfenced overwrite would silently REPLACE an earlier
+    committed batch's shards (round-11 verdict finding).  So the sink
+    keeps the same fence every other foreachBatch sink in this engine
+    carries (``_fence.json``: last batch id + order-free content
+    fingerprint, streaming/fence.py): an id below the fence raises, an
+    id ON the fence no-ops only when the content fingerprint matches
+    and refuses loudly otherwise, and the fence publish FOLLOWS the
+    data write (a crash between them replays into the same directory,
+    idempotent).
+
+    Shard membership stays a pure function of the id
+    (``shard_assign``), so a doc ingested in any batch lands in the
+    same shard as a re-export would place it; readers use
+    ``spark.read.option("basePath", path).parquet(path)`` and get
+    pruning on both ``batch`` and ``shard`` (the underscore-prefixed
+    fence file is invisible to the parquet reader).
 
     Usage: ``stream.writeStream.foreachBatch(stream_shard_writer(...))``.
     """
+    import json
+    import os
+
+    fence_file = os.path.join(path, "_fence.json")
 
     def _write(df: DataFrame, batch_id: int) -> None:
-        out = shard_assign(df, id_col, n_shards=n_shards, salt=salt)
-        (
-            out.repartition(n_shards, F.col("shard"))
-            .write.partitionBy("shard")
-            .mode("overwrite")
-            .parquet(f"{path}/batch={batch_id}")
+        from creek_spark.streaming.fence import (
+            check_on_fence,
+            content_fingerprint,
         )
+
+        try:
+            with open(fence_file) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            rec = None  # first batch, or a pre-fence layout
+        if rec is not None:
+            if batch_id == rec["last_batch_id"]:
+                check_on_fence(
+                    df, rec.get("fence_print"), batch_id=batch_id,
+                    sink="stream_shard_writer", state_path=path,
+                )
+                return  # genuine replay: the batch dir already has it
+            if batch_id < rec["last_batch_id"]:
+                raise ValueError(
+                    f"batch id {batch_id} is below stream_shard_writer's "
+                    f"committed fence (last_batch_id="
+                    f"{rec['last_batch_id']}) at {path}: triggers "
+                    "serialize, so this cannot be a Spark replay — the "
+                    "stream was restarted with a reset or relocated "
+                    "checkpoint, and overwriting batch dirs under "
+                    "recycled ids would silently REPLACE committed "
+                    "shards; resume from the original "
+                    "checkpointLocation, or export to a fresh path"
+                )
+        df = df.persist()  # fingerprint + shard write: one source pass
+        try:
+            fence_print = content_fingerprint(df)
+            out = shard_assign(df, id_col, n_shards=n_shards, salt=salt)
+            (
+                out.repartition(n_shards, F.col("shard"))
+                .write.partitionBy("shard")
+                .mode("overwrite")
+                .parquet(f"{path}/batch={batch_id}")
+            )
+        finally:
+            df.unpersist()
+        tmp = fence_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"last_batch_id": batch_id, "fence_print": fence_print}, fh
+            )
+        os.replace(tmp, fence_file)
 
     return _write

@@ -305,6 +305,63 @@ def test_stream_shard_writer_accumulates_and_replays(spark, sf_dir, tmp_path):
     assert onlyb1.count() == b1.count()
 
 
+def test_stream_shard_writer_refuses_reset_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """Round-11 verdict finding: 'overwrites its own batch dir' is only
+    replay-safe.  A reset/relocated checkpoint recycles batch ids with
+    NEW rows — an unfenced overwrite would silently REPLACE an earlier
+    committed batch's shards.  The sink now carries the same fence as
+    every other foreachBatch sink: below-fence ids raise, an on-fence
+    id with different content raises FenceContentError, a genuine
+    replay (identical content) stays a no-op, and a crash between the
+    data write and the fence publish replays idempotently."""
+    import json
+    import os
+
+    import pytest
+
+    from creek_spark.operators.pipeline import stream_shard_writer
+    from creek_spark.streaming.fence import FenceContentError
+
+    docs = read_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "stream_shards")
+    write = stream_shard_writer(path, "doc_id")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    write(b0, 0)
+    write(b1, 1)
+    committed = spark.read.option("basePath", path).parquet(path).count()
+
+    # reset checkpoint, id below the fence: refuse, change nothing
+    with pytest.raises(ValueError, match="below stream_shard_writer"):
+        write(b2, 0)
+    # reset checkpoint landing exactly ON the fence with new rows:
+    # the content fingerprint refuses it loudly
+    with pytest.raises(FenceContentError, match="content differs"):
+        write(b2, 1)
+    # genuine replay: no-op, nothing duplicated or replaced
+    write(b1, 1)
+    back = spark.read.option("basePath", path).parquet(path)
+    assert back.count() == committed
+    assert back.where(F.col("batch") == 0).count() == b0.count()
+
+    # crash window: data written, fence publish lost — the replay
+    # rewrites the same dir and re-publishes (no loss, no duplication)
+    write(b2, 2)
+    with open(os.path.join(path, "_fence.json")) as fh:
+        rec = json.load(fh)
+    with open(os.path.join(path, "_fence.json"), "w") as fh:
+        json.dump({"last_batch_id": 1, "fence_print": None}, fh)
+    write(b2, 2)  # the replay after the simulated crash
+    with open(os.path.join(path, "_fence.json")) as fh:
+        assert json.load(fh) == rec
+    back = spark.read.option("basePath", path).parquet(path)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+
 # --------------------------------------------------------- BPE pair counts
 
 
