@@ -608,6 +608,139 @@ def frame_sample_plan(
     )
 
 
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ts", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_values", T.LongType(), True),
+        T.StructField("sum_px", T.LongType(), True),
+        T.StructField("min_px", T.IntegerType(), True),
+        T.StructField("max_px", T.IntegerType(), True),
+    ]
+)
+
+
+def frame_decode_stats(
+    media: DataFrame,
+    *,
+    frame_decoder: Callable,
+    every_n_seconds: int = 5,
+    duration_meta_key: str = "duration_s",
+    strict: bool = False,
+) -> DataFrame:
+    """Video-frame decode → per-frame exact-integer pixel stats: the
+    INJECTION CONTRACT for the one decode tier this engine does not
+    implement from spec (H.264/H.265/VP9 entropy decode is a codec
+    library's job — libavcodec via PyAV/ffmpeg in production).  The
+    Spark-side plumbing is real and gated today; the codec is the only
+    injected part.
+
+    **The contract a production deployment implements**::
+
+        frame_decoder(payload: bytes, frame_ts: list[int])
+            -> list[np.ndarray | None]
+
+    One call per VIDEO ROW (open the container once, seek per
+    timestamp), returning exactly ``len(frame_ts)`` entries in order:
+    an ``H×W`` or ``H×W×C`` uint8 array per decoded frame, or ``None``
+    where that timestamp is unavailable (past EOF, corrupt GOP) — a
+    None becomes a sampled-but-undecoded row (NULL stats), the same
+    arrived-vs-decoded gap `media_report` exposes, so frame-level
+    corruption is monitorable.  Contract violations (wrong length,
+    non-uint8, wrong rank) raise ``ValueError`` naming the violation —
+    the plumbing validates the injected codec, not just runs it.
+
+    Timestamps come from the SAME expression as `frame_sample_plan`
+    (``sequence(0, duration, every_n_seconds)`` over the metadata
+    duration), so the task list and the decoded rows line up 1:1 — the
+    conformance test asserts exactly that.  Scale design: one
+    mapInPandas over the video rows, timestamps carried as an array
+    column — blobs never shuffle, no join between plan and payload,
+    zero exchanges; work is ∝ media bytes inside the task like every
+    codec path here.  ``strict=False`` nulls out rows whose decode
+    raises ValueError/NotImplementedError; ``strict=True`` propagates.
+
+    Reference parity note: modfin/creek has no media processing — this
+    belongs to the LLM-data-pipeline surface (multimodal columns) the
+    build brief adds; the stub-decode path for features is
+    `extract_features`, this is its per-frame pixel-level counterpart."""
+    dur = F.coalesce(
+        F.element_at(F.col("meta"), duration_meta_key).cast("int"), F.lit(0)
+    )
+    ts_col = F.sequence(F.lit(0), dur, F.lit(every_n_seconds))
+    tasks = media.where(F.col("kind") == "video").select(
+        "media_id", "content", ts_col.alias("frame_ts")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        out_cols = [f.name for f in FRAME_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, content, ts in zip(
+                pdf["media_id"], pdf["content"], pdf["frame_ts"]
+            ):
+                ts = [int(t) for t in ts]
+                null_rows = [
+                    (int(mid), t, None, None, None, None, None, None, None)
+                    for t in ts
+                ]
+                if content is None:
+                    if strict:
+                        raise ValueError(
+                            f"media_id={mid}: NULL video payload"
+                        )
+                    rows += null_rows
+                    continue
+                try:
+                    frames = frame_decoder(bytes(content), ts)
+                    if not isinstance(frames, (list, tuple)) or len(
+                        frames
+                    ) != len(ts):
+                        raise ValueError(
+                            "frame_decoder contract violation: must "
+                            f"return one entry per requested timestamp "
+                            f"({len(ts)}), got "
+                            f"{type(frames).__name__}"
+                            f"[{len(frames) if isinstance(frames, (list, tuple)) else '?'}]"
+                        )
+                    frame_rows = []
+                    for t, a in zip(ts, frames):
+                        if a is None:  # unavailable frame: honest NULLs
+                            frame_rows.append(
+                                (int(mid), t, None, None, None,
+                                 None, None, None, None)
+                            )
+                            continue
+                        a = np.asarray(a)
+                        if a.dtype != np.uint8 or a.ndim not in (2, 3):
+                            raise ValueError(
+                                "frame_decoder contract violation: "
+                                "frames must be HxW or HxWxC uint8, got "
+                                f"dtype={a.dtype} ndim={a.ndim}"
+                            )
+                        h, w = a.shape[:2]
+                        c = 1 if a.ndim == 2 else a.shape[2]
+                        frame_rows.append((
+                            int(mid), t, int(w), int(h), int(c),
+                            int(a.size), int(a.sum(dtype=np.int64)),
+                            int(a.min()) if a.size else None,
+                            int(a.max()) if a.size else None,
+                        ))
+                    rows += frame_rows
+                except (ValueError, NotImplementedError):
+                    if strict:
+                        raise
+                    rows += null_rows
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return tasks.mapInPandas(run, schema=FRAME_STATS_SCHEMA)
+
+
 # ---------------------------------------------------------------- AV headers
 
 AV_HEADER_SCHEMA = T.StructType(

@@ -418,3 +418,104 @@ def multimodal_media_report(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     media = docs.mapInPandas(synth, schema="day string, content binary")
     return media_report(media)
+
+
+# =====================================================================
+# video frame decode through the injection contract (round 12)
+# =====================================================================
+
+# per doc: a spec-valid MP4 container (ftyp+moov/mvhd) with one
+# doc-keyed trailing byte, duration_s = doc_id % 20 + 3, frames sampled
+# every 5 s → ts in {0, 5, ...}.  The injected codec is the
+# DETERMINISTIC FAKE the conformance tests gate: frame(t) is the 6×8×3
+# consecutive ramp (k + seed) % 256, k = 0..143, seed = (payload[-1] +
+# 7·t) % 256 — 144 consecutive residues mod 256, so every statistic is
+# closed-form (sum via generate_series; min/max by whether the ramp
+# wraps at 256).  Spark runs the REAL plumbing — frame_sample_plan's
+# sequence expression, one decoder call per video row, per-frame
+# exact-integer stats — with the codec as the one injected part, which
+# is exactly the production contract (PyAV/ffmpeg slots into the same
+# signature).
+FRAME_STATS_ORACLE = """
+WITH g AS (
+  SELECT doc_id, doc_id % 20 + 3 AS dur,
+         CAST(doc_id % 251 AS BIGINT) AS pbyte
+  FROM documents),
+fr AS (
+  SELECT doc_id, pbyte, t,
+         (pbyte + 7 * t) % 256 AS seed
+  FROM g, unnest(generate_series(0, dur, 5)) AS ts(t)),
+px AS (
+  SELECT doc_id, t, seed, SUM((k + seed) % 256) AS sv
+  FROM fr, unnest(generate_series(0, 143)) AS ks(k)
+  GROUP BY doc_id, t, seed)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(t AS INTEGER) AS frame_ts,
+       CAST(8 AS INTEGER) AS width,
+       CAST(6 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(144 AS BIGINT) AS n_values,
+       CAST(sv AS BIGINT) AS sum_px,
+       CAST(CASE WHEN seed > 112 THEN 0 ELSE seed END AS INTEGER)
+         AS min_px,
+       CAST(CASE WHEN seed > 112 THEN 255 ELSE seed + 143 END AS INTEGER)
+         AS max_px
+FROM px
+"""
+
+
+@register("multimodal_frame_stats", FRAME_STATS_ORACLE, "multimodal")
+def multimodal_frame_stats(spark, sf_dir):
+    """Video-frame decode through the injection contract
+    (`frame_decode_stats`): the Spark-side plumbing — frame task
+    generation from container metadata, one decoder call per video row
+    with the full timestamp list, per-frame exact-integer pixel stats,
+    contract validation — runs for real over spec-valid MP4 payloads;
+    the codec is the deterministic fake the conformance tests gate,
+    standing where a production deployment injects PyAV/ffmpeg (H.264
+    entropy decode is a codec library's job, not a from-spec numpy
+    project — multimodal.py documents the signature).  Every cell is
+    closed-form for the DuckDB oracle."""
+    from creek_spark.operators.multimodal import (
+        frame_decode_stats,
+        mp4_bytes,
+    )
+
+    def synth(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        base = mp4_bytes(timescale=600, duration=1800)
+
+        def one(i: int) -> bytes:
+            return base + bytes([i % 251])
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["video"] * len(pdf),
+                    "content": [one(int(i)) for i in pdf["doc_id"]],
+                    "meta": [
+                        {"duration_s": str(int(i) % 20 + 3)}
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def fake_codec(payload: bytes, frame_ts: list) -> list:
+        import numpy as np  # noqa: PLC0415 — worker-side import
+
+        out = []
+        for t in frame_ts:
+            seed = (payload[-1] + 7 * int(t)) % 256
+            a = (np.arange(144, dtype=np.int64).reshape(6, 8, 3) + seed) % 256
+            out.append(a.astype(np.uint8))
+        return out
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(
+        synth,
+        schema="media_id bigint, kind string, content binary, "
+               "meta map<string,string>",
+    )
+    return frame_decode_stats(media, frame_decoder=fake_codec, strict=True)

@@ -457,3 +457,98 @@ def test_media_report_riff_family_classification(spark):
     assert rows["wav"]["n_media"] == rows["wav"]["n_decoded"] == 1
     for fmt in ("webp", "avi", "other"):
         assert rows[fmt]["n_media"] == 1 and rows[fmt]["n_decoded"] == 0
+
+
+def test_frame_decoder_injection_contract_end_to_end(spark):
+    """The video-decode injection contract (round 12; verdict item 4):
+    inject a deterministic fake codec and prove the WHOLE plumbing —
+    frame_sample_plan's task list, the one-decoder-call-per-video
+    batching, per-frame exact-integer stats, None-frame accounting,
+    and the strict-vs-null contract — so a production deployment knows
+    exactly what to plug in (PyAV/ffmpeg) and everything around it is
+    gated today."""
+    import numpy as np
+
+    from creek_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        frame_decode_stats,
+        frame_sample_plan,
+        mp4_bytes,
+    )
+
+    rows = [
+        (1, "video", mp4_bytes(timescale=600, duration=1800), "video/mp4",
+         None, {"duration_s": "12"}),
+        (2, "video", mp4_bytes(timescale=1000, duration=2500), "video/mp4",
+         None, {"duration_s": "7"}),
+        (3, "image", b"\x89PNG" + bytes(16), "image/png", None, {}),  # skipped
+        (4, "video", None, "video/mp4", None, {"duration_s": "5"}),  # null
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    def fake_codec(payload: bytes, frame_ts: list) -> list:
+        # deterministic per (payload, ts); ts 99+ "past EOF" → None
+        out = []
+        for t in frame_ts:
+            if t >= 10:
+                out.append(None)
+                continue
+            seed = (payload[16] + 7 * t) % 256
+            a = (np.arange(6 * 8 * 3, dtype=np.int64).reshape(6, 8, 3)
+                 + seed) % 256
+            out.append(a.astype(np.uint8))
+        return out
+
+    got = frame_decode_stats(media, frame_decoder=fake_codec).collect()
+    # task parity: exactly the rows frame_sample_plan generates
+    plan = {
+        (r["media_id"], r["frame_ts"])
+        for r in frame_sample_plan(media).collect()
+    }
+    assert {(r["media_id"], r["frame_ts"]) for r in got} == plan
+    by_key = {(r["media_id"], r["frame_ts"]): r for r in got}
+    # decoded frames carry closed-form exact stats
+    payloads = {1: rows[0][2], 2: rows[1][2]}
+    for (mid, t), r in by_key.items():
+        if mid == 4 or t >= 10:  # null payload / past-EOF frame
+            assert r["sum_px"] is None and r["width"] is None
+            continue
+        a = fake_codec(payloads[mid], [t])[0]
+        assert (r["width"], r["height"], r["n_channels"]) == (8, 6, 3)
+        assert r["n_values"] == a.size
+        assert r["sum_px"] == int(a.sum(dtype=np.int64))
+        assert r["min_px"] == int(a.min()) and r["max_px"] == int(a.max())
+
+    # one decoder call per VIDEO ROW (container opened once) with the
+    # full ordered timestamp list: the decoder runs on workers, so the
+    # proof is encoded in its output — each 1x1 frame's value is
+    # len(frame_ts)*10 + ts, which distinguishes one batched call
+    # (len 3 → 30/35/40) from per-frame calls (len 1 → 10/15/20)
+    def counting(payload, frame_ts):
+        return [
+            np.full((1, 1), (len(frame_ts) * 10 + t) % 256, dtype=np.uint8)
+            for t in frame_ts
+        ]
+
+    got1 = frame_decode_stats(
+        media.where(F.col("media_id") == 1), frame_decoder=counting
+    ).collect()
+    assert {r["frame_ts"]: r["sum_px"] for r in got1} == {0: 30, 5: 35, 10: 40}
+
+    # contract violations are validated, not trusted: wrong length /
+    # wrong dtype null the row by default and raise under strict
+    for bad in (
+        lambda p, ts: [],  # wrong length
+        lambda p, ts: [np.zeros((4, 4), dtype=np.float64)] * len(ts),
+    ):
+        nulls = frame_decode_stats(
+            media.where(F.col("media_id") == 1), frame_decoder=bad
+        ).collect()
+        assert len(nulls) == 3 and all(r["sum_px"] is None for r in nulls)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="contract violation"):
+            frame_decode_stats(
+                media.where(F.col("media_id") == 1),
+                frame_decoder=bad, strict=True,
+            ).collect()
