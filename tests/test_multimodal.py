@@ -552,3 +552,56 @@ def test_frame_decoder_injection_contract_end_to_end(spark):
                 media.where(F.col("media_id") == 1),
                 frame_decoder=bad, strict=True,
             ).collect()
+
+
+def test_image_pixel_digest_normalizes_exif_orientation(spark):
+    """The same photo stored under different camera orientations (plus
+    a mirrored variant) must digest identically once auto_orient runs —
+    and MUST split under orient=False (raw stored pixels), proving the
+    normalization is doing the work.  Display dims are reported for
+    rotated storage (width/height swap undone)."""
+    import numpy as np
+
+    from creek_spark.operators.jpeg_codec import jpeg_from_array
+    from creek_spark.operators.multimodal import (
+        exif_app1_segment,
+        image_pixel_digest,
+    )
+
+    bx = np.arange(24, dtype=np.int64)[None, :] // 8
+    by = np.arange(16, dtype=np.int64)[:, None] // 8
+    disp = (2 * ((5 + 7 * bx + 13 * by) % 125)).astype(np.uint8)
+
+    def payload(o):
+        stored = {
+            1: disp,
+            2: disp[:, ::-1],
+            3: disp[::-1, ::-1],
+            6: np.rot90(disp, 1),
+            8: np.rot90(disp, 3),
+        }[o]
+        enc = jpeg_from_array(np.ascontiguousarray(stored), quality=50)
+        return enc if o == 1 else enc[:2] + exif_app1_segment(o) + enc[2:]
+
+    rows = [(o, bytearray(payload(o))) for o in (1, 2, 3, 6, 8)]
+    rows.append((99, bytearray(b"\x00not-an-image")))
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+
+    got = {r["media_id"]: r for r in image_pixel_digest(media).collect()}
+    base = got[1]
+    assert base["digest"] is not None
+    for o in (2, 3, 6, 8):
+        assert got[o]["digest"] == base["digest"], o
+        assert (got[o]["width"], got[o]["height"]) == (24, 16), o
+    assert got[99]["digest"] is None  # null path for junk
+
+    raw = {
+        r["media_id"]: r["digest"]
+        for r in image_pixel_digest(media, orient=False).collect()
+    }
+    assert len({raw[o] for o in (1, 2, 3, 6, 8)}) == 5  # all split
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not a (recognized|JPEG|PNG)"):
+        image_pixel_digest(media, strict=True).collect()
