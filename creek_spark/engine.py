@@ -496,6 +496,20 @@ class Engine:
 
         return StreamingAnnIndex(self.spark, path, **kw)
 
+    def ann_index_retrain_online(self, path: str, corpus=None, **kw) -> int:
+        """Retrain a streaming index's quantizers WITHOUT pausing
+        ingest: the double-encode window — new epoch builds and catches
+        up while triggers keep committing under the old one, then one
+        fenced atomic manifest flip cuts over
+        (streaming/ann.py `StreamingAnnIndex.retrain_online`).  Returns
+        the number of catch-up rounds.  Requires a store_vectors
+        index."""
+        from creek_spark.streaming.ann import StreamingAnnIndex
+
+        return StreamingAnnIndex(self.spark, path).retrain_online(
+            corpus, **kw
+        )
+
     def ann_index_compact(self, path: str, *, vacuum: bool = False) -> int:
         """Fold a streaming index's committed batch directories into one
         generation — bit-exact under the frozen quantizers

@@ -85,8 +85,18 @@ def parse_image_header(payload: bytes | None) -> dict | None:
 
     Recognizes PNG (IHDR chunk), JPEG (SOF segment scan), GIF (logical
     screen descriptor) and BMP (BITMAPINFOHEADER).  Returns
-    ``{"format", "width", "height", "bit_depth", "n_channels"}`` or None
-    when the payload is not a recognized image."""
+    ``{"format", "width", "height", "bit_depth", "n_channels",
+    "n_channels_decoded"}`` or None when the payload is not a
+    recognized image.
+
+    ``n_channels`` is the CONTAINER truth (a palette image stores one
+    index sample per pixel); ``n_channels_decoded`` is what
+    `decode_image_pixels` returns for the same payload — palette
+    PNG/GIF/8-bit BMP resolve through their palette to 3 channels (4
+    with PNG tRNS transparency) — so header rows join coherently
+    against `pixel_stats`/`image_pixel_digest` rows (r11 verdict
+    note).  None when the variant is outside the decoders' profiles
+    (e.g. CMYK JPEG)."""
     import struct
 
     if payload is None or len(payload) < 16:
@@ -95,12 +105,28 @@ def parse_image_header(payload: bytes | None) -> dict | None:
     if b.startswith(_PNG_SIG) and b[12:16] == b"IHDR" and len(b) >= 26:
         w, h = struct.unpack(">II", b[16:24])
         depth, color_type = b[24], b[25]
+        decoded = _PNG_CHANNELS.get(color_type)
+        if color_type == 3:
+            # palette resolves to RGB; a tRNS chunk adds alpha — scan
+            # chunk headers (length+tag only) up to the first IDAT
+            decoded = 3
+            pos = 8
+            while pos + 8 <= len(b):
+                (clen,) = struct.unpack(">I", b[pos : pos + 4])
+                tag = b[pos + 4 : pos + 8]
+                if tag == b"tRNS":
+                    decoded = 4
+                    break
+                if tag in (b"IDAT", b"IEND"):
+                    break
+                pos += 12 + clen
         return {
             "format": "png",
             "width": w,
             "height": h,
             "bit_depth": depth,
             "n_channels": _PNG_CHANNELS.get(color_type),
+            "n_channels_decoded": decoded,
         }
     if b.startswith(b"\xff\xd8"):
         i = 2
@@ -123,12 +149,15 @@ def parse_image_header(payload: bytes | None) -> dict | None:
                     return None
                 depth = b[i + 2]
                 h, w = struct.unpack(">HH", b[i + 3 : i + 7])
+                nc = b[i + 7]
                 return {
                     "format": "jpeg",
                     "width": w,
                     "height": h,
                     "bit_depth": depth,
-                    "n_channels": b[i + 7],
+                    "n_channels": nc,
+                    # gray/YCbCr decode as-is; CMYK is out of profile
+                    "n_channels_decoded": nc if nc in (1, 3) else None,
                 }
             if marker == 0xDA:  # start of scan: no SOF seen, give up
                 return None
@@ -143,6 +172,7 @@ def parse_image_header(payload: bytes | None) -> dict | None:
             "height": h,
             "bit_depth": (b[10] & 0x07) + 1,
             "n_channels": 1,  # palette-indexed
+            "n_channels_decoded": 3,  # palette resolves to RGB
         }
     if b.startswith(b"BM") and len(b) >= 30:
         (dib,) = struct.unpack("<I", b[14:18])
@@ -155,6 +185,9 @@ def parse_image_header(payload: bytes | None) -> dict | None:
                 "height": abs(h),
                 "bit_depth": bpp,
                 "n_channels": max(1, bpp // 8),
+                # 8-bit palette + 24-bit BGR both decode to RGB; other
+                # depths are outside decode_bmp_pixels' profile
+                "n_channels_decoded": 3 if bpp in (8, 24) else None,
             }
     return None
 
@@ -265,6 +298,7 @@ IMAGE_HEADER_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("bit_depth", T.IntegerType(), True),
         T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_channels_decoded", T.IntegerType(), True),
         T.StructField("n_bytes", T.LongType(), True),
     ]
 )
@@ -299,6 +333,9 @@ def decode_image_headers(media: DataFrame, *, strict: bool = False) -> DataFrame
                     "height": [h.get("height") for h in headers],
                     "bit_depth": [h.get("bit_depth") for h in headers],
                     "n_channels": [h.get("n_channels") for h in headers],
+                    "n_channels_decoded": [
+                        h.get("n_channels_decoded") for h in headers
+                    ],
                     "n_bytes": [
                         len(c) if c is not None else None for c in pdf["content"]
                     ],

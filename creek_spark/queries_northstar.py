@@ -1005,7 +1005,8 @@ def multimodal_frame_plan(spark, sf_dir):
            CAST(doc_id % 256 + 1 AS INTEGER) AS height,
            CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 8 END AS INTEGER) AS bit_depth,
            CAST(CASE CAST(doc_id % 3 AS INTEGER)
-             WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 3 END AS INTEGER) AS n_channels
+             WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 3 END AS INTEGER) AS n_channels,
+           CAST(3 AS INTEGER) AS n_channels_decoded
     FROM documents
     """,
     "multimodal",
@@ -1016,7 +1017,11 @@ def multimodal_image_headers(spark, sf_dir):
     byte builders), then recover geometry with `decode_image_headers`
     (pure-stdlib parse over Arrow batches).  The oracle predicts the
     decoded fields from the same doc_id arithmetic — a hash mismatch means
-    either the builder or the parser mangled real header bytes."""
+    either the builder or the parser mangled real header bytes.
+    ``n_channels_decoded`` (round 12) reports the pixel-decode channel
+    count beside the container truth: the GIF arm stores 1 index sample
+    per pixel but decodes to 3 channels (palette→RGB), so header rows
+    join coherently against pixel_stats rows."""
     from creek_spark.operators.multimodal import (
         bmp_bytes,
         decode_image_headers,
@@ -1041,7 +1046,8 @@ def multimodal_image_headers(spark, sf_dir):
     )
     hdrs = decode_image_headers(media, strict=True)
     return hdrs.select(
-        "media_id", "format", "width", "height", "bit_depth", "n_channels"
+        "media_id", "format", "width", "height", "bit_depth",
+        "n_channels", "n_channels_decoded",
     )
 
 

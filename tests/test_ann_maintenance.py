@@ -703,6 +703,13 @@ def test_engine_facade_drives_full_ann_lifecycle(spark, tmp_path, parts):
     assert dead  # pre-compaction generations reclaimed
     assert eng.ann_search(p, parts["queries"]).count() == n0
 
+    # the round-12 no-pause retrain, through the same facade
+    rounds = eng.ann_index_retrain_online(p)
+    assert rounds == 0  # no stream committed mid-retrain here
+    man = read_manifest(spark, p)
+    assert man["quantizers"].startswith("quantizers/v")
+    assert eng.ann_search(p, parts["queries"]).count() == n0
+
 
 def test_adopt_resumes_after_mid_rename_crash(spark, tmp_path, parts):
     """adopt_static_layout's per-file renames are not atomic as a group:
