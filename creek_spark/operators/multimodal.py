@@ -645,6 +645,15 @@ def frame_sample_plan(
     )
 
 
+class FrameDecoderContractError(ValueError):
+    """An injected ``frame_decoder`` violated its calling contract
+    (wrong entry count, non-uint8 dtype, wrong rank).  Distinct from
+    plain ValueError so `frame_decode_stats` can propagate it even
+    under ``strict=False``: a mis-implemented codec is a deployment
+    bug, not corrupt media, and must never be silently recorded as
+    all-NULL frame rows."""
+
+
 FRAME_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -687,8 +696,10 @@ def frame_decode_stats(
     None becomes a sampled-but-undecoded row (NULL stats), the same
     arrived-vs-decoded gap `media_report` exposes, so frame-level
     corruption is monitorable.  Contract violations (wrong length,
-    non-uint8, wrong rank) raise ``ValueError`` naming the violation —
-    the plumbing validates the injected codec, not just runs it.
+    non-uint8, wrong rank) raise `FrameDecoderContractError` naming
+    the violation — the plumbing validates the injected codec, not
+    just runs it — and propagate under BOTH strictness modes: a broken
+    codec is a deployment bug, never a corruption gap.
 
     Timestamps come from the SAME expression as `frame_sample_plan`
     (``sequence(0, duration, every_n_seconds)`` over the metadata
@@ -738,7 +749,7 @@ def frame_decode_stats(
                     if not isinstance(frames, (list, tuple)) or len(
                         frames
                     ) != len(ts):
-                        raise ValueError(
+                        raise FrameDecoderContractError(
                             "frame_decoder contract violation: must "
                             f"return one entry per requested timestamp "
                             f"({len(ts)}), got "
@@ -755,7 +766,7 @@ def frame_decode_stats(
                             continue
                         a = np.asarray(a)
                         if a.dtype != np.uint8 or a.ndim not in (2, 3):
-                            raise ValueError(
+                            raise FrameDecoderContractError(
                                 "frame_decoder contract violation: "
                                 "frames must be HxW or HxWxC uint8, got "
                                 f"dtype={a.dtype} ndim={a.ndim}"
@@ -769,6 +780,11 @@ def frame_decode_stats(
                             int(a.max()) if a.size else None,
                         ))
                     rows += frame_rows
+                except FrameDecoderContractError:
+                    # a broken INJECTED CODEC, not corrupt media: loud
+                    # under both strictness modes — nulling it would
+                    # record a deployment bug as a corruption gap
+                    raise
                 except (ValueError, NotImplementedError):
                     if strict:
                         raise
@@ -1522,8 +1538,21 @@ def image_pixel_digest(
     ``orient=False`` digests raw stored pixels (byte-faithful forensic
     mode).  Scale shape: one mapInPandas stage, decode ∝ media bytes,
     one digest row out per image; the dedup itself stays a JVM hash
-    aggregate on the digest."""
+    aggregate on the digest.
+
+    The digest covers the flattened value sequence only — shape is NOT
+    mixed in (the canonical string is DuckDB-expressible, which is what
+    lets the catalog query carry an exact oracle), so dedup groups on
+    ``(digest, width, height)`` as `multimodal_pixel_dedup_oriented`
+    does.  Construction is a 256-entry decimal lookup joined C-side
+    (decoded pixels are always uint8 — 16-bit PNG downscales on
+    decode), ~4x the naive per-pixel format at megapixel sizes with
+    bit-identical output."""
     import hashlib
+
+    import numpy as np
+
+    lut = np.array([str(i).encode() for i in range(256)], dtype=object)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1535,10 +1564,10 @@ def image_pixel_digest(
                         a = auto_orient(
                             a, exif_orientation(bytes(content))
                         )
-                    s = ",".join(str(int(v)) for v in a.reshape(-1))
+                    s = b",".join(lut[a.reshape(-1)].tolist())
                     rows.append((
                         mid,
-                        hashlib.md5(s.encode()).hexdigest(),
+                        hashlib.md5(s).hexdigest(),
                         a.shape[1], a.shape[0],
                     ))
                 except (ValueError, NotImplementedError):

@@ -536,22 +536,37 @@ def test_frame_decoder_injection_contract_end_to_end(spark):
     assert {r["frame_ts"]: r["sum_px"] for r in got1} == {0: 30, 5: 35, 10: 40}
 
     # contract violations are validated, not trusted: wrong length /
-    # wrong dtype null the row by default and raise under strict
+    # wrong dtype raise FrameDecoderContractError under BOTH strictness
+    # modes — a broken injected codec is a deployment bug, and nulling
+    # it would be indistinguishable from corrupt media (an ordinary
+    # decode ValueError still nulls by default, tested above)
+    import pytest as _pytest
+
     for bad in (
         lambda p, ts: [],  # wrong length
         lambda p, ts: [np.zeros((4, 4), dtype=np.float64)] * len(ts),
     ):
-        nulls = frame_decode_stats(
-            media.where(F.col("media_id") == 1), frame_decoder=bad
-        ).collect()
-        assert len(nulls) == 3 and all(r["sum_px"] is None for r in nulls)
-        import pytest as _pytest
+        for strict in (False, True):
+            with _pytest.raises(Exception, match="contract violation"):
+                frame_decode_stats(
+                    media.where(F.col("media_id") == 1),
+                    frame_decoder=bad, strict=strict,
+                ).collect()
 
-        with _pytest.raises(Exception, match="contract violation"):
-            frame_decode_stats(
-                media.where(F.col("media_id") == 1),
-                frame_decoder=bad, strict=True,
-            ).collect()
+    # an ordinary decode failure (corrupt media) keeps the original
+    # contract: NULL rows by default, propagated under strict
+    def corrupt(p, ts):
+        raise ValueError("corrupt GOP")
+
+    nulls = frame_decode_stats(
+        media.where(F.col("media_id") == 1), frame_decoder=corrupt
+    ).collect()
+    assert len(nulls) == 3 and all(r["sum_px"] is None for r in nulls)
+    with _pytest.raises(Exception, match="corrupt GOP"):
+        frame_decode_stats(
+            media.where(F.col("media_id") == 1),
+            frame_decoder=corrupt, strict=True,
+        ).collect()
 
 
 def test_image_pixel_digest_normalizes_exif_orientation(spark):
@@ -605,6 +620,19 @@ def test_image_pixel_digest_normalizes_exif_orientation(spark):
 
     with _pytest.raises(Exception, match="not a (recognized|JPEG|PNG)"):
         image_pixel_digest(media, strict=True).collect()
+
+    # digest canonical-form pin: the LUT-join fast path must equal the
+    # DOCUMENTED per-pixel "y,x,c decimal, comma-joined" md5 — the form
+    # the DuckDB oracle computes with string_agg, so it can never drift
+    import hashlib
+
+    from creek_spark.operators.multimodal import decode_image_pixels
+
+    px = decode_image_pixels(payload(1))
+    want = hashlib.md5(
+        ",".join(str(int(v)) for v in px.reshape(-1)).encode()
+    ).hexdigest()
+    assert base["digest"] == want
 
 
 def test_header_decoded_channels_agree_with_pixel_decode():
