@@ -84,10 +84,12 @@ def parse_image_header(payload: bytes | None) -> dict | None:
     """Pure-stdlib image header decode — no codec library involved.
 
     Recognizes PNG (IHDR chunk), JPEG (SOF segment scan), GIF (logical
-    screen descriptor) and BMP (BITMAPINFOHEADER).  Returns
-    ``{"format", "width", "height", "bit_depth", "n_channels",
-    "n_channels_decoded"}`` or None when the payload is not a
-    recognized image.
+    screen descriptor), BMP (BITMAPINFOHEADER), WebP (VP8 lossy frame
+    tag / VP8L lossless signature / VP8X extended canvas — the three
+    first-chunk layouts the RIFF container allows) and TIFF (first-IFD
+    tag walk, both byte orders).  Returns ``{"format", "width",
+    "height", "bit_depth", "n_channels", "n_channels_decoded"}`` or
+    None when the payload is not a recognized image.
 
     ``n_channels`` is the CONTAINER truth (a palette image stores one
     index sample per pixel); ``n_channels_decoded`` is what
@@ -189,6 +191,80 @@ def parse_image_header(payload: bytes | None) -> dict | None:
                 # depths are outside decode_bmp_pixels' profile
                 "n_channels_decoded": 3 if bpp in (8, 24) else None,
             }
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 25:
+        # RIFF(4) size(4) WEBP(4), first chunk fourcc at 12, payload at
+        # 20; the three layouts WebP allows as the first chunk (spec:
+        # developers.google.com/speed/webp/docs/riff_container).  25 is
+        # the minimal VP8L header; VP8/VP8X need 30.
+        four = b[12:16]
+        if four == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+            # lossy: 3-byte frame tag, sync code, then 14-bit dims
+            w = struct.unpack("<H", b[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", b[28:30])[0] & 0x3FFF
+            chans = 3
+        elif four == b"VP8L" and b[20] == 0x2F:
+            # lossless: signature byte, then 14-bit w-1 / h-1 and the
+            # alpha_is_used flag packed little-endian
+            (bits,) = struct.unpack("<I", b[21:25])
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            chans = 4 if (bits >> 28) & 1 else 3
+        elif four == b"VP8X" and len(b) >= 30:
+            # extended: flags byte, 24-bit canvas w-1 / h-1
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+            chans = 4 if b[20] & 0x10 else 3
+        else:
+            return None  # malformed/unknown first chunk
+        return {
+            "format": "webp",
+            "width": w,
+            "height": h,
+            "bit_depth": 8,
+            "n_channels": chans,
+            # VP8/VP8L entropy decode is out of the pure-numpy profile
+            "n_channels_decoded": None,
+        }
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: walk the first IFD's 12-byte entries for the four
+        # geometry tags; SHORT/LONG values inline when they fit in the
+        # 4-byte value field, else behind an offset (TIFF 6.0 §2)
+        e = "<" if b[:2] == b"II" else ">"
+        (off,) = struct.unpack(e + "I", b[4:8])
+        if off + 2 > len(b):
+            return None
+        (n_ent,) = struct.unpack(e + "H", b[off : off + 2])
+        tags: dict[int, int] = {}
+        for k in range(n_ent):
+            p = off + 2 + 12 * k
+            if p + 12 > len(b):
+                break
+            tag, typ, cnt = struct.unpack(e + "HHI", b[p : p + 8])
+            if tag not in (256, 257, 258, 277) or cnt < 1:
+                continue
+            size = {3: 2, 4: 4}.get(typ)
+            if size is None:
+                continue
+            fmt_ch = "H" if typ == 3 else "I"
+            if size * cnt <= 4:
+                (v,) = struct.unpack(e + fmt_ch, b[p + 8 : p + 8 + size])
+            else:  # value field is an offset to the array; take [0]
+                (o,) = struct.unpack(e + "I", b[p + 8 : p + 12])
+                if o + size > len(b):
+                    continue
+                (v,) = struct.unpack(e + fmt_ch, b[o : o + size])
+            tags[tag] = int(v)
+        if 256 not in tags or 257 not in tags:
+            return None  # no geometry: not a usable image IFD
+        return {
+            "format": "tiff",
+            "width": tags[256],
+            "height": tags[257],
+            "bit_depth": tags.get(258),
+            "n_channels": tags.get(277, 1),
+            # TIFF strip/tile decode is out of the pure-numpy profile
+            "n_channels_decoded": None,
+        }
     return None
 
 
@@ -201,7 +277,8 @@ def _decode_stub(kind: str, payload: bytes, *, fake: bool) -> list[float]:
             hdr = parse_image_header(payload)
             if hdr is None:
                 raise ValueError(
-                    "payload is not a recognized image (png/jpeg/gif/bmp)"
+                    "payload is not a recognized image "
+                    "(png/jpeg/gif/bmp/webp/tiff)"
                 )
             return [
                 float(hdr["width"]),

@@ -176,6 +176,116 @@ def test_parse_image_header_all_formats():
     assert parse_image_header(b"not an image, just text bytes") is None
 
 
+def _webp_bytes(kind: str, w: int, h: int, *, alpha: bool = False) -> bytes:
+    """Minimal spec-shaped WebP: RIFF/WEBP container with the given
+    first chunk (the three layouts the spec allows)."""
+    import struct
+
+    if kind == "vp8":
+        payload = (
+            b"\x00\x00\x00"  # frame tag (keyframe bits irrelevant here)
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", w, h)
+        )
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    elif kind == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14) | ((1 if alpha else 0) << 28)
+        payload = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    else:  # vp8x
+        payload = (
+            bytes([0x10 if alpha else 0]) + b"\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        )
+        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _tiff_bytes(
+    w: int, h: int, *, big_endian: bool = False, spp: int = 3,
+    bits: int = 8, bits_behind_offset: bool = False,
+) -> bytes:
+    """Minimal TIFF: header + one IFD carrying the four geometry tags;
+    BitsPerSample either inline (count 1, SHORT) or as a count-3 array
+    behind an offset — the two layouts TIFF 6.0 §2 allows."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    n_ent = 4
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n_ent + 4
+    ents = [
+        struct.pack(e + "HHI", 256, 4, 1) + struct.pack(e + "I", w),
+        struct.pack(e + "HHI", 257, 3, 1)
+        + struct.pack(e + "H", h) + b"\x00\x00",
+    ]
+    if bits_behind_offset:
+        ents.append(
+            struct.pack(e + "HHI", 258, 3, 3) + struct.pack(e + "I", after_ifd)
+        )
+        tail = struct.pack(e + "HHH", bits, bits, bits)
+    else:
+        ents.append(
+            struct.pack(e + "HHI", 258, 3, 1)
+            + struct.pack(e + "H", bits) + b"\x00\x00"
+        )
+        tail = b""
+    ents.append(
+        struct.pack(e + "HHI", 277, 3, 1)
+        + struct.pack(e + "H", spp) + b"\x00\x00"
+    )
+    head = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        e + "I", ifd_off
+    )
+    ifd = struct.pack(e + "H", n_ent) + b"".join(ents) + struct.pack(e + "I", 0)
+    return head + ifd + tail
+
+
+def test_parse_image_header_webp_and_tiff():
+    """WebP (all three first-chunk layouts) and TIFF (both byte orders,
+    inline and behind-offset BitsPerSample) parse to container-truth
+    geometry with n_channels_decoded=None — headers are monitorable
+    even though pixel decode is out of the pure-numpy profile."""
+    from creek_spark.operators.multimodal import parse_image_header
+
+    for kind, alpha, nc in (("vp8", False, 3), ("vp8l", True, 4),
+                            ("vp8x", True, 4), ("vp8x", False, 3)):
+        hdr = parse_image_header(_webp_bytes(kind, 320, 200, alpha=alpha))
+        assert hdr == {
+            "format": "webp", "width": 320, "height": 200,
+            "bit_depth": 8, "n_channels": nc, "n_channels_decoded": None,
+        }, kind
+    # malformed first chunk: unknown fourcc / bad sync code → None
+    assert parse_image_header(
+        b"RIFF" + b"\x10\x00\x00\x00" + b"WEBPVP9 " + bytes(16)
+    ) is None
+    assert parse_image_header(
+        b"RIFF" + b"\x10\x00\x00\x00" + b"WEBPVP8 " + bytes(16)
+    ) is None
+
+    for be in (False, True):
+        for behind in (False, True):
+            hdr = parse_image_header(
+                _tiff_bytes(640, 480, big_endian=be, spp=3,
+                            bits=8, bits_behind_offset=behind)
+            )
+            assert hdr == {
+                "format": "tiff", "width": 640, "height": 480,
+                "bit_depth": 8, "n_channels": 3,
+                "n_channels_decoded": None,
+            }, (be, behind)
+    # a TIFF whose IFD lacks geometry (e.g. a bare EXIF block) → None
+    import struct as _s
+
+    bare = b"II*\x00" + _s.pack("<I", 8) + _s.pack("<H", 1) + _s.pack(
+        "<HHI", 274, 3, 1
+    ) + _s.pack("<H", 6) + b"\x00\x00" + _s.pack("<I", 0)
+    assert parse_image_header(bare) is None
+    # truncated IFD offset → None, never an exception
+    assert parse_image_header(b"II*\x00" + _s.pack("<I", 10**6) + bytes(8)) is None
+
+
 def test_decode_image_headers_through_mapinpandas(spark):
     """Real PNG/JPEG bytes decoded to width/height through the Arrow
     batch path — the codec-free decode is live, not a stub."""
