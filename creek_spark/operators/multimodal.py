@@ -367,6 +367,87 @@ def bmp_bytes(width: int, height: int, *, bpp: int = 24) -> bytes:
     return b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 54) + dib
 
 
+def webp_bytes(
+    width: int, height: int, *, layout: str = "vp8", alpha: bool = False
+) -> bytes:
+    """Minimal spec-shaped WebP header bytes: RIFF/WEBP container whose
+    first chunk is one of the three layouts the spec allows — ``vp8``
+    (lossy frame tag + sync code + 14-bit dims), ``vp8l`` (lossless
+    signature + packed 14-bit dims + alpha flag) or ``vp8x`` (extended
+    flags + 24-bit canvas).  Header-only, like `gif_bytes`: enough for
+    `parse_image_header`, not a decodable bitstream."""
+    import struct
+
+    if layout == "vp8":
+        payload = b"\x00\x00\x00\x9d\x01\x2a" + struct.pack(
+            "<HH", width, height
+        )
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    elif layout == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14) | (
+            (1 if alpha else 0) << 28
+        )
+        payload = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    elif layout == "vp8x":
+        payload = (
+            bytes([0x10 if alpha else 0])
+            + b"\x00\x00\x00"
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    else:
+        raise ValueError(f"unknown WebP layout {layout!r}")
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def tiff_bytes(
+    width: int, height: int, *, big_endian: bool = False,
+    n_channels: int = 3, bit_depth: int = 8,
+    bits_behind_offset: bool = False,
+) -> bytes:
+    """Minimal TIFF header bytes: byte-order mark + one IFD carrying
+    the four geometry tags (ImageWidth LONG, ImageLength SHORT,
+    BitsPerSample, SamplesPerPixel).  ``bits_behind_offset`` stores
+    BitsPerSample as a count-``n_channels`` SHORT array behind an
+    offset instead of inline — the other layout TIFF 6.0 §2 allows."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * 4 + 4
+    ents = [
+        struct.pack(e + "HHI", 256, 4, 1) + struct.pack(e + "I", width),
+        struct.pack(e + "HHI", 257, 3, 1)
+        + struct.pack(e + "H", height) + b"\x00\x00",
+    ]
+    if bits_behind_offset and n_channels > 2:
+        ents.append(
+            struct.pack(e + "HHI", 258, 3, n_channels)
+            + struct.pack(e + "I", after_ifd)
+        )
+        tail = struct.pack(e + "H", bit_depth) * n_channels
+    else:
+        ents.append(
+            struct.pack(e + "HHI", 258, 3, 1)
+            + struct.pack(e + "H", bit_depth) + b"\x00\x00"
+        )
+        tail = b""
+    ents.append(
+        struct.pack(e + "HHI", 277, 3, 1)
+        + struct.pack(e + "H", n_channels) + b"\x00\x00"
+    )
+    head = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        e + "I", ifd_off
+    )
+    ifd = (
+        struct.pack(e + "H", 4) + b"".join(ents) + struct.pack(e + "I", 0)
+    )
+    return head + ifd + tail
+
+
 IMAGE_HEADER_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -383,8 +464,8 @@ IMAGE_HEADER_SCHEMA = T.StructType(
 
 def decode_image_headers(media: DataFrame, *, strict: bool = False) -> DataFrame:
     """REAL image header decode over Arrow batches (no codec library):
-    width/height/bit-depth/channels from PNG/JPEG/GIF/BMP headers via
-    ``parse_image_header``.  Unrecognized payloads yield nulls
+    width/height/bit-depth/channels from PNG/JPEG/GIF/BMP/WebP/TIFF
+    headers via ``parse_image_header``.  Unrecognized payloads yield nulls
     (strict=True raises instead).
 
     Scale shape: mapInPandas over (media_id, content) only — column
@@ -399,7 +480,8 @@ def decode_image_headers(media: DataFrame, *, strict: bool = False) -> DataFrame
                 hdr = parse_image_header(c)
                 if hdr is None and strict and c is not None:
                     raise ValueError(
-                        "payload is not a recognized image (png/jpeg/gif/bmp)"
+                        "payload is not a recognized image "
+                        "(png/jpeg/gif/bmp/webp/tiff)"
                     )
                 headers.append(hdr or {})
             yield pd.DataFrame(

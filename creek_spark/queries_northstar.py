@@ -999,34 +999,46 @@ def multimodal_frame_plan(spark, sf_dir):
     "multimodal_image_headers",
     """
     SELECT doc_id AS media_id,
-           CASE CAST(doc_id % 3 AS INTEGER)
-             WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif' ELSE 'png' END AS format,
+           CASE CAST(doc_id % 5 AS INTEGER)
+             WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif' WHEN 2 THEN 'png'
+             WHEN 3 THEN 'webp' ELSE 'tiff' END AS format,
            CAST(doc_id % 512 + 1 AS INTEGER) AS width,
            CAST(doc_id % 256 + 1 AS INTEGER) AS height,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 8 END AS INTEGER) AS bit_depth,
-           CAST(CASE CAST(doc_id % 3 AS INTEGER)
-             WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 3 END AS INTEGER) AS n_channels,
-           CAST(3 AS INTEGER) AS n_channels_decoded
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 24 ELSE 8 END AS INTEGER) AS bit_depth,
+           CAST(CASE CAST(doc_id % 5 AS INTEGER)
+             WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 3
+             WHEN 3 THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END
+             ELSE 3 END AS INTEGER) AS n_channels,
+           CAST(CASE WHEN doc_id % 5 < 3 THEN 3 ELSE NULL END AS INTEGER)
+             AS n_channels_decoded
     FROM documents
     """,
     "multimodal",
 )
 def multimodal_image_headers(spark, sf_dir):
     """Round-trip proof that the image header decoder is REAL: synthesize
-    a deterministic spec-valid BMP/GIF/PNG payload per document (stdlib
-    byte builders), then recover geometry with `decode_image_headers`
-    (pure-stdlib parse over Arrow batches).  The oracle predicts the
-    decoded fields from the same doc_id arithmetic — a hash mismatch means
-    either the builder or the parser mangled real header bytes.
-    ``n_channels_decoded`` (round 12) reports the pixel-decode channel
-    count beside the container truth: the GIF arm stores 1 index sample
-    per pixel but decodes to 3 channels (palette→RGB), so header rows
-    join coherently against pixel_stats rows."""
+    a deterministic spec-valid BMP/GIF/PNG/WebP/TIFF payload per document
+    (stdlib byte builders), then recover geometry with
+    `decode_image_headers` (pure-stdlib parse over Arrow batches).  The
+    oracle predicts the decoded fields from the same doc_id arithmetic —
+    a hash mismatch means either the builder or the parser mangled real
+    header bytes.  ``n_channels_decoded`` (round 12) reports the
+    pixel-decode channel count beside the container truth: the GIF arm
+    stores 1 index sample per pixel but decodes to 3 channels
+    (palette→RGB), so header rows join coherently against pixel_stats
+    rows; the WebP/TIFF arms (round 12) are header-parseable but outside
+    the pixel decoders' profile, so their decoded count is NULL — the
+    same split media_report monitors.  The WebP arm alternates lossy
+    VP8 (3 channels) with alpha-flagged lossless VP8L (4) by doc
+    parity; the TIFF arm alternates byte order AND the inline vs
+    behind-offset BitsPerSample layout."""
     from creek_spark.operators.multimodal import (
         bmp_bytes,
         decode_image_headers,
         gif_bytes,
         png_bytes,
+        tiff_bytes,
+        webp_bytes,
     )
 
     def synth(batches):
@@ -1037,7 +1049,22 @@ def multimodal_image_headers(spark, sf_dir):
             for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = i % 512 + 1, i % 256 + 1
-                content.append([bmp_bytes, gif_bytes, png_bytes][i % 3](w, h))
+                arm = i % 5
+                if arm == 3:
+                    content.append(
+                        webp_bytes(w, h, layout="vp8")
+                        if i % 2 == 0
+                        else webp_bytes(w, h, layout="vp8l", alpha=True)
+                    )
+                elif arm == 4:
+                    content.append(
+                        tiff_bytes(
+                            w, h, big_endian=i % 2 == 0,
+                            bits_behind_offset=i % 2 == 1,
+                        )
+                    )
+                else:
+                    content.append([bmp_bytes, gif_bytes, png_bytes][arm](w, h))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")

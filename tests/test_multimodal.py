@@ -177,69 +177,21 @@ def test_parse_image_header_all_formats():
 
 
 def _webp_bytes(kind: str, w: int, h: int, *, alpha: bool = False) -> bytes:
-    """Minimal spec-shaped WebP: RIFF/WEBP container with the given
-    first chunk (the three layouts the spec allows)."""
-    import struct
+    from creek_spark.operators.multimodal import webp_bytes
 
-    if kind == "vp8":
-        payload = (
-            b"\x00\x00\x00"  # frame tag (keyframe bits irrelevant here)
-            + b"\x9d\x01\x2a"
-            + struct.pack("<HH", w, h)
-        )
-        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
-    elif kind == "vp8l":
-        bits = (w - 1) | ((h - 1) << 14) | ((1 if alpha else 0) << 28)
-        payload = b"\x2f" + struct.pack("<I", bits)
-        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-    else:  # vp8x
-        payload = (
-            bytes([0x10 if alpha else 0]) + b"\x00\x00\x00"
-            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
-        )
-        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
-    body = b"WEBP" + chunk
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return webp_bytes(w, h, layout=kind, alpha=alpha)
 
 
 def _tiff_bytes(
     w: int, h: int, *, big_endian: bool = False, spp: int = 3,
     bits: int = 8, bits_behind_offset: bool = False,
 ) -> bytes:
-    """Minimal TIFF: header + one IFD carrying the four geometry tags;
-    BitsPerSample either inline (count 1, SHORT) or as a count-3 array
-    behind an offset — the two layouts TIFF 6.0 §2 allows."""
-    import struct
+    from creek_spark.operators.multimodal import tiff_bytes
 
-    e = ">" if big_endian else "<"
-    n_ent = 4
-    ifd_off = 8
-    after_ifd = ifd_off + 2 + 12 * n_ent + 4
-    ents = [
-        struct.pack(e + "HHI", 256, 4, 1) + struct.pack(e + "I", w),
-        struct.pack(e + "HHI", 257, 3, 1)
-        + struct.pack(e + "H", h) + b"\x00\x00",
-    ]
-    if bits_behind_offset:
-        ents.append(
-            struct.pack(e + "HHI", 258, 3, 3) + struct.pack(e + "I", after_ifd)
-        )
-        tail = struct.pack(e + "HHH", bits, bits, bits)
-    else:
-        ents.append(
-            struct.pack(e + "HHI", 258, 3, 1)
-            + struct.pack(e + "H", bits) + b"\x00\x00"
-        )
-        tail = b""
-    ents.append(
-        struct.pack(e + "HHI", 277, 3, 1)
-        + struct.pack(e + "H", spp) + b"\x00\x00"
+    return tiff_bytes(
+        w, h, big_endian=big_endian, n_channels=spp, bit_depth=bits,
+        bits_behind_offset=bits_behind_offset,
     )
-    head = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
-        e + "I", ifd_off
-    )
-    ifd = struct.pack(e + "H", n_ent) + b"".join(ents) + struct.pack(e + "I", 0)
-    return head + ifd + tail
 
 
 def test_parse_image_header_webp_and_tiff():
