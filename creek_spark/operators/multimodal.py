@@ -86,10 +86,13 @@ def parse_image_header(payload: bytes | None) -> dict | None:
     Recognizes PNG (IHDR chunk), JPEG (SOF segment scan), GIF (logical
     screen descriptor), BMP (BITMAPINFOHEADER), WebP (VP8 lossy frame
     tag / VP8L lossless signature / VP8X extended canvas — the three
-    first-chunk layouts the RIFF container allows) and TIFF (first-IFD
-    tag walk, both byte orders).  Returns ``{"format", "width",
-    "height", "bit_depth", "n_channels", "n_channels_decoded"}`` or
-    None when the payload is not a recognized image.
+    first-chunk layouts the RIFF container allows), TIFF (first-IFD
+    tag walk, both byte orders) and AVIF/HEIF (ISO-BMFF walk to
+    meta/iprp/ipco: largest ``ispe`` spatial extent + first ``pixi``
+    depth/channels; image brands only — video mp4 belongs to
+    `parse_av_header`).  Returns ``{"format", "width", "height",
+    "bit_depth", "n_channels", "n_channels_decoded"}`` or None when
+    the payload is not a recognized image.
 
     ``n_channels`` is the CONTAINER truth (a palette image stores one
     index sample per pixel); ``n_channels_decoded`` is what
@@ -265,6 +268,71 @@ def parse_image_header(payload: bytes | None) -> dict | None:
             # TIFF strip/tile decode is out of the pure-numpy profile
             "n_channels_decoded": None,
         }
+    if b[4:8] == b"ftyp":
+        # ISO-BMFF IMAGE brands only (AVIF / HEIF): video mp4 stays the
+        # AV parser's business (parse_av_header)
+        brand = b[8:12]
+        if brand in (b"avif", b"avis"):
+            fmt = "avif"
+        elif brand in (b"heic", b"heix", b"mif1", b"msf1"):
+            fmt = "heic"
+        else:
+            return None
+
+        def boxes(start: int, end: int):
+            # ISO-BMFF box walk: u32 size + 4cc, size 1 → u64
+            # largesize, size 0 → to-end-of-enclosing
+            pos = start
+            while pos + 8 <= end:
+                (size,) = struct.unpack(">I", b[pos : pos + 4])
+                tag = b[pos + 4 : pos + 8]
+                hdr = 8
+                if size == 1:
+                    if pos + 16 > end:
+                        return
+                    (size,) = struct.unpack(">Q", b[pos + 8 : pos + 16])
+                    hdr = 16
+                elif size == 0:
+                    size = end - pos
+                if size < hdr:
+                    return
+                yield tag, pos + hdr, min(pos + size, end)
+                pos += size
+
+        # geometry: the LARGEST ispe in meta/iprp/ipco is the primary
+        # image (thumbnails and alpha/depth aux items are smaller);
+        # exact item association would need the ipma walk, which no
+        # header monitor needs.  depth/channels: the first pixi.
+        best = None
+        depth = chans = None
+        for tag, s0, e0 in boxes(0, len(b)):
+            if tag != b"meta":
+                continue
+            for t1, s1, e1 in boxes(s0 + 4, e0):  # meta is a FullBox
+                if t1 != b"iprp":
+                    continue
+                for t2, s2, e2 in boxes(s1, e1):
+                    if t2 != b"ipco":
+                        continue
+                    for t3, s3, e3 in boxes(s2, e2):
+                        if t3 == b"ispe" and s3 + 12 <= e3:
+                            w, h = struct.unpack(">II", b[s3 + 4 : s3 + 12])
+                            if best is None or w * h > best[0]:
+                                best = (w * h, w, h)
+                        elif t3 == b"pixi" and depth is None and s3 + 6 <= e3:
+                            chans = b[s3 + 4]
+                            depth = b[s3 + 5]
+        if best is None:
+            return None  # no spatial extent: not a usable image meta
+        return {
+            "format": fmt,
+            "width": best[1],
+            "height": best[2],
+            "bit_depth": depth,
+            "n_channels": chans,
+            # AV1/HEVC intra decode is out of the pure-numpy profile
+            "n_channels_decoded": None,
+        }
     return None
 
 
@@ -365,6 +433,31 @@ def bmp_bytes(width: int, height: int, *, bpp: int = 24) -> bytes:
 
     dib = struct.pack("<IiiHH", 40, width, height, 1, bpp) + bytes(24)
     return b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 54) + dib
+
+
+def avif_bytes(
+    width: int, height: int, *, brand: str = "avif", bit_depth: int = 8,
+    n_channels: int = 3, thumb: tuple[int, int] | None = None,
+) -> bytes:
+    """Minimal spec-shaped AVIF/HEIF header bytes: ``ftyp`` + ``meta``
+    FullBox holding ``iprp/ipco`` with the primary ``ispe`` spatial
+    extent, an optional smaller thumbnail ``ispe``, and a ``pixi``
+    depth/channel property.  Header-only, like `webp_bytes`: enough
+    for `parse_image_header`, not a decodable bitstream."""
+    import struct
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    bb = brand.encode("ascii")
+    props = box(b"ispe", bytes(4) + struct.pack(">II", width, height))
+    if thumb is not None:
+        props += box(b"ispe", bytes(4) + struct.pack(">II", *thumb))
+    props += box(
+        b"pixi", bytes(4) + bytes([n_channels]) + bytes([bit_depth]) * n_channels
+    )
+    meta = box(b"meta", bytes(4) + box(b"iprp", box(b"ipco", props)))
+    return box(b"ftyp", bb + struct.pack(">I", 0) + bb) + meta
 
 
 def webp_bytes(

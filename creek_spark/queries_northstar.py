@@ -999,17 +999,20 @@ def multimodal_frame_plan(spark, sf_dir):
     "multimodal_image_headers",
     """
     SELECT doc_id AS media_id,
-           CASE CAST(doc_id % 5 AS INTEGER)
+           CASE CAST(doc_id % 7 AS INTEGER)
              WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif' WHEN 2 THEN 'png'
-             WHEN 3 THEN 'webp' ELSE 'tiff' END AS format,
+             WHEN 3 THEN 'webp' WHEN 4 THEN 'tiff'
+             WHEN 5 THEN 'avif' ELSE 'heic' END AS format,
            CAST(doc_id % 512 + 1 AS INTEGER) AS width,
            CAST(doc_id % 256 + 1 AS INTEGER) AS height,
-           CAST(CASE WHEN doc_id % 5 = 0 THEN 24 ELSE 8 END AS INTEGER) AS bit_depth,
-           CAST(CASE CAST(doc_id % 5 AS INTEGER)
+           CAST(CASE CAST(doc_id % 7 AS INTEGER)
+             WHEN 0 THEN 24 WHEN 6 THEN 10 ELSE 8 END AS INTEGER)
+             AS bit_depth,
+           CAST(CASE CAST(doc_id % 7 AS INTEGER)
              WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 3
              WHEN 3 THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END
              ELSE 3 END AS INTEGER) AS n_channels,
-           CAST(CASE WHEN doc_id % 5 < 3 THEN 3 ELSE NULL END AS INTEGER)
+           CAST(CASE WHEN doc_id % 7 < 3 THEN 3 ELSE NULL END AS INTEGER)
              AS n_channels_decoded
     FROM documents
     """,
@@ -1017,8 +1020,8 @@ def multimodal_frame_plan(spark, sf_dir):
 )
 def multimodal_image_headers(spark, sf_dir):
     """Round-trip proof that the image header decoder is REAL: synthesize
-    a deterministic spec-valid BMP/GIF/PNG/WebP/TIFF payload per document
-    (stdlib byte builders), then recover geometry with
+    a deterministic spec-valid BMP/GIF/PNG/WebP/TIFF/AVIF/HEIC payload
+    per document (stdlib byte builders), then recover geometry with
     `decode_image_headers` (pure-stdlib parse over Arrow batches).  The
     oracle predicts the decoded fields from the same doc_id arithmetic —
     a hash mismatch means either the builder or the parser mangled real
@@ -1026,13 +1029,17 @@ def multimodal_image_headers(spark, sf_dir):
     pixel-decode channel count beside the container truth: the GIF arm
     stores 1 index sample per pixel but decodes to 3 channels
     (palette→RGB), so header rows join coherently against pixel_stats
-    rows; the WebP/TIFF arms (round 12) are header-parseable but outside
-    the pixel decoders' profile, so their decoded count is NULL — the
-    same split media_report monitors.  The WebP arm alternates lossy
-    VP8 (3 channels) with alpha-flagged lossless VP8L (4) by doc
-    parity; the TIFF arm alternates byte order AND the inline vs
-    behind-offset BitsPerSample layout."""
+    rows; the WebP/TIFF/AVIF/HEIC arms (round 12) are header-parseable
+    but outside the pixel decoders' profile, so their decoded count is
+    NULL — the same split media_report monitors.  Variant coverage: the
+    WebP arm alternates lossy VP8 (3 channels) with alpha-flagged
+    lossless VP8L (4) by doc parity; the TIFF arm alternates byte order
+    AND the inline vs behind-offset BitsPerSample layout; the AVIF arm
+    carries a smaller thumbnail ispe the largest-extent rule must skip;
+    the HEIC arm is 10-bit (the common HDR depth) under the mif1
+    brand."""
     from creek_spark.operators.multimodal import (
+        avif_bytes,
         bmp_bytes,
         decode_image_headers,
         gif_bytes,
@@ -1049,7 +1056,7 @@ def multimodal_image_headers(spark, sf_dir):
             for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = i % 512 + 1, i % 256 + 1
-                arm = i % 5
+                arm = i % 7
                 if arm == 3:
                     content.append(
                         webp_bytes(w, h, layout="vp8")
@@ -1062,6 +1069,14 @@ def multimodal_image_headers(spark, sf_dir):
                             w, h, big_endian=i % 2 == 0,
                             bits_behind_offset=i % 2 == 1,
                         )
+                    )
+                elif arm == 5:
+                    content.append(
+                        avif_bytes(w, h, thumb=(max(1, w // 4), max(1, h // 4)))
+                    )
+                elif arm == 6:
+                    content.append(
+                        avif_bytes(w, h, brand="mif1", bit_depth=10)
                     )
                 else:
                     content.append([bmp_bytes, gif_bytes, png_bytes][arm](w, h))

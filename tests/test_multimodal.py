@@ -238,6 +238,38 @@ def test_parse_image_header_webp_and_tiff():
     assert parse_image_header(b"II*\x00" + _s.pack("<I", 10**6) + bytes(8)) is None
 
 
+def test_parse_image_header_avif_heic():
+    """AVIF/HEIF via the ISO-BMFF meta/iprp/ipco walk: the primary
+    (largest) ispe wins over a thumbnail ispe, pixi supplies
+    depth/channels, image brands only — a video mp4 ftyp must NOT
+    parse as an image (that is parse_av_header's business)."""
+    from creek_spark.operators.multimodal import avif_bytes, parse_image_header
+
+    hdr = parse_image_header(avif_bytes(1280, 720, thumb=(160, 90)))
+    assert hdr == {
+        "format": "avif", "width": 1280, "height": 720,
+        "bit_depth": 8, "n_channels": 3, "n_channels_decoded": None,
+    }
+    hdr = parse_image_header(
+        avif_bytes(640, 480, brand="heic", bit_depth=10, n_channels=3)
+    )
+    assert hdr == {
+        "format": "heic", "width": 640, "height": 480,
+        "bit_depth": 10, "n_channels": 3, "n_channels_decoded": None,
+    }
+    # video brand: not an image header
+    from creek_spark.operators.multimodal import mp4_bytes
+
+    assert parse_image_header(mp4_bytes()) is None
+    # image brand but no ispe anywhere → None, never a crash
+    import struct as _s
+
+    ftyp = _s.pack(">I", 16) + b"ftypavif" + _s.pack(">I", 0)
+    assert parse_image_header(ftyp + _s.pack(">I", 12) + b"meta" + bytes(4)) is None
+    # truncated / zero-size boxes terminate the walk cleanly
+    assert parse_image_header(ftyp + _s.pack(">I", 3) + b"meta") is None
+
+
 def test_decode_image_headers_through_mapinpandas(spark):
     """Real PNG/JPEG bytes decoded to width/height through the Arrow
     batch path — the codec-free decode is live, not a stub."""
