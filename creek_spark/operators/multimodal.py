@@ -1068,6 +1068,14 @@ def parse_av_header(payload: bytes | None) -> dict | None:
       duration from the `data` chunk size.
     * MP4  — ISO-BMFF box walk to `moov/mvhd`: timescale + duration
       (version 0 and 1 boxes); format from `ftyp` major brand.
+    * FLAC — STREAMINFO metadata block: sample rate (20 bits), channels,
+      bits per sample, EXACT duration from the 36-bit total-samples
+      field.
+    * MP3  — first MPEG-1/2 Layer III frame header (after an optional
+      ID3v2 tag): sample rate, channel mode; duration is the CBR
+      ESTIMATE audio_bytes·8/bitrate — the one field here that is an
+      estimate, exact for constant-bitrate files (bit_depth is NULL:
+      lossy audio has no fixed sample width).
 
     Returns None for unrecognized payloads — same contract as
     ``parse_image_header``.  Codec-level decode (samples/frames) stays
@@ -1136,6 +1144,56 @@ def parse_av_header(payload: bytes | None) -> dict | None:
                     cpos += csize
             pos += size
         return {"format": f"mp4/{brand}"}
+    # ---- FLAC: fLaC magic, STREAMINFO is always the first block
+    if len(b) >= 42 and b[:4] == b"fLaC":
+        btype = b[4] & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + b[5:8])
+        if btype != 0 or blen < 34 or 8 + blen > len(b):
+            return None
+        (v,) = struct.unpack(">Q", b[18:26])  # rate/ch/bps/total bits
+        rate = v >> 44
+        if not rate:
+            return None
+        n_ch = ((v >> 41) & 0x7) + 1
+        bps = ((v >> 36) & 0x1F) + 1
+        total = v & ((1 << 36) - 1)
+        return {
+            "format": "flac",
+            "sample_rate": int(rate),
+            "n_channels": int(n_ch),
+            "bit_depth": int(bps),
+            "duration_ms": int(total * 1000 // rate),
+        }
+    # ---- MP3: optional ID3v2 tag, then an MPEG-1/2 Layer III frame
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        sz = (
+            (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+            | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
+        )
+        pos = 10 + sz
+    if pos + 4 <= len(b) and b[pos] == 0xFF and (b[pos + 1] & 0xE0) == 0xE0:
+        ver = (b[pos + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2
+        layer = (b[pos + 1] >> 1) & 0x3  # 1=Layer III
+        br_idx = b[pos + 2] >> 4
+        sr_idx = (b[pos + 2] >> 2) & 0x3
+        if ver in (2, 3) and layer == 1 and 0 < br_idx < 15 and sr_idx != 3:
+            if ver == 3:
+                kbps = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                        160, 192, 224, 256, 320)[br_idx]
+                rate = (44100, 48000, 32000)[sr_idx]
+            else:
+                kbps = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                        96, 112, 128, 144, 160)[br_idx]
+                rate = (22050, 24000, 16000)[sr_idx]
+            mono = (b[pos + 3] >> 6) == 3
+            return {
+                "format": "mp3",
+                "sample_rate": rate,
+                "n_channels": 1 if mono else 2,
+                # CBR estimate: audio bytes × 8 / bitrate
+                "duration_ms": (len(b) - pos) * 8 // kbps,
+            }
     return None
 
 
@@ -1256,6 +1314,60 @@ def wav_bytes(
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def flac_bytes(
+    *, total_samples: int = 8000, rate: int = 8000, channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """Minimal FLAC header (fLaC magic + last-block STREAMINFO) —
+    stdlib only, header-parseable like the other `*_bytes` builders."""
+    import struct
+
+    v = (
+        (rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)  # min/max blocksize
+        + bytes(6)                       # min/max framesize (unknown)
+        + struct.pack(">Q", v)
+        + bytes(16)                      # md5 of raw audio (unset)
+    )
+    return b"fLaC" + bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+
+
+def mp3_bytes(
+    *, duration_ms: int = 1000, kbps: int = 128, rate: int = 44100,
+    channels: int = 2, id3: bool = False,
+) -> bytes:
+    """Minimal CBR MPEG-1 Layer III payload: one valid frame header +
+    zero fill sized so the CBR duration estimate recovers duration_ms
+    exactly (audio bytes = kbps·duration_ms/8; pick duration_ms so that
+    divides evenly)."""
+    import struct
+
+    br_idx = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+              160, 192, 224, 256, 320).index(kbps)
+    sr_idx = (44100, 48000, 32000).index(rate)
+    hdr = bytes([
+        0xFF,
+        0xE0 | (3 << 3) | (1 << 1),  # MPEG1, Layer III
+        (br_idx << 4) | (sr_idx << 2),
+        (0xC0 if channels == 1 else 0x00),
+    ])
+    n = kbps * duration_ms // 8
+    body = hdr + bytes(max(0, n - 4))
+    if id3:
+        tag = b"tag-body"
+        body = (
+            b"ID3\x04\x00\x00"
+            + bytes([0, 0, (len(tag) >> 7) & 0x7F, len(tag) & 0x7F])
+            + tag + body
+        )
+    return body
 
 
 def mp4_bytes(*, timescale: int = 1000, duration: int = 2500) -> bytes:

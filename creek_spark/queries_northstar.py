@@ -898,26 +898,45 @@ def multimodal_features(spark, sf_dir):
     "multimodal_av_headers",
     """
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4/isom' END AS format,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 10 + 1) * 250
-                     ELSE (doc_id % 100 + 1) * 10 END AS BIGINT) AS duration_ms,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 4) * 4000
-                     ELSE NULL END AS INTEGER) AS sample_rate,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id // 2) % 2 + 1
-                     ELSE NULL END AS INTEGER) AS n_channels,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE NULL END AS INTEGER) AS bit_depth
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4/isom'
+             WHEN 2 THEN 'flac' ELSE 'mp3' END AS format,
+           CAST(CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN (doc_id % 10 + 1) * 250
+             WHEN 1 THEN (doc_id % 100 + 1) * 10
+             WHEN 2 THEN (doc_id % 10 + 1) * 250
+             ELSE (doc_id % 30 + 1) * 100 END AS BIGINT) AS duration_ms,
+           CAST(CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 8000 + ((doc_id // 4) % 4) * 4000
+             WHEN 2 THEN 16000 + ((doc_id // 4) % 2) * 32000
+             WHEN 3 THEN CASE CAST((doc_id // 4) % 3 AS INTEGER)
+               WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+             ELSE NULL END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN NULL
+                     ELSE (doc_id // 4) % 2 + 1 END AS INTEGER) AS n_channels,
+           CAST(CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 16
+             WHEN 2 THEN 16 + ((doc_id // 4) % 2) * 8
+             ELSE NULL END AS INTEGER) AS bit_depth
     FROM documents
     """,
     "multimodal",
 )
 def multimodal_av_headers(spark, sf_dir):
-    """AV twin of multimodal_image_headers: synthesize spec-valid WAV
-    (even ids) / MP4 (odd ids) containers from doc_id arithmetic, decode
-    with the pure-stdlib parser, and let the oracle predict every field
-    — duration comes back through the actual RIFF data-size / mvhd
-    timescale math, so a mismatch means real header bytes broke."""
+    """AV twin of multimodal_image_headers: synthesize spec-valid WAV /
+    MP4 / FLAC / MP3 containers from doc_id arithmetic, decode with the
+    pure-stdlib parser, and let the oracle predict every field —
+    duration comes back through the actual RIFF data-size / mvhd
+    timescale / FLAC 36-bit total-samples / MP3 CBR-bitrate math, so a
+    mismatch means real header bytes broke.  The FLAC arm alternates
+    16/24-bit depth and 16/48 kHz; the MP3 arm cycles the three MPEG-1
+    sample rates and both channel modes (bit_depth NULL — lossy audio
+    has no fixed sample width; its duration is the CBR estimate, exact
+    for these constant-bitrate payloads)."""
     from creek_spark.operators.multimodal import (
         decode_av_headers,
+        flac_bytes,
+        mp3_bytes,
         mp4_bytes,
         wav_bytes,
     )
@@ -929,18 +948,39 @@ def multimodal_av_headers(spark, sf_dir):
             content = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                if i % 2 == 0:
+                arm = i % 4
+                if arm == 0:
                     content.append(
                         wav_bytes(
                             seconds=(i % 10 + 1) * 0.25,
-                            rate=8000 + (i % 4) * 4000,
-                            channels=(i // 2) % 2 + 1,
+                            rate=8000 + ((i // 4) % 4) * 4000,
+                            channels=(i // 4) % 2 + 1,
                             bits=16,
+                        )
+                    )
+                elif arm == 1:
+                    content.append(
+                        mp4_bytes(timescale=600, duration=(i % 100 + 1) * 6)
+                    )
+                elif arm == 2:
+                    rate = 16000 + ((i // 4) % 2) * 32000
+                    content.append(
+                        flac_bytes(
+                            total_samples=(i % 10 + 1) * rate // 4,
+                            rate=rate,
+                            channels=(i // 4) % 2 + 1,
+                            bits=16 + ((i // 4) % 2) * 8,
                         )
                     )
                 else:
                     content.append(
-                        mp4_bytes(timescale=600, duration=(i % 100 + 1) * 6)
+                        mp3_bytes(
+                            duration_ms=(i % 30 + 1) * 100,
+                            kbps=128,
+                            rate=(44100, 48000, 32000)[(i // 4) % 3],
+                            channels=(i // 4) % 2 + 1,
+                            id3=i % 8 == 3,  # half the mp3s carry ID3v2
+                        )
                     )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
 

@@ -336,6 +336,54 @@ def test_av_header_decode_real_payloads(spark):
     assert out[5]["format"] is None and out[5]["n_bytes"] is None
 
 
+def test_av_header_flac_and_mp3():
+    """FLAC STREAMINFO (exact duration from the 36-bit total-samples
+    field) and MP3 frame headers (MPEG-1 and MPEG-2 tables, ID3v2 skip,
+    CBR duration estimate, mono/stereo mode) — plus the near-miss
+    payloads that must NOT sniff as mp3 (bad layer, free/bad bitrate,
+    reserved sample-rate index)."""
+    from creek_spark.operators.multimodal import (
+        flac_bytes,
+        mp3_bytes,
+        parse_av_header,
+    )
+
+    h = parse_av_header(
+        flac_bytes(total_samples=3 * 48000, rate=48000, channels=2, bits=24)
+    )
+    assert h == {
+        "format": "flac", "sample_rate": 48000, "n_channels": 2,
+        "bit_depth": 24, "duration_ms": 3000,
+    }
+    # non-STREAMINFO first block / zero rate: refused, not misparsed
+    bad = bytearray(flac_bytes())
+    bad[4] = 0x84  # type 4 (VORBIS_COMMENT) where STREAMINFO must be
+    assert parse_av_header(bytes(bad)) is None
+
+    h = parse_av_header(mp3_bytes(duration_ms=2500, kbps=192, rate=48000))
+    assert h == {
+        "format": "mp3", "sample_rate": 48000, "n_channels": 2,
+        "duration_ms": 2500,
+    }
+    h = parse_av_header(
+        mp3_bytes(duration_ms=700, kbps=64, rate=32000, channels=1, id3=True)
+    )
+    assert h["n_channels"] == 1 and h["duration_ms"] == 700
+    # MPEG-2 Layer III (halved-rate table)
+    mpeg2 = bytes([0xFF, 0xE0 | (2 << 3) | (1 << 1), (12 << 4) | (0 << 2), 0])
+    mpeg2 += bytes(128 * 1000 // 8 - 4)
+    h = parse_av_header(mpeg2)
+    assert h["sample_rate"] == 22050 and h["duration_ms"] == 1000
+    # near-misses: layer I, free bitrate, bad bitrate, reserved rate idx
+    for b1, b2 in (
+        (0xE0 | (3 << 3) | (3 << 1), (9 << 4)),   # layer I
+        (0xE0 | (3 << 3) | (1 << 1), (0 << 4)),   # free-format bitrate
+        (0xE0 | (3 << 3) | (1 << 1), (15 << 4)),  # invalid bitrate
+        (0xE0 | (3 << 3) | (1 << 1), (9 << 4) | (3 << 2)),  # rate idx 3
+    ):
+        assert parse_av_header(bytes([0xFF, b1, b2, 0]) + bytes(64)) is None
+
+
 def test_av_header_strict_raises_on_garbage(spark):
     import pytest
     from py4j.protocol import Py4JJavaError
