@@ -713,16 +713,23 @@ def _media_report_cells(pdf):
     for day, content in zip(pdf["day"], pdf["content"]):
         b = None if content is None else bytes(content)
         hdr = parse_image_header(b) if b else None
+        av = None if hdr or not b else parse_av_header(b)
         if hdr:
             fmt = hdr["format"]
+        elif av:
+            # wav / mp4/<brand> / flac / mp3 — every parseable audio or
+            # video container gets its own arrived-vs-decoded row (only
+            # wav has an in-profile sample decode below)
+            fmt = av["format"]
         elif b and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-            # RIFF is a container FAMILY: only RIFF....WAVE is wav
-            # (decode_wav_samples enforces the same check) — WebP and
-            # AVI payloads must not pollute the per-format corruption
-            # monitor's 'wav' bucket
+            # wav FAMILY whose fmt chunk is too corrupt to parse: keep
+            # it in the wav bucket as arrived-but-undecoded — that gap
+            # is exactly what the corruption monitor exists to show
             fmt = "wav"
         elif b and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
-            fmt = "webp"  # undecoded: counted, never decode-attempted
+            # RIFF is a container FAMILY: malformed WebP/AVI must not
+            # pollute the 'wav' bucket
+            fmt = "webp"
         elif b and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
             fmt = "avi"
         else:
@@ -757,6 +764,12 @@ def media_report(media: DataFrame, *, day_col: str = "day") -> DataFrame:
     PNG/JPEG/BMP/GIF pixels, WAV PCM samples; out-of-profile payloads
     count as undecoded, they never fail the report), and exact-integer
     value statistics (count / Σ / min / max over pixels or samples).
+    Formats come from the REAL header parsers: every image format
+    `parse_image_header` knows (incl. WebP/TIFF/AVIF/HEIC) and every
+    audio/video container `parse_av_header` knows (wav, mp4/<brand>,
+    flac, mp3) gets its own arrived-vs-decoded row; RIFF-family
+    payloads too corrupt to header-parse fall back to their family
+    bucket.
 
     Every cell is an integer SUM/MIN/MAX, so the report is perfectly
     additive — the streaming twin

@@ -601,6 +601,43 @@ def test_media_report_riff_family_classification(spark):
         assert rows[fmt]["n_media"] == 1 and rows[fmt]["n_decoded"] == 0
 
 
+def test_media_report_av_container_buckets(spark):
+    """Every parseable audio/video container gets its own
+    arrived-vs-decoded row: FLAC, MP3 and MP4 payloads land under their
+    format (undecoded — only wav has an in-profile sample decode), a
+    well-formed WebP under 'webp' with its header parsed, and a wav
+    whose fmt chunk is corrupt stays in the 'wav' bucket as
+    arrived-but-undecoded — the corruption gap the report monitors."""
+    import struct
+
+    from creek_spark.operators.multimodal import (
+        flac_bytes,
+        media_report,
+        mp3_bytes,
+        mp4_bytes,
+        webp_bytes,
+    )
+
+    corrupt_wav = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + bytes(4)  # fmt too short
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "d0", bytearray(flac_bytes())),
+            (2, "d0", bytearray(mp3_bytes())),
+            (3, "d0", bytearray(mp4_bytes())),
+            (4, "d0", bytearray(webp_bytes(32, 16))),
+            (5, "d0", bytearray(corrupt_wav)),
+        ],
+        "media_id bigint, day string, content binary",
+    )
+    rows = {r["fmt"]: r for r in media_report(media).collect()}
+    assert set(rows) == {"flac", "mp3", "mp4/isom", "webp", "wav"}
+    for fmt, r in rows.items():
+        assert r["n_media"] == 1 and r["n_decoded"] == 0, fmt
+
+
 def test_frame_decoder_injection_contract_end_to_end(spark):
     """The video-decode injection contract (round 12; verdict item 4):
     inject a deterministic fake codec and prove the WHOLE plumbing —
