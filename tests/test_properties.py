@@ -144,3 +144,125 @@ def test_lsn_roundtrip_batched(spark):
     for r in out:
         assert r["num"] == r["expect"], r
         assert r["rt"] == r["lsn"], r
+
+
+# ---------------------------------------------------------------------------
+# Media header builders ↔ parsers (round 12): the builder writes the
+# spec bytes, the parser must recover EXACTLY the inputs across the
+# whole legal parameter space — session-free, so hypothesis can sweep
+# boundaries (14-bit WebP dims, 20-bit FLAC rates, 36-bit sample
+# counts) in milliseconds.
+
+
+@given(
+    w=st.integers(min_value=1, max_value=16383),  # 14-bit VP8/VP8L field
+    h=st.integers(min_value=1, max_value=16383),
+    layout=st.sampled_from(["vp8", "vp8l", "vp8x"]),
+    alpha=st.booleans(),
+)
+@settings(max_examples=200)
+def test_webp_header_roundtrip(w, h, layout, alpha):
+    from creek_spark.operators.multimodal import parse_image_header, webp_bytes
+
+    hdr = parse_image_header(webp_bytes(w, h, layout=layout, alpha=alpha))
+    assert hdr is not None and hdr["format"] == "webp"
+    assert (hdr["width"], hdr["height"]) == (w, h)
+    want_ch = 3 if layout == "vp8" or not alpha else 4
+    assert hdr["n_channels"] == want_ch
+    assert hdr["n_channels_decoded"] is None
+
+
+@given(
+    w=st.integers(min_value=1, max_value=2**31 - 1),  # LONG tag value
+    h=st.integers(min_value=1, max_value=65535),  # SHORT tag value
+    big_endian=st.booleans(),
+    n_channels=st.integers(min_value=1, max_value=8),
+    bit_depth=st.integers(min_value=1, max_value=32),
+    behind=st.booleans(),
+)
+@settings(max_examples=200)
+def test_tiff_header_roundtrip(w, h, big_endian, n_channels, bit_depth, behind):
+    from creek_spark.operators.multimodal import parse_image_header, tiff_bytes
+
+    hdr = parse_image_header(
+        tiff_bytes(
+            w, h, big_endian=big_endian, n_channels=n_channels,
+            bit_depth=bit_depth, bits_behind_offset=behind,
+        )
+    )
+    assert hdr is not None and hdr["format"] == "tiff"
+    assert (hdr["width"], hdr["height"]) == (w, h)
+    assert hdr["bit_depth"] == bit_depth
+    assert hdr["n_channels"] == n_channels
+
+
+@given(
+    w=st.integers(min_value=1, max_value=2**24),  # ispe is u32; VP8X 24-bit+1
+    h=st.integers(min_value=1, max_value=2**24),
+    brand=st.sampled_from(["avif", "avis", "heic", "heix", "mif1", "msf1"]),
+    bit_depth=st.integers(min_value=1, max_value=16),
+    n_channels=st.integers(min_value=1, max_value=4),
+    with_thumb=st.booleans(),
+)
+@settings(max_examples=200)
+def test_avif_heic_header_roundtrip(
+    w, h, brand, bit_depth, n_channels, with_thumb
+):
+    from creek_spark.operators.multimodal import avif_bytes, parse_image_header
+
+    thumb = (max(1, w // 2), max(1, h // 2)) if with_thumb else None
+    if thumb == (w, h):
+        thumb = None  # a same-size "thumbnail" is not a thumbnail
+    hdr = parse_image_header(
+        avif_bytes(
+            w, h, brand=brand, bit_depth=bit_depth,
+            n_channels=n_channels, thumb=thumb,
+        )
+    )
+    assert hdr is not None
+    assert hdr["format"] == ("avif" if brand in ("avif", "avis") else "heic")
+    assert (hdr["width"], hdr["height"]) == (w, h)
+    assert hdr["bit_depth"] == bit_depth
+    assert hdr["n_channels"] == n_channels
+
+
+@given(
+    rate=st.integers(min_value=1, max_value=(1 << 20) - 1),  # 20-bit field
+    channels=st.integers(min_value=1, max_value=8),
+    bits=st.integers(min_value=4, max_value=32),
+    total=st.integers(min_value=0, max_value=(1 << 36) - 1),
+)
+@settings(max_examples=200)
+def test_flac_header_roundtrip(rate, channels, bits, total):
+    from creek_spark.operators.multimodal import flac_bytes, parse_av_header
+
+    hdr = parse_av_header(
+        flac_bytes(total_samples=total, rate=rate, channels=channels, bits=bits)
+    )
+    assert hdr is not None and hdr["format"] == "flac"
+    assert hdr["sample_rate"] == rate
+    assert hdr["n_channels"] == channels
+    assert hdr["bit_depth"] == bits
+    assert hdr["duration_ms"] == total * 1000 // rate
+
+
+@given(
+    ms=st.integers(min_value=1, max_value=10_000),
+    kbps=st.sampled_from([32, 64, 96, 128, 192, 320]),
+    rate=st.sampled_from([44100, 48000, 32000]),
+    channels=st.integers(min_value=1, max_value=2),
+    id3=st.booleans(),
+)
+@settings(max_examples=200)
+def test_mp3_header_roundtrip(ms, kbps, rate, channels, id3):
+    from creek_spark.operators.multimodal import mp3_bytes, parse_av_header
+
+    ms -= ms % 8  # keep kbps·ms/8 integral so the CBR estimate is exact
+    ms = max(ms, 8)
+    hdr = parse_av_header(
+        mp3_bytes(duration_ms=ms, kbps=kbps, rate=rate, channels=channels, id3=id3)
+    )
+    assert hdr is not None and hdr["format"] == "mp3"
+    assert hdr["sample_rate"] == rate
+    assert hdr["n_channels"] == channels
+    assert hdr["duration_ms"] == ms
