@@ -708,6 +708,26 @@ class Engine:
 
         return media_report(media, day_col=day_col)
 
+    def image_headers(self, media, *, strict: bool = False) -> DataFrame:
+        """Container-truth image geometry from REAL pure-stdlib header
+        decode — PNG/JPEG/GIF/BMP/WebP/TIFF/AVIF/HEIC — including the
+        n_channels vs n_channels_decoded split that marks formats
+        outside the pixel decoders' profile
+        (operators/multimodal.py decode_image_headers)."""
+        from creek_spark.operators.multimodal import decode_image_headers
+
+        return decode_image_headers(media, strict=strict)
+
+    def frame_stats(self, media, *, frame_decoder, **kw) -> DataFrame:
+        """Per-frame exact-integer pixel stats through the video
+        decode INJECTION CONTRACT: the task plan, one-decoder-call-
+        per-video batching and contract validation are real; the codec
+        (PyAV/ffmpeg in production) is the one injected part
+        (operators/multimodal.py frame_decode_stats)."""
+        from creek_spark.operators.multimodal import frame_decode_stats
+
+        return frame_decode_stats(media, frame_decoder=frame_decoder, **kw)
+
     def streaming_media_report(self, state_dir: str):
         """Continuously-maintained media ingest report, bit-identical
         to media_report over the streamed union — Python decode stage

@@ -194,6 +194,43 @@ def _tiff_bytes(
     )
 
 
+def test_engine_media_header_facades(spark):
+    """The Engine facade surface for the header tier: image_headers
+    and frame_stats delegate to the real operators with identical
+    results (the operators themselves carry the deep tests)."""
+    import numpy as np
+
+    from creek_spark import Engine
+    from creek_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        mp4_bytes,
+        tiff_bytes,
+        webp_bytes,
+    )
+
+    eng = Engine(spark, data_dir="/root/testdata/sf0.001")
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(webp_bytes(64, 32)), None, None, {}),
+            (2, "image", bytearray(tiff_bytes(80, 60)), None, None, {}),
+            (3, "video", bytearray(mp4_bytes()), None, None,
+             {"duration_s": "6"}),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    hdrs = {r["media_id"]: r for r in eng.image_headers(media).collect()}
+    assert (hdrs[1]["format"], hdrs[1]["width"]) == ("webp", 64)
+    assert (hdrs[2]["format"], hdrs[2]["height"]) == ("tiff", 60)
+    assert hdrs[3]["format"] is None  # video payload: not an image
+
+    def codec(payload, ts):
+        return [np.zeros((2, 2), dtype=np.uint8) for _ in ts]
+
+    rows = eng.frame_stats(media, frame_decoder=codec).collect()
+    assert {r["frame_ts"] for r in rows} == {0, 5}  # 6 s / every 5 s
+    assert all(r["sum_px"] == 0 and r["n_values"] == 4 for r in rows)
+
+
 def test_parse_image_header_webp_and_tiff():
     """WebP (all three first-chunk layouts) and TIFF (both byte orders,
     inline and behind-offset BitsPerSample) parse to container-truth
