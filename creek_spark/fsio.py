@@ -1,0 +1,140 @@
+"""Sink-state filesystem IO through the Hadoop FileSystem API.
+
+Every fenced sink in this engine keeps metadata-sized state beside its
+data: a manifest (`_manifest.json`, `_manifest/vNNN.json`), a fence
+(`_fence.json`), versioned state directories.  Driver-local
+``open``/``os.replace`` binds that state to the driver's POSIX
+filesystem — fine under local[n] tests, wrong on a cluster where the
+state dir is an object-store URI (``s3a://…``, ``hdfs://…``) right next
+to the parquet it fences.  The ANN manifest
+(operators/ann_maintenance.py) has always gone through Hadoop's
+FileSystem API for exactly that reason; this module is that plumbing
+promoted to a shared home so the rollup, dedup, CDC-state and
+shard-writer sinks resolve their state through the SAME filesystem
+abstraction their data writes use (scheme-qualified URIs and
+scheme-less local paths alike — local paths resolve against
+``fs.defaultFS`` exactly as DataFrame reads do).
+
+All calls are driver-side (foreachBatch bodies, maintenance ops) and
+metadata-sized: one JVM round-trip each, O(1) per trigger — nothing
+here touches row data.
+
+Atomicity note (mirrors the ANN manifest's contract): tmp-write +
+rename is atomic on HDFS and local filesystems; object stores rename by
+copy, so sinks that need torn-read-proof publishes on S3 pair this with
+new-file-per-version naming (the manifest-directory layout) rather than
+in-place swaps — both layouts exist in this package and both route
+through here.
+"""
+
+from __future__ import annotations
+
+import json
+
+__all__ = [
+    "join",
+    "exists",
+    "is_dir",
+    "list_names",
+    "mkdirs",
+    "delete",
+    "read_file_or_none",
+    "read_json_or_none",
+    "write_file_atomic",
+    "write_json_atomic",
+]
+
+
+def join(*parts: str) -> str:
+    """Scheme-safe path join: ``os.path.normpath`` corrupts URI
+    authorities (``s3a://b`` → ``s3a:/b``), so join with "/" and drop
+    "." segments instead."""
+    segs = [p for p in parts if p not in ("", ".")]
+    head, tail = segs[0], [p.strip("/") for p in segs[1:] if p.strip("/")]
+    return "/".join([head.rstrip("/")] + tail) if tail else head
+
+
+def _fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def exists(spark, path: str) -> bool:
+    fs, jpath, _ = _fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def is_dir(spark, path: str) -> bool:
+    fs, jpath, _ = _fs(spark, path)
+    return bool(fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory())
+
+
+def list_names(spark, path: str) -> list[str]:
+    """Child names of ``path`` ([] when it does not exist)."""
+    fs, jpath, _ = _fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def mkdirs(spark, path: str) -> None:
+    fs, jpath, _ = _fs(spark, path)
+    fs.mkdirs(jpath)
+
+
+def delete(spark, path: str, *, recursive: bool = True) -> bool:
+    """Delete ``path`` (missing is a no-op, mirroring
+    ``shutil.rmtree(..., ignore_errors=True)``); True when something
+    was removed."""
+    fs, jpath, _ = _fs(spark, path)
+    return bool(fs.delete(jpath, recursive))
+
+
+def read_file_or_none(spark, path: str) -> bytes | None:
+    fs, jpath, jvm = _fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    inp = fs.open(jpath)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(inp))
+    finally:
+        inp.close()
+
+
+def read_json_or_none(spark, path: str):
+    """Parsed JSON, or None when the file is missing or unparseable —
+    the exact semantics of the sinks' old ``except (OSError,
+    ValueError)`` manifest reads (an unparseable manifest means a
+    pre-manifest layout or torn legacy state, and every caller treats
+    both as "no committed state")."""
+    data = read_file_or_none(spark, path)
+    if data is None:
+        return None
+    try:
+        return json.loads(data)
+    except ValueError:
+        return None
+
+
+def write_file_atomic(spark, path: str, data: bytes) -> None:
+    """Write tmp, then rename — a reader sees the whole file or nothing
+    (see the module docstring for the object-store caveat)."""
+    fs, jpath, jvm = _fs(spark, path)
+    parent = jpath.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        parent, "." + jpath.getName() + ".tmp"
+    )
+    out = fs.create(tmp, True)
+    out.write(bytearray(data))
+    out.close()
+    fs.delete(jpath, False)
+    if not fs.rename(tmp, jpath):
+        raise IOError(f"atomic write rename failed: {path}")
+
+
+def write_json_atomic(spark, path: str, obj) -> None:
+    write_file_atomic(spark, path, json.dumps(obj).encode())

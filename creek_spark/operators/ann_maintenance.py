@@ -114,47 +114,21 @@ class ManifestConflictError(RuntimeError):
     class) or pair codes with the wrong quantizer epoch."""
 
 
-# -- hadoop-fs plumbing (works for local/HDFS/S3A alike) ----------------
-
-
-def _fs(spark, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, jpath, jvm
-
-
-def _write_file_atomic(spark, path: str, data: bytes) -> None:
-    """Write tmp, then rename — a reader sees the whole file or nothing
-    (HDFS rename is atomic; on object stores the per-version new-file
-    naming already prevents in-place torn reads)."""
-    fs, jpath, jvm = _fs(spark, path)
-    tmp = jvm.org.apache.hadoop.fs.Path(
-        jpath.getParent(), "." + jpath.getName() + ".tmp"
-    )
-    out = fs.create(tmp, True)
-    out.write(bytearray(data))
-    out.close()
-    fs.delete(jpath, False)
-    if not fs.rename(tmp, jpath):
-        raise IOError(f"manifest rename failed: {path}")
+# -- hadoop-fs plumbing: promoted to creek_spark.fsio (round-12) so the
+# rollup/dedup/CDC/shard-writer sinks share the same object-store-safe
+# state IO this manifest has always used; the private aliases keep this
+# module's call sites and their tests unchanged.
+from creek_spark.fsio import _fs  # noqa: E402
+from creek_spark.fsio import list_names as _list_names  # noqa: E402
+from creek_spark.fsio import read_file_or_none as _read_file_or_none  # noqa: E402
+from creek_spark.fsio import write_file_atomic as _write_file_atomic  # noqa: E402
 
 
 def _read_file(spark, path: str) -> bytes:
-    fs, jpath, jvm = _fs(spark, path)
-    inp = fs.open(jpath)
-    try:
-        data = jvm.org.apache.commons.io.IOUtils.toByteArray(inp)
-    finally:
-        inp.close()
-    return bytes(data)
-
-
-def _list_names(spark, path: str) -> list[str]:
-    fs, jpath, _ = _fs(spark, path)
-    if not fs.exists(jpath):
-        return []
-    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+    data = _read_file_or_none(spark, path)
+    if data is None:
+        raise IOError(f"no such file: {path}")
+    return data
 
 
 # -- manifest ------------------------------------------------------------

@@ -564,10 +564,9 @@ def stream_shard_writer(
 
     Usage: ``stream.writeStream.foreachBatch(stream_shard_writer(...))``.
     """
-    import json
-    import os
+    from creek_spark import fsio
 
-    fence_file = os.path.join(path, "_fence.json")
+    fence_file = fsio.join(path, "_fence.json")
 
     def _write(df: DataFrame, batch_id: int) -> None:
         from creek_spark.streaming.fence import (
@@ -575,11 +574,9 @@ def stream_shard_writer(
             content_fingerprint,
         )
 
-        try:
-            with open(fence_file) as fh:
-                rec = json.load(fh)
-        except (OSError, ValueError):
-            rec = None  # first batch, or a pre-fence layout
+        spark = df.sparkSession
+        # first batch, or a pre-fence layout → None
+        rec = fsio.read_json_or_none(spark, fence_file)
         if rec is not None:
             if batch_id == rec["last_batch_id"]:
                 check_on_fence(
@@ -611,11 +608,9 @@ def stream_shard_writer(
             )
         finally:
             df.unpersist()
-        tmp = fence_file + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"last_batch_id": batch_id, "fence_print": fence_print}, fh
-            )
-        os.replace(tmp, fence_file)
+        fsio.write_json_atomic(
+            spark, fence_file,
+            {"last_batch_id": batch_id, "fence_print": fence_print},
+        )
 
     return _write

@@ -28,14 +28,13 @@ analog) so in-flight readers of the previous manifest stay valid.
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from creek_spark import fsio
 from creek_spark.functions.lsn import lsn_num
 from creek_spark.operators.cdc import latest_state
 
@@ -131,31 +130,30 @@ class CdcApplier:
     # state_dir/_manifest.json        {"version": N, "buckets": {b: vdir}}
     # state_dir/v000000N/creek_bucket=b/part-*.parquet
     # Readers resolve buckets through the manifest only; writers publish a
-    # new version dir first and swap the manifest last (os.replace is
-    # atomic), so an interleaved reader sees old-or-new, never a mix.
+    # new version dir first and swap the manifest last (atomic
+    # Hadoop-FS rename via creek_spark.fsio, so state rides the same
+    # filesystem as the data — local, HDFS or object store), and an
+    # interleaved reader sees old-or-new, never a mix.
 
     _MANIFEST = "_manifest.json"
 
     def _read_manifest(self) -> dict | None:
-        try:
-            with open(os.path.join(self.state_dir, self._MANIFEST)) as f:
-                m = json.load(f)
-        except (OSError, ValueError):
+        m = fsio.read_json_or_none(
+            self.spark, fsio.join(self.state_dir, self._MANIFEST)
+        )
+        if m is None:
             # pre-manifest layout (bucket dirs at the root): synthesize a
             # manifest pointing at "." so old state keeps working
             legacy = self._legacy_root_buckets()
             if legacy:
                 return {"version": 0, "buckets": {str(b): "." for b in legacy}}
-            return None
         return m
 
     def _legacy_root_buckets(self) -> list[int]:
         prefix = self._bucket_col + "="
-        if not os.path.isdir(self.state_dir):
-            return []
         return [
             int(name[len(prefix):])
-            for name in os.listdir(self.state_dir)
+            for name in fsio.list_names(self.spark, self.state_dir)
             if name.startswith(prefix)
         ]
 
@@ -174,9 +172,9 @@ class CdcApplier:
             by_ver.setdefault(v, []).append(int(b))
         parts = []
         for v, bs in sorted(by_ver.items()):
-            vdir = os.path.normpath(os.path.join(self.state_dir, v))
+            vdir = fsio.join(self.state_dir, v)
             paths = [
-                os.path.join(vdir, f"{self._bucket_col}={b}") for b in sorted(bs)
+                fsio.join(vdir, f"{self._bucket_col}={b}") for b in sorted(bs)
             ]
             parts.append(
                 self.spark.read.option("basePath", vdir).parquet(*paths)
@@ -211,31 +209,35 @@ class CdcApplier:
                 {f"{v}/{self._bucket_col}={b}" for b, v in old_map.items()}
             ),
         }
-        tmp = os.path.join(self.state_dir, self._MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.state_dir, self._MANIFEST))
+        fsio.write_json_atomic(
+            self.spark, fsio.join(self.state_dir, self._MANIFEST), manifest
+        )
 
+        # keep-set entries are state_dir-relative posix strings
+        # ("v0000001/creek_bucket=3", or "./creek_bucket=3" for the
+        # legacy root layout — normalized to drop the "./")
+        norm = lambda rel: posixpath.normpath(rel)  # noqa: E731
         keep = {
-            os.path.normpath(f"{v}/{self._bucket_col}={b}")
+            norm(f"{v}/{self._bucket_col}={b}")
             for b, v in new_map.items()
-        } | {os.path.normpath(p) for p in manifest["retain"]}
-        for root in os.listdir(self.state_dir):
-            rdir = os.path.join(self.state_dir, root)
+        } | {norm(p) for p in manifest["retain"]}
+        for root in fsio.list_names(self.spark, self.state_dir):
+            rdir = fsio.join(self.state_dir, root)
             if root.startswith(self._bucket_col + "="):  # legacy root bucket
-                if os.path.normpath(root) not in {
-                    os.path.normpath(p) for p in keep
-                }:
-                    shutil.rmtree(rdir, ignore_errors=True)
-            elif root.startswith("v") and os.path.isdir(rdir):
-                for sub in os.listdir(rdir):
+                if norm(root) not in keep:
+                    fsio.delete(self.spark, rdir)
+            elif root.startswith("v") and fsio.is_dir(self.spark, rdir):
+                subs = fsio.list_names(self.spark, rdir)
+                gone = 0
+                for sub in subs:
                     if (
                         sub.startswith(self._bucket_col + "=")
-                        and os.path.normpath(f"{root}/{sub}") not in keep
+                        and norm(f"{root}/{sub}") not in keep
                     ):
-                        shutil.rmtree(os.path.join(rdir, sub), ignore_errors=True)
-                if not os.listdir(rdir):
-                    os.rmdir(rdir)
+                        fsio.delete(self.spark, fsio.join(rdir, sub))
+                        gone += 1
+                if gone == len(subs):
+                    fsio.delete(self.spark, rdir)
 
     def _state_as_wal(self, state: DataFrame) -> DataFrame:
         after_t = self.envelope_schema["after"].dataType
@@ -364,7 +366,7 @@ class CdcApplier:
             (
                 new_state.write.mode("overwrite")
                 .partitionBy(self._bucket_col)
-                .parquet(os.path.join(self.state_dir, new_ver))
+                .parquet(fsio.join(self.state_dir, new_ver))
             )
             # Buckets whose last key was deleted produce zero rows —
             # they simply drop out of the manifest mapping.

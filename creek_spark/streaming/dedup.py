@@ -20,10 +20,9 @@ once.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+
+from creek_spark import fsio
 
 _MANIFEST = "_manifest.json"
 
@@ -42,16 +41,14 @@ class StreamingDedup:
         self.text_col = text_col
         self.id_col = id_col
         self.lsh_kw = lsh_kw
-        os.makedirs(state_dir, exist_ok=True)
+        fsio.mkdirs(spark, state_dir)
 
     # -- manifest: {"last_batch_id": i, "index_parts": ["idx/b0", ...]} --
 
     def _read_manifest(self) -> dict | None:
-        try:
-            with open(os.path.join(self.state_dir, _MANIFEST)) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            return None
+        return fsio.read_json_or_none(
+            self.spark, fsio.join(self.state_dir, _MANIFEST)
+        )
 
     def last_batch_id(self) -> int:
         m = self._read_manifest()
@@ -62,7 +59,7 @@ class StreamingDedup:
         if not parts:
             return None
         return self.spark.read.parquet(
-            *[os.path.join(self.state_dir, p) for p in parts]
+            *[fsio.join(self.state_dir, p) for p in parts]
         )
 
     # -- ingestion -----------------------------------------------------
@@ -113,22 +110,21 @@ class StreamingDedup:
                 batch, index, self.text_col, self.id_col, **self.lsh_kw
             )
         pairs.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, f"pairs/batch={batch_id}")
+            fsio.join(self.state_dir, f"pairs/batch={batch_id}")
         )
         part = f"idx/b{batch_id}"
         minhash_index(
             batch, self.text_col, self.id_col, **self.lsh_kw
-        ).write.mode("overwrite").parquet(os.path.join(self.state_dir, part))
+        ).write.mode("overwrite").parquet(fsio.join(self.state_dir, part))
         manifest = {
             "last_batch_id": batch_id,
             "index_parts": (m or {}).get("index_parts", []) + [part],
             "stale_parts": (m or {}).get("stale_parts", []),
             "fence_print": content_fingerprint(batch),
         }
-        tmp = os.path.join(self.state_dir, _MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.state_dir, _MANIFEST))
+        fsio.write_json_atomic(
+            self.spark, fsio.join(self.state_dir, _MANIFEST), manifest
+        )
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch``."""
@@ -146,10 +142,10 @@ class StreamingDedup:
         if m is None:
             raise ValueError("no committed state yet — apply a batch first")
         paths = [
-            os.path.join(self.state_dir, f"pairs/batch={i}")
+            fsio.join(self.state_dir, f"pairs/batch={i}")
             for i in range(m["last_batch_id"] + 1)
-            if os.path.isdir(
-                os.path.join(self.state_dir, f"pairs/batch={i}")
+            if fsio.is_dir(
+                self.spark, fsio.join(self.state_dir, f"pairs/batch={i}")
             )
         ]
         return self.spark.read.parquet(*paths).distinct()
@@ -163,8 +159,6 @@ class StreamingDedup:
         a concurrent reader holding the old manifest still sees every
         old part (directories are immutable; stale parts are removed on
         the NEXT compaction)."""
-        import shutil
-
         m = self._read_manifest()
         if m is None or len(m.get("index_parts", [])) <= 1:
             return
@@ -173,19 +167,18 @@ class StreamingDedup:
         part = f"idx/compact_{gen}_{len(old_parts)}"
         self._index(m).coalesce(
             max(1, self.spark.sparkContext.defaultParallelism // 4)
-        ).write.mode("overwrite").parquet(os.path.join(self.state_dir, part))
+        ).write.mode("overwrite").parquet(fsio.join(self.state_dir, part))
         # 1-generation retention: the PREVIOUS compaction's stale parts go
         # now; this compaction's inputs become stale and survive until the
         # next one, so a reader holding the old manifest stays valid.
         for p in m.get("stale_parts", []):
             if p != part:
-                shutil.rmtree(os.path.join(self.state_dir, p), ignore_errors=True)
+                fsio.delete(self.spark, fsio.join(self.state_dir, p))
         manifest = {
             "last_batch_id": gen,
             "index_parts": [part],
             "stale_parts": [p for p in old_parts if p != part],
         }
-        tmp = os.path.join(self.state_dir, _MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.state_dir, _MANIFEST))
+        fsio.write_json_atomic(
+            self.spark, fsio.join(self.state_dir, _MANIFEST), manifest
+        )

@@ -17,19 +17,19 @@ Scale design mirrors CdcApplier: state is hive-partitioned on a caller
 -chosen partition key (for time-tier rollups: the day of the bucket), a
 batch rewrites ONLY the partitions its rows touch (a trickle of fresh
 events touches today's partition, never the year of history), and each
-batch publishes a new version directory with an atomic ``os.replace``
-manifest swap — readers always see one committed generation.  The only
+batch publishes a new version directory with an atomic manifest swap
+(Hadoop-FS rename via creek_spark.fsio, so state rides the same
+filesystem as the data — local, HDFS or object store) — readers always
+see one committed generation.  The only
 driver traffic is one bounded collect of touched partition values.
 """
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from creek_spark import fsio
 
 _MANIFEST = "_manifest.json"
 
@@ -97,7 +97,7 @@ class AdditiveRollupSink:
         self.key_cols = key_cols
         self.add_cols = list(self.kinds)
         self.partition_col = partition_col
-        os.makedirs(state_dir, exist_ok=True)
+        fsio.mkdirs(spark, state_dir)
 
     def _merge_exprs(self):
         fns = {"sum": lambda c: F.sum(c).cast("bigint"),
@@ -108,11 +108,9 @@ class AdditiveRollupSink:
     # {"version": N, "parts": {pval: "v000000N"}, "last_batch_id": i}
 
     def _read_manifest(self) -> dict | None:
-        try:
-            with open(os.path.join(self.state_dir, _MANIFEST)) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            return None
+        return fsio.read_json_or_none(
+            self.spark, fsio.join(self.state_dir, _MANIFEST)
+        )
 
     def last_batch_id(self) -> int:
         m = self._read_manifest()
@@ -128,9 +126,9 @@ class AdditiveRollupSink:
             by_ver.setdefault(ver, []).append(pval)
         parts = []
         for ver, pvals in by_ver.items():
-            vdir = os.path.join(self.state_dir, ver)
+            vdir = fsio.join(self.state_dir, ver)
             paths = [
-                os.path.join(vdir, f"{self.partition_col}={v}") for v in pvals
+                fsio.join(vdir, f"{self.partition_col}={v}") for v in pvals
             ]
             parts.append(
                 self.spark.read.option("basePath", vdir).parquet(*paths)
@@ -224,9 +222,9 @@ class AdditiveRollupSink:
             for pval in hit:
                 by_ver.setdefault(old_parts[pval], []).append(pval)
             for ver, pvals in by_ver.items():
-                vdir = os.path.join(self.state_dir, ver)
+                vdir = fsio.join(self.state_dir, ver)
                 prev = self.spark.read.option("basePath", vdir).parquet(
-                    *[os.path.join(vdir, f"{self.partition_col}={v}") for v in pvals]
+                    *[fsio.join(vdir, f"{self.partition_col}={v}") for v in pvals]
                 ).withColumn(
                     self.partition_col, F.col(self.partition_col).cast("string")
                 )
@@ -256,7 +254,7 @@ class AdditiveRollupSink:
         ver_n = (old["version"] + 1) if old else 1
         new_ver = f"v{ver_n:07d}"
         merged.write.partitionBy(self.partition_col).mode("overwrite").parquet(
-            os.path.join(self.state_dir, new_ver)
+            fsio.join(self.state_dir, new_ver)
         )
         self._publish(old, new_ver, touched, batch_id, fence_print)
 
@@ -277,22 +275,19 @@ class AdditiveRollupSink:
             "last_batch_id": batch_id,
             "fence_print": fence_print,
         }
-        tmp = os.path.join(self.state_dir, _MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.state_dir, _MANIFEST))
+        fsio.write_json_atomic(
+            self.spark, fsio.join(self.state_dir, _MANIFEST), manifest
+        )
         # GC: version dirs neither the new nor the previous generation
         # references (1-generation retention for in-flight readers)
         live = set(parts.values()) | set((old or {}).get("parts", {}).values())
-        for name in os.listdir(self.state_dir):
+        for name in fsio.list_names(self.spark, self.state_dir):
             if (
                 name.startswith("v")
                 and name not in live
-                and os.path.isdir(os.path.join(self.state_dir, name))
+                and fsio.is_dir(self.spark, fsio.join(self.state_dir, name))
             ):
-                shutil.rmtree(
-                    os.path.join(self.state_dir, name), ignore_errors=True
-                )
+                fsio.delete(self.spark, fsio.join(self.state_dir, name))
 
     def foreach_batch(self, prepare):
         """Adapter for ``writeStream.foreachBatch``: ``prepare`` maps the

@@ -986,7 +986,13 @@ def test_retrain_online_requires_store_vectors(spark, tmp_path, parts):
         idx.retrain_online()
 
 
-def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
+@pytest.mark.parametrize(
+    "seed",
+    [int(s) for s in os.environ.get("ANN_LIFECYCLE_FUZZ_SEEDS", "17").split(",")],
+)
+def test_randomized_lifecycle_fuzz_holds_invariants(
+    spark, tmp_path, parts, seed
+):
     """Random interleavings of the full maintenance surface (apply,
     REPLAY of an already-committed trigger, compact, retrain, vacuum,
     drift probe).  The pairwise tests prove each transition; this proves
@@ -996,8 +1002,9 @@ def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
     sequence of folds is where watermark bugs would double rows) —
     search keeps answering, the manifest version only moves forward,
     and `_manifest/` stays inside the retention window no matter how
-    the ops interleave.  Seeded, so a failure replays
-    deterministically."""
+    the ops interleave.  Seeded, so a failure replays deterministically;
+    soak runs widen the sweep via ANN_LIFECYCLE_FUZZ_SEEDS (comma list)
+    and ANN_LIFECYCLE_FUZZ_STEPS without touching the default suite."""
     import random
 
     from creek_spark.operators.ann_maintenance import (
@@ -1005,7 +1012,7 @@ def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
         read_codes,
     )
 
-    rng = random.Random(17)
+    rng = random.Random(seed)
     p = str(tmp_path / "idx")
     emb = parts["emb"]
     slices = [emb.where(F.col("vec_id") % 8 == r) for r in range(8)]
@@ -1018,7 +1025,8 @@ def test_randomized_lifecycle_fuzz_holds_invariants(spark, tmp_path, parts):
         "apply", "apply", "apply", "replay", "compact", "retrain",
         "vacuum", "drift", "imposter", "reset", "retrain_online",
     ]
-    for step in range(16):
+    n_steps = int(os.environ.get("ANN_LIFECYCLE_FUZZ_STEPS", "16"))
+    for step in range(n_steps):
         op = rng.choice(ops)
         if op == "apply" and next_bid < 7:
             s = slices[next_bid + 1]

@@ -348,15 +348,21 @@ def test_stream_shard_writer_refuses_reset_checkpoint(
     assert back.where(F.col("batch") == 0).count() == b0.count()
 
     # crash window: data written, fence publish lost — the replay
-    # rewrites the same dir and re-publishes (no loss, no duplication)
+    # rewrites the same dir and re-publishes (no loss, no duplication).
+    # The rollback goes through fsio (the sink's own state layer): a
+    # plain open() write would leave the local ChecksumFileSystem's
+    # .crc sidecar stale, which the sink rightly refuses as corruption
+    # rather than silently treating as "no fence".
+    from creek_spark import fsio
+
+    fence_path = os.path.join(path, "_fence.json")
     write(b2, 2)
-    with open(os.path.join(path, "_fence.json")) as fh:
-        rec = json.load(fh)
-    with open(os.path.join(path, "_fence.json"), "w") as fh:
-        json.dump({"last_batch_id": 1, "fence_print": None}, fh)
+    rec = fsio.read_json_or_none(spark, fence_path)
+    fsio.write_json_atomic(
+        spark, fence_path, {"last_batch_id": 1, "fence_print": None}
+    )
     write(b2, 2)  # the replay after the simulated crash
-    with open(os.path.join(path, "_fence.json")) as fh:
-        assert json.load(fh) == rec
+    assert fsio.read_json_or_none(spark, fence_path) == rec
     back = spark.read.option("basePath", path).parquet(path)
     assert back.count() == docs.count()
     assert back.select("doc_id").distinct().count() == docs.count()

@@ -1,0 +1,113 @@
+"""creek_spark.fsio: sink state through the Hadoop FileSystem API.
+
+The point of the round-12 unification is that every sink's state
+(manifests, fences, version dirs) resolves through the SAME filesystem
+abstraction as its data — not the driver's POSIX filesystem.  The
+proof here drives sinks with a SCHEME-QUALIFIED ``file:`` URI state
+dir: plain ``open()``/``os.replace`` cannot interpret that path at
+all, so these tests pass only if every state read/write/list/delete
+goes through the Hadoop FS layer (the same code path an ``s3a://`` or
+``hdfs://`` URI takes on a cluster).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from creek_spark import fsio
+
+
+def test_join_is_scheme_safe():
+    # os.path.normpath would corrupt the authority (s3a://b -> s3a:/b)
+    assert fsio.join("s3a://bucket/x", "y") == "s3a://bucket/x/y"
+    assert fsio.join("s3a://bucket/x/", "y", "z") == "s3a://bucket/x/y/z"
+    # "." segments vanish (the legacy root-bucket layout's version)
+    assert fsio.join("/state", ".") == "/state"
+    assert fsio.join("/state", ".", "b=3") == "/state/b=3"
+    assert fsio.join("file:/state", "v1", "b=3") == "file:/state/v1/b=3"
+
+
+def test_primitives_roundtrip_on_scheme_path(spark, tmp_path):
+    root = f"file:{tmp_path}/fsio"
+    assert not fsio.exists(spark, root)
+    fsio.mkdirs(spark, root)
+    assert fsio.exists(spark, root) and fsio.is_dir(spark, root)
+    assert fsio.list_names(spark, root) == []
+    assert fsio.read_json_or_none(spark, fsio.join(root, "m.json")) is None
+
+    fsio.write_json_atomic(spark, fsio.join(root, "m.json"), {"v": 1})
+    fsio.write_json_atomic(spark, fsio.join(root, "m.json"), {"v": 2})
+    assert fsio.read_json_or_none(spark, fsio.join(root, "m.json")) == {
+        "v": 2
+    }
+    # the tmp file of the atomic write never lingers
+    names = set(fsio.list_names(spark, root))
+    assert "m.json" in names
+    assert not any(n.endswith(".tmp") for n in names)
+
+    # unparseable file reads as None (pre-manifest layout semantics)
+    fsio.write_file_atomic(spark, fsio.join(root, "bad.json"), b"{{nope")
+    assert fsio.read_json_or_none(spark, fsio.join(root, "bad.json")) is None
+
+    assert fsio.delete(spark, fsio.join(root, "m.json"))
+    assert not fsio.exists(spark, fsio.join(root, "m.json"))
+    assert not fsio.delete(spark, fsio.join(root, "m.json"))  # missing: no-op
+
+
+def _tier_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "day string, event_type string, n bigint"
+    )
+
+
+def test_rollup_sink_on_scheme_qualified_state_dir(spark, tmp_path):
+    from creek_spark.streaming.rollup import AdditiveRollupSink
+
+    sink = AdditiveRollupSink(
+        spark, f"file:{tmp_path}/rollup", ["day", "event_type"], ["n"], "day"
+    )
+    sink.apply_batch(
+        _tier_rows(spark, [("2024-01-01", "view", 3), ("2024-01-02", "buy", 1)]),
+        0,
+    )
+    sink.apply_batch(
+        _tier_rows(spark, [("2024-01-01", "view", 2), ("2024-01-01", "buy", 7)]),
+        1,
+    )
+    cols = ["day", "event_type", "n"]
+    got = sorted(map(tuple, sink.current().select(*cols).collect()))
+    assert got == [
+        ("2024-01-01", "buy", 7),
+        ("2024-01-01", "view", 5),
+        ("2024-01-02", "buy", 1),
+    ]
+    # replay: no-op; below-fence: refusal — the fence lives on the
+    # scheme-qualified filesystem too
+    sink.apply_batch(
+        _tier_rows(spark, [("2024-01-01", "view", 2), ("2024-01-01", "buy", 7)]),
+        1,
+    )
+    assert sorted(map(tuple, sink.current().select(*cols).collect())) == got
+    with pytest.raises(ValueError, match="reset or relocated checkpoint"):
+        sink.apply_batch(_tier_rows(spark, [("2024-01-03", "view", 1)]), 0)
+
+
+def test_shard_writer_on_scheme_qualified_path(spark, tmp_path):
+    from creek_spark.operators.pipeline import stream_shard_writer
+
+    path = f"file:{tmp_path}/shards"
+    write = stream_shard_writer(path, "doc_id", n_shards=16)
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("d"), "id").alias("text")
+    )
+    b0 = docs.where(F.col("doc_id") < 20)
+    b1 = docs.where(F.col("doc_id") >= 20)
+    write(b0, 0)
+    write(b1, 1)
+    back = spark.read.option("basePath", path).parquet(path)
+    assert back.count() == 40
+    write(b1, 1)  # replay: no-op
+    assert spark.read.option("basePath", path).parquet(path).count() == 40
+    with pytest.raises(ValueError, match="below stream_shard_writer"):
+        write(b0, 0)
