@@ -25,6 +25,17 @@ resumes the same subscriptions (the reference keeps this in the
 publication's pg_publication_rel).  At 100 TB the per-table-query layout
 is also the right scale shape: tables scale out independently, and a
 hot table's state sink does not contend with a cold one's.
+
+Filesystem note: unlike the DATA-plane sinks (whose manifests/fences go
+through creek_spark.fsio and ride whatever filesystem the data lives
+on), this module's control files (`tables.json`, the file-backed
+ControlChannel transcript, quarantine/offset files) are deliberately
+driver-local POSIX: the ControlChannel appends line-records, and append
+is exactly the operation object stores don't offer — it is a stand-in
+for the reference's LISTEN/NOTIFY channel, which production replaces
+with a message bus (the reference itself uses Postgres NOTIFY + NATS),
+not with files on S3.  `tables.json` mirrors whatever durable config
+store the deployment already has.
 """
 
 from __future__ import annotations

@@ -64,6 +64,8 @@ def _zoo() -> list[tuple[str, bytes]]:
             ),
         ),
         ("jpeg", jpeg_from_array(img)),
+        ("jpeg_prog", jpeg_from_array(img, progressive=True)),
+        ("jpeg_rst", jpeg_from_array(img, restart_interval=2)),
         ("gif", gif_bytes(24, 16)),
         ("bmp", bmp_bytes(24, 16)),
         ("webp_vp8", webp_bytes(24, 16, layout="vp8")),
