@@ -48,8 +48,12 @@ __all__ = [
 def join(*parts: str) -> str:
     """Scheme-safe path join: ``os.path.normpath`` corrupts URI
     authorities (``s3a://b`` → ``s3a:/b``), so join with "/" and drop
-    "." segments instead."""
+    "." segments instead.  All-empty/"." input degrades to "." like
+    ``normpath`` (a relative state_dir of "." joined with a legacy
+    version of ".")."""
     segs = [p for p in parts if p not in ("", ".")]
+    if not segs:
+        return "."
     head, tail = segs[0], [p.strip("/") for p in segs[1:] if p.strip("/")]
     return "/".join([head.rstrip("/")] + tail) if tail else head
 
@@ -92,15 +96,54 @@ def delete(spark, path: str, *, recursive: bool = True) -> bool:
     return bool(fs.delete(jpath, recursive))
 
 
-def read_file_or_none(spark, path: str) -> bytes | None:
-    fs, jpath, jvm = _fs(spark, path)
-    if not fs.exists(jpath):
-        return None
-    inp = fs.open(jpath)
+def _tmp_path(jvm, jpath):
+    return jvm.org.apache.hadoop.fs.Path(
+        jpath.getParent(), "." + jpath.getName() + ".tmp"
+    )
+
+
+def _is_missing(exc) -> bool:
+    """True when a py4j error wraps a missing-file condition."""
+    try:
+        from py4j.protocol import Py4JJavaError
+    except ImportError:  # pragma: no cover
+        return False
+    return isinstance(exc, Py4JJavaError) and (
+        "FileNotFoundException" in str(exc.java_exception)
+    )
+
+
+def _read_bytes(fs, jvm, jpath) -> bytes | None:
+    """Open directly and map missing-file to None — no exists()
+    pre-check, so a file deleted between calls (another writer's swap,
+    manifest pruning) reads as missing instead of raising."""
+    try:
+        inp = fs.open(jpath)
+    except Exception as exc:
+        if _is_missing(exc):
+            return None
+        raise
     try:
         return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(inp))
     finally:
         inp.close()
+
+
+def read_file_or_none(spark, path: str) -> bytes | None:
+    """Read ``path``; when it is missing, fall back to the atomic
+    write's completed tmp file.  The fallback closes the
+    delete→rename window of :func:`write_file_atomic` on filesystems
+    whose rename cannot overwrite: the tmp file is only ever deleted
+    by a successful rename AFTER its content is fully written, so "dst
+    missing but tmp present" means a swap is in flight (or died
+    mid-swap) and the tmp holds the COMMITTED next state — the data
+    writes it describes always precede the manifest swap in every
+    sink's protocol."""
+    fs, jpath, jvm = _fs(spark, path)
+    data = _read_bytes(fs, jvm, jpath)
+    if data is not None:
+        return data
+    return _read_bytes(fs, jvm, _tmp_path(jvm, jpath))
 
 
 def read_json_or_none(spark, path: str):
@@ -119,18 +162,24 @@ def read_json_or_none(spark, path: str):
 
 
 def write_file_atomic(spark, path: str, data: bytes) -> None:
-    """Write tmp, then rename — a reader sees the whole file or nothing
-    (see the module docstring for the object-store caveat)."""
+    """Write tmp, then swap into place.  Rename is tried FIRST (HDFS
+    and local rename refuse an existing destination, returning False —
+    they do not clobber); only then is the old file deleted and the
+    rename retried.  A crash between that delete and the retry loses
+    nothing: the completed tmp file holds the new state and
+    :func:`read_file_or_none` falls back to it, so readers never
+    observe "no committed state" for a store that has one — the
+    property the old in-place ``os.replace`` gave these sinks."""
     fs, jpath, jvm = _fs(spark, path)
     parent = jpath.getParent()
     if parent is not None:
         fs.mkdirs(parent)
-    tmp = jvm.org.apache.hadoop.fs.Path(
-        parent, "." + jpath.getName() + ".tmp"
-    )
+    tmp = _tmp_path(jvm, jpath)
     out = fs.create(tmp, True)
     out.write(bytearray(data))
     out.close()
+    if fs.rename(tmp, jpath):
+        return
     fs.delete(jpath, False)
     if not fs.rename(tmp, jpath):
         raise IOError(f"atomic write rename failed: {path}")

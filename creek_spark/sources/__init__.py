@@ -11,13 +11,13 @@ snapshot ∪ changes with lsn > header.lsn (the §3.3 join point).
 from __future__ import annotations
 
 import datetime
-import json
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from creek_spark import fsio
 from creek_spark.functions.lsn import lsn_num
 from creek_spark.types.fingerprint import fingerprint_schema
 
@@ -192,15 +192,23 @@ def read_jdbc_table(
 # ---------------------------------------------------------------- snapshots
 
 
-def _parquet_row_count(path: str) -> int:
-    """Sum of footer num_rows across a parquet directory (pure metadata)."""
-    import pyarrow.parquet as pq
+def _parquet_row_count(spark: SparkSession, path: str) -> int:
+    """Sum of footer num_rows across a parquet directory (pure
+    metadata).  Local directories go through pyarrow footers directly;
+    scheme-qualified paths (object store / HDFS) fall back to a Spark
+    count — parquet scans with no projected columns read footers and
+    row-group metadata, not row data."""
+    if os.path.isdir(path):
+        import pyarrow.parquet as pq
 
-    total = 0
-    for name in os.listdir(path):
-        if name.endswith(".parquet"):
-            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
-    return total
+        total = 0
+        for name in os.listdir(path):
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(path, name)
+                ).metadata.num_rows
+        return total
+    return spark.read.parquet(path).count()
 
 
 def write_snapshot(
@@ -218,7 +226,7 @@ def write_snapshot(
     at = at or datetime.datetime.now(datetime.timezone.utc)
     snap_id = uuid.uuid4().hex[:8]
     ts = at.strftime("%Y%m%d%H%M%S")
-    path = os.path.join(base_dir, table, f"{ts}_{snap_id}")
+    path = fsio.join(base_dir, table, f"{ts}_{snap_id}")
     df.write.mode("overwrite").parquet(path)
     header = {
         "topic": f"{table}.{ts}_{snap_id}",
@@ -230,32 +238,39 @@ def write_snapshot(
         # exact row count from the just-written parquet footers — metadata
         # only, no second computation of the input plan (the reference uses
         # pg_class.reltuples, also a metadata estimate, snapshots.go:70-76)
-        "approx_rows": _parquet_row_count(path),
+        "approx_rows": _parquet_row_count(df.sparkSession, path),
     }
-    with open(os.path.join(path, "_header.json"), "w") as f:
-        json.dump(header, f)
+    fsio.write_json_atomic(
+        df.sparkSession, fsio.join(path, "_header.json"), header
+    )
     return path
 
 
 def read_snapshot(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
-    with open(os.path.join(path, "_header.json")) as f:
-        header = json.load(f)
+    header = fsio.read_json_or_none(spark, fsio.join(path, "_header.json"))
+    if header is None:
+        raise FileNotFoundError(f"no snapshot header at {path}/_header.json")
     return spark.read.parquet(path), header
 
 
-def list_snapshots(base_dir: str, table: str) -> list[dict]:
+def list_snapshots(
+    base_dir: str, table: str, spark: SparkSession | None = None
+) -> list[dict]:
     """List snapshots ascending by timestamp — the client's ListSnapshots
-    (client.go:537-579: parse `ts_id` suffix, ascending sort)."""
-    tdir = os.path.join(base_dir, table)
-    if not os.path.isdir(tdir):
-        return []
+    (client.go:537-579: parse `ts_id` suffix, ascending sort).  Headers
+    resolve through the Hadoop FS (creek_spark.fsio) like the rest of
+    the snapshot metadata; ``spark`` defaults to the active session."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("list_snapshots needs a SparkSession")
+    tdir = fsio.join(base_dir, table)
     out = []
-    for name in sorted(os.listdir(tdir)):
-        hpath = os.path.join(tdir, name, "_header.json")
-        if os.path.exists(hpath):
-            with open(hpath) as f:
-                h = json.load(f)
-            h["path"] = os.path.join(tdir, name)
+    for name in sorted(fsio.list_names(spark, tdir)):
+        h = fsio.read_json_or_none(
+            spark, fsio.join(tdir, name, "_header.json")
+        )
+        if h is not None:
+            h["path"] = fsio.join(tdir, name)
             out.append(h)
     return out
 

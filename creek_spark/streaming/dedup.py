@@ -141,12 +141,19 @@ class StreamingDedup:
         m = self._read_manifest()
         if m is None:
             raise ValueError("no committed state yet — apply a batch first")
+        # ONE listing of pairs/, filtered to committed ids — not one
+        # existence probe per historical batch id (an O(last_batch_id)
+        # RPC loop against an object store after enough triggers)
+        committed = set(range(m["last_batch_id"] + 1))
         paths = [
-            fsio.join(self.state_dir, f"pairs/batch={i}")
-            for i in range(m["last_batch_id"] + 1)
-            if fsio.is_dir(
-                self.spark, fsio.join(self.state_dir, f"pairs/batch={i}")
+            fsio.join(self.state_dir, "pairs", name)
+            for name in sorted(
+                fsio.list_names(
+                    self.spark, fsio.join(self.state_dir, "pairs")
+                )
             )
+            if name.startswith("batch=")
+            and int(name.split("=", 1)[1]) in committed
         ]
         return self.spark.read.parquet(*paths).distinct()
 
