@@ -13,25 +13,27 @@ file count; the rewrite itself is one pass with no shuffle when shrinking
 directory-rename based and briefly non-atomic — callers pause readers or
 layer this under a table format that owns the manifest (which is what
 makes Delta's OPTIMIZE atomic; vanilla parquet has no manifest to swap).
+All filesystem traffic goes through creek_spark.fsio (Hadoop FS), so the
+op runs against whatever filesystem holds the data — local, HDFS or
+object store (where the dir renames are copies: schedule accordingly).
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import SparkSession
 
+from creek_spark import fsio
 
-def dir_stats(path: str) -> tuple[int, int]:
-    """(n_files, total_bytes) for a parquet directory — footer/fs metadata
+
+def dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) for a parquet directory — fs metadata
     only."""
-    n = b = 0
-    for name in os.listdir(path):
-        if name.endswith(".parquet"):
-            n += 1
-            b += os.path.getsize(os.path.join(path, name))
-    return n, b
+    files = [
+        (n, sz)
+        for n, sz in fsio.list_files(spark, path)
+        if n.endswith(".parquet")
+    ]
+    return len(files), sum(sz for _, sz in files)
 
 
 def compact_parquet_dir(
@@ -48,7 +50,7 @@ def compact_parquet_dir(
     target count — compaction must be idempotent and cheap to schedule.
     Row contents are preserved exactly; file-internal order may change
     (parquet directories carry no order contract)."""
-    before, total = dir_stats(path)
+    before, total = dir_stats(spark, path)
     target = max(1, -(-total // (target_mb * 1024 * 1024)))
     if before < min_files_to_compact or before <= target:
         return {
@@ -59,15 +61,17 @@ def compact_parquet_dir(
         }
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fsio.delete(spark, tmp)
     out = df.coalesce(target) if target < before else df.repartition(target)
     out.write.mode("overwrite").parquet(tmp)
     old = path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
-    after, _ = dir_stats(path)
+    fsio.delete(spark, old)
+    if not fsio.rename(spark, path, old):
+        raise IOError(f"compaction: rename of {path} aside failed")
+    if not fsio.rename(spark, tmp, path):
+        raise IOError(f"compaction: swap of {tmp} into place failed")
+    fsio.delete(spark, old)
+    after, _ = dir_stats(spark, path)
     return {
         "before_files": before,
         "after_files": after,

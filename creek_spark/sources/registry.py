@@ -6,6 +6,14 @@ both sides keep a 256-entry LRU of parsed schemas (client.go:76,
 internal/dao/schemas.go:16).  Here the store is a JSON-lines directory
 (cheap, append-only, parquet-convertible) and the cache an OrderedDict LRU.
 On a cluster the loaded registry dict is broadcast to executors.
+
+Filesystem note: like streaming/tables.py's control files (and unlike
+the data-plane sinks, which route state through creek_spark.fsio),
+this store is deliberately driver-local POSIX — it appends one JSONL
+line per new schema, and append is the operation object stores don't
+offer.  It stands in for the reference's `_creek.avro_schemas` Postgres
+table; a production deployment points this class at a shared/NFS path
+or swaps in its durable registry service, both behind the same API.
 """
 
 from __future__ import annotations

@@ -15,7 +15,7 @@ def test_compacts_many_small_files(spark, tmp_path):
     )
     path = str(tmp_path / "small")
     li.repartition(24).write.parquet(path)  # deliberately fragmented
-    n0, _ = dir_stats(path)
+    n0, _ = dir_stats(spark, path)
     assert n0 == 24
     before = {tuple(r) for r in spark.read.parquet(path).collect()}
 
