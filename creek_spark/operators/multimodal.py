@@ -77,6 +77,12 @@ def attach_binary_metadata(df: DataFrame, content_col: str = "content") -> DataF
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # JPEG SOF markers carry frame dims; C4/C8/CC are DHT/JPG/DAC, not SOFs
 _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+# ISO-BMFF brands that are IMAGES (AVIF/HEIF families): parse_image_header
+# owns them; parse_av_header refuses them so one format = one bucket
+_BMFF_IMAGE_BRANDS = frozenset(
+    (b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1")
+)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
 
 
@@ -346,7 +352,7 @@ def _decode_stub(kind: str, payload: bytes, *, fake: bool) -> list[float]:
             if hdr is None:
                 raise ValueError(
                     "payload is not a recognized image "
-                    "(png/jpeg/gif/bmp/webp/tiff)"
+                    "(png/jpeg/gif/bmp/webp/tiff/avif/heic)"
                 )
             return [
                 float(hdr["width"]),
@@ -574,7 +580,7 @@ def decode_image_headers(media: DataFrame, *, strict: bool = False) -> DataFrame
                 if hdr is None and strict and c is not None:
                     raise ValueError(
                         "payload is not a recognized image "
-                        "(png/jpeg/gif/bmp/webp/tiff)"
+                        "(png/jpeg/gif/bmp/webp/tiff/avif/heic)"
                     )
                 headers.append(hdr or {})
             yield pd.DataFrame(
@@ -732,6 +738,15 @@ def _media_report_cells(pdf):
             fmt = "webp"
         elif b and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
             fmt = "avi"
+        elif (
+            b and len(b) >= 12 and b[4:8] == b"ftyp"
+            and b[8:12] in _BMFF_IMAGE_BRANDS
+        ):
+            # ISO-BMFF image FAMILY whose meta is too corrupt for a
+            # geometry parse: keep it in its image bucket as
+            # arrived-but-undecoded (parse_av_header refuses image
+            # brands for the same one-format-one-bucket reason)
+            fmt = "avif" if b[8:12] in (b"avif", b"avis") else "heic"
         else:
             fmt = "other"
         key = (fmt, str(day))
@@ -1121,8 +1136,13 @@ def parse_av_header(payload: bytes | None) -> dict | None:
         if data_size is not None and rate and block_align:
             out["duration_ms"] = data_size * 1000 // (rate * block_align)
         return out
-    # ---- MP4 (ISO base media): top-level box walk
+    # ---- MP4 (ISO base media): top-level box walk.  IMAGE brands
+    # (AVIF/HEIF) belong to parse_image_header — refusing them here
+    # keeps one format in one media_report bucket even when the image
+    # payload is too corrupt for a geometry parse.
     if len(b) >= 12 and b[4:8] == b"ftyp":
+        if b[8:12] in _BMFF_IMAGE_BRANDS:
+            return None
         brand = b[8:12].decode("ascii", "replace").strip()
         pos = 0
         while pos + 8 <= len(b):
@@ -1185,6 +1205,8 @@ def parse_av_header(payload: bytes | None) -> dict | None:
             | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
         )
         pos = 10 + sz
+        if b[5] & 0x10:  # ID3v2.4 footer flag: 10 more trailing bytes
+            pos += 10
     if pos + 4 <= len(b) and b[pos] == 0xFF and (b[pos + 1] & 0xE0) == 0xE0:
         ver = (b[pos + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2
         layer = (b[pos + 1] >> 1) & 0x3  # 1=Layer III
@@ -1199,6 +1221,22 @@ def parse_av_header(payload: bytes | None) -> dict | None:
                 kbps = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
                         96, 112, 128, 144, 160)[br_idx]
                 rate = (22050, 24000, 16000)[sr_idx]
+            # anti-false-positive gate: a 4-byte sniff alone matches
+            # ~1/700 random byte pairs (0xFF 0xE2-0xFF occurs inside
+            # JPEG entropy streams).  Require (a) the payload to hold
+            # the full first frame the header promises, and (b) when
+            # more frames fit, a valid sync at the second frame
+            # boundary — real CBR streams have both, noise doesn't.
+            padding = (b[pos + 2] >> 1) & 1
+            # 1152-sample frames in MPEG-1, 576 in MPEG-2 Layer III
+            flen = (144 if ver == 3 else 72) * kbps * 1000 // rate + padding
+            if len(b) - pos < flen:
+                return None
+            nxt = pos + flen
+            if nxt + 2 <= len(b) and not (
+                b[nxt] == 0xFF and (b[nxt + 1] & 0xE0) == 0xE0
+            ):
+                return None
             mono = (b[pos + 3] >> 6) == 3
             return {
                 "format": "mp3",
@@ -1222,7 +1260,8 @@ def decode_av_headers(media: DataFrame, *, strict: bool = False) -> DataFrame:
                 hdr = parse_av_header(c)
                 if hdr is None and strict and c is not None:
                     raise ValueError(
-                        "payload is not a recognized container (wav/mp4)"
+                        "payload is not a recognized container "
+                        "(wav/mp4/flac/mp3)"
                     )
                 headers.append(hdr or {})
             yield pd.DataFrame(
@@ -1372,7 +1411,20 @@ def mp3_bytes(
         (0xC0 if channels == 1 else 0x00),
     ])
     n = kbps * duration_ms // 8
-    body = hdr + bytes(max(0, n - 4))
+    # a real CBR stream is headers every 144·bitrate/rate bytes — emit
+    # them (the parser's anti-false-positive gate probes frame 2)
+    flen = 144 * kbps * 1000 // rate
+    if n < flen:
+        raise ValueError(
+            f"duration_ms={duration_ms} is shorter than one MPEG-1 "
+            f"Layer III frame (1152 samples = {1152 * 1000 // rate + 1} ms "
+            "at this rate): no real CBR stream is that short, and the "
+            "parser refuses payloads without a complete first frame"
+        )
+    body = bytearray(n)
+    for off in range(0, max(1, n - 3), max(1, flen)):
+        body[off : off + 4] = hdr
+    body = bytes(body[:n])
     if id3:
         tag = b"tag-body"
         body = (

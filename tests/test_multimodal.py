@@ -406,9 +406,17 @@ def test_av_header_flac_and_mp3():
         mp3_bytes(duration_ms=700, kbps=64, rate=32000, channels=1, id3=True)
     )
     assert h["n_channels"] == 1 and h["duration_ms"] == 700
-    # MPEG-2 Layer III (halved-rate table)
-    mpeg2 = bytes([0xFF, 0xE0 | (2 << 3) | (1 << 1), (12 << 4) | (0 << 2), 0])
-    mpeg2 += bytes(128 * 1000 // 8 - 4)
+    # MPEG-2 Layer III (halved-rate table; 576-sample frames, so the
+    # CBR frame stride is 72·bitrate/rate — stamp the header at every
+    # boundary like a real stream, which the anti-false-positive gate's
+    # second-frame probe requires)
+    hdr2 = bytes([0xFF, 0xE0 | (2 << 3) | (1 << 1), (12 << 4) | (0 << 2), 0])
+    n2 = 128 * 1000 // 8
+    flen2 = 72 * 128 * 1000 // 22050
+    buf2 = bytearray(n2)
+    for off in range(0, n2 - 3, flen2):
+        buf2[off : off + 4] = hdr2
+    mpeg2 = bytes(buf2)
     h = parse_av_header(mpeg2)
     assert h["sample_rate"] == 22050 and h["duration_ms"] == 1000
     # near-misses: layer I, free bitrate, bad bitrate, reserved rate idx
@@ -419,6 +427,79 @@ def test_av_header_flac_and_mp3():
         (0xE0 | (3 << 3) | (1 << 1), (9 << 4) | (3 << 2)),  # rate idx 3
     ):
         assert parse_av_header(bytes([0xFF, b1, b2, 0]) + bytes(64)) is None
+
+
+def test_av_header_refuses_mp3_false_positives_and_image_brands():
+    """Review findings: (a) a bare 4-byte sync sniff matched noise that
+    happens to start 0xFF 0xE2-0xFF (JPEG entropy bytes) — the parser
+    now demands a complete first frame and, when more frames fit, a
+    valid second-frame sync; (b) ISO-BMFF IMAGE brands belong to
+    parse_image_header — a corrupt AVIF must not become a 'mp4/avif'
+    VIDEO row while intact AVIFs sit in the 'avif' image bucket."""
+    import struct
+
+    from creek_spark.operators.multimodal import parse_av_header
+
+    # valid-looking header nibbles but no full frame behind them
+    sniff = bytes([0xFF, 0xFB, (9 << 4), 0])
+    assert parse_av_header(sniff + bytes(60)) is None
+    # full frame length but garbage where frame 2's sync must be
+    flen = 144 * 128 * 1000 // 44100
+    assert parse_av_header(sniff + bytes(flen * 3)) is None
+
+    # image brands: refused here (parse_image_header owns them),
+    # including payloads whose meta is too corrupt to geometry-parse
+    for brand in (b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1"):
+        corrupt = struct.pack(">I", 16) + b"ftyp" + brand + bytes(4)
+        assert parse_av_header(corrupt) is None
+    # video brands still parse
+    from creek_spark.operators.multimodal import mp4_bytes
+
+    assert parse_av_header(mp4_bytes())["format"] == "mp4/isom"
+
+
+def test_av_header_id3v24_footer():
+    """ID3v2.4 footer flag (byte 5, 0x10) adds 10 trailing bytes to the
+    tag; the frame-sync search must skip them."""
+    from creek_spark.operators.multimodal import mp3_bytes, parse_av_header
+
+    plain = mp3_bytes(duration_ms=200, kbps=128, rate=44100)
+    tag_body = b"x" * 30
+    tag = (
+        b"ID3\x04\x00\x10"  # v2.4, footer flag
+        + bytes([0, 0, (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F])
+        + tag_body
+        + b"3DI\x04\x00\x10" + bytes(4)  # the 10-byte footer
+    )
+    h = parse_av_header(tag + plain)
+    assert h is not None and h["format"] == "mp3"
+    assert h["duration_ms"] == 200
+
+
+def test_media_report_corrupt_bmff_image_stays_in_image_bucket(spark):
+    """A truncated AVIF/HEIC (ftyp parses, meta doesn't) lands in its
+    IMAGE family bucket as arrived-but-undecoded — the same
+    one-format-one-bucket rule the RIFF family follows — instead of
+    splitting the format's corruption gap across an 'mp4/...' row."""
+    import struct
+
+    from creek_spark.operators.multimodal import avif_bytes, media_report
+
+    corrupt_avif = struct.pack(">I", 16) + b"ftypavif" + bytes(4)
+    corrupt_heic = struct.pack(">I", 16) + b"ftypmif1" + bytes(4)
+    media = spark.createDataFrame(
+        [
+            (1, "d0", bytearray(avif_bytes(20, 10))),
+            (2, "d0", bytearray(corrupt_avif)),
+            (3, "d0", bytearray(corrupt_heic)),
+        ],
+        "media_id bigint, day string, content binary",
+    )
+    rows = {r["fmt"]: r for r in media_report(media).collect()}
+    assert set(rows) == {"avif", "heic"}
+    assert rows["avif"]["n_media"] == 2  # intact + corrupt, ONE bucket
+    assert rows["avif"]["n_decoded"] == 0  # entropy decode out of profile
+    assert rows["heic"]["n_media"] == 1
 
 
 def test_av_header_strict_raises_on_garbage(spark):

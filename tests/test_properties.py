@@ -247,7 +247,9 @@ def test_flac_header_roundtrip(rate, channels, bits, total):
 
 
 @given(
-    ms=st.integers(min_value=1, max_value=10_000),
+    # one MPEG-1 L3 frame is 1152 samples = 24-36 ms at these rates;
+    # shorter CBR streams don't exist and builder+parser both refuse
+    ms=st.integers(min_value=48, max_value=10_000),
     kbps=st.sampled_from([32, 64, 96, 128, 192, 320]),
     rate=st.sampled_from([44100, 48000, 32000]),
     channels=st.integers(min_value=1, max_value=2),
