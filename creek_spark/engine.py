@@ -496,19 +496,28 @@ class Engine:
 
         return StreamingAnnIndex(self.spark, path, **kw)
 
-    def ann_index_retrain_online(self, path: str, corpus=None, **kw) -> int:
+    def ann_index_retrain_online(
+        self, path: str, corpus=None, *, index_kw: dict | None = None, **kw
+    ) -> int:
         """Retrain a streaming index's quantizers WITHOUT pausing
         ingest: the double-encode window — new epoch builds and catches
         up while triggers keep committing under the old one, then one
         fenced atomic manifest flip cuts over
         (streaming/ann.py `StreamingAnnIndex.retrain_online`).  Returns
         the number of catch-up rounds.  Requires a store_vectors
-        index."""
+        index.
+
+        ``index_kw`` carries the index's CONSTRUCTOR configuration
+        (dim, m, id_col, vec_col, on_zero_norm) and must match how the
+        index was built — the defaults fit `streaming_ann_index(path)`
+        with no overrides, but an index created at e.g. dim=128/m=16
+        re-encoded under the defaults would silently slice vectors to
+        64 dims (review finding).  Remaining ``**kw`` goes to
+        `retrain_online` (max_rounds, vacuum, training build_kw)."""
         from creek_spark.streaming.ann import StreamingAnnIndex
 
-        return StreamingAnnIndex(self.spark, path).retrain_online(
-            corpus, **kw
-        )
+        idx = StreamingAnnIndex(self.spark, path, **(index_kw or {}))
+        return idx.retrain_online(corpus, **kw)
 
     def ann_index_compact(self, path: str, *, vacuum: bool = False) -> int:
         """Fold a streaming index's committed batch directories into one

@@ -72,6 +72,27 @@ MANIFEST_RETAIN = 10
 # cannot cross the stride in practice.
 ONLINE_GEN_STRIDE = 10**12
 
+# Root-level marker an ONLINE retrain holds while its staging
+# generations exist but are not yet live.  The epoch-vs-version
+# pending rule alone expires the moment one concurrent trigger commits
+# (version catches up to epoch while the retrain is still catching up
+# — precisely the regime retrain_online exists for), so vacuum treats
+# any directory of the marker's epoch as pending regardless of the
+# version.  A crashed retrain leaves the marker: its dirs stay pending
+# (WARNING-logged) until the owner reclaims with reclaim_pending=True,
+# which also clears the marker; a NEW retrain at a later epoch
+# overwrites it, releasing the crashed epoch's dirs to the normal
+# dead-directory rule.
+RETRAIN_MARKER = "_retrain_pending.json"
+
+
+def pending_retrain_epoch(spark, path: str) -> int | None:
+    from creek_spark import fsio
+
+    m = fsio.read_json_or_none(spark, f"{path}/{RETRAIN_MARKER}")
+    return m.get("epoch") if isinstance(m, dict) else None
+
+
 
 def gen_epoch(magnitude: int) -> int:
     """The quantizer epoch a negative generation id belongs to:
@@ -434,6 +455,7 @@ def ivfpq_index_vacuum(
     live = set(man["live"])
     max_bid = man.get("max_bid", 0)
     version = man["version"]
+    marker_epoch = pending_retrain_epoch(spark, path)
     fs, _, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     deleted = []
@@ -444,7 +466,9 @@ def ivfpq_index_vacuum(
         bid = int(name.split("=", 1)[1])
         if bid in live:
             continue
-        pending = bid > max_bid if bid >= 0 else gen_epoch(-bid) > version
+        pending = bid > max_bid if bid >= 0 else (
+            gen_epoch(-bid) > version or gen_epoch(-bid) == marker_epoch
+        )
         if pending and not reclaim_pending:
             skipped.append(f"codes/{name}")
             continue
@@ -463,7 +487,8 @@ def ivfpq_index_vacuum(
         if name == live_epoch:
             continue
         try:
-            pending = int(name.lstrip("v")) > version
+            qepoch = int(name.lstrip("v"))
+            pending = qepoch > version or qepoch == marker_epoch
         except ValueError:
             pending = True  # unrecognized layout: never reclaim blindly
         if pending and not reclaim_pending:
@@ -473,6 +498,11 @@ def ivfpq_index_vacuum(
     if live_epoch is not None:
         for stale in ("centroids", "codebook"):
             fs.delete(P(f"{path}/{stale}"), True)
+    if reclaim_pending and marker_epoch is not None:
+        # the owner vouched no retrain is in flight — clear its marker
+        from creek_spark import fsio
+
+        fsio.delete(spark, f"{path}/{RETRAIN_MARKER}")
     _prune_manifests(spark, path, keep_from=man["version"] - MANIFEST_RETAIN + 1)
     if skipped:
         # deliberately left behind, not forgotten: an abandoned stream's

@@ -116,8 +116,14 @@ def parse_image_header(payload: bytes | None) -> dict | None:
     if b.startswith(_PNG_SIG) and b[12:16] == b"IHDR" and len(b) >= 26:
         w, h = struct.unpack(">II", b[16:24])
         depth, color_type = b[24], b[25]
-        decoded = _PNG_CHANNELS.get(color_type)
-        if color_type == 3:
+        # spec-legal depths per color type (PNG 1.2 §11.2.2); the
+        # decoder covers every LEGAL variant, so an illegal combination
+        # is precisely the set it raises on → decoded must be NULL
+        legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                 4: (8, 16), 6: (8, 16)}
+        ok = depth in legal.get(color_type, ())
+        decoded = _PNG_CHANNELS.get(color_type) if ok else None
+        if color_type == 3 and ok:
             # palette resolves to RGB; a tRNS chunk adds alpha — scan
             # chunk headers (length+tag only) up to the first IDAT
             decoded = 3
@@ -161,14 +167,23 @@ def parse_image_header(payload: bytes | None) -> dict | None:
                 depth = b[i + 2]
                 h, w = struct.unpack(">HH", b[i + 3 : i + 7])
                 nc = b[i + 7]
+                # decode profile = baseline/extended/progressive
+                # Huffman (SOF0/1/2) at 8-bit precision with 1 or 3
+                # components; lossless/differential/arithmetic/12-bit
+                # raise NotImplementedError in decode_jpeg_pixels, so
+                # the header must report them undecodable too
+                in_profile = (
+                    marker in (0xC0, 0xC1, 0xC2)
+                    and depth == 8
+                    and nc in (1, 3)
+                )
                 return {
                     "format": "jpeg",
                     "width": w,
                     "height": h,
                     "bit_depth": depth,
                     "n_channels": nc,
-                    # gray/YCbCr decode as-is; CMYK is out of profile
-                    "n_channels_decoded": nc if nc in (1, 3) else None,
+                    "n_channels_decoded": nc if in_profile else None,
                 }
             if marker == 0xDA:  # start of scan: no SOF seen, give up
                 return None
@@ -190,15 +205,21 @@ def parse_image_header(payload: bytes | None) -> dict | None:
         if dib >= 40:
             w, h = struct.unpack("<ii", b[18:26])
             (bpp,) = struct.unpack("<H", b[28:30])
+            compression = (
+                struct.unpack("<I", b[30:34])[0] if len(b) >= 34 else None
+            )
             return {
                 "format": "bmp",
                 "width": abs(w),
                 "height": abs(h),
                 "bit_depth": bpp,
                 "n_channels": max(1, bpp // 8),
-                # 8-bit palette + 24-bit BGR both decode to RGB; other
-                # depths are outside decode_bmp_pixels' profile
-                "n_channels_decoded": 3 if bpp in (8, 24) else None,
+                # 8-bit palette + 24-bit BGR both decode to RGB — but
+                # only UNCOMPRESSED (BI_RGB): RLE/bitfield variants
+                # raise in decode_bmp_pixels
+                "n_channels_decoded": (
+                    3 if bpp in (8, 24) and compression == 0 else None
+                ),
             }
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 25:
         # RIFF(4) size(4) WEBP(4), first chunk fourcc at 12, payload at
@@ -916,8 +937,20 @@ def frame_sample_plan(
     """Expand each video row into frame-sample tasks (media_id, frame_ts) —
     pure JVM sequence/explode, demonstrating how per-frame work items are
     generated without touching payload bytes."""
-    dur = F.coalesce(
-        F.element_at(F.col("meta"), duration_meta_key).cast("int"), F.lit(0)
+    # metadata is untrusted: under ANSI, element_at throws on a missing
+    # key and cast throws on a non-numeric string, and a single
+    # negative duration makes sequence(0, dur, step) throw JVM-side —
+    # each failing the WHOLE job before any per-row strict=False
+    # protection runs.  try_element_at/try_cast null out, coalesce
+    # defaults, greatest clamps.
+    dur = F.greatest(
+        F.coalesce(
+            F.try_element_at(
+                F.col("meta"), F.lit(duration_meta_key)
+            ).try_cast("int"),
+            F.lit(0),
+        ),
+        F.lit(0),
     )
     ts = F.sequence(F.lit(0), dur, F.lit(every_n_seconds))
     return media.where(F.col("kind") == "video").select(
@@ -995,8 +1028,20 @@ def frame_decode_stats(
     belongs to the LLM-data-pipeline surface (multimodal columns) the
     build brief adds; the stub-decode path for features is
     `extract_features`, this is its per-frame pixel-level counterpart."""
-    dur = F.coalesce(
-        F.element_at(F.col("meta"), duration_meta_key).cast("int"), F.lit(0)
+    # metadata is untrusted: under ANSI, element_at throws on a missing
+    # key and cast throws on a non-numeric string, and a single
+    # negative duration makes sequence(0, dur, step) throw JVM-side —
+    # each failing the WHOLE job before any per-row strict=False
+    # protection runs.  try_element_at/try_cast null out, coalesce
+    # defaults, greatest clamps.
+    dur = F.greatest(
+        F.coalesce(
+            F.try_element_at(
+                F.col("meta"), F.lit(duration_meta_key)
+            ).try_cast("int"),
+            F.lit(0),
+        ),
+        F.lit(0),
     )
     ts_col = F.sequence(F.lit(0), dur, F.lit(every_n_seconds))
     tasks = media.where(F.col("kind") == "video").select(
@@ -1969,11 +2014,13 @@ def image_pixel_digest(
     one digest row out per image; the dedup itself stays a JVM hash
     aggregate on the digest.
 
-    The digest covers the flattened value sequence only — shape is NOT
-    mixed in (the canonical string is DuckDB-expressible, which is what
-    lets the catalog query carry an exact oracle), so dedup groups on
-    ``(digest, width, height)`` as `multimodal_pixel_dedup_oriented`
-    does.  Construction is a 256-entry decimal lookup joined C-side
+    The canonical preimage is ``"<height>:<width>:" + the y,x,c
+    decimal values comma-joined`` — shape is mixed in (review finding:
+    without it, differently-shaped images holding the same row-major
+    values digested identically, so a consumer grouping on the digest
+    alone silently merged distinct images), and the string stays
+    DuckDB-expressible so the catalog query carries an exact oracle.
+    Construction is a 256-entry decimal lookup joined C-side
     (decoded pixels are always uint8 — 16-bit PNG downscales on
     decode), ~4x the naive per-pixel format at megapixel sizes with
     bit-identical output."""
@@ -1993,7 +2040,10 @@ def image_pixel_digest(
                         a = auto_orient(
                             a, exif_orientation(bytes(content))
                         )
-                    s = b",".join(lut[a.reshape(-1)].tolist())
+                    s = (
+                        b"%d:%d:" % (a.shape[0], a.shape[1])
+                        + b",".join(lut[a.reshape(-1)].tolist())
+                    )
                     rows.append((
                         mid,
                         hashlib.md5(s).hexdigest(),

@@ -550,7 +550,8 @@ px AS (
   CROSS JOIN unnest(generate_series(0, h - 1)) AS ty(y)),
 ds AS (
   SELECT doc_id, w, h,
-         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x)) AS digest
+         md5(CAST(h AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':'
+             || string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x)) AS digest
   FROM px GROUP BY doc_id, w, h)
 SELECT digest,
        CAST(COUNT(*) AS BIGINT) AS n_copies,
@@ -594,7 +595,11 @@ def multimodal_pixel_dedup_oriented(spark, sf_dir):
             bx = np.arange(w, dtype=np.int64)[None, :] // 8
             by = np.arange(h, dtype=np.int64)[:, None] // 8
             disp = (2 * ((seed + 7 * bx + 13 * by) % 125)).astype(np.uint8)
-            o = (1, 3, 6, 8)[i % 4]
+            # (i // 8) % 4, NOT i % 4: grp = i % 8 fixes i % 4, so the
+            # per-i arm would give every doc in a group the SAME
+            # orientation and never test cross-orientation collapse
+            # (review finding) — i // 8 cycles the arm within groups
+            o = (1, 3, 6, 8)[(i // 8) % 4]
             if o == 3:
                 stored = disp[::-1, ::-1]
             elif o == 6:  # auto_orient applies rot90(k=3): store k=1

@@ -1339,7 +1339,8 @@ px AS (
   CROSS JOIN unnest(generate_series(0, 2)) AS tc(c)),
 ds AS (
   SELECT doc_id, w, h,
-         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x, c)) AS digest
+         md5(CAST(h AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':'
+             || string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x, c)) AS digest
   FROM px GROUP BY doc_id, w, h)
 SELECT digest,
        CAST(COUNT(*) AS BIGINT) AS n_copies,
@@ -1355,7 +1356,8 @@ def multimodal_pixel_dedup(spark, sf_dir):
     a gradient PNG per document with dimensions/seed derived from
     doc_id mod 16 (so 16 pixel-identical groups exist by construction),
     encode → decode through the pure-stdlib PNG codec, digest the
-    decoded pixels (md5 of the canonical y,x,c value string), and group
+    decoded pixels (md5 of the canonical "h:w:" + y,x,c value string —
+    shape in the preimage, matching image_pixel_digest), and group
     by digest — content-addressed image dedup where byte-level dedup
     would be fooled by re-encoding.  The oracle predicts every digest
     from the closed-form pixel arithmetic, so a hash mismatch means the
@@ -1381,7 +1383,10 @@ def multimodal_pixel_dedup(spark, sf_dir):
                 grp = int(i) % 16
                 w, h, seed = grp % 12 + 4, grp % 8 + 3, (grp * 13) % 256
                 arr = decode_png_pixels(png_bytes_gradient(w, h, seed=seed))
-                s = ",".join(str(int(v)) for v in arr.reshape(-1))
+                s = (
+                    f"{arr.shape[0]}:{arr.shape[1]}:"
+                    + ",".join(str(int(v)) for v in arr.reshape(-1))
+                )
                 out["media_id"].append(int(i))
                 out["digest"].append(hashlib.md5(s.encode()).hexdigest())
                 out["width"].append(arr.shape[1])

@@ -581,6 +581,20 @@ class StreamingAnnIndex:
         epoch = man0["version"] + 1
         qdir = f"quantizers/v{epoch:08d}"
         gen0 = -(epoch * ONLINE_GEN_STRIDE)
+        # publish the in-progress marker BEFORE any staging write: the
+        # epoch-vs-version pending rule alone stops protecting these
+        # dirs the moment one concurrent trigger commits (version
+        # catches up to epoch mid-catch-up — the normal regime here),
+        # and a stream-side auto-compaction's vacuum would then delete
+        # staged codes out from under this retrain (review finding).
+        # The marker keeps every dir of this epoch pending until the
+        # flip; a crashed attempt leaves it for reclaim_pending.
+        from creek_spark import fsio
+        from creek_spark.operators.ann_maintenance import RETRAIN_MARKER
+
+        fsio.write_json_atomic(
+            self.spark, f"{self.path}/{RETRAIN_MARKER}", {"epoch": epoch}
+        )
         # phase 1 — concurrent build: fresh dirs only, no publish
         ivfpq_index_build(
             corpus, self.path, id_col=self.id_col, vec_col=self.vec_col,
@@ -590,9 +604,27 @@ class StreamingAnnIndex:
             codebook_dir=f"{self.path}/{qdir}/codebook",
             **build_kw,
         )
+        if corpus is not snapshot:
+            # an override corpus shapes the QUANTIZERS only — the
+            # staged generation must hold the COMMITTED snapshot, or
+            # never-committed training rows would go live at the flip
+            # and re-arrive later as stream duplicates (review
+            # finding).  The build above encoded the training corpus
+            # into gen0 as a side effect; replace it with the snapshot
+            # re-encoded under the new epoch (static overwrite clears
+            # the dir).
+            ivfpq_index_append(
+                snapshot, self.path, id_col=self.id_col,
+                vec_col=self.vec_col, dim=self.dim, m=self.m,
+                codes_dir=f"{self.path}/codes/batch={gen0}",
+                mode="overwrite", on_zero_norm="allow",
+                quantizers=f"{self.path}/{qdir}",
+            )
         params = {"sample": 512, "n_queries": 64, "k": 5, "salt": DRIFT_SALT}
+        # the drift baseline describes what the INDEX will contain —
+        # the snapshot — not the training corpus
         base = ann_recall_probe(
-            self.spark, self.path, self._probe_view(corpus, build_kw),
+            self.spark, self.path, self._probe_view(snapshot, build_kw),
             id_col=self.id_col, vec_col=self.vec_col, m=self.m,
             quantizers=f"{self.path}/{qdir}", **params,
         )
@@ -637,6 +669,9 @@ class StreamingAnnIndex:
                     )
                 except ManifestConflictError:
                     continue  # a trigger landed inside the flip window
+                # flip published: the staged dirs are live now, the
+                # liveness rule protects them — release the marker
+                fsio.delete(self.spark, f"{self.path}/{RETRAIN_MARKER}")
                 if vacuum:
                     self.vacuum()
                 return rounds

@@ -978,6 +978,90 @@ def test_retrain_online_staging_ids_never_collide_with_autocompact(
     assert not os.path.isdir(os.path.join(p, "codes", f"batch={ghost}"))
 
 
+def test_vacuum_mid_retrain_spares_staging_after_version_catchup(
+    spark, tmp_path, parts
+):
+    """Review finding: the epoch-vs-version pending rule stops
+    protecting online-retrain staging the moment ONE concurrent
+    trigger commits (version catches up to the epoch) — and a
+    stream-side auto-compaction with vacuum, the explicitly sanctioned
+    concurrent writer, would then delete the staged codes and
+    quantizer frames out from under the catch-up.  The root-level
+    retrain marker keeps the epoch pending regardless of version; the
+    flip releases it."""
+    from creek_spark.operators.ann_maintenance import (
+        pending_retrain_epoch,
+        read_codes,
+    )
+
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(parts["seed"])
+    hit = {"ran": False}
+
+    def interleave(attempt):
+        if attempt == 0:
+            # a trigger commits (version catches up to the epoch), then
+            # the stream's own maintenance compacts WITH vacuum — the
+            # exact interleaving that used to reclaim the staging dirs
+            idx.apply_batch(parts["b"][0], 0)
+            idx.compact(vacuum=True)
+            assert pending_retrain_epoch(spark, p) is not None
+            hit["ran"] = True
+
+    idx._retrain_online_round = interleave
+    try:
+        idx.retrain_online()
+    finally:
+        del idx._retrain_online_round
+    assert hit["ran"]
+    expected = {
+        r["vec_id"]
+        for part in (parts["seed"], parts["b"][0])
+        for r in part.select("vec_id").collect()
+    }
+    rows = read_codes(spark, p).select("n_id").collect()
+    assert {r["n_id"] for r in rows} == expected
+    assert len(rows) == len(expected)
+    assert idx.search(parts["queries"]).count() > 0
+    assert pending_retrain_epoch(spark, p) is None  # released at flip
+
+
+def test_retrain_online_override_corpus_shapes_quantizers_only(
+    spark, tmp_path, parts
+):
+    """Review finding: retrain_online(corpus=X) must stage the
+    COMMITTED snapshot under the new quantizers, not X — staging the
+    training corpus would publish never-committed rows that re-arrive
+    later as stream duplicates.  The override corpus here carries ids
+    the stream has NOT ingested; after the flip the index holds
+    exactly the committed ids, and streaming those rows afterwards
+    adds them exactly once."""
+    from creek_spark.operators.ann_maintenance import read_codes
+
+    p = str(tmp_path / "idx")
+    idx = StreamingAnnIndex(spark, p)
+    idx.bootstrap(parts["seed"])
+    idx.apply_batch(parts["b"][0], 0)
+    committed = {
+        r["vec_id"]
+        for part in (parts["seed"], parts["b"][0])
+        for r in part.select("vec_id").collect()
+    }
+    # training corpus includes b[1]'s rows — NOT committed yet
+    train = parts["seed"].unionByName(parts["b"][1])
+    idx.retrain_online(train)
+    got = {r["n_id"] for r in read_codes(spark, p).select("n_id").collect()}
+    assert got == committed  # no training-only rows leaked into live
+    # the stream later delivers b[1]: appended exactly once
+    idx.apply_batch(parts["b"][1], 1)
+    rows = read_codes(spark, p).select("n_id").collect()
+    b1_ids = {r["vec_id"] for r in parts["b"][1].select("vec_id").collect()}
+    assert {r["n_id"] for r in rows} == committed | b1_ids
+    assert len(rows) == len(committed) + len(b1_ids)
+    assert idx.search(parts["queries"]).count() > 0
+
+
 def test_retrain_online_requires_store_vectors(spark, tmp_path, parts):
     p = str(tmp_path / "idx")
     idx = StreamingAnnIndex(spark, p)

@@ -95,6 +95,28 @@ def test_frame_sample_plan(spark, media):
     assert "Python" not in plan  # planning never touches payload bytes
 
 
+def test_frame_sample_plan_survives_corrupt_duration_metadata(spark):
+    """Metadata is untrusted: a negative duration (sentinel), a
+    non-numeric string, or a MISSING duration_s key must yield zero
+    frame tasks for that row — not an ANSI cast/element_at error or an
+    illegal-sequence JVM crash that fails the whole job."""
+    rows = [
+        (1, "video", bytearray(b"x"), {"duration_s": "-1"}),
+        (2, "video", bytearray(b"x"), {"duration_s": "garbage"}),
+        (3, "video", bytearray(b"x"), {}),
+        (4, "video", bytearray(b"x"), {"duration_s": "7"}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, content binary, meta map<string,string>",
+    )
+    out = frame_sample_plan(media, every_n_seconds=5).collect()
+    got = sorted((r["media_id"], r["frame_ts"]) for r in out)
+    # corrupt/missing rows clamp to duration 0 → single ts=0 task;
+    # the intact row gets its real schedule
+    assert got == [(1, 0), (2, 0), (3, 0), (4, 0), (4, 5)]
+
+
 # ---------------------------------------------------------------------
 # real header decode (pure stdlib, no codec libraries)
 # ---------------------------------------------------------------------
@@ -919,15 +941,18 @@ def test_image_pixel_digest_normalizes_exif_orientation(spark):
         image_pixel_digest(media, strict=True).collect()
 
     # digest canonical-form pin: the LUT-join fast path must equal the
-    # DOCUMENTED per-pixel "y,x,c decimal, comma-joined" md5 — the form
-    # the DuckDB oracle computes with string_agg, so it can never drift
+    # DOCUMENTED "h:w: + y,x,c decimal comma-joined" md5 — the form the
+    # DuckDB oracle computes with string_agg, so it can never drift
     import hashlib
 
     from creek_spark.operators.multimodal import decode_image_pixels
 
     px = decode_image_pixels(payload(1))
     want = hashlib.md5(
-        ",".join(str(int(v)) for v in px.reshape(-1)).encode()
+        (
+            f"{px.shape[0]}:{px.shape[1]}:"
+            + ",".join(str(int(v)) for v in px.reshape(-1))
+        ).encode()
     ).hexdigest()
     assert base["digest"] == want
 
@@ -978,3 +1003,77 @@ def test_header_decoded_channels_agree_with_pixel_decode():
         assert hdr["n_channels_decoded"] == ch, (
             i, hdr["format"], hdr["n_channels"], hdr["n_channels_decoded"], ch,
         )
+
+
+def test_header_decoded_channels_null_for_undecodable_variants():
+    """Coherence cuts BOTH ways (review finding): variants the pixel
+    decoders raise on must report n_channels_decoded=None — a
+    lossless/arithmetic/12-bit JPEG, an RLE-compressed BMP, a
+    spec-illegal PNG color-type/depth combination.  Otherwise joining
+    header rows against pixel rows shows decoded-channel counts beside
+    NULL pixel rows, the exact incoherence the column exists to
+    prevent."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from creek_spark.operators.jpeg_codec import jpeg_from_array
+    from creek_spark.operators.media_codecs import bmp_from_array
+    from creek_spark.operators.multimodal import (
+        decode_image_pixels,
+        parse_image_header,
+        png_bytes,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+
+    # SOF9 (arithmetic): rewrite a real JPEG's SOF0 marker
+    j = bytearray(jpeg_from_array(img))
+    sof = j.find(b"\xff\xc0")
+    assert sof > 0
+    j[sof + 1] = 0xC9
+    arithmetic = bytes(j)
+
+    # 12-bit precision: SOF0 with precision byte 12
+    j12 = bytearray(jpeg_from_array(img))
+    sof = j12.find(b"\xff\xc0")
+    j12[sof + 4] = 12  # marker(2) + len(2) → precision byte
+    twelve_bit = bytes(j12)
+
+    # RLE8-compressed BMP: set the compression dword on a real BMP
+    b8 = bytearray(bmp_from_array(img))
+    b8[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    rle_bmp = bytes(b8)
+
+    # spec-illegal PNG: palette (ct3) at depth 16
+    bad_png = png_bytes(8, 8, bit_depth=16, color_type=3)
+
+    for payload in (arithmetic, twelve_bit, rle_bmp, bad_png):
+        hdr = parse_image_header(payload)
+        assert hdr is not None and hdr["n_channels_decoded"] is None, hdr
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_image_pixels(payload)
+
+
+def test_image_pixel_digest_distinguishes_shapes(spark):
+    """Review finding: the digest preimage now carries h:w, so two
+    images holding the same 12 values in row-major order but shaped
+    2x6 vs 3x4 digest differently — a consumer grouping on the digest
+    alone can no longer silently merge distinct images."""
+    import numpy as np
+
+    from creek_spark.operators.media_codecs import bmp_from_array
+    from creek_spark.operators.multimodal import image_pixel_digest
+
+    vals = np.arange(36, dtype=np.uint8).reshape(-1, 3)  # 12 px RGB
+    a = bmp_from_array(vals.reshape(2, 6, 3))
+    b = bmp_from_array(vals.reshape(3, 4, 3))
+    media = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b))],
+        "media_id bigint, content binary",
+    )
+    got = {r["media_id"]: r["digest"] for r in image_pixel_digest(media).collect()}
+    assert got[1] is not None and got[2] is not None
+    assert got[1] != got[2]
