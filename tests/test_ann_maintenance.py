@@ -1159,6 +1159,13 @@ def test_randomized_lifecycle_fuzz_holds_invariants(
                         {r["vec_id"] for r in s.select("vec_id").collect()}
                     )
                     next_bid += 1
+                if rng.random() < 0.35:
+                    # stream-side auto-compaction WITH vacuum inside the
+                    # retrain window — the interleaving whose vacuum used
+                    # to reclaim the staging dirs once a commit caught
+                    # the version up to the epoch (the retrain marker
+                    # now keeps them pending)
+                    idx.compact(vacuum=rng.random() < 0.5)
 
             idx._retrain_online_round = interleave
             try:
