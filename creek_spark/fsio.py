@@ -160,12 +160,24 @@ def read_file_or_none(spark, path: str) -> bytes | None:
     missing but tmp present" means a swap is in flight (or died
     mid-swap) and the tmp holds the COMMITTED next state — the data
     writes it describes always precede the manifest swap in every
-    sink's protocol."""
+    sink's protocol.
+
+    Both probes missing is re-sampled a few times before concluding
+    "no state": a reader can miss dst inside the delete window and
+    then miss tmp because the rename JUST moved it onto dst (the ABA
+    interleaving — caught by the concurrent-reader test); on the next
+    sample dst is back.  A store with genuinely no state double-misses
+    every round and still returns None."""
     fs, jpath, jvm = _fs(spark, path)
-    data = _read_bytes(fs, jvm, jpath)
-    if data is not None:
-        return data
-    return _read_bytes(fs, jvm, _tmp_path(jvm, jpath))
+    tmp = _tmp_path(jvm, jpath)
+    for _ in range(4):
+        data = _read_bytes(fs, jvm, jpath)
+        if data is not None:
+            return data
+        data = _read_bytes(fs, jvm, tmp)
+        if data is not None:
+            return data
+    return None
 
 
 def read_json_or_none(spark, path: str):
@@ -173,14 +185,32 @@ def read_json_or_none(spark, path: str):
     the exact semantics of the sinks' old ``except (OSError,
     ValueError)`` manifest reads (an unparseable manifest means a
     pre-manifest layout or torn legacy state, and every caller treats
-    both as "no committed state")."""
-    data = read_file_or_none(spark, path)
-    if data is None:
-        return None
-    try:
-        return json.loads(data)
-    except ValueError:
-        return None
+    both as "no committed state").
+
+    The tmp fallback is parse-aware here: a reader that missed dst in
+    one swap's delete window can catch the NEXT swap's tmp mid-write
+    (tmp is only guaranteed complete inside its own swap's window), so
+    an unparseable TMP read triggers a resample rather than a false
+    "no committed state" — dst is back by then.  An unparseable DST is
+    different: dst is only ever written by rename, never in place, so
+    it cannot be torn — it is legacy/foreign content and keeps the
+    documented None semantics."""
+    fs, jpath, jvm = _fs(spark, path)
+    tmp = _tmp_path(jvm, jpath)
+    for _ in range(4):
+        data = _read_bytes(fs, jvm, jpath)
+        if data is not None:
+            try:
+                return json.loads(data)
+            except ValueError:
+                return None
+        data = _read_bytes(fs, jvm, tmp)
+        if data is not None:
+            try:
+                return json.loads(data)
+            except ValueError:
+                continue  # torn mid-next-swap tmp: resample
+    return None
 
 
 def write_file_atomic(spark, path: str, data: bytes) -> None:

@@ -161,3 +161,38 @@ def test_shard_writer_on_scheme_qualified_path(spark, tmp_path):
     assert spark.read.option("basePath", path).parquet(path).count() == 40
     with pytest.raises(ValueError, match="below stream_shard_writer"):
         write(b0, 0)
+
+
+def test_concurrent_reader_never_observes_missing_state(spark, tmp_path):
+    """Empirical proof of the swap property the review fix restored: a
+    reader polling the manifest while a writer swaps it repeatedly
+    must NEVER observe 'no committed state' (None) once the first
+    version exists, and must only ever see monotonically plausible
+    versions — the delete→rename window is closed by rename-first plus
+    the completed-tmp fallback."""
+    import threading
+
+    target = fsio.join(f"file:{tmp_path}/race", "_manifest.json")
+    fsio.write_json_atomic(spark, target, {"v": 0})
+    stop = threading.Event()
+    seen_none = []
+    seen_vals = []
+
+    def reader():
+        while not stop.is_set():
+            m = fsio.read_json_or_none(spark, target)
+            if m is None:
+                seen_none.append(1)
+            else:
+                seen_vals.append(m["v"])
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for v in range(1, 60):
+            fsio.write_json_atomic(spark, target, {"v": v})
+    finally:
+        stop.set()
+        t.join()
+    assert not seen_none
+    assert seen_vals and all(0 <= v < 60 for v in seen_vals)
