@@ -136,9 +136,12 @@ def _is_missing(exc) -> bool:
 
 
 def _read_bytes(fs, jvm, jpath) -> bytes | None:
-    """Open directly and map missing-file to None — no exists()
-    pre-check, so a file deleted between calls (another writer's swap,
-    manifest pruning) reads as missing instead of raising."""
+    """Missing-tolerant read: an exists() pre-check keeps the common
+    no-state probe cheap (no Java exception construction), and the
+    open() catch closes the TOCTOU hole for a file deleted between the
+    two calls (another writer's swap, manifest pruning)."""
+    if not fs.exists(jpath):
+        return None
     try:
         inp = fs.open(jpath)
     except Exception as exc:
@@ -152,32 +155,16 @@ def _read_bytes(fs, jvm, jpath) -> bytes | None:
 
 
 def read_file_or_none(spark, path: str) -> bytes | None:
-    """Read ``path``; when it is missing, fall back to the atomic
-    write's completed tmp file.  The fallback closes the
-    delete→rename window of :func:`write_file_atomic` on filesystems
-    whose rename cannot overwrite: the tmp file is only ever deleted
-    by a successful rename AFTER its content is fully written, so "dst
-    missing but tmp present" means a swap is in flight (or died
-    mid-swap) and the tmp holds the COMMITTED next state — the data
-    writes it describes always precede the manifest swap in every
-    sink's protocol.
+    """Read ``path``, None when missing — ONE probe, no tmp fallback.
 
-    Both probes missing is re-sampled a few times before concluding
-    "no state": a reader can miss dst inside the delete window and
-    then miss tmp because the rename JUST moved it onto dst (the ABA
-    interleaving — caught by the concurrent-reader test); on the next
-    sample dst is back.  A store with genuinely no state double-misses
-    every round and still returns None."""
+    This bytes variant is for files written once and never swapped in
+    place (the ANN manifest's per-version files): a raw read of a swap
+    target's tmp could observe a truncated mid-write prefix with no
+    way to validate it, so swap-aware reads are the JSON variant's job
+    (`read_json_or_none`, whose parser doubles as the completeness
+    check)."""
     fs, jpath, jvm = _fs(spark, path)
-    tmp = _tmp_path(jvm, jpath)
-    for _ in range(4):
-        data = _read_bytes(fs, jvm, jpath)
-        if data is not None:
-            return data
-        data = _read_bytes(fs, jvm, tmp)
-        if data is not None:
-            return data
-    return None
+    return _read_bytes(fs, jvm, jpath)
 
 
 def read_json_or_none(spark, path: str):
@@ -187,14 +174,23 @@ def read_json_or_none(spark, path: str):
     pre-manifest layout or torn legacy state, and every caller treats
     both as "no committed state").
 
-    The tmp fallback is parse-aware here: a reader that missed dst in
+    The tmp fallback (closing :func:`write_file_atomic`'s
+    delete→rename window) is parse-aware: a reader that missed dst in
     one swap's delete window can catch the NEXT swap's tmp mid-write
     (tmp is only guaranteed complete inside its own swap's window), so
-    an unparseable TMP read triggers a resample rather than a false
-    "no committed state" — dst is back by then.  An unparseable DST is
-    different: dst is only ever written by rename, never in place, so
-    it cannot be torn — it is legacy/foreign content and keeps the
-    documented None semantics."""
+    a tmp read that doesn't parse to a CONTAINER (dict/list) triggers
+    a resample rather than a false "no committed state" — dst is back
+    by then.  Containers are the completeness check: a torn prefix of
+    a serialized object/array is never itself valid JSON, while a
+    torn scalar's prefix can be (b"123" from b"123456") — so only
+    container payloads are accepted from tmp, which every sink
+    satisfies (manifests and fences are objects).  An unparseable DST
+    is different: dst is only ever written by rename, never in place,
+    so it cannot be torn — it is legacy/foreign content and keeps the
+    documented None semantics.  The double-miss resample loop also
+    closes the ABA interleaving (dst missed in the delete window, tmp
+    missed because the rename just moved it onto dst) — both races
+    are pinned by the concurrent-reader test."""
     fs, jpath, jvm = _fs(spark, path)
     tmp = _tmp_path(jvm, jpath)
     for _ in range(4):
@@ -207,9 +203,12 @@ def read_json_or_none(spark, path: str):
         data = _read_bytes(fs, jvm, tmp)
         if data is not None:
             try:
-                return json.loads(data)
+                parsed = json.loads(data)
             except ValueError:
                 continue  # torn mid-next-swap tmp: resample
+            if isinstance(parsed, (dict, list)):
+                return parsed
+            continue  # scalar from tmp: cannot prove completeness
     return None
 
 
@@ -218,15 +217,23 @@ def write_file_atomic(spark, path: str, data: bytes) -> None:
     and local rename refuse an existing destination, returning False —
     they do not clobber); only then is the old file deleted and the
     rename retried.  A crash between that delete and the retry loses
-    nothing: the completed tmp file holds the new state and
-    :func:`read_file_or_none` falls back to it, so readers never
-    observe "no committed state" for a store that has one — the
-    property the old in-place ``os.replace`` gave these sinks."""
+    nothing: the completed tmp file holds the new state,
+    :func:`read_json_or_none` falls back to it, and the NEXT write
+    promotes it to dst before truncating tmp — so neither readers nor
+    a second crash ever observe "no committed state" for a store that
+    has one: the property the old in-place ``os.replace`` gave these
+    sinks."""
     fs, jpath, jvm = _fs(spark, path)
     parent = jpath.getParent()
     if parent is not None:
         fs.mkdirs(parent)
     tmp = _tmp_path(jvm, jpath)
+    if not fs.exists(jpath) and fs.exists(tmp):
+        # a previous swap died between its delete and its rename: the
+        # tmp holds the ONLY copy of committed state, and truncating
+        # it for this write would make a second crash lose it for
+        # good — promote it to dst first (review finding)
+        fs.rename(tmp, jpath)
     out = fs.create(tmp, True)
     out.write(bytearray(data))
     out.close()
