@@ -239,19 +239,22 @@ def rank_pick(
 
         work = register_cache(work)
     b1 = work.groupBy(*gcols, "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
-    # cumulative bucket counts via the segmented prefix sum (1024-bucket
-    # super-segments), so even a pathological bucket cardinality never
-    # sorts the whole summary in one task.  bucket_col is integral at
-    # every call site (the docstring contract), so the super-segment is
-    # a plain floor-div — no schema introspection (a `.dtypes` here cost
-    # a full analysis pass of the upstream plan on the driver)
-    c1 = segmented_running(
-        b1,
-        gcols,
-        F.floor(F.col("_bkt") / 1024).cast("bigint"),
-        [F.col("_bkt")],
-        {"_cum": (F.col("_cnt"), "sum")},
-    ).drop(SEG)
+    # cumulative bucket counts: a plain per-group running sum over the
+    # BUCKET SUMMARY.  The summary is one row per (group, bucket) — the
+    # same frame the `_n`/target-bucket walk below already holds whole
+    # per group in one task (Window.partitionBy(gcols)), so a segmented
+    # prefix-sum here (the r4–r11 form) bought no scale headroom and
+    # cost 3 extra exchanges + a broadcast join PER rank_pick, all of it
+    # re-evaluated at every consumer of tb (round-12 optimization: the
+    # two rank_pick headline queries dropped ~40% of their stages).
+    # Integer sums over the same order (_bkt is unique per group after
+    # the groupBy) — bit-identical to the segmented form.
+    wc = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c1 = b1.withColumn("_cum", F.sum("_cnt").over(wc))
     # group sizes fold from the CUMULATIVE summary (the group max of the
     # running count IS Σ per-bucket counts — no second corpus exchange,
     # and no separate group-count shuffle + rank broadcast join: the
