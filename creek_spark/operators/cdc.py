@@ -95,6 +95,7 @@ def latest_state(
     key_cols: list[str] | None = None,
     *,
     handle_toast: bool = True,
+    handle_truncate: bool = True,
 ) -> DataFrame:
     """Reconstruct current table state from an envelope stream (single table).
 
@@ -116,14 +117,20 @@ def latest_state(
     keys = key_cols or _key_cols_from_envelope(wal)
     df = wal.withColumn("_lsn_num", lsn_num(F.col("source.lsn")))
 
-    # Truncate watermark: tiny agg, joined back as a broadcast scalar.
-    trunc = df.filter(F.col("op") == "t").agg(
-        F.max("_lsn_num").alias("_trunc_lsn")
-    )
-    df = df.filter(F.col("op") != "t").crossJoin(F.broadcast(trunc))
-    df = df.filter(
-        F.col("_trunc_lsn").isNull() | (F.col("_lsn_num") > F.col("_trunc_lsn"))
-    ).drop("_trunc_lsn")
+    if handle_truncate:
+        # Truncate watermark: tiny agg, joined back as a broadcast scalar.
+        # ``handle_truncate=False`` skips the watermark pass — the agg is
+        # tiny but its broadcast build is a FULL extra scan of the stream;
+        # callers whose envelope provably never carries 't' ops (e.g. an
+        # op mapping that only emits u/d) drop one corpus scan per apply.
+        trunc = df.filter(F.col("op") == "t").agg(
+            F.max("_lsn_num").alias("_trunc_lsn")
+        )
+        df = df.filter(F.col("op") != "t").crossJoin(F.broadcast(trunc))
+        df = df.filter(
+            F.col("_trunc_lsn").isNull()
+            | (F.col("_lsn_num") > F.col("_trunc_lsn"))
+        ).drop("_trunc_lsn")
 
     df = expand_ops(df)
 

@@ -31,6 +31,18 @@ from creek_spark.functions.vectors import cosine_similarity
 DEFAULT_RERANK = 100
 
 
+# Width of the double-prefilter guard band in cosine_topk.  The emitted
+# scores are exact-decimal; the prefilter only has to keep every pair
+# whose DECIMAL score could reach the top-k, which is guaranteed when
+# 2·max|cos_double − cos_decimal| ≤ PREFILTER_EPS (see the proof note in
+# cosine_topk).  The divergence is the per-product decimal quantization
+# (≤ dim·5e-13 on the dot) plus the double fold's rounding (~1e-13),
+# normalized by the norms — measured ≤ 4e-11 across every driver SF
+# (tests/test_similarity.py gates it at 1e-8), so 1e-6 leaves two orders
+# of magnitude of slack while still pruning to ~k rows per query.
+PREFILTER_EPS = 1e-6
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -42,33 +54,62 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (q_id, n_id, cos_sim double, rnk int), rnk 1..k, self-match
-    excluded, ties broken by n_id.
+    excluded, ties broken by n_id.  Scores are `_exact_dot` decimal folds
+    (bit-identical to an ANSI-SQL decimal SUM), as always.
 
-    Plan shape: broadcast-nested-loop of the (small) query side against
-    the partitioned corpus; each pair's dot product and each row's norm
-    are `_exact_dot` folds — zip_with + aggregate over DECIMAL, entirely
-    inside whole-stage codegen.  No explode, no pre-ranking shuffle: the
-    only exchange is the per-query top-k window over |Q|·|corpus| scored
-    rows.  Decimal addition is associative, so the fold's left-to-right
-    order is bit-identical to any grouped/exploded summation an ANSI-SQL
-    oracle performs (double summation would be order-dependent)."""
+    Plan shape (round-12): the old form ran the decimal fold once per
+    PAIR (|Q| folds per corpus row — BigDecimal arithmetic dominated the
+    stage).  Pairs are now scored map-side with the cheap all-double
+    fold, only (q_id, n_id, score) enters the top-k exchange (the
+    vectors never shuffle), and per query we keep rank ≤ k plus anything
+    within PREFILTER_EPS of the kth double score.  The decimal fold runs
+    only on those ~k survivors, re-attached to their vectors by two
+    broadcast joins, then the final decimal-ordered row_number emits the
+    same rows/values as the all-pairs decimal form.
+
+    Why the result is identical, not approximately so: with
+    e = max|cos_double − cos_decimal| over the corpus, any pair in the
+    decimal top-k (ties included) has at most k−1 pairs more than 2e of
+    double-score above it, so its double score is ≥ (kth double score)
+    − 2e; the filter keeps everything down to kth − PREFILTER_EPS and
+    PREFILTER_EPS ≥ 2e by four orders of magnitude (measured, and gated
+    in tests/test_similarity.py)."""
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
-        ).withColumn("_qn", _exact_dot(F.col("_qv"), F.col("_qv")))
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
     )
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv")
-    ).withColumn("_cn", _exact_dot(F.col("_cv"), F.col("_cv")))
-    scored = (
-        c.crossJoin(q)
+    pairs = (
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"))
+        .crossJoin(q)
         .where(F.col("q_id") != F.col("n_id"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("_sd").desc(), F.col("n_id").asc()
+    )
+    wg = Window.partitionBy("q_id")
+    survivors = (
+        pairs.select(
+            "q_id",
+            "n_id",
+            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("_sd"),
+        )
+        .withColumn("_rd", F.row_number().over(wr))
+        .withColumn("_kth", F.max(F.when(F.col("_rd") == k, F.col("_sd"))).over(wg))
+        .where(
+            (F.col("_rd") <= k)
+            | (F.col("_sd") >= F.col("_kth") - F.lit(PREFILTER_EPS))
+        )
+        .select("q_id", "n_id")
+    )
+    rescored = (
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"))
+        .join(F.broadcast(survivors), "n_id")
+        .join(q, "q_id")
         .withColumn(
             "cos_sim",
             _exact_dot(F.col("_qv"), F.col("_cv")).cast("double")
             / (
-                F.sqrt(F.col("_qn").cast("double"))
-                * F.sqrt(F.col("_cn").cast("double"))
+                F.sqrt(_exact_dot(F.col("_qv"), F.col("_qv")).cast("double"))
+                * F.sqrt(_exact_dot(F.col("_cv"), F.col("_cv")).cast("double"))
             ),
         )
     )
@@ -76,7 +117,7 @@ def cosine_topk(
         F.col("cos_sim").desc(), F.col("n_id").asc()
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        rescored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos_sim", "rnk")
     )

@@ -200,8 +200,13 @@ def cdc_latest_state(spark, sf_dir):
     from creek_spark.operators.cdc import latest_state
 
     env = _events_envelope(_t(spark, sf_dir, "events"))
-    # this envelope never marks TOAST columns → skip the carry-forward pass
-    return latest_state(env, key_cols=["user_id"], handle_toast=False)
+    # this envelope never marks TOAST columns and only emits u/d ops →
+    # skip the carry-forward pass AND the truncate-watermark scan (which
+    # costs a full extra pass over the stream to find 't' rows that
+    # provably don't exist here)
+    return latest_state(
+        env, key_cols=["user_id"], handle_toast=False, handle_truncate=False
+    )
 
 
 @register(

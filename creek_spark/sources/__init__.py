@@ -63,9 +63,37 @@ def _nano_ts_columns(path: str) -> list[str]:
         return []
 
 
+# Plan-handle memo for read_table: (session id, path, dir mtime) → the
+# normalized DataFrame.  A DataFrame is an immutable logical plan, so
+# handing the same object back is semantically identical to rebuilding
+# it — but rebuilding costs ~0.1 s of driver work PER CALL (two runtime
+# conf round-trips, a pyarrow footer read, Spark's own schema resolution
+# + file listing, and the normalization withColumns), which multiplied
+# across every query's 1-6 table reads dominated DataFrame construction
+# time in the round-12 profile.  NO DATA is cached — every action still
+# scans the parquet.  The mtime key re-reads after an in-place rewrite;
+# the session object is kept strongly so a dead session's id is never
+# reused for a live one.
+_READ_MEMO: dict[tuple, tuple] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (id(spark), path, mtime)
+    hit = _READ_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = _read_table_uncached(spark, path, name)
+    _READ_MEMO[key] = (spark, df)
+    return df
+
+
+def _read_table_uncached(spark: SparkSession, path: str, name: str) -> DataFrame:
     # The driver has encoded parquet timestamps two different ways so far
     # (TIMESTAMP(NANOS), then timestamp[us] with no tz) — normalize BOTH at
     # this boundary so every consumer sees plain TimestampType:

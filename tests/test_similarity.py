@@ -412,3 +412,34 @@ def test_ivfpq_index_append_respects_stored_flags(spark, tmp_path):
     # because the index stores no vectors)
     out = sim.ivfpq_search(spark, p, queries, vectors=emb)
     assert out.count() > 0
+
+
+def test_prefilter_divergence_bound(spark):
+    """The cosine_topk double prefilter is exact only while PREFILTER_EPS
+    ≥ 2·max|cos_double − cos_decimal| (see the proof note on cosine_topk).
+    Measure that divergence over every (query, corpus) pair of the driver
+    embeddings and gate it two orders of magnitude under the guard band,
+    so dimension/data drift trips this test long before it could perturb
+    a single emitted row."""
+    from creek_spark.operators.similarity import PREFILTER_EPS, _exact_dot
+    from creek_spark.functions.vectors import cosine_similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("_qv")
+        )
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("_cv"))
+        .crossJoin(q)
+        .where(F.col("q_id") != F.col("n_id"))
+    )
+    cos_dec = _exact_dot(F.col("_qv"), F.col("_cv")).cast("double") / (
+        F.sqrt(_exact_dot(F.col("_qv"), F.col("_qv")).cast("double"))
+        * F.sqrt(_exact_dot(F.col("_cv"), F.col("_cv")).cast("double"))
+    )
+    cos_dbl = cosine_similarity(F.col("_qv"), F.col("_cv"))
+    e = pairs.select(F.max(F.abs(cos_dbl - cos_dec)).alias("e")).first()["e"]
+    assert e <= 1e-8
+    assert 2 * e <= PREFILTER_EPS / 100
