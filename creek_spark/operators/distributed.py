@@ -278,21 +278,30 @@ def rank_pick(
         )
         .select(*gcols, "_ki", "_k", "_bkt", (F.col("_cum") - F.col("_cnt")).alias("_off"))
     )
-    lvl2 = work.join(
-        F.broadcast(tb.select(*gcols, "_bkt").distinct()), [*gcols, "_bkt"]
-    )
-    d2 = lvl2.groupBy(*gcols, "_bkt", "_sv", "_tv").agg(
+    # ONE broadcast of the full target-bucket frame (round-12): the
+    # r4-r11 form broadcast tb twice — its (group, bucket) distinct to
+    # prune level 2, then the full frame again to attach _k/_off — so
+    # the whole summary pipeline (b1→c1→tb) ran in TWO separate
+    # broadcast-build jobs per rank_pick.  Joining the full frame up
+    # front attaches _ki/_k/_off in the same pass; rows of a bucket
+    # holding r ranks replicate ×r (r ≤ the caller's rank-list length,
+    # never corpus-scale), and the level-2 counts/cumsums below key on
+    # _ki too, so each rank-copy walks exactly the per-bucket distinct
+    # counts the two-join form produced — bit-identical picks.
+    lvl2 = work.join(F.broadcast(tb), [*gcols, "_bkt"])
+    d2 = lvl2.groupBy(*gcols, "_bkt", "_ki", "_k", "_off", "_sv", "_tv").agg(
         F.count(F.lit(1)).alias("_cnt2")
     )
     w2 = (
-        Window.partitionBy(*[F.col(c) for c in gcols], F.col("_bkt"))
+        Window.partitionBy(
+            *[F.col(c) for c in gcols], F.col("_bkt"), F.col("_ki")
+        )
         .orderBy("_sv", "_tv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c2 = d2.withColumn("_cum2", F.sum("_cnt2").over(w2))
     picked = (
-        c2.join(F.broadcast(tb), [*gcols, "_bkt"])
-        .where(
+        c2.where(
             (F.col("_off") + F.col("_cum2") >= F.col("_k"))
             & (F.col("_off") + F.col("_cum2") - F.col("_cnt2") < F.col("_k"))
         )

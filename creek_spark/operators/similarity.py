@@ -82,17 +82,42 @@ def cosine_topk(
         .crossJoin(q)
         .where(F.col("q_id") != F.col("n_id"))
     )
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("_sd"),
+    ).withColumn("_pid", F.spark_partition_id())
+    # Two-level prefilter window (round-12, guide §2 skew): a single
+    # per-q_id window sorts each query's ENTIRE corpus in one task — the
+    # straggler/OOM shape at 100 TB.  Level 1 partitions by (q_id, scan
+    # partition) so every sort is bounded by one input split; it keeps
+    # local rank ≤ k plus the local eps band.  Sound because the kth
+    # score of a superset is ≥ the kth score of any subset: local_kth ≤
+    # global_kth, so {_sd ≥ local_kth − eps} ⊇ {_sd ≥ global_kth − eps}
+    # within that partition — level 1 can only OVER-keep, never drop a
+    # global survivor.  Level 2 is the original global filter, now over
+    # ~(partitions × k) rows per query instead of the corpus.
+    wl = Window.partitionBy("q_id", "_pid").orderBy(
+        F.col("_sd").desc(), F.col("n_id").asc()
+    )
+    wlg = Window.partitionBy("q_id", "_pid")
+    local = (
+        scored.withColumn("_rl", F.row_number().over(wl))
+        .withColumn(
+            "_lkth", F.max(F.when(F.col("_rl") == k, F.col("_sd"))).over(wlg)
+        )
+        .where(
+            (F.col("_rl") <= k)
+            | (F.col("_sd") >= F.col("_lkth") - F.lit(PREFILTER_EPS))
+        )
+        .select("q_id", "n_id", "_sd")
+    )
     wr = Window.partitionBy("q_id").orderBy(
         F.col("_sd").desc(), F.col("n_id").asc()
     )
     wg = Window.partitionBy("q_id")
     survivors = (
-        pairs.select(
-            "q_id",
-            "n_id",
-            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("_sd"),
-        )
-        .withColumn("_rd", F.row_number().over(wr))
+        local.withColumn("_rd", F.row_number().over(wr))
         .withColumn("_kth", F.max(F.when(F.col("_rd") == k, F.col("_sd"))).over(wg))
         .where(
             (F.col("_rd") <= k)
@@ -134,7 +159,17 @@ def cosine_topk_fast(
     """Throughput variant: broadcast cross-join + zip_with fold.
 
     No explode/shuffle of per-dimension rows; the entire dot product runs
-    inside whole-stage codegen.  Used by bench.py."""
+    inside whole-stage codegen.  Used by bench.py.
+
+    Top-k is two-level (round-12, guide §2 skew + shuffle bytes): level 1
+    ranks within (q_id, scan partition) — a pure row_number ≤ k filter,
+    so Spark's partial WindowGroupLimit truncates to k rows per query
+    map-side and the exchange carries ~(partitions × |Q| × k) rows
+    instead of |Q| × |corpus|.  A single per-q_id window would also sort
+    each query's whole corpus in ONE task — the straggler shape at
+    100 TB.  The global top-k is a subset of the per-partition top-ks,
+    and every row above a kept row is also kept, so level 2's row_number
+    equals the global rank — bit-identical output."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
@@ -145,12 +180,21 @@ def cosine_topk_fast(
         c.crossJoin(q)
         .where(F.col("q_id") != F.col("n_id"))
         .withColumn("cos_sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wl = Window.partitionBy("q_id", "_pid").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    pruned = (
+        scored.withColumn("_rl", F.row_number().over(wl))
+        .where(F.col("_rl") <= k)
+        .select("q_id", "n_id", "cos_sim")
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("n_id").asc()
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        pruned.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos_sim", "rnk")
     )

@@ -243,21 +243,32 @@ def test_embedding_near_dups_stays_jvm(spark):
     assert not has_python_stage(df), explain_str(df, "simple")
 
 
-def test_similarity_topk_no_explode_single_exchange(spark):
-    """The exact top-k must be the fold formulation: broadcast NLJ of the
-    query side, decimal zip_with/aggregate in codegen, partial top-k
-    (WindowGroupLimit) before the one window exchange — and no Generate
-    (explode) anywhere: the exploded formulation shuffles |corpus|·dim
-    rows, which does not survive 100 TB."""
+def test_similarity_topk_no_explode_narrow_exchanges(spark):
+    """Round-12 prefilter shape: the broadcast-NLJ pair scan scores
+    map-side with the cheap double fold, only (q_id, n_id, score) rides
+    the prefilter window exchange, the exact-decimal fold runs after the
+    survivor broadcast joins, and the final ~k-row top-k window gets a
+    partial WindowGroupLimit.  Still no Generate anywhere (an exploded
+    formulation shuffles |corpus|·dim rows — dead at 100 TB), and the
+    vectors never shuffle: every shuffle exchange carries exactly the
+    three narrow columns."""
+    import re
+
     df = _catalog()["similarity_topk"].fn(spark, SF_DIR)
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Generate" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
-    # exactly one shuffle exchange (the per-query window); the only other
-    # exchange is the broadcast of the query side
-    assert plan.count("+- Exchange") == 1, plan
+    # three shuffle exchanges: the bounded per-(q, partition) level-1
+    # prefilter window, the global level-2 survivor window over the
+    # pruned rows, and the ~k-row final window; everything else is a
+    # broadcast.  No per-query whole-corpus single-task sort remains.
+    assert plan.count("+- Exchange") == 3, plan
     assert "BroadcastExchange" in plan, plan
+    widths = [
+        int(w) for w in re.findall(r"\) Exchange\nInput \[(\d+)\]", plan)
+    ]
+    assert len(widths) == 3 and all(w <= 4 for w in widths), plan
 
 
 def test_q21_single_late_computation(spark):
