@@ -170,31 +170,24 @@ def minhash_lsh_candidates(
     sigs = minhash_signatures(
         df, text_col, id_col, n_hashes=n_hashes, shingle_k=shingle_k
     )
-    banded = lsh_bands(sigs, bands=bands, rows_per_band=rows_per_band)
-    # Bucket-local pair generation (round-12): gather each (band, sig)
-    # bucket's doc ids in ONE hash-aggregate and emit ordered pairs from
-    # inside the bucket.  The r4-r11 form persisted the banded rows and
-    # self-joined them on (band, sig) — a cache-materialization job plus
-    # the join's two exchange/sort legs; this form runs the
-    # shingle→md5→min pipeline exactly once with no persist and exactly
-    # two data exchanges (signature agg, bucket agg) before the final
-    # distinct.  Pair fan-out keeps the same |bucket|² bound as the join
-    # (the doc_b explode streams, it never materializes the pair set);
-    # per-bucket state is the id list itself — docs × ~8 B per bucket,
-    # smaller than either form's emitted pairs on any bucket that could
-    # matter, so the skew story is unchanged.
-    buckets = banded.groupBy("band", "sig").agg(
-        F.collect_list("doc").alias("_docs")
-    )
-    ex = buckets.where(F.size("_docs") >= 2).select(
-        "_docs", F.explode("_docs").alias("doc_a")
-    )
+    # Materialize signatures once: the self-join would otherwise run the
+    # whole shingle→md5→min pipeline twice.  Banded rows are tiny relative
+    # to the corpus (docs × bands × ~40 B) — at 10⁹ docs this is a few
+    # hundred GB across the cluster, the standard LSH checkpoint.
+    # (Round-12 note: a bucket-local collect_list + in-bucket pair
+    # explode was implemented and measured as the no-persist alternative
+    # — interleaved A/B at sf0.1: join 0.41-0.45 s vs buckets
+    # 0.63-0.69 s, so the extra agg + higher-order-filter work costs
+    # more than the persist+join it removes; both forms share the same
+    # |bucket|² fan-out bound, so the join form stays.)
+    banded = _persist(lsh_bands(sigs, bands=bands, rows_per_band=rows_per_band))
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
-        ex.select(
-            "doc_a",
-            F.explode(F.filter("_docs", lambda b: b > F.col("doc_a"))).alias(
-                "doc_b"
-            ),
+        a.join(b, on=["band", "sig"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
         )
         .distinct()
     )
