@@ -309,6 +309,30 @@ def read_codes(spark, path: str, man: dict | None = _UNREAD):
     return spark.read.option("basePath", f"{path}/codes").parquet(*dirs)
 
 
+# Plan-handle memo for read_index (same discipline as sources.read_table's
+# _READ_MEMO, guide §5 driver work): the three spark.read.parquet calls
+# cost ~0.45 s of driver time PER SEARCH (file listing + footer/schema
+# resolution), on frames whose logical plans are immutable for a given
+# index snapshot.  NO DATA is cached — every action still scans parquet;
+# only the repeated plan construction is skipped.  Snapshot identity:
+# the manifest version when the index is manifest-managed (every commit,
+# compaction and retrain publishes a new version), else the local mtimes
+# of the codes/centroids/codebook directories (any rebuild rewrites
+# files, bumping the dir mtime).  Non-local paths (no os.stat) skip the
+# memo entirely and behave exactly as before.
+_INDEX_MEMO: dict[tuple, tuple] = {}
+
+
+def _local_mtime(p: str) -> int | None:
+    q = p[7:] if p.startswith("file://") else p[5:] if p.startswith("file:") else p
+    try:
+        import os
+
+        return os.stat(q).st_mtime_ns
+    except (OSError, ValueError):
+        return None
+
+
 def read_index(spark, path: str):
     """One consistent snapshot of the index at ``path``: (codes,
     centroids, codebook) resolved through a SINGLE manifest read, so a
@@ -317,11 +341,30 @@ def read_index(spark, path: str):
     versa) inside one search."""
     man = read_manifest(spark, path)
     cents_dir, cb_dir = quantizer_dirs(path, man)
-    return (
+    if man is not None:
+        snap = ("v", man["version"])
+    else:
+        mts = tuple(
+            _local_mtime(p) for p in (f"{path}/codes", cents_dir, cb_dir)
+        )
+        snap = None if None in mts else ("mt",) + mts
+    key = (id(spark), path, snap)
+    if snap is not None:
+        hit = _INDEX_MEMO.get(key)
+        if hit is not None and hit[0] is spark:
+            return hit[1]
+    frames = (
         read_codes(spark, path, man),
         spark.read.parquet(cents_dir),
         spark.read.parquet(cb_dir),
     )
+    if snap is not None:
+        if len(_INDEX_MEMO) > 64:
+            # bound the handle cache: a streaming index publishes a new
+            # version per trigger and each entry pins JVM plan objects
+            _INDEX_MEMO.clear()
+        _INDEX_MEMO[key] = (spark, frames)
+    return frames
 
 
 def adopt_static_layout(spark, path: str) -> int:

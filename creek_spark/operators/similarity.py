@@ -218,6 +218,22 @@ def _exact_dot(a, b):
     )
 
 
+def _exact_dot_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`_exact_dot` — MUST stay in lockstep with
+    it (gated equal-result in tests/test_similarity.py).  Exists because
+    a Column-API lambda-HOF tree costs one py4j round trip per node and
+    the PQ LUT builds m of these per call (~0.6 s of driver time per
+    search); one ``F.expr`` string is a single round trip + JVM parse,
+    analyzed to the identical Catalyst expression (every intermediate is
+    explicitly CAST in both forms)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(25,12))), "
+        "CAST(0 AS DECIMAL(25,12)), "
+        "(acc, x) -> CAST(acc + x AS DECIMAL(25,12)))"
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     *,
@@ -1052,21 +1068,23 @@ def _pq_query_lut(queries: DataFrame, codebook: DataFrame, dim: int, m: int) -> 
     table stays one-per-query, never per-(query, cell)."""
     sub = dim // m
     qx = queries.crossJoin(F.broadcast(codebook.select("_cb")))
-
-    def _lut_fn(j):
-        # closure factory (see pq_encode): a `j=j` default arg would be
-        # read as the HOF's index parameter and silently misbind
-        return lambda c: _exact_dot(
-            F.slice(F.col("q_vec"), j * sub + 1, sub),
-            F.slice(c["cvec"], j * sub + 1, sub),
+    # one parsed SQL expression for the whole m-subspace LUT array (and
+    # one for the norm) instead of m Column-API lambda-HOF trees — see
+    # _exact_dot_sql for why (driver-side build cost, guide §5)
+    luts = ", ".join(
+        "transform(_cb, c -> "
+        + _exact_dot_sql(
+            f"slice(q_vec, {j * sub + 1}, {sub})",
+            f"slice(c.cvec, {j * sub + 1}, {sub})",
         )
-
-    luts = [F.transform(F.col("_cb"), _lut_fn(j)) for j in range(m)]
+        + ")"
+        for j in range(m)
+    )
     return qx.select(
         "q_id",
         "q_vec",
-        _exact_dot(F.col("q_vec"), F.col("q_vec")).alias("_qnrm"),
-        F.array(*luts).alias("_lut"),
+        F.expr(_exact_dot_sql("q_vec", "q_vec")).alias("_qnrm"),
+        F.expr(f"array({luts})").alias("_lut"),
     )
 
 
@@ -1080,20 +1098,20 @@ def _adc_sim_col(m: int, *, with_cdot: bool = False):
     probe row's exact `_cdot` (q·c_cell, computed once per probed cell
     during probe selection, NOT per candidate).  Decimal addition is
     exact, so the sum is order-free and reproduces in ANSI SQL."""
+    # one parsed SQL expression instead of ~5m chained py4j Column calls
+    # (driver-side build cost, guide §5; same move as _exact_dot_sql) —
+    # the string spells out exactly the tree the Column form built:
+    # element_at chain per subspace, a CAST(.. AS DECIMAL(25,12)) after
+    # every add, the NULL-on-zero-denominator CASE
     terms = [
-        F.element_at(
-            F.element_at(F.col("_lut"), j + 1),
-            F.element_at(F.col("codes"), j + 1) + 1,
-        )
+        f"element_at(element_at(_lut, {j + 1}), "
+        f"element_at(codes, {j + 1}) + 1)"
         for j in range(m)
     ]
-    adc = F.col("_cdot") if with_cdot else terms.pop(0)
+    adc = "_cdot" if with_cdot else terms.pop(0)
     for t_ in terms:
-        adc = (adc + t_).cast("decimal(25,12)")
-    denom = (
-        F.sqrt(F.col("_qnrm").cast("double"))
-        * F.sqrt(F.col("_nrm").cast("double"))
-    )
+        adc = f"CAST({adc} + {t_} AS DECIMAL(25,12))"
+    denom = "(SQRT(CAST(_qnrm AS DOUBLE)) * SQRT(CAST(_nrm AS DOUBLE)))"
     # zero-norm side (possible only under on_zero_norm='allow') → NULL
     # similarity, ranked last — matching the exact path's NULL on
     # undefined cosine; without the guard ANSI mode fails EVERY search
@@ -1103,7 +1121,9 @@ def _adc_sim_col(m: int, *, with_cdot: bool = False):
     # in desc sorts, so the guard is right either way).  Value-
     # invariant on zero-free corpora (the branch never taken), so
     # oracle bit-parity holds.
-    return F.when(denom != F.lit(0.0), adc.cast("double") / denom)
+    return F.expr(
+        f"CASE WHEN {denom} != 0.0D THEN CAST({adc} AS DOUBLE) / {denom} END"
+    )
 
 
 def _probe_frame(qlut: DataFrame, cents: DataFrame, nprobe: int, *, with_cdot: bool):
@@ -1114,34 +1134,29 @@ def _probe_frame(qlut: DataFrame, cents: DataFrame, nprobe: int, *, with_cdot: b
     cell contributes to the residual ADC estimate — computed once per
     probed cell here, never per candidate."""
     qx = qlut.crossJoin(F.broadcast(cents.select("cents")))
-    sims = _cent_sims("q_vec", F.col("_qnrm"), True)
-    if with_cdot:
-        scored_arr = F.zip_with(
-            sims,
-            F.col("cents"),
-            lambda x, c: F.struct(
-                x["s"].alias("s"),
-                x["cid"].alias("cid"),
-                _exact_dot(F.col("q_vec"), c["cvec"]).alias("cdot"),
-            ),
-        )
-        scored_arr = F.transform(
-            scored_arr,
-            lambda x, i: F.struct(
-                x["s"].alias("s"),
-                (-i).alias("negi"),
-                x["cid"].alias("cid"),
-                x["cdot"].alias("cdot"),
-            ),
-        )
-    else:
-        scored_arr = F.transform(
-            sims,
-            lambda x, i: F.struct(
-                x["s"].alias("s"), (-i).alias("negi"), x["cid"].alias("cid")
-            ),
-        )
-    top_cells = F.slice(F.sort_array(scored_arr, asc=False), 1, nprobe)
+    # one parsed SQL expression for the probe-selection array (guide §5
+    # driver-build cost; see _exact_dot_sql).  Spelled to match the
+    # Column-API tree it replaces node for node: per centroid a struct of
+    # the exact cosine (_pair_cos exact=True — NULL on a zero
+    # denominator), the -i index tie-break, the cell id, and (residual
+    # builds) the exact q·c_cell — identical field order, so sort_array's
+    # lexicographic descending order and the slice are unchanged.  The
+    # Column form built the cosine via _cent_sims + a zip_with + a
+    # re-struct transform; the single indexed transform here produces the
+    # same final structs (s, negi, cid[, cdot]) with the same types.
+    dot = _exact_dot_sql("q_vec", "c.cvec")
+    denom = "(SQRT(CAST(_qnrm AS DOUBLE)) * SQRT(CAST(c.cnrm AS DOUBLE)))"
+    s_field = (
+        f"CASE WHEN {denom} != 0.0D "
+        f"THEN CAST({dot} AS DOUBLE) / {denom} END AS s"
+    )
+    fields = [s_field, "-i AS negi", "c.cid AS cid"] + (
+        [f"{dot} AS cdot"] if with_cdot else []
+    )
+    top_cells = F.expr(
+        "slice(sort_array(transform(cents, (c, i) -> "
+        f"struct({', '.join(fields)})), false), 1, {int(nprobe)})"
+    )
     cols = ["q_id", "_qnrm", "_lut", F.col("_probe.cid").alias("cell_id")] + (
         [F.col("_probe.cdot").alias("_cdot")] if with_cdot else []
     )
@@ -1837,7 +1852,17 @@ def ivfpq_search(
     from creek_spark.operators.ann_maintenance import read_index
 
     enc, cents, cb = read_index(spark, path)
-    residual = "is_residual" in cb.columns and bool(cb.first()["is_residual"])
+    # the is_residual flag costs a Spark job (first() on the 1-row
+    # codebook) per search; read_index hands back the SAME DataFrame
+    # object per index snapshot, so the flag rides as an attribute on it
+    # — recomputed automatically whenever the snapshot (and hence the
+    # object) changes
+    residual = getattr(cb, "_creek_is_residual", None)
+    if residual is None:
+        residual = "is_residual" in cb.columns and bool(
+            cb.first()["is_residual"]
+        )
+        cb._creek_is_residual = residual
     qlut = _pq_query_lut(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
         cb,

@@ -443,3 +443,32 @@ def test_prefilter_divergence_bound(spark):
     e = pairs.select(F.max(F.abs(cos_dbl - cos_dec)).alias("e")).first()["e"]
     assert e <= 1e-8
     assert 2 * e <= PREFILTER_EPS / 100
+
+
+def test_exact_dot_sql_lockstep(spark):
+    """_exact_dot_sql must stay the exact SQL-string twin of _exact_dot
+    (it exists only to cut driver-side py4j expression-build cost): the
+    two forms must analyze to the same result on every driver embedding
+    pair — decimal-for-decimal, including the NULL-free fold seed."""
+    from creek_spark.operators.similarity import _exact_dot, _exact_dot_sql
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("a")
+        )
+    )
+    pairs = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("b")
+    ).crossJoin(q)
+    diff = pairs.select(
+        _exact_dot(F.col("a"), F.col("b")).alias("col_form"),
+        F.expr(_exact_dot_sql("a", "b")).alias("sql_form"),
+    )
+    assert diff.schema["col_form"].dataType == diff.schema["sql_form"].dataType
+    n_bad = diff.where(
+        ~(F.col("col_form") == F.col("sql_form"))
+        | F.col("col_form").isNull()
+        | F.col("sql_form").isNull()
+    ).count()
+    assert n_bad == 0
