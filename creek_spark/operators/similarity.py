@@ -1882,42 +1882,72 @@ def ivfpq_search(
             .where(F.col("rnk") <= k)
             .select("q_id", "n_id", "adc_sim", "rnk")
         )
-    # refinement: the top-r ADC candidate ids (a tiny broadcast —
-    # r·|queries| rows) join back to raw vectors for exact rescoring.
-    # A store_vectors index carries them beside the codes (the lookup
-    # then prunes to probed cell partitions); otherwise ``vectors=`` is
-    # the external store — at 100 TB the standard candidates→store path.
-    cands = F.broadcast(
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= rerank)
-        .select("q_id", "n_id", "_qnrm", "_nrm")
-    )
-    if vectors is not None:
-        vstore = vectors.select(
-            F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec")
-        )
-    elif "c_vec" in enc.columns:
-        vstore = enc.select("n_id", "c_vec")
-    else:
-        raise ValueError(
-            "rerank needs vectors: build the index with store_vectors=True "
-            "or pass the vector store (vectors=...), or set rerank=0"
-        )
+    # refinement: exact-cosine rescore of the top-r ADC candidates.
     qv = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    rescored = (
-        vstore.join(cands, "n_id")
-        .join(qv, "q_id")
-        .withColumn(
-            "cos_sim",
-            _pair_cos(
-                F.col("q_vec"), F.col("c_vec"), F.col("_qnrm"), F.col("_nrm"), True
-            ),
+    if vectors is None and "c_vec" in enc.columns:
+        # store_vectors index (round-12, guide §2.1/§5): the candidate
+        # rows ALREADY carry their raw vector — rerank is a second
+        # window over the SAME q_id partitioning, in the same job.  The
+        # old candidates→store form cost a separate broadcast-build job
+        # that re-executed the whole probe/ADC subtree, plus a second,
+        # cell-UNpruned scan of the index for the vector lookup.  The
+        # rnk ≤ rerank filter is a pure row_number cut, so the partial
+        # WindowGroupLimit truncates map-side and the one exchange
+        # carries ≤ splits·|Q|·rerank vector rows, never the probed
+        # corpus.  Candidate set, rescore arithmetic and both tiebreaks
+        # are unchanged — row-identical to the join form (A/B-gated).
+        rescored = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= rerank)
+            .select("q_id", "n_id", "c_vec", "_qnrm", "_nrm")
+            .join(qv, "q_id")
+            .withColumn(
+                "cos_sim",
+                _pair_cos(
+                    F.col("q_vec"),
+                    F.col("c_vec"),
+                    F.col("_qnrm"),
+                    F.col("_nrm"),
+                    True,
+                ),
+            )
         )
-    )
+    else:
+        # external vector store: the top-r candidate ids (a tiny
+        # broadcast — r·|queries| rows) join back to the store for the
+        # raw vectors — at 100 TB the standard candidates→store path.
+        cands = F.broadcast(
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= rerank)
+            .select("q_id", "n_id", "_qnrm", "_nrm")
+        )
+        if vectors is None:
+            raise ValueError(
+                "rerank needs vectors: build the index with "
+                "store_vectors=True or pass the vector store "
+                "(vectors=...), or set rerank=0"
+            )
+        vstore = vectors.select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec")
+        )
+        rescored = (
+            vstore.join(cands, "n_id")
+            .join(qv, "q_id")
+            .withColumn(
+                "cos_sim",
+                _pair_cos(
+                    F.col("q_vec"),
+                    F.col("c_vec"),
+                    F.col("_qnrm"),
+                    F.col("_nrm"),
+                    True,
+                ),
+            )
+        )
     w2 = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("n_id").asc()
     )

@@ -236,6 +236,25 @@ def test_ivfpq_rerank_restores_recall(spark, tmp_path):
     assert rr_p == rr
 
 
+def test_ivfpq_inindex_rerank_single_pass(spark, tmp_path):
+    """The store_vectors rerank must be single-pass (round 12): the
+    candidate rows already carry their raw vector, so the plan must
+    scan the codes directory ONCE (the old candidates→store form
+    re-scanned the whole index, unpruned, for the vector lookup and
+    paid a second broadcast-build job for it) and shuffle ONCE (both
+    rank windows share the q_id partitioning), with the partial
+    WindowGroupLimit truncating the candidate cut map-side."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    p = str(tmp_path / "idx")
+    sim.ivfpq_index_build(emb, p)
+    df = sim.ivfpq_search(spark, p, queries, rerank=25)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("codes") - plan.count("codes#") == 1, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "WindowGroupLimit" in plan, plan[:3000]
+
+
 def test_ivfpq_default_recall_gate(spark):
     """The shipped IVFADC defaults (n_codes=64, nprobe=8/16, exact-cosine
     rerank-100) must hold recall@5 ≥ 0.6 on the BENCH corpus — the
