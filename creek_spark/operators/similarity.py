@@ -57,78 +57,46 @@ def cosine_topk(
     excluded, ties broken by n_id.  Scores are `_exact_dot` decimal folds
     (bit-identical to an ANSI-SQL decimal SUM), as always.
 
-    Plan shape (round-12): the old form ran the decimal fold once per
-    PAIR (|Q| folds per corpus row — BigDecimal arithmetic dominated the
-    stage).  Pairs are now scored map-side with the cheap all-double
-    fold, only (q_id, n_id, score) enters the top-k exchange (the
-    vectors never shuffle), and per query we keep rank ≤ k plus anything
-    within PREFILTER_EPS of the kth double score.  The decimal fold runs
-    only on those ~k survivors, re-attached to their vectors by two
-    broadcast joins, then the final decimal-ordered row_number emits the
-    same rows/values as the all-pairs decimal form.
+    Plan shape (round-12, second pass): the pair set NEVER shuffles.
+    Pass 1 is `cosine_topk_fast` — pure row_number ≤ k cuts at both
+    levels, so the partial WindowGroupLimit truncates map-side and the
+    exchanges carry ≤ splits·|Q|·k narrow rows; its per-query minimum
+    IS the kth-best double score.  Pass 2 re-scans the pairs map-side
+    and keeps the eps band {score_double ≥ kth − PREFILTER_EPS} against
+    the broadcast kth, rescoring the ~k survivors with the decimal fold
+    in place (no survivor broadcast, no third corpus scan).  The earlier
+    round-12 form instead ran an eps-band level-1 window whose filter
+    is not a pure rank cut, so no WindowGroupLimit applied and the FULL
+    |Q|·|corpus| pair set rode the level-1 exchange; the extra map-side
+    double-fold pass here is the cheaper term at scale (guide §2:
+    shuffle fewer bytes — recompute beats shuffling the corpus).
 
     Why the result is identical, not approximately so: with
     e = max|cos_double − cos_decimal| over the corpus, any pair in the
     decimal top-k (ties included) has at most k−1 pairs more than 2e of
     double-score above it, so its double score is ≥ (kth double score)
-    − 2e; the filter keeps everything down to kth − PREFILTER_EPS and
+    − 2e; the band keeps everything down to kth − PREFILTER_EPS and
     PREFILTER_EPS ≥ 2e by four orders of magnitude (measured, and gated
-    in tests/test_similarity.py)."""
+    in tests/test_similarity.py).  When a query has fewer than k
+    neighbors the pass-1 minimum is the global minimum score, so the
+    band keeps every pair — the k>|corpus| edge is covered."""
+    kth = (
+        cosine_topk_fast(corpus, queries, id_col=id_col, vec_col=vec_col, k=k)
+        .groupBy("q_id")
+        .agg(F.min("cos_sim").alias("_kth"))
+    )
     q = F.broadcast(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
     )
-    pairs = (
+    band = (
         corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"))
         .crossJoin(q)
         .where(F.col("q_id") != F.col("n_id"))
-    )
-    scored = pairs.select(
-        "q_id",
-        "n_id",
-        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("_sd"),
-    ).withColumn("_pid", F.spark_partition_id())
-    # Two-level prefilter window (round-12, guide §2 skew): a single
-    # per-q_id window sorts each query's ENTIRE corpus in one task — the
-    # straggler/OOM shape at 100 TB.  Level 1 partitions by (q_id, scan
-    # partition) so every sort is bounded by one input split; it keeps
-    # local rank ≤ k plus the local eps band.  Sound because the kth
-    # score of a superset is ≥ the kth score of any subset: local_kth ≤
-    # global_kth, so {_sd ≥ local_kth − eps} ⊇ {_sd ≥ global_kth − eps}
-    # within that partition — level 1 can only OVER-keep, never drop a
-    # global survivor.  Level 2 is the original global filter, now over
-    # ~(partitions × k) rows per query instead of the corpus.
-    wl = Window.partitionBy("q_id", "_pid").orderBy(
-        F.col("_sd").desc(), F.col("n_id").asc()
-    )
-    wlg = Window.partitionBy("q_id", "_pid")
-    local = (
-        scored.withColumn("_rl", F.row_number().over(wl))
-        .withColumn(
-            "_lkth", F.max(F.when(F.col("_rl") == k, F.col("_sd"))).over(wlg)
-        )
+        .join(F.broadcast(kth), "q_id")
         .where(
-            (F.col("_rl") <= k)
-            | (F.col("_sd") >= F.col("_lkth") - F.lit(PREFILTER_EPS))
+            cosine_similarity(F.col("_qv"), F.col("_cv"))
+            >= F.col("_kth") - F.lit(PREFILTER_EPS)
         )
-        .select("q_id", "n_id", "_sd")
-    )
-    wr = Window.partitionBy("q_id").orderBy(
-        F.col("_sd").desc(), F.col("n_id").asc()
-    )
-    wg = Window.partitionBy("q_id")
-    survivors = (
-        local.withColumn("_rd", F.row_number().over(wr))
-        .withColumn("_kth", F.max(F.when(F.col("_rd") == k, F.col("_sd"))).over(wg))
-        .where(
-            (F.col("_rd") <= k)
-            | (F.col("_sd") >= F.col("_kth") - F.lit(PREFILTER_EPS))
-        )
-        .select("q_id", "n_id")
-    )
-    rescored = (
-        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"))
-        .join(F.broadcast(survivors), "n_id")
-        .join(q, "q_id")
         .withColumn(
             "cos_sim",
             _exact_dot(F.col("_qv"), F.col("_cv")).cast("double")
@@ -142,7 +110,7 @@ def cosine_topk(
         F.col("cos_sim").desc(), F.col("n_id").asc()
     )
     return (
-        rescored.withColumn("rnk", F.row_number().over(w))
+        band.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos_sim", "rnk")
     )

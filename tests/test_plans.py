@@ -244,26 +244,29 @@ def test_embedding_near_dups_stays_jvm(spark):
 
 
 def test_similarity_topk_no_explode_narrow_exchanges(spark):
-    """Round-12 prefilter shape: the broadcast-NLJ pair scan scores
-    map-side with the cheap double fold, only (q_id, n_id, score) rides
-    the prefilter window exchange, the exact-decimal fold runs after the
-    survivor broadcast joins, and the final ~k-row top-k window gets a
-    partial WindowGroupLimit.  Still no Generate anywhere (an exploded
-    formulation shuffles |corpus|·dim rows — dead at 100 TB), and the
-    vectors never shuffle: every shuffle exchange carries exactly the
-    three narrow columns."""
+    """Round-12 prefilter shape (second pass): the pair set never
+    shuffles.  Pass 1 (cosine_topk_fast) finds each query's kth-best
+    double score through pure rank cuts — partial WindowGroupLimit
+    truncates map-side, so both of its exchanges carry ≤ splits·|Q|·k
+    rows; pass 2 re-scans the pairs map-side, keeps the eps band
+    against the broadcast kth and rescores the ~k survivors with the
+    exact-decimal fold in place.  Still no Generate anywhere (an
+    exploded formulation shuffles |corpus|·dim rows — dead at 100 TB),
+    and the vectors never shuffle: every shuffle exchange carries at
+    most four narrow columns."""
     import re
 
     df = _catalog()["similarity_topk"].fn(spark, SF_DIR)
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Generate" not in plan, plan
-    assert "WindowGroupLimit" in plan, plan
-    # three shuffle exchanges: the bounded per-(q, partition) level-1
-    # prefilter window, the global level-2 survivor window over the
-    # pruned rows, and the ~k-row final window; everything else is a
-    # broadcast.  No per-query whole-corpus single-task sort remains.
+    # three shuffle exchanges: the two pure-rank-cut levels of the kth
+    # pass and the ~k-row final decimal window — ALL WindowGroupLimit
+    # truncated (none is the eps-band filter, which would defeat the
+    # map-side truncation and shuffle the full pair set); everything
+    # else is a broadcast.  No per-query whole-corpus single-task sort.
     assert plan.count("+- Exchange") == 3, plan
+    assert len(re.findall(r"\) WindowGroupLimit", plan)) == 6, plan
     assert "BroadcastExchange" in plan, plan
     widths = [
         int(w) for w in re.findall(r"\) Exchange\nInput \[(\d+)\]", plan)
