@@ -343,6 +343,17 @@ def main() -> None:
     # pure-numpy baseline-JPEG path that closed the non-PNG pixel gap
     try:
         qfn = catalog["multimodal_jpeg_pixel_stats"].fn
+        # same untimed warmup discipline as the headline rows: the first
+        # Python stage of a session pays the 32-worker fork+import wave
+        # (~5 s of pure startup, nothing to do with the codec) — the
+        # headline warmup loop never runs a Python stage, so this row
+        # must warm its own worker pool before timing (round 12; the
+        # r8–r11 numbers for this row include that startup wave)
+        if os.path.isdir(warm_dir):
+            try:
+                qfn(spark, warm_dir).count()
+            except Exception:
+                pass
         t0 = time.perf_counter()
         n_imgs = qfn(spark, sf_dir).count()
         extras["multimodal_jpeg_roundtrip_sec"] = round(

@@ -221,6 +221,10 @@ def scaled_quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
 # decoder
 # =============================================================================
 
+# per-byte window shifts for _BitReader: bit offset o in a byte reads the
+# 16-bit window at right-shift 8-o of that byte's 24-bit lookahead
+_W_SHIFTS = np.arange(8, 0, -1, dtype=np.uint32)
+
 
 class _BitReader:
     """MSB-first bit reader over pre-unstuffed entropy-coded bytes.
@@ -238,12 +242,16 @@ class _BitReader:
 
     def __init__(self, data: bytes):
         self.limit = 8 * len(data)
-        raw = np.frombuffer(data + b"\xff\xff\xff", dtype=np.uint8)
-        bits = np.unpackbits(raw)
         n = self.limit + 9  # windows needed: peeks happen at pos <= limit
-        w = np.zeros(n, dtype=np.uint16)
-        for j in range(16):
-            w |= bits[j : j + n].astype(np.uint16) << (15 - j)
+        # byte-level construction: T[i] = the 24 bits of bytes i..i+2,
+        # then the window at bit p is (T[p>>3] >> (8 - (p&7))) & 0xFFFF —
+        # ~5 array passes total instead of unpackbits + 16 shift/or
+        # passes over the BIT-level array (same 1-padding past the end)
+        raw = np.frombuffer(data + b"\xff\xff\xff\xff\xff", dtype=np.uint8)
+        t = raw[:-3].astype(np.uint32) << 16
+        t |= raw[1:-2].astype(np.uint32) << 8
+        t |= raw[2:-1]
+        w = ((t[:, None] >> _W_SHIFTS) & 0xFFFF).ravel()[:n].astype(np.uint16)
         self.W = w.tolist() if n < 4_000_000 else w
         self.pos = 0
 
@@ -952,6 +960,16 @@ def _mag_cat(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
+# the encoder always writes the Annex K.3 tables — build the four
+# val -> (code, length) dicts once at import, not four times per image
+_ANNEX_K_CODES = (
+    _huff_codes(*_DC_LUMA_SPEC),
+    _huff_codes(*_AC_LUMA_SPEC),
+    _huff_codes(*_DC_CHROMA_SPEC),
+    _huff_codes(*_AC_CHROMA_SPEC),
+)
+
+
 def _encode_block(
     bw: _BitWriter, nz_idx, nz_val, dc: int, pred: int,
     dc_codes: dict, ac_codes: dict,
@@ -1030,31 +1048,43 @@ def _enc_ac_first(comp_coefs, ny, nx, ss, se, al, codes):
     """AC first pass of one band, non-interleaved: baseline-style
     run/size symbols over the point-transformed magnitudes; EOB runs
     not aggregated (EOB0 per block — larger but spec-valid, and it
-    keeps the Annex K tables sufficient: no EOBn>0 symbols needed)."""
+    keeps the Annex K tables sufficient: no EOBn>0 symbols needed).
+
+    The band magnitudes for the WHOLE scan are computed in three numpy
+    passes; the python loop then touches only the nonzero coefficients
+    (identical symbol/bit emission to the per-coefficient walk it
+    replaced — zeros only ever contributed run counts, recovered here
+    from nonzero-index gaps)."""
     bw = _BitWriter()
-    for by in range(ny):
-        for bx in range(nx):
-            zz = comp_coefs[by, bx]
-            run = 0
-            for k in range(ss, se + 1):
-                t = int(zz[k])
-                v = abs(t) >> al
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = codes[0xF0]
-                    bw.bits(code, length)
-                    run -= 16
-                s = v.bit_length()
-                code, length = codes[(run << 4) | s]
-                bw.bits(code, length)
-                sv = v if t >= 0 else -v
-                bw.bits(sv if sv >= 0 else sv + (1 << s) - 1, s)
-                run = 0
-            if run:
-                code, length = codes[0x00]  # EOB0
-                bw.bits(code, length)
+    band_len = se + 1 - ss
+    sub = np.ascontiguousarray(
+        comp_coefs[:ny, :nx, ss : se + 1].reshape(ny * nx, band_len)
+    )
+    av = np.abs(sub) >> al
+    has_nz = av.any(axis=1).tolist()
+    eob_code, eob_len = codes[0x00]
+    zrl_code, zrl_len = codes[0xF0]
+    for bi in range(ny * nx):
+        if not has_nz[bi]:
+            bw.bits(eob_code, eob_len)  # all-zero band: bare EOB0
+            continue
+        row = av[bi]
+        neg = sub[bi] < 0
+        prev = -1
+        for k in np.nonzero(row)[0].tolist():
+            run = k - prev - 1
+            prev = k
+            while run > 15:
+                bw.bits(zrl_code, zrl_len)
+                run -= 16
+            v = int(row[k])
+            s = v.bit_length()
+            code, length = codes[(run << 4) | s]
+            bw.bits(code, length)
+            sv = -v if neg[k] else v
+            bw.bits(sv if sv >= 0 else sv + (1 << s) - 1, s)
+        if prev < band_len - 1:
+            bw.bits(eob_code, eob_len)  # trailing zeros: EOB0
     bw.flush()
     return bytes(bw.out)
 
@@ -1067,25 +1097,42 @@ def _enc_ac_refine(comp_coefs, ny, nx, ss, se, al, codes):
     corrections.  Must mirror _prog_ac_scan's refinement reader
     bit-for-bit."""
     bw = _BitWriter()
-    for by in range(ny):
-        for bx in range(nx):
-            zz = comp_coefs[by, bx]
-            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
-            eob = ss - 1  # band position of the last NEW coefficient
-            for i in range(len(absv) - 1, -1, -1):
-                if absv[i] == 1:
-                    eob = ss + i
-                    break
+    band_len = se + 1 - ss
+    sub = np.ascontiguousarray(
+        comp_coefs[:ny, :nx, ss : se + 1].reshape(ny * nx, band_len)
+    )
+    av = np.abs(sub) >> al
+    has_nz = av.any(axis=1).tolist()
+    # eob per block: band position of the last NEWLY-significant (==1)
+    # coefficient, ss-1 when none (one vectorized reverse-argmax pass)
+    is1 = av == 1
+    any1 = is1.any(axis=1)
+    last1 = band_len - 1 - np.argmax(is1[:, ::-1], axis=1)
+    eobs = np.where(any1, ss + last1, ss - 1).tolist()
+    eob_code, eob_len = codes[0x00]
+    zrl_code, zrl_len = codes[0xF0]
+    # the python loop touches only NONZERO coefficients: zeros contribute
+    # run counts (recovered from index gaps), already-nonzero history
+    # (t>1) contributes one buffered correction bit, and newly-
+    # significant (t==1) coefficients emit the (run, 1) symbol — the
+    # identical bit emission to the per-coefficient walk this replaces
+    for bi in range(ny * nx):
+        eob = eobs[bi]
+        r_tail = band_len
+        br_bits: list[int] = []
+        if has_nz[bi]:
+            row = av[bi]
+            neg = sub[bi] < 0
             r = 0
-            br_bits: list[int] = []
-            for k in range(ss, se + 1):
-                t = absv[k - ss]
-                if t == 0:
-                    r += 1
-                    continue
+            prev = -1
+            nz = np.nonzero(row)[0].tolist()
+            for i in nz:
+                r += i - prev - 1
+                prev = i
+                k = ss + i
+                t = int(row[i])
                 while r > 15 and k <= eob:
-                    code, length = codes[0xF0]
-                    bw.bits(code, length)
+                    bw.bits(zrl_code, zrl_len)
                     r -= 16
                     for bit in br_bits:
                         bw.bits(bit, 1)
@@ -1093,18 +1140,17 @@ def _enc_ac_refine(comp_coefs, ny, nx, ss, se, al, codes):
                 if t > 1:
                     br_bits.append(t & 1)
                     continue
-                code, length = codes[(r << 4) | 1]
-                bw.bits(code, length)
-                bw.bits(1 if int(zz[k]) >= 0 else 0, 1)
+                bw.bits(*codes[(r << 4) | 1])
+                bw.bits(0 if neg[i] else 1, 1)
                 for bit in br_bits:
                     bw.bits(bit, 1)
                 br_bits = []
                 r = 0
-            if r > 0 or br_bits:
-                code, length = codes[0x00]  # EOB0
-                bw.bits(code, length)
-                for bit in br_bits:
-                    bw.bits(bit, 1)
+            r_tail = r + (band_len - 1 - prev)
+        if r_tail > 0 or br_bits:
+            bw.bits(eob_code, eob_len)  # EOB0 carrying tail corrections
+            for bit in br_bits:
+                bw.bits(bit, 1)
     bw.flush()
     return bytes(bw.out)
 
@@ -1163,6 +1209,8 @@ def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
     hh, ww = plane.shape
     py = (-hh) % mult_y
     px = (-ww) % mult_x
+    if py == 0 and px == 0:  # np.pad costs ~0.1 ms even when a no-op
+        return plane
     return np.pad(plane, ((0, py), (0, px)), mode="edge")
 
 
@@ -1252,17 +1300,15 @@ def jpeg_from_array(
         target_h = mcus_y * sv * 8
         target_w = mcus_x * sh * 8
         p8 = np.clip(np.floor(plane + 0.5), 0, 255)
-        p8 = np.pad(
-            p8,
-            ((0, target_h - p8.shape[0]), (0, target_w - p8.shape[1])),
-            mode="edge",
-        )
+        if (target_h, target_w) != p8.shape:
+            p8 = np.pad(
+                p8,
+                ((0, target_h - p8.shape[0]), (0, target_w - p8.shape[1])),
+                mode="edge",
+            )
         coefs.append(_fdct_quant(p8, ql if pi == 0 else qc))
 
-    dc_l = _huff_codes(*_DC_LUMA_SPEC)
-    ac_l = _huff_codes(*_AC_LUMA_SPEC)
-    dc_c = _huff_codes(*_DC_CHROMA_SPEC)
-    ac_c = _huff_codes(*_AC_CHROMA_SPEC)
+    dc_l, ac_l, dc_c, ac_c = _ANNEX_K_CODES
 
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))

@@ -57,6 +57,21 @@ def _t(spark, sf_dir, name):
     return read_table(spark, sf_dir, name)
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Fan a tiny id/manifest frame out to the session's full
+    parallelism before a heavy per-row Python stage (media synth +
+    decode).  Spark sizes parquet splits by BYTES, but decode work
+    scales with ROWS × per-row media size: a manifest of ids is a
+    handful of MB — one split — while the decode it drives is hours of
+    CPU, so without this every core but one sits idle (measured at
+    sf0.1: the 5000-image JPEG round-trip ran in ONE task, 6.6 s vs
+    ~0.4 s of 32-core codec work).  The exchange carries only the id
+    column; blobs are synthesized/decoded AFTER it and never shuffle.
+    defaultParallelism keeps the fan-out scale-adaptive (local core
+    count here, cluster total cores in production)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dec(col, p=12, s=2):
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal({p},{s})")

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from creek_spark.queries import _t, register
+from creek_spark.queries import _fan_out, _t, register
 
 # =====================================================================
 # baseline JPEG pixel statistics (pure-numpy codec, oracle-verified)
@@ -105,7 +105,7 @@ def multimodal_jpeg_pixel_stats(spark, sf_dir):
             ]
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
     media = docs.mapInPandas(synth, schema="media_id bigint, content binary")
     stats = pixel_stats(media, strict=True)
     return stats.select(
@@ -210,7 +210,7 @@ def multimodal_lossless_pixel_stats(spark, sf_dir):
                 }
             )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
     media = docs.mapInPandas(synth, schema="media_id bigint, content binary")
     return pixel_stats(media, strict=True)
 
@@ -281,7 +281,7 @@ def multimodal_audio_stats(spark, sf_dir):
                 }
             )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
     media = docs.mapInPandas(synth, schema="media_id bigint, content binary")
     return audio_stats(media, strict=True)
 
@@ -415,7 +415,7 @@ def multimodal_media_report(spark, sf_dir):
                 }
             )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
     media = docs.mapInPandas(synth, schema="day string, content binary")
     return media_report(media)
 
@@ -512,7 +512,7 @@ def multimodal_frame_stats(spark, sf_dir):
             out.append(a.astype(np.uint8))
         return out
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
     media = docs.mapInPandas(
         synth,
         schema="media_id bigint, kind string, content binary, "
@@ -621,7 +621,7 @@ def multimodal_pixel_dedup_oriented(spark, sf_dir):
                 }
             )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
     media = docs.mapInPandas(synth, schema="media_id bigint, content binary")
     ds = image_pixel_digest(media, strict=True)
     return (

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from creek_spark.queries import _t, register
+from creek_spark.queries import _fan_out, _t, register
 
 
 # =====================================================================
@@ -842,7 +842,7 @@ def multimodal_pixel_stats(spark, sf_dir):
             ]
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
     media = docs.mapInPandas(synth, schema="media_id bigint, content binary")
     stats = pixel_stats(media, strict=True)
     return stats.select(

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from creek_spark.operators.distributed import const_partition
 from creek_spark.plans import broadcast_if_small
-from creek_spark.queries import _t, dec, register
+from creek_spark.queries import _fan_out, _t, dec, register
 from creek_spark.queries_ext import SQL_NORM
 
 
@@ -1393,7 +1393,7 @@ def multimodal_pixel_dedup(spark, sf_dir):
                 out["height"].append(arr.shape[0])
             yield pd.DataFrame(out)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
     ds = docs.mapInPandas(
         synth_digest,
         schema="media_id bigint, digest string, width int, height int",

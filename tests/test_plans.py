@@ -801,3 +801,31 @@ def test_assign_encode_fast_single_python_stage_zero_shuffle(spark):
     assert "+- Exchange" not in plan, plan
     assert "Window" not in plan, plan
     assert plan.count("+- MapInPandas") == 1, plan
+
+
+def test_media_synth_fans_out_ids_not_blobs(spark):
+    """The heavy-decode media queries fan the tiny doc-id manifest out
+    to full parallelism BEFORE the Python synth/decode stages (decode
+    work scales with rows, not input bytes — a byte-sized manifest
+    split would run the whole decode on one core), and the exchange
+    carries ONLY the id column: blobs are created after it and must
+    never shuffle."""
+    import re
+
+    for qn in (
+        "multimodal_jpeg_pixel_stats",
+        "multimodal_pixel_stats",
+        "multimodal_media_report",
+        "multimodal_pixel_dedup_oriented",
+    ):
+        df = _catalog()[qn].fn(spark, SF_DIR)
+        plan = explain_str(df)
+        assert "RoundRobinPartitioning" in plan, (qn, plan)
+        # the fan-out exchange is upstream of every Python stage (lower
+        # node number = deeper in the tree = executes first)
+        exch = int(re.search(r"\((\d+)\) Exchange", plan).group(1))
+        mips = [int(x) for x in re.findall(r"\((\d+)\) MapInPandas", plan)]
+        assert mips and exch < min(mips), (qn, plan)
+        # and it is narrow: one input column (the id), never the blob
+        m = re.search(r"\(\d+\) Exchange\nInput \[(\d+)\]", plan)
+        assert m and m.group(1) == "1", (qn, plan)
