@@ -604,6 +604,27 @@ def _exact_sqdist(a, b):
     )
 
 
+def _dbl_sqdist(a, b):
+    """All-double squared-L2 twin of `_exact_sqdist` — the prefilter
+    metric for `pq_encode`'s candidate band (never the result)."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+# Guard band for pq_encode's double prefilter.  The decimal distance
+# quantizes each per-dimension term to 1e-12 before an exact sum, so
+# |d_double − d_decimal| ≤ sub·(0.5e-12 quantization + float64 term
+# error) < 1e-10 for any bounded-norm subvector — four orders of
+# magnitude inside this band (empirically ≤ ~4e-12 on the bench corpus,
+# gated at 1e-8 by test_pq_prefilter_divergence_bound).
+PQ_PREFILTER_EPS = 1e-6
+
+
 def pq_codebook(
     corpus: DataFrame,
     *,
@@ -828,22 +849,64 @@ def pq_encode(
     def sub_slice(col, j):
         return F.slice(col, j * sub + 1, sub)
 
-    def _dist_fn(j):
+    def _dd_fn(j):
         # closure factory, NOT a `j=j` default arg: PySpark infers the
         # HOF's arity from the lambda's parameter count, so an extra
         # bound parameter breaks (or silently misbinds) the transform
         return lambda c, i: F.struct(
-            _exact_sqdist(
+            _dbl_sqdist(
                 sub_slice(F.col(side_vec), j), sub_slice(c["cvec"], j)
-            ).alias("d"),
+            ).alias("dd"),
             i.alias("t"),
         )
 
+    def _dec_fn(j):
+        return lambda s: F.struct(
+            _exact_sqdist(
+                sub_slice(F.col(side_vec), j),
+                sub_slice(F.element_at(F.col("_cb"), s["t"] + 1)["cvec"], j),
+            ).alias("d"),
+            s["t"].alias("t"),
+        )
+
+    # Double-prefiltered decimal argmin (round 12, the wave-2
+    # PREFILTER_EPS discipline applied to encoding): one fold over the
+    # codebook tracks the running double minimum and keeps every
+    # codeword within PQ_PREFILTER_EPS of it (a prefix-min superset of
+    # the final eps band — the running min only decreases, so every
+    # final-band member is within eps of the prefix min at its own
+    # position and is retained; expected band size is the number of
+    # prefix-min records, ~H(n_codes) ≈ 5, not n_codes).  The exact
+    # decimal fold then runs ONLY over that band.  Exactness: with
+    # e = max|d_double − d_decimal| (< 1e-10, gated at 1e-8), every
+    # decimal-minimal codeword t* has d_dbl(t*) ≤ d_dbl(t) + 2e for all
+    # t, so the band contains ALL decimal minima, and every extra band
+    # member has a strictly larger decimal distance — the fold over the
+    # band (in ascending t order, strict <) therefore picks exactly the
+    # codeword the full fold picked, identical tie-break included.
+    # NaN payloads stay loud: NaN fails the `dd > m + eps` skip test,
+    # lands in the band, and the decimal cast raises as before.
+    cand_t = "array<struct<dd:double,t:int>>"
     code_exprs = []
     for j in range(m):
-        dists = F.transform(F.col("_cb"), _dist_fn(j))
+        dd = F.transform(F.col("_cb"), _dd_fn(j))
+        cands = F.aggregate(
+            dd,
+            F.struct(
+                F.lit(float("inf")).alias("m"),
+                F.array().cast(cand_t).alias("cs"),
+            ),
+            lambda acc, x: F.struct(
+                F.least(acc["m"], x["dd"]).alias("m"),
+                F.when(
+                    x["dd"] > acc["m"] + F.lit(PQ_PREFILTER_EPS), acc["cs"]
+                )
+                .otherwise(F.array_append(acc["cs"], x))
+                .alias("cs"),
+            ),
+        )["cs"]
         best = F.aggregate(
-            dists,
+            F.transform(cands, _dec_fn(j)),
             F.struct(
                 F.lit(10**12).cast("decimal(25,12)").alias("d"),
                 F.lit(-1).alias("t"),

@@ -45,6 +45,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan-split sizing, scale-adaptive by Spark's own formula:
+        # maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+        # totalScanBytes / parallelism)).  The 4 MB openCost default is a
+        # floor tuned for many-small-files cloud listings; on this
+        # engine's one-file-per-table layout it pinned every ≤128 MB
+        # table to 1–4 splits, serializing the scan AND all per-row
+        # compute above it onto a few cores.  128 KB keeps the formula's
+        # bytesPerCore term in charge: a 15 MB table fans out to the
+        # session's cores, while at cluster scale totalBytes/parallelism
+        # ≫ 128 KB so split sizing is unchanged (the 128 MB cap rules).
+        # Env-overridable for deployments with genuinely expensive opens.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(128 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

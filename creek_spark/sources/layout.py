@@ -44,8 +44,14 @@ TABLES_DEFAULT = (
     "embeddings",
 )
 
-# below this row count a second row group would not pay for its footer
-MIN_ROWS_PER_GROUP = 8192
+# below this BYTE size a second row group would not pay for its footer.
+# The floor is byte-based, not row-based (round 12): an 8192-row floor
+# pinned the small-row wide tables (embeddings: 2000 rows × 64 doubles,
+# documents: 5000 text rows) to ONE row group, so every scan — and all
+# the per-row compute stacked on it (PQ encode, text shingling, media
+# synth) — ran on a single core regardless of session parallelism.
+MIN_GROUP_BYTES = 32 * 1024
+_LAYOUT_VERSION = 3  # bump to invalidate mirrors cut with the old floor
 
 
 def optimize_layout(
@@ -72,7 +78,7 @@ def optimize_layout(
             continue
         st = os.stat(src)
         key = {"mtime_ns": st.st_mtime_ns, "size": st.st_size,
-               "target_groups": target_groups}
+               "target_groups": target_groups, "v": _LAYOUT_VERSION}
         dst = os.path.join(mirror, f"{t}.parquet")
         marker = dst + ".src.json"
         try:
@@ -82,7 +88,8 @@ def optimize_layout(
         except (OSError, ValueError):
             pass
         tbl = pq.read_table(src)
-        rows_per_group = max(MIN_ROWS_PER_GROUP, tbl.num_rows // target_groups)
+        n_groups = max(1, min(target_groups, tbl.nbytes // MIN_GROUP_BYTES))
+        rows_per_group = max(1, -(-tbl.num_rows // n_groups))
         tmp = dst + ".tmp"
         pq.write_table(tbl, tmp, row_group_size=rows_per_group)
         os.replace(tmp, dst)

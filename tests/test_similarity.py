@@ -491,3 +491,139 @@ def test_exact_dot_sql_lockstep(spark):
         | F.col("sql_form").isNull()
     ).count()
     assert n_bad == 0
+
+
+def _pq_encode_full_decimal_ref(df, codebook, side_id, side_vec, *, dim, m):
+    """In-test reference: the pre-round-12 pq_encode — the UNPREFILTERED
+    decimal argmin over every codeword.  The production pq_encode must
+    match it code-for-code (its double prefilter is a pure pruning)."""
+    from creek_spark.operators.similarity import _exact_dot, _exact_sqdist
+
+    sub = dim // m
+    out = df.crossJoin(F.broadcast(codebook.select("_cb")))
+
+    def sub_slice(col, j):
+        return F.slice(col, j * sub + 1, sub)
+
+    def _dist_fn(j):
+        return lambda c, i: F.struct(
+            _exact_sqdist(
+                sub_slice(F.col(side_vec), j), sub_slice(c["cvec"], j)
+            ).alias("d"),
+            i.alias("t"),
+        )
+
+    code_exprs = []
+    for j in range(m):
+        dists = F.transform(F.col("_cb"), _dist_fn(j))
+        best = F.aggregate(
+            dists,
+            F.struct(
+                F.lit(10**12).cast("decimal(25,12)").alias("d"),
+                F.lit(-1).alias("t"),
+            ),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )
+        code_exprs.append(best["t"])
+    return out.select(
+        F.col(side_id),
+        F.array(*code_exprs).alias("codes"),
+        _exact_dot(F.col(side_vec), F.col(side_vec)).alias("_nrm"),
+    )
+
+
+def test_pq_prefilter_divergence_bound(spark):
+    """pq_encode's double prefilter is exact only while PQ_PREFILTER_EPS
+    ≥ 2·max|d_double − d_decimal| over every (vector, codeword, subspace)
+    — measure the divergence on the driver corpus and gate it two orders
+    of magnitude under the band, so data/dimension drift trips here long
+    before it could flip a single code."""
+    from creek_spark.operators.similarity import (
+        PQ_PREFILTER_EPS,
+        _dbl_sqdist,
+        _exact_sqdist,
+        pq_codebook,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cb = pq_codebook(emb, n_codes=64)
+    dim, m = 64, 8
+    sub = dim // m
+    out = emb.select(F.col("embedding").alias("v")).crossJoin(
+        F.broadcast(cb.select("_cb"))
+    )
+    worst = []
+    for j in range(m):
+        sl = lambda c: F.slice(c, j * sub + 1, sub)  # noqa: B023
+        div = F.transform(
+            F.col("_cb"),
+            lambda c: F.abs(
+                _dbl_sqdist(sl(F.col("v")), sl(c["cvec"]))
+                - _exact_sqdist(sl(F.col("v")), sl(c["cvec"])).cast("double")
+            ),
+        )
+        worst.append(F.array_max(div))
+    e = out.select(F.greatest(*worst).alias("e")).agg(F.max("e")).first()[0]
+    assert e <= 1e-8, e
+    assert 2 * e <= PQ_PREFILTER_EPS / 100, e
+
+
+def test_pq_encode_prefilter_lockstep_and_ties(spark):
+    """The prefiltered pq_encode must equal the full-decimal reference
+    fold code-for-code and norm-for-norm — on the driver corpus AND on
+    adversarial codebooks with exact decimal ties (duplicate codewords:
+    smallest code index must win) and sub-eps near-ties (the decimal
+    fold, not the double ordering, must decide)."""
+    from creek_spark.operators.similarity import pq_codebook, pq_encode
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cb = pq_codebook(emb, n_codes=16)
+    src = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("c_vec"))
+    got = {
+        r["n_id"]: (list(r["codes"]), str(r["_nrm"]))
+        for r in pq_encode(src, cb, "n_id", "c_vec", dim=64, m=8).collect()
+    }
+    want = {
+        r["n_id"]: (list(r["codes"]), str(r["_nrm"]))
+        for r in _pq_encode_full_decimal_ref(
+            src, cb, "n_id", "c_vec", dim=64, m=8
+        ).collect()
+    }
+    assert got == want
+
+    # adversarial: dim=8, m=2.  codewords 0/1 identical (exact tie →
+    # code 0), codeword 2 within 1e-7 of them on subspace 1 (sub-eps
+    # near-tie → the decimal distance decides), codeword 3 far away.
+    base = [1.0, 2.0, 3.0, 4.0]
+    cws = [
+        base + base,
+        base + base,  # duplicate of codeword 0
+        base + [v + 2.5e-8 for v in base],  # d_dec differs at ~1e-14
+        [99.0] * 8,
+    ]
+    cb_rows = [
+        {"mkey": f"{i:02d}", "cid": i, "cvec": cws[i]} for i in range(4)
+    ]
+    adv_cb = spark.createDataFrame(
+        [(cb_rows,)], "_cb array<struct<mkey:string,cid:int,cvec:array<double>>>"
+    )
+    vecs = [
+        (0, base + base),                      # exact tie on both subspaces
+        (1, base + [v + 1.2e-8 for v in base]),  # between codewords 0/2
+        (2, [0.0] * 8),
+        (3, [99.0] * 4 + base),
+    ]
+    adv = spark.createDataFrame(vecs, "n_id int, c_vec array<double>")
+    got_a = {
+        r["n_id"]: list(r["codes"])
+        for r in pq_encode(adv, adv_cb, "n_id", "c_vec", dim=8, m=2).collect()
+    }
+    want_a = {
+        r["n_id"]: list(r["codes"])
+        for r in _pq_encode_full_decimal_ref(
+            adv, adv_cb, "n_id", "c_vec", dim=8, m=2
+        ).collect()
+    }
+    assert got_a == want_a
+    # the duplicate-codeword tie must resolve to the SMALLEST code
+    assert got_a[0] == [0, 0]
