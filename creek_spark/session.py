@@ -45,21 +45,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Scan-split sizing, scale-adaptive by Spark's own formula:
-        # maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
-        # totalScanBytes / parallelism)).  The 4 MB openCost default is a
-        # floor tuned for many-small-files cloud listings; on this
-        # engine's one-file-per-table layout it pinned every ≤128 MB
-        # table to 1–4 splits, serializing the scan AND all per-row
-        # compute above it onto a few cores.  128 KB keeps the formula's
-        # bytesPerCore term in charge: a 15 MB table fans out to the
-        # session's cores, while at cluster scale totalBytes/parallelism
-        # ≫ 128 KB so split sizing is unchanged (the 128 MB cap rules).
-        # Env-overridable for deployments with genuinely expensive opens.
-        .config(
-            "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST", str(128 * 1024)),
-        )
+        # Scan-split sizing is left at Spark's defaults DELIBERATELY
+        # (round 12): lowering openCostInBytes to fan small single-file
+        # tables out was measured to also fan the 15 MB lineitem scan to
+        # 32 base splits, and the explode-amplified pair-join shapes
+        # (basket/triangle probes) ran 1.5–3× SLOWER at k=16 under the
+        # extra concurrent partial-agg memory pressure (interleaved A/B,
+        # two heap sizes).  Small-table parallelism comes from the
+        # ingest layout instead: sources/layout.py writes tables whose
+        # whole size sits under the 4 MB openCost floor (invisible to
+        # split planning) as one FILE per row group, which Spark's
+        # default packing maps to one partition per file.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

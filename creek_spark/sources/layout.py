@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 # cache inside the repo (gitignored) — the sandbox contract reserves
 # paths outside it; override with CREEK_LAYOUT_CACHE
@@ -51,7 +52,9 @@ TABLES_DEFAULT = (
 # the per-row compute stacked on it (PQ encode, text shingling, media
 # synth) — ran on a single core regardless of session parallelism.
 MIN_GROUP_BYTES = 32 * 1024
-_LAYOUT_VERSION = 3  # bump to invalidate mirrors cut with the old floor
+# tables smaller than the openCost floor are written one-file-per-group
+MULTIFILE_BELOW = 4 * 1024 * 1024
+_LAYOUT_VERSION = 4  # bump to invalidate mirrors cut with the old floor
 
 
 def optimize_layout(
@@ -90,9 +93,40 @@ def optimize_layout(
         tbl = pq.read_table(src)
         n_groups = max(1, min(target_groups, tbl.nbytes // MIN_GROUP_BYTES))
         rows_per_group = max(1, -(-tbl.num_rows // n_groups))
-        tmp = dst + ".tmp"
-        pq.write_table(tbl, tmp, row_group_size=rows_per_group)
-        os.replace(tmp, dst)
+        if n_groups > 1 and st.st_size < MULTIFILE_BELOW:
+            # A table whose WHOLE on-disk size sits under the 4 MB
+            # openCost floor is invisible to Spark's split planning —
+            # one partition no matter how many row groups it carries —
+            # yet the per-row compute stacked on such tables (PQ
+            # encode, shingling, media synth) is the heaviest in the
+            # engine.  One FILE per row group makes Spark's default
+            # packing give each file its own partition, without
+            # touching the split sizing that governs real-sized scans
+            # (lowering openCostInBytes globally was measured to hurt
+            # the explode-amplified lineitem shapes — see session.py).
+            tmpd = dst + ".tmpdir"
+            shutil.rmtree(tmpd, ignore_errors=True)
+            os.makedirs(tmpd)
+            for i in range(n_groups):
+                sl = tbl.slice(i * rows_per_group, rows_per_group)
+                if sl.num_rows == 0:
+                    break
+                pq.write_table(
+                    sl,
+                    os.path.join(tmpd, f"part-{i:05d}.parquet"),
+                    row_group_size=rows_per_group,
+                )
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            elif os.path.exists(dst):
+                os.remove(dst)
+            os.replace(tmpd, dst)
+        else:
+            tmp = dst + ".tmp"
+            pq.write_table(tbl, tmp, row_group_size=rows_per_group)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)  # stale multi-file mirror from a prior cut
+            os.replace(tmp, dst)
         with open(marker, "w") as f:
             json.dump(key, f)
     return mirror

@@ -40,3 +40,21 @@ def test_mirror_cache_hit_and_invalidation(tmp_path):
         f.write('{"mtime_ns": 0, "size": 0, "target_groups": 32}')
     optimize_layout(SF_DIR, cache_root=str(tmp_path))
     assert os.stat(p).st_mtime_ns != mtime  # rebuilt
+
+
+def test_small_tables_fan_out_one_file_per_group(tmp_path):
+    """Tables whose whole size sits under the 4 MB openCost floor are
+    invisible to Spark's split planning however many row groups they
+    carry — the mirror must write them as one FILE per group (each file
+    = one partition under default packing), value-identical and in the
+    same row order."""
+    import pyarrow.parquet as pq
+
+    mirror = optimize_layout(SF_DIR, cache_root=str(tmp_path))
+    for t in ("embeddings", "documents"):
+        src = pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+        dst_path = os.path.join(mirror, f"{t}.parquet")
+        assert os.path.isdir(dst_path), dst_path
+        parts = [p for p in os.listdir(dst_path) if p.endswith(".parquet")]
+        assert len(parts) > 1, parts
+        assert src.equals(pq.read_table(dst_path))
