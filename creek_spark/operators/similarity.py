@@ -58,9 +58,9 @@ def cosine_topk(
     (bit-identical to an ANSI-SQL decimal SUM), as always.
 
     Plan shape (round-12, second pass): the pair set NEVER shuffles.
-    Pass 1 is `cosine_topk_fast` — pure row_number ≤ k cuts at both
-    levels, so the partial WindowGroupLimit truncates map-side and the
-    exchanges carry ≤ splits·|Q|·k narrow rows; its per-query minimum
+    Pass 1 is `cosine_topk_fast` — a pure row_number ≤ k cut, so the
+    partial WindowGroupLimit truncates map-side and its exchange
+    carries ≤ splits·|Q|·k narrow rows; its per-query minimum
     IS the kth-best double score.  Pass 2 re-scans the pairs map-side
     and keeps the eps band {score_double ≥ kth − PREFILTER_EPS} against
     the broadcast kth, rescoring the ~k survivors with the decimal fold
@@ -129,15 +129,20 @@ def cosine_topk_fast(
     No explode/shuffle of per-dimension rows; the entire dot product runs
     inside whole-stage codegen.  Used by bench.py.
 
-    Top-k is two-level (round-12, guide §2 skew + shuffle bytes): level 1
-    ranks within (q_id, scan partition) — a pure row_number ≤ k filter,
-    so Spark's partial WindowGroupLimit truncates to k rows per query
-    map-side and the exchange carries ~(partitions × |Q| × k) rows
-    instead of |Q| × |corpus|.  A single per-q_id window would also sort
-    each query's whole corpus in ONE task — the straggler shape at
-    100 TB.  The global top-k is a subset of the per-partition top-ks,
-    and every row above a kept row is also kept, so level 2's row_number
-    equals the global rank — bit-identical output."""
+    Top-k is ONE per-query window with a pure row_number ≤ k cut.  That
+    is already the scale-safe shape: Spark's rank-limit pushdown inserts
+    a PARTIAL WindowGroupLimit below the exchange, so every map task
+    truncates to ≤ k rows per query before shuffling — the exchange
+    carries ≤ (map partitions × |Q| × k) rows, never |Q| × |corpus|, and
+    the final per-query sort sees ≤ (map partitions × k) rows, never the
+    corpus.  (Round 12 added a manual second level ranking within
+    (q_id, spark_partition_id()) on the theory that a single window
+    sorts each query's whole corpus in one task — but the partial
+    WindowGroupLimit was ALREADY doing that truncation map-side, so the
+    extra level added one full exchange + window for zero asymptotic
+    reduction, and the driver's local[32] bench measured it at 0.21×.
+    Reverted round 13; the r11/r12 plan files show the partial
+    WindowGroupLimit below the exchange in BOTH forms.)"""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
@@ -148,21 +153,12 @@ def cosine_topk_fast(
         c.crossJoin(q)
         .where(F.col("q_id") != F.col("n_id"))
         .withColumn("cos_sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    wl = Window.partitionBy("q_id", "_pid").orderBy(
-        F.col("cos_sim").desc(), F.col("n_id").asc()
-    )
-    pruned = (
-        scored.withColumn("_rl", F.row_number().over(wl))
-        .where(F.col("_rl") <= k)
-        .select("q_id", "n_id", "cos_sim")
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("n_id").asc()
     )
     return (
-        pruned.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos_sim", "rnk")
     )

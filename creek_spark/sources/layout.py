@@ -54,7 +54,23 @@ TABLES_DEFAULT = (
 MIN_GROUP_BYTES = 32 * 1024
 # tables smaller than the openCost floor are written one-file-per-group
 MULTIFILE_BELOW = 4 * 1024 * 1024
-_LAYOUT_VERSION = 4  # bump to invalidate mirrors cut with the old floor
+# Round 13: the round-12 form fanned EVERY sub-4MB table into up to 32
+# files, and the driver's own local[32] bench showed the blanket fan-out
+# anti-scales: 9 headline rows regressed 1.4–4.7× (25.2 s @32 cores vs
+# 13.6 s @8 on the same tree — concurrent tiny-task waves turned excess
+# cores into scheduler/GC overhead), while the SAME pipelines at 8-way
+# concurrency ran at-or-better than their round-11 times.  So the
+# multifile cut now applies ONLY to the table whose scans feed heavy
+# per-row compute (embeddings → the BigDecimal PQ-encode folds), capped
+# at the 8-way concurrency the driver's own c8 run proved out; every
+# other small table goes back to one file = one split (their per-row
+# work is hash/compare — µs-cheap — so extra scan tasks are pure
+# overhead at any core count).  Media-decode parallelism does not need
+# the layout at all: queries._fan_out repartitions the id column before
+# the decode stages (round-12 wave 8).
+MULTIFILE_TABLES = ("embeddings",)
+MULTIFILE_CAP = 8
+_LAYOUT_VERSION = 5  # bump to invalidate mirrors cut with the old rule
 
 
 def optimize_layout(
@@ -93,28 +109,37 @@ def optimize_layout(
         tbl = pq.read_table(src)
         n_groups = max(1, min(target_groups, tbl.nbytes // MIN_GROUP_BYTES))
         rows_per_group = max(1, -(-tbl.num_rows // n_groups))
-        if n_groups > 1 and st.st_size < MULTIFILE_BELOW:
+        n_files = min(n_groups, MULTIFILE_CAP)
+        if (
+            t in MULTIFILE_TABLES
+            and n_files > 1
+            and st.st_size < MULTIFILE_BELOW
+        ):
             # A table whose WHOLE on-disk size sits under the 4 MB
             # openCost floor is invisible to Spark's split planning —
             # one partition no matter how many row groups it carries —
-            # yet the per-row compute stacked on such tables (PQ
-            # encode, shingling, media synth) is the heaviest in the
-            # engine.  One FILE per row group makes Spark's default
-            # packing give each file its own partition, without
-            # touching the split sizing that governs real-sized scans
-            # (lowering openCostInBytes globally was measured to hurt
-            # the explode-amplified lineitem shapes — see session.py).
+            # and the per-row compute stacked on THIS table's scans
+            # (the decimal PQ-encode folds) is the heaviest in the
+            # engine.  One FILE per slice makes Spark's default packing
+            # give each file its own partition, without touching the
+            # split sizing that governs real-sized scans (lowering
+            # openCostInBytes globally was measured to hurt the
+            # explode-amplified lineitem shapes — see session.py).
+            # Capped at MULTIFILE_CAP files: the driver's local[32] c8
+            # run showed these decimal pipelines run FASTER at 8-way
+            # concurrency than at 17–32-way in one JVM (GC pressure).
+            rows_per_file = max(1, -(-tbl.num_rows // n_files))
             tmpd = dst + ".tmpdir"
             shutil.rmtree(tmpd, ignore_errors=True)
             os.makedirs(tmpd)
-            for i in range(n_groups):
-                sl = tbl.slice(i * rows_per_group, rows_per_group)
+            for i in range(n_files):
+                sl = tbl.slice(i * rows_per_file, rows_per_file)
                 if sl.num_rows == 0:
                     break
                 pq.write_table(
                     sl,
                     os.path.join(tmpd, f"part-{i:05d}.parquet"),
-                    row_group_size=rows_per_group,
+                    row_group_size=rows_per_file,
                 )
             if os.path.isdir(dst):
                 shutil.rmtree(dst)

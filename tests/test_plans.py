@@ -260,18 +260,23 @@ def test_similarity_topk_no_explode_narrow_exchanges(spark):
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Generate" not in plan, plan
-    # three shuffle exchanges: the two pure-rank-cut levels of the kth
-    # pass and the ~k-row final decimal window — ALL WindowGroupLimit
-    # truncated (none is the eps-band filter, which would defeat the
-    # map-side truncation and shuffle the full pair set); everything
-    # else is a broadcast.  No per-query whole-corpus single-task sort.
-    assert plan.count("+- Exchange") == 3, plan
-    assert len(re.findall(r"\) WindowGroupLimit", plan)) == 6, plan
+    # two shuffle exchanges: the kth pass's single pure-rank-cut window
+    # (round 13 dropped the redundant manual per-scan-partition level —
+    # the partial WindowGroupLimit below the exchange already truncates
+    # map-side, so the extra level was one full exchange for zero
+    # asymptotic reduction) and the ~k-row final decimal window — BOTH
+    # WindowGroupLimit truncated (neither is the eps-band filter, which
+    # would defeat the map-side truncation and shuffle the full pair
+    # set); everything else is a broadcast.  No per-query whole-corpus
+    # single-task sort: the partial WindowGroupLimit cuts every map
+    # partition to ≤ k rows per query before the exchange.
+    assert plan.count("+- Exchange") == 2, plan
+    assert len(re.findall(r"\) WindowGroupLimit", plan)) == 4, plan
     assert "BroadcastExchange" in plan, plan
     widths = [
         int(w) for w in re.findall(r"\) Exchange\nInput \[(\d+)\]", plan)
     ]
-    assert len(widths) == 3 and all(w <= 4 for w in widths), plan
+    assert len(widths) == 2 and all(w <= 4 for w in widths), plan
 
 
 def test_q21_single_late_computation(spark):
