@@ -157,7 +157,15 @@ def triangle_corner_counts(e: DataFrame) -> DataFrame:
     endpoint bound the wedge join at m^{3/2}; each triangle found
     exactly once; see queries_r6c.graph_triangles for the full scale
     argument).  Returns (n, n_triangles).  ``e`` should be a registered
-    cache/persisted frame — it feeds several joins."""
+    cache/persisted frame — it feeds several joins.
+
+    Edge-cache sizing at scale (round-13 cost model, OPTIMIZATION_r13.md):
+    keep the oriented-edge cache while m·24 bytes fits ~25% of aggregate
+    executor storage memory; past that, switch the register_cache to
+    DISK_ONLY (same plan, disk-local rescans).  A Bloom-pruned re-scan
+    only wins when the wedge frontier is selective, which orientation
+    structurally prevents (every node with out-degree ≥ 1 is frontier),
+    so it is not a real alternative for this operator."""
     deg = (
         e.select(F.col("u").alias("n"))
         .unionByName(e.select(F.col("v").alias("n")))

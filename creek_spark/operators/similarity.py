@@ -399,35 +399,126 @@ def ivf_cell_assignment(
 
     Output: (side_id, side_vec, cell_id[, cell_vec][, _nrm when exact])."""
     out = df.crossJoin(F.broadcast(cents))  # broadcast NLJ of a 1-row side
-    if exact:
-        out = out.withColumn("_nrm", _exact_dot(F.col(side_vec), F.col(side_vec)))
-    scored = _cent_sims(side_vec, F.col("_nrm") if exact else None, exact)
-    if keep_cvec:
-        scored = F.zip_with(
+    if not exact:
+        scored = _cent_sims(side_vec, None, False)
+        if keep_cvec:
+            scored = F.zip_with(
+                scored,
+                F.col("cents"),
+                lambda sc, c: F.struct(
+                    sc["s"].alias("s"),
+                    sc["cid"].alias("cid"),
+                    c["cvec"].alias("cvec"),
+                ),
+            )
+        acc_fields = [
+            F.lit(-2.0).alias("s"),  # below any cosine
+            F.when(F.lit(False), F.get(F.col("cents"), 0)["cid"]).alias("cid"),
+        ]
+        if keep_cvec:
+            acc_fields.append(
+                F.when(F.lit(False), F.get(F.col("cents"), 0)["cvec"]).alias(
+                    "cvec"
+                )
+            )
+        best = F.aggregate(
             scored,
-            F.col("cents"),
-            lambda sc, c: F.struct(
-                sc["s"].alias("s"), sc["cid"].alias("cid"), c["cvec"].alias("cvec")
+            F.struct(*acc_fields),
+            lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+        )
+        cols = [side_id, side_vec, best["cid"].alias("cell_id")]
+        if keep_cvec:
+            cols.append(best["cvec"].alias("cell_vec"))
+        return out.select(*cols)
+
+    # Exact path: double-prefiltered decimal argmax (round 13 — the
+    # wave-10 pq_encode discipline applied to the centroid assignment,
+    # which profiling showed was ~1.1 s of the inline IVFADC query: one
+    # full decimal dot per (row, centroid)).  One fold over the centroid
+    # array tracks the running DOUBLE cosine maximum and keeps every
+    # centroid within IVF_PREFILTER_EPS of it (a prefix-max superset of
+    # the final eps band — the running max only increases, so every
+    # final-band member was within eps of the prefix max at its own
+    # position and is retained; expected band ≈ H(n_cells) ≈ 3, not
+    # n_cells).  The exact decimal cosine then scores ONLY the band, in
+    # ascending array position with the same strict-> keep-incumbent
+    # tie-break.  Exactness: both paths divide by the IDENTICAL
+    # denominator (the decimal norms cast to double), so with
+    # e = max|cos_double − cos_decimal_as_double| (gated ≤ 1e-8 by
+    # test_ivf_prefilter_divergence_bound), every decimal-argmax
+    # centroid sits within 2e ≪ eps of the double maximum — the band
+    # contains ALL decimal maxima, and every extra member scores
+    # strictly lower in the decimal pass, so the band fold returns
+    # exactly the full fold's pick, tie-break included.
+    # NULL sims (a zero-norm side under on_zero_norm='allow') never
+    # update the running max, land in the band (the skip test is NULL),
+    # score NULL in the decimal pass and never beat the incumbent — an
+    # all-NULL row yields cell_id NULL exactly like the full fold did.
+    # NaN payloads are mapped to NULL for the banding (nanvl) so a NaN
+    # CENTROID cannot poison the running max and silently skip later
+    # centroids; a NaN row vector NaN-poisons every double dot → all
+    # band entries NULL-s → decimal pass (NULL on the decimal cast)
+    # yields cell_id NULL, matching the full fold.
+    out = out.withColumn("_nrm", _exact_dot(F.col(side_vec), F.col(side_vec)))
+
+    def _s_dbl(c):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(side_vec),
+                c["cvec"],
+                lambda x, y: x.cast("double") * y.cast("double"),
             ),
+            F.lit(0.0),
+            lambda a, x: a + x,
         )
-    acc_fields = [
-        F.lit(-2.0).alias("s"),  # below any cosine
-        F.when(F.lit(False), F.get(F.col("cents"), 0)["cid"]).alias("cid"),
-    ]
-    if keep_cvec:
-        acc_fields.append(
-            F.when(F.lit(False), F.get(F.col("cents"), 0)["cvec"]).alias("cvec")
+        denom = F.sqrt(F.col("_nrm").cast("double")) * F.sqrt(
+            c["cnrm"].cast("double")
         )
-    best = F.aggregate(
-        scored,
-        F.struct(*acc_fields),
-        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+        return F.nanvl(
+            F.when(denom != F.lit(0.0), dot / denom), F.lit(None).cast("double")
+        )
+
+    cand_t = "array<struct<s:double,i:int>>"
+    sd = F.transform(
+        F.col("cents"),
+        lambda c, i: F.struct(_s_dbl(c).alias("s"), i.alias("i")),
     )
-    cols = [side_id, side_vec, best["cid"].alias("cell_id")]
+    band = F.aggregate(
+        sd,
+        F.struct(
+            F.lit(float("-inf")).alias("m"),
+            F.array().cast(cand_t).alias("cs"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(acc["m"], x["s"]).alias("m"),
+            F.when(
+                x["s"] < acc["m"] - F.lit(IVF_PREFILTER_EPS), acc["cs"]
+            )
+            .otherwise(F.array_append(acc["cs"], x))
+            .alias("cs"),
+        ),
+    )["cs"]
+
+    def _dec(s):
+        c = F.element_at(F.col("cents"), s["i"] + 1)
+        return F.struct(
+            _pair_cos(
+                F.col(side_vec), c["cvec"], F.col("_nrm"), c["cnrm"], True
+            ).alias("s"),
+            s["i"].alias("i"),
+        )
+
+    best_i = F.aggregate(
+        F.transform(band, _dec),
+        F.struct(F.lit(-2.0).alias("s"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+    )["i"]
+    # CASE guards the 1-based element_at from the all-NULL i=-1 sentinel
+    win = F.when(best_i >= 0, F.element_at(F.col("cents"), best_i + 1))
+    cols = [side_id, side_vec, win["cid"].alias("cell_id")]
     if keep_cvec:
-        cols.append(best["cvec"].alias("cell_vec"))
-    if exact:
-        cols.append(F.col("_nrm"))
+        cols.append(win["cvec"].alias("cell_vec"))
+    cols.append(F.col("_nrm"))
     return out.select(*cols)
 
 
@@ -619,6 +710,15 @@ def _dbl_sqdist(a, b):
 # magnitude inside this band (empirically ≤ ~4e-12 on the bench corpus,
 # gated at 1e-8 by test_pq_prefilter_divergence_bound).
 PQ_PREFILTER_EPS = 1e-6
+
+# Guard band for ivf_cell_assignment's exact-path double prefilter
+# (round 13 — the same discipline on the centroid argmax).  Both paths
+# divide by the IDENTICAL denominator (the decimal norms cast to
+# double), so the divergence is only the numerator quantization:
+# |cos_double − cos_decimal_as_double| ≤ dim·(0.5e-12 + float64 term
+# error)/denom < 1e-10 for bounded-norm vectors — empirically ≤ ~4e-11,
+# gated at 1e-8 by test_ivf_prefilter_divergence_bound.
+IVF_PREFILTER_EPS = 1e-6
 
 
 def pq_codebook(
@@ -880,8 +980,13 @@ def pq_encode(
     # member has a strictly larger decimal distance — the fold over the
     # band (in ascending t order, strict <) therefore picks exactly the
     # codeword the full fold picked, identical tie-break included.
-    # NaN payloads stay loud: NaN fails the `dd > m + eps` skip test,
-    # lands in the band, and the decimal cast raises as before.
+    # NaN payloads are pruned SILENTLY, exactly as the pre-prefilter
+    # fold behaved (verified round 12 review): Spark's double comparison
+    # orders NaN above every value, so a NaN dd PASSES the
+    # `dd > m + eps` skip test and never lands in the band — the fold
+    # returns t=-1 — and the decimal cast of a NaN norm yields NULL
+    # rather than raising.  A NaN vector therefore encodes as
+    # codes=[-1,...] with _nrm NULL, identical to the old path.
     cand_t = "array<struct<dd:double,t:int>>"
     code_exprs = []
     for j in range(m):

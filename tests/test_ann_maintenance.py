@@ -5,9 +5,12 @@ advice's torn-read finding)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess/fuzz/e2e tier - see pytest.ini
+
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from creek_spark.operators import similarity as sim

@@ -9,6 +9,10 @@ rest.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess/fuzz/e2e tier - see pytest.ini
+
 import json
 import os
 import subprocess

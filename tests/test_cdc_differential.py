@@ -11,6 +11,10 @@ before they reach Spark)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess/fuzz/e2e tier - see pytest.ini
+
 import random
 
 from creek_spark.operators.cdc import latest_state

@@ -8,10 +8,13 @@ integration_tests/nats_reconnect_test.go:20-88 TestNatsReconnection).
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess/fuzz/e2e tier - see pytest.ini
+
 import os
 import random
 
-import pytest
 
 from pyspark.sql import functions as F
 

@@ -7,10 +7,13 @@ Comparison is strict: floats must be bit-identical (the catalog's decimal
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess/fuzz/e2e tier - see pytest.ini
+
 import math
 
 import pandas as pd
-import pytest
 
 import __spark_entry__ as entrymod
 from tests.conftest import SF_DIR

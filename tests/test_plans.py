@@ -826,11 +826,22 @@ def test_media_synth_fans_out_ids_not_blobs(spark):
         df = _catalog()[qn].fn(spark, SF_DIR)
         plan = explain_str(df)
         assert "RoundRobinPartitioning" in plan, (qn, plan)
+        # anchor on the RoundRobinPartitioning exchange specifically —
+        # matching the first "(n) Exchange" in the text would silently
+        # grab an unrelated (e.g. aggregation) shuffle if one ever
+        # printed earlier in the plan (round-12 review note)
+        rr = [
+            (int(m.group(1)), m.group(2))
+            for m in re.finditer(
+                r"\((\d+)\) Exchange\nInput \[(\d+)\][^\n]*\n"
+                r"Arguments: RoundRobinPartitioning",
+                plan,
+            )
+        ]
+        assert rr, (qn, plan)
         # the fan-out exchange is upstream of every Python stage (lower
         # node number = deeper in the tree = executes first)
-        exch = int(re.search(r"\((\d+)\) Exchange", plan).group(1))
         mips = [int(x) for x in re.findall(r"\((\d+)\) MapInPandas", plan)]
-        assert mips and exch < min(mips), (qn, plan)
+        assert mips and min(n for n, _ in rr) < min(mips), (qn, plan)
         # and it is narrow: one input column (the id), never the blob
-        m = re.search(r"\(\d+\) Exchange\nInput \[(\d+)\]", plan)
-        assert m and m.group(1) == "1", (qn, plan)
+        assert all(w == "1" for _, w in rr), (qn, plan)

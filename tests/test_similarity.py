@@ -627,3 +627,161 @@ def test_pq_encode_prefilter_lockstep_and_ties(spark):
     assert got_a == want_a
     # the duplicate-codeword tie must resolve to the SMALLEST code
     assert got_a[0] == [0, 0]
+
+
+def _ivf_assign_full_decimal_ref(df, cents, side_id, side_vec, *, keep_cvec=False):
+    """In-test copy of the PRE-round-13 ivf_cell_assignment(exact=True):
+    the full decimal cosine fold over every centroid — the reference the
+    double-prefiltered band must match pick-for-pick."""
+    from creek_spark.operators.similarity import _cent_sims, _exact_dot
+
+    out = df.crossJoin(F.broadcast(cents))
+    out = out.withColumn("_nrm", _exact_dot(F.col(side_vec), F.col(side_vec)))
+    scored = _cent_sims(side_vec, F.col("_nrm"), True)
+    if keep_cvec:
+        scored = F.zip_with(
+            scored,
+            F.col("cents"),
+            lambda sc, c: F.struct(
+                sc["s"].alias("s"), sc["cid"].alias("cid"), c["cvec"].alias("cvec")
+            ),
+        )
+    acc_fields = [
+        F.lit(-2.0).alias("s"),
+        F.when(F.lit(False), F.get(F.col("cents"), 0)["cid"]).alias("cid"),
+    ]
+    if keep_cvec:
+        acc_fields.append(
+            F.when(F.lit(False), F.get(F.col("cents"), 0)["cvec"]).alias("cvec")
+        )
+    best = F.aggregate(
+        scored,
+        F.struct(*acc_fields),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+    )
+    cols = [side_id, best["cid"].alias("cell_id")]
+    if keep_cvec:
+        cols.append(best["cvec"].alias("cell_vec"))
+    cols.append(F.col("_nrm"))
+    return out.select(*cols)
+
+
+def test_ivf_prefilter_divergence_bound(spark):
+    """ivf_cell_assignment's exact-path double prefilter is exact only
+    while IVF_PREFILTER_EPS ≥ 2·max|cos_double − cos_decimal_as_double|
+    over every (vector, centroid) — both paths divide by the identical
+    denominator, so the divergence is the numerator quantization only.
+    Measure it on the driver corpus and gate it two orders of magnitude
+    under the band."""
+    from creek_spark.operators.similarity import (
+        IVF_PREFILTER_EPS,
+        _exact_dot,
+        ivf_centroids,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = ivf_centroids(emb, n_cells=16)
+    out = (
+        emb.select(F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_n", _exact_dot(F.col("v"), F.col("v")))
+    )
+
+    def _div(c):
+        dot_d = F.aggregate(
+            F.zip_with(
+                F.col("v"), c["cvec"],
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        denom = F.sqrt(F.col("_n").cast("double")) * F.sqrt(
+            c["cnrm"].cast("double")
+        )
+        return F.abs(
+            dot_d - _exact_dot(F.col("v"), c["cvec"]).cast("double")
+        ) / denom
+
+    e = (
+        out.select(
+            F.array_max(F.transform(F.col("cents"), _div)).alias("e")
+        )
+        .agg(F.max("e"))
+        .first()[0]
+    )
+    assert e <= 1e-8, e
+    assert 2 * e <= IVF_PREFILTER_EPS / 100, e
+
+
+def test_ivf_assignment_prefilter_lockstep_and_ties(spark):
+    """The prefiltered exact assignment must equal the full-decimal
+    reference fold cell-for-cell (and cell_vec-for-cell_vec) — on the
+    driver corpus AND on adversarial centroid sets: duplicate centroids
+    (exact tie → earliest md5-sorted position wins), a 2.5e-8 near-tie
+    (the decimal fold, not the double ordering, must decide), and a
+    zero vector (NULL cosine everywhere → cell_id NULL)."""
+    from creek_spark.operators.similarity import (
+        _exact_dot,
+        ivf_cell_assignment,
+        ivf_centroids,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = ivf_centroids(emb, n_cells=16)
+    src = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("c_vec")
+    )
+    got = {
+        r["n_id"]: (r["cell_id"], str(r["_nrm"]))
+        for r in ivf_cell_assignment(
+            src, cents, "n_id", "c_vec", exact=True
+        ).collect()
+    }
+    want = {
+        r["n_id"]: (r["cell_id"], str(r["_nrm"]))
+        for r in _ivf_assign_full_decimal_ref(src, cents, "n_id", "c_vec").collect()
+    }
+    assert got == want
+
+    # adversarial centroid set, order pinned by mkey strings:
+    #   position 0/1: duplicates (exact tie -> position 0's cid wins)
+    #   position 2: 2.5e-8 directional perturbation of position 0
+    #   position 3: far away
+    cvecs = [
+        [1.0, 0.0, 2.0, 3.0],
+        [1.0, 0.0, 2.0, 3.0],
+        [1.0, 2.5e-8, 2.0, 3.0],
+        [-5.0, 7.0, -1.0, 2.0],
+    ]
+    cent_src = spark.createDataFrame(
+        [(f"{i:02d}", 100 + i, v) for i, v in enumerate(cvecs)],
+        "mkey string, cid bigint, cvec array<double>",
+    ).withColumn("cnrm", _exact_dot(F.col("cvec"), F.col("cvec")))
+    adv_cents = cent_src.agg(
+        F.sort_array(
+            F.collect_list(F.struct("mkey", "cid", "cvec", "cnrm"))
+        ).alias("cents")
+    )
+    rows = [
+        (0, [1.0, 0.0, 2.0, 3.0]),        # exact tie between pos 0/1
+        (1, [1.0, 1.2e-8, 2.0, 3.0]),     # between pos 0 and pos 2
+        (2, [0.0, 0.0, 0.0, 0.0]),        # zero norm -> NULL everywhere
+        (3, [-5.0, 7.0, -1.0, 2.0]),      # clear winner pos 3
+    ]
+    adv = spark.createDataFrame(rows, "n_id int, c_vec array<double>")
+    got_a = {
+        r["n_id"]: (r["cell_id"], r["cell_vec"])
+        for r in ivf_cell_assignment(
+            adv, adv_cents, "n_id", "c_vec", exact=True, keep_cvec=True
+        ).collect()
+    }
+    want_a = {
+        r["n_id"]: (r["cell_id"], r["cell_vec"])
+        for r in _ivf_assign_full_decimal_ref(
+            adv, adv_cents, "n_id", "c_vec", keep_cvec=True
+        ).collect()
+    }
+    assert got_a == want_a
+    assert got_a[0][0] == 100  # duplicate tie -> earliest position's cid
+    assert got_a[2][0] is None  # zero vector -> NULL cell

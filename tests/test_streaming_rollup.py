@@ -3,6 +3,10 @@ replay fencing, partition-local rewrites, atomic manifest visibility."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess/fuzz/e2e tier - see pytest.ini
+
 import json
 import os
 

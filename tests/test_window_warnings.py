@@ -19,6 +19,10 @@ vacuous.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess/fuzz/e2e tier - see pytest.ini
+
 import os
 import subprocess
 import sys

@@ -487,6 +487,72 @@ def lifecycle_probes(spark, sf_dir: str) -> dict[str, dict[int, float]]:
     }
 
 
+def fanout_guard(spark, sf_dir: str) -> dict:
+    """Concurrency/heap-pressure guardrail (round 13; r12 verdict item 7).
+
+    The round-12 regression mechanism was not plan shape but CONCURRENCY:
+    17–32 simultaneous decimal-fold tasks in one local JVM turned excess
+    cores into scheduler/GC overhead (driver ground truth: the same tree
+    ran 13.6 s at 8 cores vs 25.2 s at 32).  This probe times the
+    heaviest decimal stage in the engine — the pq_encode argmin fold —
+    over an inflated corpus at 8-way fan-out and at FULL local
+    parallelism, recording wall time and the JVM's GC-time share
+    (GarbageCollectorMXBeans — one JVM in local mode, so the delta is
+    exactly the stage's collector cost).  Gate: full-width wall must be
+    ≤ 1.5× the 8-way wall (the r12 failure signature was 1.5–4×) and
+    GC must not eat more than half the stage.  A future fan-out change
+    that reintroduces the thrash fails this gate at the graded core
+    count instead of surfacing in the driver's bench."""
+    from creek_spark.operators.similarity import pq_codebook, pq_encode
+    from creek_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, n_codes=64)
+    corp = inflate(
+        emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("c_vec")),
+        8,
+        {"n_id": "remap"},
+    )
+    jvm = spark.sparkContext._jvm
+
+    def gc_s() -> float:
+        beans = (
+            jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        )
+        return sum(
+            beans.get(i).getCollectionTime() for i in range(beans.size())
+        ) / 1000.0
+
+    full = spark.sparkContext.defaultParallelism
+    res = {}
+    for width in (8, full):
+        df = pq_encode(
+            corp.repartition(width), cb, "n_id", "c_vec", dim=64, m=8
+        ).select("n_id", "codes", "_nrm")
+        _run(df)  # warm: codegen + page cache
+        best_t, best_gc = float("inf"), 0.0
+        for _ in range(2):
+            g0 = gc_s()
+            t = _run(df)
+            if t < best_t:
+                best_t, best_gc = t, gc_s() - g0
+        res[f"w{width}"] = {"wall": round(best_t, 3), "gc_s": round(best_gc, 3)}
+    w8, wf = res["w8"]["wall"], res[f"w{full}"]["wall"]
+    out = {
+        "stage": "pq_encode decimal argmin, corpus x8",
+        "width_low": 8,
+        "width_full": full,
+        **res,
+        "wall_ratio_full_vs_8": round(wf / w8, 2),
+        "gc_share_full": round(res[f"w{full}"]["gc_s"] / wf, 3) if wf else None,
+        "gate": "full-parallelism wall <= 1.5x 8-way wall AND gc share <= 0.5",
+        "gate_pass": wf <= 1.5 * w8
+        and (res[f"w{full}"]["gc_s"] / wf if wf else 0) <= 0.5,
+    }
+    print("fanout_guard", out, flush=True)
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from creek_spark.session import get_spark
@@ -526,15 +592,18 @@ def main() -> int:
             "marginal_ratio": round(r, 2) if r is not None else None,
         }
         print(name, ops[name], flush=True)
+    guard = fanout_guard(spark, sf_dir)
     ratios = [o["top_ratio"] for o in ops.values()]
     out = {
         "sf_dir": sf_dir,
         "cpus": os.cpu_count(),
         "ks": list(KS),
         "ops": ops,
+        "fanout_guard": guard,
         "max_top_ratio": max(ratios),
-        "gate": "linear-ish: every top_ratio <= 6 (4 = perfectly linear, 16 = quadratic)",
-        "gate_pass": all(r <= 6 for r in ratios),
+        "gate": "linear-ish: every top_ratio <= 6 (4 = perfectly linear, "
+        "16 = quadratic); plus the fanout_guard concurrency gate",
+        "gate_pass": all(r <= 6 for r in ratios) and guard["gate_pass"],
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALE_PROBE.json"), "w") as f:
