@@ -238,33 +238,47 @@ def rank_pick(
         from creek_spark.operators.cachereg import register_cache
 
         work = register_cache(work)
-    b1 = work.groupBy(*gcols, "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    # Everything below `work` runs on the ALIASED names (_sv/_tv/_bkt and
+    # the group keys), so it is spelled as single-parse SQL expression
+    # strings (round 13, guide §5 — the wave-4 `_exact_dot_sql` move
+    # applied to the summary pipeline): the Column-API form cost one py4j
+    # socket round trip PER expression node — ~1000 round trips ≈
+    # 0.3–1.9 s of driver time per rank_pick call, rebuilt on every
+    # bench rep — where each SQL string is one round trip + one JVM
+    # parse.  Every string is spelled node-for-node identical to the
+    # Column tree it replaces (same frames, same predicate shapes, same
+    # aliases), so analysis yields the same Catalyst tree — gated by
+    # test_rank_pick_sql_plan_identity (normalized formatted-plan
+    # equality against an in-test copy of the Column-API form) plus the
+    # existing oracle rows of all four consumers.
+    gl = ", ".join(f"`{c}`" for c in gcols)
+    b1 = work.groupBy(*gcols, "_bkt").agg(F.expr("count(1) AS _cnt"))
     # cumulative bucket counts: a plain per-group running sum over the
     # BUCKET SUMMARY.  The summary is one row per (group, bucket) — the
     # same frame the `_n`/target-bucket walk below already holds whole
-    # per group in one task (Window.partitionBy(gcols)), so a segmented
+    # per group in one task (PARTITION BY the group keys), so a segmented
     # prefix-sum here (the r4–r11 form) bought no scale headroom and
     # cost 3 extra exchanges + a broadcast join PER rank_pick, all of it
     # re-evaluated at every consumer of tb (round-12 optimization: the
     # two rank_pick headline queries dropped ~40% of their stages).
     # Integer sums over the same order (_bkt is unique per group after
     # the groupBy) — bit-identical to the segmented form.
-    wc = (
-        Window.partitionBy(*[F.col(c) for c in gcols])
-        .orderBy(F.col("_bkt"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c1 = b1.withColumn(
+        "_cum",
+        F.expr(
+            f"sum(_cnt) OVER (PARTITION BY {gl} ORDER BY _bkt "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
     )
-    c1 = b1.withColumn("_cum", F.sum("_cnt").over(wc))
     # group sizes fold from the CUMULATIVE summary (the group max of the
     # running count IS Σ per-bucket counts — no second corpus exchange,
     # and no separate group-count shuffle + rank broadcast join: the
     # ranks expand inline on the summary rows, r7 verdict item 5's
     # plan-build/stage-count diet).  The window partitions by the group
     # keys over the bucket summary — bounded by construction.
-    wn = Window.partitionBy(*[F.col(c) for c in gcols])
     # the bucket containing rank k, and the row count strictly before it
     tb = (
-        c1.withColumn("_n", F.max("_cum").over(wn))
+        c1.withColumn("_n", F.expr(f"max(_cum) OVER (PARTITION BY {gl})"))
         .select(
             *gcols,
             "_bkt",
@@ -272,11 +286,14 @@ def rank_pick(
             "_cum",
             F.posexplode(F.array(*ranks_fn(F.col("_n")))).alias("_ki", "_k"),
         )
-        .where(
-            (F.col("_cum") >= F.col("_k"))
-            & (F.col("_cum") - F.col("_cnt") < F.col("_k"))
+        .where("_cum >= _k AND _cum - _cnt < _k")
+        .selectExpr(
+            *[f"`{c}`" for c in gcols],
+            "_ki",
+            "_k",
+            "_bkt",
+            "_cum - _cnt AS _off",
         )
-        .select(*gcols, "_ki", "_k", "_bkt", (F.col("_cum") - F.col("_cnt")).alias("_off"))
     )
     # ONE broadcast of the full target-bucket frame (round-12): the
     # r4-r11 form broadcast tb twice — its (group, bucket) distinct to
@@ -290,28 +307,24 @@ def rank_pick(
     # counts the two-join form produced — bit-identical picks.
     lvl2 = work.join(F.broadcast(tb), [*gcols, "_bkt"])
     d2 = lvl2.groupBy(*gcols, "_bkt", "_ki", "_k", "_off", "_sv", "_tv").agg(
-        F.count(F.lit(1)).alias("_cnt2")
+        F.expr("count(1) AS _cnt2")
     )
-    w2 = (
-        Window.partitionBy(
-            *[F.col(c) for c in gcols], F.col("_bkt"), F.col("_ki")
-        )
-        .orderBy("_sv", "_tv")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c2 = d2.withColumn(
+        "_cum2",
+        F.expr(
+            f"sum(_cnt2) OVER (PARTITION BY {gl}, _bkt, _ki "
+            "ORDER BY _sv, _tv "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
     )
-    c2 = d2.withColumn("_cum2", F.sum("_cnt2").over(w2))
-    picked = (
-        c2.where(
-            (F.col("_off") + F.col("_cum2") >= F.col("_k"))
-            & (F.col("_off") + F.col("_cum2") - F.col("_cnt2") < F.col("_k"))
-        )
-        .select(
-            *part_cols,
-            "_ki",
-            "_k",
-            F.col("_sv").alias("_pick_v"),
-            F.col("_tv").alias("_pick_t"),
-        )
+    picked = c2.where(
+        "_off + _cum2 >= _k AND _off + _cum2 - _cnt2 < _k"
+    ).selectExpr(
+        *[f"`{c}`" for c in part_cols],
+        "_ki",
+        "_k",
+        "_sv AS _pick_v",
+        "_tv AS _pick_t",
     )
     return picked
 

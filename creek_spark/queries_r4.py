@@ -1371,31 +1371,26 @@ def customer_rfm(spark, sf_dir):
         F.floor((F.lit(s) * n + F.lit(4)) / F.lit(5)).cast("bigint")
         for s in (1, 2, 3, 4)
     ]
-    dims = {
-        # score ASCENDS along (sort_v asc, custkey asc); sort values cast
-        # to double (exact for these magnitudes) so all three dimensions
-        # ride ONE union frame and ONE rank_pick pass
-        "r": (-F.col("recency_days"), (-F.col("recency_days")).cast("bigint")),
-        "f": (F.col("frequency"), F.col("frequency").cast("bigint")),
-        "m": (F.col("monetary"), F.floor(F.col("monetary") / 1000).cast("bigint")),
-    }
+    # score ASCENDS along (sort_v asc, custkey asc); sort values cast
+    # to double (exact for these magnitudes) so all three dimensions
+    # ride ONE union frame and ONE rank_pick pass
+    dims = ("r", "f", "m")
     # one scan of c fans out all three dimensions via explode — a union
     # of three projections would stack 3× the cached partitions and every
-    # rank_pick pass over it would pay 3× the task count
-    u = c.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("dim"),
-                        sv.cast("double").alias("sv"),
-                        F.col("custkey").alias("custkey"),
-                        bkt.cast("bigint").alias("bkt"),
-                    )
-                    for d, (sv, bkt) in dims.items()
-                ]
-            )
-        ).alias("_e")
+    # rank_pick pass over it would pay 3× the task count.  Spelled as ONE
+    # parsed SQL expression (round 13, guide §5): the per-struct Column
+    # chain cost ~330 py4j round trips per build; the string parses to
+    # the identical explode(array(struct...)) tree.
+    dim_structs = {
+        "r": "struct('r' AS dim, CAST(-recency_days AS DOUBLE) AS sv, "
+             "custkey AS custkey, CAST(-recency_days AS BIGINT) AS bkt)",
+        "f": "struct('f' AS dim, CAST(frequency AS DOUBLE) AS sv, "
+             "custkey AS custkey, CAST(frequency AS BIGINT) AS bkt)",
+        "m": "struct('m' AS dim, CAST(monetary AS DOUBLE) AS sv, "
+             "custkey AS custkey, CAST(FLOOR(monetary / 1000) AS BIGINT) AS bkt)",
+    }
+    u = c.selectExpr(
+        f"explode(array({', '.join(dim_structs[d] for d in dims)})) AS _e"
     ).select("_e.dim", "_e.sv", "_e.custkey", "_e.bkt")
     # no work-cache: both rank_pick legs re-derive the explode from the
     # ALREADY-CACHED customer aggregate (3n tiny rows) — cheaper than a
@@ -1407,11 +1402,14 @@ def customer_rfm(spark, sf_dir):
     # py4j Column calls: this pivot + the scoring below were ~0.65 s of
     # driver time per build (r7 verdict item 5 — plan-build cost grows
     # with expression count, not data)
+    # alias inside the parsed string (round 13): the separate .alias()
+    # py4j call per column was ~1/3 of this block's driver cost
     cuts = picked.groupBy().agg(
         *[
             F.expr(
                 f"max(CASE WHEN dim = '{d}' AND _ki = {i} THEN _pick_{s} END)"
-            ).alias(f"_b{d}{s}{i}")
+                f" AS _b{d}{s}{i}"
+            )
             for d in dims
             for i in range(4)
             for s in ("v", "t")

@@ -286,3 +286,101 @@ def test_window_distribution_null_values_match_native(spark, tmp_path):
     }
     assert len(got) == len(rows)  # no NULL row silently dropped
     assert got == want
+
+
+def test_rank_pick_sql_plan_identity(spark):
+    """The round-13 rank_pick spells its summary pipeline as single-parse
+    SQL strings (one py4j round trip each) instead of per-node Column
+    trees — this gate pins the claim that both forms analyze to the SAME
+    physical plan: an in-test copy of the Column-API form must produce a
+    formatted plan byte-identical to the shipped form's, modulo
+    expression IDs.  Covers multi-rank + multi-part-col (the customer_rfm
+    shape) so every interpolated fragment is exercised."""
+    import re
+
+    from pyspark.sql import Window
+
+    from creek_spark.operators.distributed import const_partition, rank_pick
+
+    rows = [
+        ("a", i % 4, float(i % 7), i) for i in range(40)
+    ] + [("b", i % 3, float(i % 5), 100 + i) for i in range(30)]
+    df = spark.createDataFrame(rows, "dim string, grp int, sv double, tid int")
+    part_cols = ["dim", "grp"]
+    sort_col, tie_col = F.col("sv"), F.col("tid")
+    bucket_col = F.floor(F.col("sv") * 4).cast("bigint")
+    ranks_fn = lambda n: [  # noqa: E731
+        F.floor((F.lit(s) * n + F.lit(4)) / F.lit(5)).cast("bigint")
+        for s in (1, 3)
+    ]
+
+    def column_api_ref():
+        # the pre-round-13 Column-API form, verbatim
+        G = "_g"
+        gcols = [*part_cols, G]
+        work = df.select(
+            "*",
+            (const_partition(sort_col) + F.lit(1)).alias(G),
+            sort_col.alias("_sv"),
+            tie_col.alias("_tv"),
+            bucket_col.alias("_bkt"),
+        )
+        b1 = work.groupBy(*gcols, "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+        wc = (
+            Window.partitionBy(*[F.col(c) for c in gcols])
+            .orderBy(F.col("_bkt"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c1 = b1.withColumn("_cum", F.sum("_cnt").over(wc))
+        wn = Window.partitionBy(*[F.col(c) for c in gcols])
+        tb = (
+            c1.withColumn("_n", F.max("_cum").over(wn))
+            .select(
+                *gcols, "_bkt", "_cnt", "_cum",
+                F.posexplode(F.array(*ranks_fn(F.col("_n")))).alias("_ki", "_k"),
+            )
+            .where(
+                (F.col("_cum") >= F.col("_k"))
+                & (F.col("_cum") - F.col("_cnt") < F.col("_k"))
+            )
+            .select(
+                *gcols, "_ki", "_k", "_bkt",
+                (F.col("_cum") - F.col("_cnt")).alias("_off"),
+            )
+        )
+        lvl2 = work.join(F.broadcast(tb), [*gcols, "_bkt"])
+        d2 = lvl2.groupBy(
+            *gcols, "_bkt", "_ki", "_k", "_off", "_sv", "_tv"
+        ).agg(F.count(F.lit(1)).alias("_cnt2"))
+        w2 = (
+            Window.partitionBy(
+                *[F.col(c) for c in gcols], F.col("_bkt"), F.col("_ki")
+            )
+            .orderBy("_sv", "_tv")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c2 = d2.withColumn("_cum2", F.sum("_cnt2").over(w2))
+        return c2.where(
+            (F.col("_off") + F.col("_cum2") >= F.col("_k"))
+            & (F.col("_off") + F.col("_cum2") - F.col("_cnt2") < F.col("_k"))
+        ).select(
+            *part_cols, "_ki", "_k",
+            F.col("_sv").alias("_pick_v"),
+            F.col("_tv").alias("_pick_t"),
+        )
+
+    def plan(d):
+        jvm = spark.sparkContext._jvm
+        p = jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "formatted"
+        )
+        return re.sub(r"#\d+L?", "", re.sub(r"plan_id=\d+", "", p))
+
+    got = rank_pick(df, part_cols, sort_col, tie_col, bucket_col, ranks_fn)
+    assert plan(got) == plan(column_api_ref())
+    # and the picks themselves agree (belt over the plan suspenders)
+    key = lambda d: sorted(  # noqa: E731
+        (r["dim"], r["grp"], r["_ki"], r["_k"], r["_pick_v"], r["_pick_t"])
+        for r in d.collect()
+    )
+    assert key(got) == key(column_api_ref())
