@@ -52,10 +52,11 @@ def get_spark(
         # (basket/triangle probes) ran 1.5–3× SLOWER at k=16 under the
         # extra concurrent partial-agg memory pressure (interleaved A/B,
         # two heap sizes).  Small-table parallelism comes from the
-        # ingest layout instead: sources/layout.py writes tables whose
-        # whole size sits under the 4 MB openCost floor (invisible to
-        # split planning) as one FILE per row group, which Spark's
-        # default packing maps to one partition per file.
+        # ingest layout instead — and only where per-row compute earns
+        # it: sources/layout.py (round 13) cuts ONLY embeddings into at
+        # most MULTIFILE_CAP=8 files (one partition per file under
+        # default packing); the round-12 blanket cut of every sub-4MB
+        # table anti-scaled at local[32] and was reverted.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
