@@ -181,9 +181,22 @@ def test_events_envelope_never_emits_truncate(spark, sf_dir):
     truncate-watermark pass would silently change results.  Checks both
     the expression (op is a two-arm CASE over event_type) and the data
     (every op on the driver events table is u or d)."""
+    import re
+
     from creek_spark.queries_ext import _events_envelope
     from creek_spark.sources import read_table
 
     env = _events_envelope(read_table(spark, sf_dir, "events"))
+    # expression shape: the op column must be a single two-arm CASE over
+    # event_type whose only outcomes are 'd' and 'u' — a truncate arm
+    # added behind a condition that happens to never fire on the driver
+    # table would pass the data check below but fail here
+    analyzed = str(env.select("op")._jdf.queryExecution().analyzed())
+    m = re.search(r"CASE WHEN .*? END AS op", analyzed)
+    assert m, analyzed
+    op_expr = m.group(0)
+    assert op_expr.count("WHEN") == 1, op_expr  # exactly two arms
+    assert re.search(r"THEN d ELSE u END", op_expr), op_expr
+    # data: every emitted op on the driver events table is u or d
     ops = {r["op"] for r in env.select("op").distinct().collect()}
     assert ops <= {"u", "d"}, ops

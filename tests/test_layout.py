@@ -42,7 +42,7 @@ def test_mirror_cache_hit_and_invalidation(tmp_path):
     assert os.stat(p).st_mtime_ns != mtime  # rebuilt
 
 
-def test_small_tables_fan_out_one_file_per_group(tmp_path):
+def test_embeddings_multifile_capped_others_single_file(tmp_path):
     """Only the heavy-per-row-compute table (embeddings → the decimal
     PQ-encode folds) is cut into multiple files, capped at MULTIFILE_CAP
     — the round-12 blanket fan-out of every sub-4MB table anti-scaled at
